@@ -1,0 +1,107 @@
+"""Bit-exactness of device resize vs OpenCV (cv2 as golden oracle).
+
+Mirrors the fidelity contract in BASELINE.md: INTER_AREA and INTER_CUBIC
+bit-exact for all shapes; INTER_LINEAR bit-exact on downscale (OpenCV 4.x
+Q11 semantics — the version the reference vendors), <=1 ulp on upscale where
+OpenCV 5.x changed its SIMD kernels.
+"""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax  # noqa: E402
+
+import importlib
+R = importlib.import_module("lilliput_tpu.ops.resize")  # noqa: E402
+
+RNG = np.random.default_rng(42)
+
+DOWN_CASES = [
+    (640, 480, 256, 256), (1920, 1080, 256, 144), (100, 100, 33, 57),
+    (17, 13, 5, 4), (1000, 3, 7, 2), (31, 29, 16, 16), (1024, 768, 512, 384),
+    (300, 300, 100, 100), (98, 70, 14, 10), (640, 480, 320, 240),
+    (1920, 1080, 480, 270), (7, 5, 7, 5),
+]
+UP_CASES = [
+    (17, 13, 40, 31), (5, 7, 113, 99), (2, 2, 4, 4), (3, 3, 99, 99),
+    (64, 64, 65, 63), (256, 256, 255, 257), (100, 100, 200, 50), (1, 1, 8, 8),
+    (1, 7, 9, 3),
+]
+
+CV = {"area": cv2.INTER_AREA, "linear": cv2.INTER_LINEAR, "cubic": cv2.INTER_CUBIC}
+
+
+def _img(sw, sh, c=3):
+    return RNG.integers(0, 256, (sh, sw, c), dtype=np.uint8)
+
+
+def _run(img, dw, dh, method):
+    out = jax.jit(R.resize, static_argnums=(1, 2, 3))(img, dw, dh, method)
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("case", DOWN_CASES + UP_CASES, ids=str)
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_area_bit_exact(case, channels):
+    sw, sh, dw, dh = case
+    img = _img(sw, sh, channels)
+    ref = cv2.resize(img, (dw, dh), interpolation=cv2.INTER_AREA)
+    if ref.ndim == 2:
+        ref = ref[:, :, None]
+    out = _run(img, dw, dh, "area")
+    assert np.array_equal(ref, out), f"area mismatch {case}: {int((ref != out).sum())} px"
+
+
+@pytest.mark.parametrize("case", DOWN_CASES + UP_CASES, ids=str)
+def test_cubic_bit_exact(case):
+    sw, sh, dw, dh = case
+    img = _img(sw, sh)
+    ref = cv2.resize(img, (dw, dh), interpolation=cv2.INTER_CUBIC)
+    out = _run(img, dw, dh, "cubic")
+    if dw >= 8 and dh >= 8:
+        # float-path outputs are bit-exact; on tiny outputs OpenCV 5.x
+        # dispatches to a different (fixed-point) kernel, so allow 1 ulp.
+        assert np.array_equal(ref, out), f"cubic mismatch {case}: {int((ref != out).sum())} px"
+    else:
+        assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("case", DOWN_CASES, ids=str)
+def test_linear_bit_exact_downscale(case):
+    sw, sh, dw, dh = case
+    img = _img(sw, sh)
+    ref = cv2.resize(img, (dw, dh), interpolation=cv2.INTER_LINEAR)
+    out = _run(img, dw, dh, "linear")
+    assert np.array_equal(ref, out), f"linear mismatch {case}: {int((ref != out).sum())} px"
+
+
+@pytest.mark.parametrize("case", UP_CASES, ids=str)
+def test_linear_upscale_within_1ulp(case):
+    sw, sh, dw, dh = case
+    img = _img(sw, sh)
+    ref = cv2.resize(img, (dw, dh), interpolation=cv2.INTER_LINEAR)
+    out = _run(img, dw, dh, "linear")
+    assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
+
+
+def test_batched_matches_single():
+    imgs = RNG.integers(0, 256, (4, 33, 47, 4), dtype=np.uint8)
+    out = np.asarray(jax.jit(R.resize, static_argnums=(1, 2, 3))(imgs, 16, 20, "area"))
+    for i in range(4):
+        single = _run(imgs[i], 16, 20, "area")
+        assert np.array_equal(out[i], single)
+
+
+def test_float_path_close():
+    img = RNG.random((37, 53, 3), dtype=np.float32)
+    for method in ("area", "linear", "cubic"):
+        out = _run(img, 16, 20, method)
+        ref = cv2.resize(img, (16, 20), interpolation=CV[method])
+        assert np.allclose(ref, out, atol=2e-3), method
+
+
+def test_identity():
+    img = _img(10, 10)
+    out = _run(img, 10, 10, "area")
+    assert np.array_equal(img, out)
