@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""End-to-end CLI driver, mirroring the reference example
+(/root/reference/examples/main.go:21-148): read file -> new_decoder ->
+print metadata -> ImageOps.transform -> write file.
+
+Usage:
+    python examples/main.py -input in.jpg -output out.webp \
+        -width 256 -height 256 [-stretch] [-disable-animated-output] \
+        [-max-encode-frames N] [-max-encode-duration SECONDS] [-force-sdr]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lilliput_tpu import (ImageOps, ImageOptions, ResizeMethod, new_decoder)
+from lilliput_tpu.framebuffer import (AVIF_QUALITY, AVIF_SPEED, JPEG_QUALITY,
+                                      PNG_COMPRESSION, WEBP_QUALITY)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-input", required=True)
+    p.add_argument("-output", default="")
+    p.add_argument("-width", type=int, default=0)
+    p.add_argument("-height", type=int, default=0)
+    p.add_argument("-stretch", action="store_true")
+    p.add_argument("-disable-animated-output", dest="disable_anim", action="store_true")
+    p.add_argument("-max-encode-frames", type=int, default=0)
+    p.add_argument("-max-encode-duration", type=float, default=0.0)
+    p.add_argument("-force-sdr", dest="force_sdr", action="store_true")
+    p.add_argument("-quality", type=int, default=85)
+    args = p.parse_args()
+
+    buf = open(args.input, "rb").read()
+    dec = new_decoder(buf)
+    header = dec.header()
+
+    print(f"file type: {dec.description()}")
+    print(f"{header.width}x{header.height}, {header.channels}ch, "
+          f"{header.num_frames} frame(s), orientation {int(header.orientation)}")
+    if dec.duration():
+        print(f"duration: {dec.duration():.2f} s")
+
+    if not args.output:
+        return
+
+    if args.stretch:
+        method = ResizeMethod.RESIZE
+    elif args.width and args.height:
+        method = ResizeMethod.FIT
+    else:
+        method = ResizeMethod.NO_RESIZE
+
+    ext = os.path.splitext(args.output)[1] or ("." + dec.description().lower())
+    opts = ImageOptions(
+        file_type=ext,
+        width=args.width,
+        height=args.height,
+        resize_method=method,
+        normalize_orientation=True,
+        encode_options={
+            # example defaults mirroring examples/main.go:14-19
+            JPEG_QUALITY: args.quality,
+            PNG_COMPRESSION: 7,
+            WEBP_QUALITY: args.quality,
+            AVIF_QUALITY: args.quality,
+            AVIF_SPEED: 10,
+        },
+        max_encode_frames=args.max_encode_frames,
+        max_encode_duration=args.max_encode_duration,
+        encode_timeout=300.0,
+        disable_animated_output=args.disable_anim,
+        force_sdr=args.force_sdr,
+    )
+
+    ops = ImageOps(8192)
+    t0 = time.time()
+    out = ops.transform(dec, opts)
+    dt = time.time() - t0
+    open(args.output, "wb").write(out)
+    print(f"transformed in {dt * 1000:.1f} ms -> {args.output} ({len(out)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

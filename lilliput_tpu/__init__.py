@@ -1,0 +1,29 @@
+"""lilliput_tpu: TPU-native in-memory image transcoding framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of discord/lilliput:
+decode (JPEG/PNG/GIF/WebP/AVIF + video first frames) -> transform
+(resize/fit/crop, EXIF orientation, animated compositing, HDR->SDR) ->
+encode (JPEG/PNG/WebP/AVIF/GIF/thumbhash). Serial entropy stages run on the
+host (C++ where hot); every dense pixel transform runs on TPU.
+
+Public surface mirrors the reference Go API (lilliput.go, ops.go):
+
+    from lilliput_tpu import new_decoder, ImageOps, ImageOptions
+    d = new_decoder(open("in.jpg", "rb").read())
+    ops = ImageOps(8192)
+    out = ops.transform(d, ImageOptions(file_type=".webp", width=256,
+                                        height=256, resize_method=ResizeMethod.FIT))
+"""
+
+from .api import new_decoder, new_encoder  # noqa: F401
+from .errors import (BufTooSmallError, DecodingFailedError,  # noqa: F401
+                     EncodeTimeoutError, FrameBufNoPixelsError,
+                     InvalidImageError, LilliputError, SkipNotSupportedError)
+from .framebuffer import (AVIF_QUALITY, AVIF_SPEED, JPEG_PROGRESSIVE,  # noqa: F401
+                          JPEG_QUALITY, PNG_COMPRESSION, WEBP_METHOD,
+                          WEBP_QUALITY, BlendMethod, DisposeMethod,
+                          Framebuffer, ImageHeader, ImageOrientation)
+from .imageops import ImageOps, ImageOptions, ResizeMethod  # noqa: F401
+from .interfaces import Decoder, Encoder  # noqa: F401
+
+__version__ = "0.1.0"

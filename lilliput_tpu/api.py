@@ -1,0 +1,95 @@
+"""Public API: format sniffing and decoder/encoder construction.
+
+Mirrors /root/reference/lilliput.go:100-202: magic-byte dispatch for
+GIF/WebP/AVIF/PNG/JPEG, MP4/MOV fallback through the video decoder, and
+extension-based encoder selection (.mp4/.webm rejected).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .errors import InvalidImageError
+from .interfaces import Decoder, Encoder
+
+_GIF87 = b"GIF87a"
+_GIF89 = b"GIF89a"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def is_gif(buf: bytes) -> bool:
+    return buf.startswith(_GIF87) or buf.startswith(_GIF89)
+
+
+def is_webp(buf: bytes) -> bool:
+    return len(buf) >= 12 and buf.startswith(b"RIFF") and buf[8:12] == b"WEBP"
+
+
+def is_avif(buf: bytes) -> bool:
+    return len(buf) >= 12 and buf[4:8] == b"ftyp" and buf[8:12] in (b"avif", b"avis")
+
+
+def is_mp4(buf: bytes) -> bool:
+    return len(buf) >= 12 and (buf[4:12] == b"ftypmp42" or buf[4:12] == b"ftypisom")
+
+
+def is_png(buf: bytes) -> bool:
+    return buf.startswith(_PNG_MAGIC)
+
+
+def is_jpeg(buf: bytes) -> bool:
+    return len(buf) >= 3 and buf[0] == 0xFF and buf[1] == 0xD8 and buf[2] == 0xFF
+
+
+def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:
+    """Sniff magic bytes and return the right Decoder (lilliput.go:129-164)."""
+    if len(buf) == 0:
+        raise InvalidImageError("empty buffer")
+    if is_gif(buf):
+        from .codecs.gif import GifDecoder
+        return GifDecoder(buf)
+    if is_webp(buf):
+        from .codecs.webp import WebpDecoder
+        return WebpDecoder(buf)
+    if is_avif(buf):
+        from .codecs.avif import AvifDecoder
+        return AvifDecoder(buf, tone_mapping_enabled)
+    if is_jpeg(buf):
+        from .codecs.jpeg import JpegDecoder
+        return JpegDecoder(buf)
+    if is_png(buf):
+        from .codecs.png import PngDecoder
+        return PngDecoder(buf)
+    # fall through to the video/audio probe (ffmpeg shim)
+    from .codecs.video import VideoDecoder
+    try:
+        return VideoDecoder(buf)
+    except Exception as e:
+        raise InvalidImageError("unrecognized image format") from e
+
+
+def new_encoder(ext: str, decoded_by: Optional[Decoder] = None,
+                icc_override: Optional[bytes] = None) -> Encoder:
+    """Extension-based encoder dispatch (lilliput.go:180-202)."""
+    e = ext.lower()
+    if e == ".gif":
+        from .codecs.gif import GifEncoder
+        return GifEncoder(decoded_by, icc_override=icc_override)
+    if e == ".webp":
+        from .codecs.webp import WebpEncoder
+        return WebpEncoder(decoded_by, icc_override=icc_override)
+    if e == ".avif":
+        from .codecs.avif import AvifEncoder
+        return AvifEncoder(decoded_by, icc_override=icc_override)
+    if e in (".mp4", ".webm"):
+        raise InvalidImageError("Encoder cannot encode into video types")
+    if e == ".thumbhash":
+        from .codecs.thumbhash import ThumbhashEncoder
+        return ThumbhashEncoder(decoded_by)
+    if e in (".jpg", ".jpeg"):
+        from .codecs.jpeg import JpegEncoder
+        return JpegEncoder(decoded_by, icc_override=icc_override)
+    if e == ".png":
+        from .codecs.png import PngEncoder
+        return PngEncoder(decoded_by, icc_override=icc_override)
+    raise InvalidImageError(f"unsupported output type {ext!r}")

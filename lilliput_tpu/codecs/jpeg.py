@@ -1,0 +1,332 @@
+"""JPEG codec: host entropy (libjpeg-turbo) + TPU dense transforms.
+
+Capability parity with the reference's OpenCV-backed JPEG path
+(/root/reference/opencv.cpp:93-188, opencv.go:432-453,629-802): header-only
+parse, EXIF orientation, ICC extraction (APP2 assembly, opencv.cpp:247-291),
+acropalypse-style ContentLength detection (opencv.go:502-557), decode to
+BGR/gray pixels, and encode with quality/progressive options — but decode
+pixels are produced by MXU IDCT matmuls (ops/jpeg_kernels.py) instead of
+libjpeg's CPU IDCT, and encode runs fDCT+quantization on device with the
+host only Huffman-coding the result.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Dict, Optional
+
+import numpy as np
+
+from .. import binding
+from ..errors import DecodingFailedError, InvalidImageError
+from ..framebuffer import (JPEG_PROGRESSIVE, JPEG_QUALITY, Framebuffer,
+                           ImageHeader, ImageOrientation)
+from ..interfaces import Decoder, Encoder
+from ..ops import jpeg_kernels as K
+
+# Standard Annex K base quantization tables (JPEG spec Tables K.1/K.2).
+STD_LUMA_QTABLE = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.uint16)
+STD_CHROMA_QTABLE = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.uint16)
+
+_MAX_COMPONENTS = 4
+
+
+class _JpegInfo(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32),
+        ("height", ctypes.c_int32),
+        ("num_components", ctypes.c_int32),
+        ("progressive", ctypes.c_int32),
+        ("icc_length", ctypes.c_int32),
+        ("comp_h_samp", ctypes.c_int32 * _MAX_COMPONENTS),
+        ("comp_v_samp", ctypes.c_int32 * _MAX_COMPONENTS),
+        ("comp_quant_tbl", ctypes.c_int32 * _MAX_COMPONENTS),
+        ("comp_blocks_w", ctypes.c_int32 * _MAX_COMPONENTS),
+        ("comp_blocks_h", ctypes.c_int32 * _MAX_COMPONENTS),
+        ("comp_downsampled_w", ctypes.c_int32 * _MAX_COMPONENTS),
+        ("comp_downsampled_h", ctypes.c_int32 * _MAX_COMPONENTS),
+        ("jpeg_color_space", ctypes.c_int32),
+        ("restart_interval", ctypes.c_int32),
+    ]
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+# ---------------------------------------------------------------------------
+# host-side byte walkers (mirroring the reference's pure-Go JPEG walkers)
+# ---------------------------------------------------------------------------
+
+def exif_orientation(buf: bytes) -> ImageOrientation:
+    """Extract EXIF orientation from the APP1 segment (host-side parse)."""
+    i = 2  # skip SOI
+    n = len(buf)
+    while i + 4 <= n and buf[i] == 0xFF:
+        marker = buf[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: no EXIF past here
+            break
+        seglen = int.from_bytes(buf[i + 2:i + 4], "big")
+        if marker == 0xE1 and buf[i + 4:i + 10] == b"Exif\x00\x00":
+            tiff = buf[i + 10:i + 2 + seglen]
+            o = _parse_tiff_orientation(tiff)
+            if o:
+                return ImageOrientation(o)
+        i += 2 + seglen
+    return ImageOrientation.TOP_LEFT
+
+
+def _parse_tiff_orientation(tiff: bytes) -> int:
+    if len(tiff) < 14:
+        return 0
+    if tiff[:4] == b"II*\x00":
+        end = "little"
+    elif tiff[:4] == b"MM\x00*":
+        end = "big"
+    else:
+        return 0
+    off = int.from_bytes(tiff[4:8], end)
+    if off + 2 > len(tiff):
+        return 0
+    count = int.from_bytes(tiff[off:off + 2], end)
+    for k in range(count):
+        e = off + 2 + k * 12
+        if e + 12 > len(tiff):
+            return 0
+        tag = int.from_bytes(tiff[e:e + 2], end)
+        if tag == 0x0112:
+            val = int.from_bytes(tiff[e + 8:e + 10], end)
+            return val if 1 <= val <= 8 else 0
+    return 0
+
+
+def jpeg_content_length(buf: bytes) -> int:
+    """Length up to and including EOI; trailing bytes beyond are unwanted
+    (acropalypse-type leak surface, see reference opencv.go:502-557).
+
+    Walks marker segments (so EOIs inside EXIF thumbnails are skipped), then
+    scans entropy data where 0xFF is always escaped (FF 00) or a RST marker,
+    making the first unescaped FF D9 the real EOI."""
+    n = len(buf)
+    i = 2  # past SOI
+    in_scan = False
+    while i + 1 < n:
+        if not in_scan:
+            if buf[i] != 0xFF:
+                return n  # malformed; keep everything
+            marker = buf[i + 1]
+            if marker == 0xD9:
+                return i + 2
+            if marker == 0xDA:
+                i += 2 + int.from_bytes(buf[i + 2:i + 4], "big")
+                in_scan = True
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if i + 4 > n:
+                return n
+            i += 2 + int.from_bytes(buf[i + 2:i + 4], "big")
+        else:
+            idx = buf.find(b"\xff", i)
+            if idx == -1 or idx + 1 >= n:
+                return n
+            m = buf[idx + 1]
+            if m == 0xD9:
+                return idx + 2
+            if m == 0x00 or 0xD0 <= m <= 0xD7:
+                i = idx + 2  # stuffed byte or restart marker: still in scan
+            else:
+                i = idx      # next marker segment (e.g. progressive scans)
+                in_scan = False
+    return n
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class JpegDecoder(Decoder):
+    def __init__(self, buf: bytes):
+        if len(buf) < 3 or buf[0] != 0xFF or buf[1] != 0xD8:
+            raise InvalidImageError("not a JPEG")
+        self._buf = np.frombuffer(buf, np.uint8)
+        self._raw = buf
+        self._lib = binding.load()
+        self._info = _JpegInfo()
+        rc = self._lib.lp_jpeg_get_info(_u8ptr(self._buf), self._buf.size,
+                                        ctypes.byref(self._info))
+        if rc != 0:
+            raise InvalidImageError(f"JPEG header parse failed ({rc})")
+        self._decoded = False
+        self._header: Optional[ImageHeader] = None
+
+    def header(self) -> ImageHeader:
+        if self._header is None:
+            info = self._info
+            self._header = ImageHeader(
+                width=info.width,
+                height=info.height,
+                channels=1 if info.num_components == 1 else 3,
+                orientation=exif_orientation(self._raw),
+                num_frames=1,
+                content_length=jpeg_content_length(self._raw),
+            )
+        return self._header
+
+    def description(self) -> str:
+        return "JPEG"
+
+    def icc(self) -> bytes:
+        if self._info.icc_length <= 0:
+            return b""
+        self._decode_coefs_cached()
+        return self._icc
+
+    def _decode_coefs_cached(self):
+        if hasattr(self, "_coefs"):
+            return
+        info = self._info
+        nc = info.num_components
+        coefs = []
+        ptrs = (ctypes.POINTER(ctypes.c_int16) * nc)()
+        for c in range(nc):
+            arr = np.empty((info.comp_blocks_h[c], info.comp_blocks_w[c], 64), np.int16)
+            coefs.append(arr)
+            ptrs[c] = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        qtables = np.zeros((4, 64), np.uint16)
+        icc_buf = np.zeros(max(info.icc_length, 1), np.uint8)
+        rc = self._lib.lp_jpeg_decode_coefs(
+            _u8ptr(self._buf), self._buf.size, ptrs,
+            qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            _u8ptr(icc_buf), icc_buf.size)
+        if rc != 0:
+            raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
+        self._coefs = coefs
+        self._qtables = qtables
+        self._icc = icc_buf.tobytes() if info.icc_length > 0 else b""
+
+    def decode_to(self, fb: Framebuffer) -> None:
+        if self._decoded:
+            raise EOFError()
+        info = self._info
+        self._decode_coefs_cached()
+        h, w = info.height, info.width
+        if info.num_components == 1:
+            px = K.decode_gray(self._coefs[0], self._qtables[info.comp_quant_tbl[0]], h, w)
+        elif info.num_components == 3:
+            hy, vy = info.comp_h_samp[0], info.comp_v_samp[0]
+            hc, vc = info.comp_h_samp[1], info.comp_v_samp[1]
+            h2, v2 = hy // hc == 2, vy // vc == 2
+            if hy // hc not in (1, 2) or vy // vc not in (1, 2):
+                raise DecodingFailedError("unsupported chroma subsampling")
+            px = K.decode_ycc_420(
+                self._coefs[0], self._coefs[1], self._coefs[2],
+                self._qtables[info.comp_quant_tbl[0]],
+                self._qtables[info.comp_quant_tbl[1]],
+                h, w, h2, v2)
+        else:
+            raise DecodingFailedError(
+                f"unsupported JPEG component count {info.num_components}")
+        fb.array = px
+        fb.duration = 0.0
+        fb.x_offset = fb.y_offset = 0
+        self._decoded = True
+
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def scaled_qtables(quality: int):
+    lib = binding.load()
+    out_l = np.zeros(64, np.uint16)
+    out_c = np.zeros(64, np.uint16)
+    q = ctypes.POINTER(ctypes.c_uint16)
+    lib.lp_jpeg_scale_qtable(STD_LUMA_QTABLE.ctypes.data_as(q), quality, 1,
+                             out_l.ctypes.data_as(q))
+    lib.lp_jpeg_scale_qtable(STD_CHROMA_QTABLE.ctypes.data_as(q), quality, 1,
+                             out_c.ctypes.data_as(q))
+    return out_l, out_c
+
+
+class JpegEncoder(Encoder):
+    """Single-frame encoder; device fDCT/quant + host Huffman."""
+
+    def __init__(self, decoded_by: Optional[Decoder] = None,
+                 icc_override: Optional[bytes] = None):
+        self._lib = binding.load()
+        self._icc = icc_override
+        if self._icc is None and decoded_by is not None:
+            try:
+                self._icc = decoded_by.icc() or None
+            except Exception:
+                self._icc = None
+
+    def encode(self, fb: Optional[Framebuffer], opts: Dict[int, int]) -> Optional[bytes]:
+        if fb is None:
+            raise DecodingFailedError("JPEG encoder cannot flush without a frame")
+        opts = opts or {}
+        quality = int(opts.get(JPEG_QUALITY, 95))
+        quality = min(max(quality, 1), 100)
+        progressive = 1 if opts.get(JPEG_PROGRESSIVE, 0) else 0
+        qt_l, qt_c = scaled_qtables(quality)
+
+        arr = fb.array
+        h, w = fb.height, fb.width
+        gray = fb.channels == 1
+        if gray:
+            y = np.asarray(K.encode_gray_from_u8(arr, qt_l))
+            comps = [np.ascontiguousarray(y)]
+            h_samp = [1]
+            v_samp = [1]
+        else:
+            yq, cbq, crq = K.encode_from_bgr(arr, qt_l, qt_c, subsample=True)
+            comps = [np.asarray(c) for c in (yq, cbq, crq)]
+            h_samp = [2, 1, 1]
+            v_samp = [2, 1, 1]
+        # crop device MCU padding down to libjpeg's expected block geometry
+        # (width_in_blocks = ceil(w*hs/(8*max_h)), same for rows)
+        max_h, max_v = max(h_samp), max(v_samp)
+        for i in range(len(comps)):
+            exp_bw = (w * h_samp[i] + 8 * max_h - 1) // (8 * max_h)
+            exp_bh = (h * v_samp[i] + 8 * max_v - 1) // (8 * max_v)
+            comps[i] = np.ascontiguousarray(comps[i][:exp_bh, :exp_bw])
+        nc = len(comps)
+        ptrs = (ctypes.POINTER(ctypes.c_int16) * nc)()
+        for i, c in enumerate(comps):
+            ptrs[i] = c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        hs = (ctypes.c_int32 * nc)(*h_samp)
+        vs = (ctypes.c_int32 * nc)(*v_samp)
+        icc = self._icc or b""
+        icc_arr = np.frombuffer(icc, np.uint8) if icc else np.zeros(1, np.uint8)
+        out = np.empty(w * h * 4 + (1 << 20), np.uint8)
+        q = ctypes.POINTER(ctypes.c_uint16)
+        n = self._lib.lp_jpeg_encode_coefs(
+            w, h, nc, hs, vs, ptrs,
+            qt_l.ctypes.data_as(q), qt_c.ctypes.data_as(q),
+            progressive, 0,
+            _u8ptr(icc_arr), len(icc), _u8ptr(out), out.size)
+        if n < 0:
+            raise DecodingFailedError(f"JPEG entropy encode failed ({n})")
+        return out[:n].tobytes()

@@ -1,0 +1,360 @@
+"""PNG codec: host chunk-walk + inflate + unfilter, device pixel expansion.
+
+Capability parity with the reference's PNG path: the pure-Go chunk iterator,
+APNG detection and ContentLength logic (/root/reference/opencv.go:458-627)
+are reimplemented as a host-side chunk walker; libpng's decode
+(opencv.cpp:309-340 for ICC) is replaced by: zlib inflate (host), row
+unfilter (host C++, native/src/png_filter.cpp — a serial recurrence), then
+palette expansion / bit unpacking / 16->8 / RGB->BGR swizzles on device.
+Encode filters rows host-side (adaptive min-SAD like libpng) and deflates
+with the PngCompression option (opencv.hpp:34).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import zlib
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import binding
+from ..errors import DecodingFailedError, InvalidImageError
+from ..framebuffer import PNG_COMPRESSION, Framebuffer, ImageHeader, ImageOrientation
+from ..interfaces import Decoder, Encoder
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+binding.register_signature(
+    "lp_png_unfilter",
+    [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+     ctypes.c_int64, ctypes.c_int64, ctypes.c_int32],
+    ctypes.c_int)
+binding.register_signature(
+    "lp_png_filter",
+    [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+     ctypes.c_int64, ctypes.c_int64, ctypes.c_int32],
+    None)
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+# ---------------------------------------------------------------------------
+# chunk walking (host)
+# ---------------------------------------------------------------------------
+
+def iter_chunks(buf: bytes):
+    """Yield (type, data_offset, length, chunk_end) for each chunk."""
+    pos = len(PNG_MAGIC)
+    n = len(buf)
+    while pos + 8 <= n:
+        length = int.from_bytes(buf[pos:pos + 4], "big")
+        ctype = buf[pos + 4:pos + 8]
+        data_off = pos + 8
+        end = data_off + length + 4  # + CRC
+        if end > n:
+            return
+        yield ctype, data_off, length, end
+        pos = end
+        if ctype == b"IEND":
+            return
+
+
+def png_content_length(buf: bytes) -> int:
+    """Bytes up to and including IEND (+CRC); trailing data beyond is
+    truncated (acropalypse parity, opencv.go:560-610)."""
+    last = len(buf)
+    for ctype, _off, _ln, end in iter_chunks(buf):
+        if ctype == b"IEND":
+            return end
+    return last
+
+
+def is_apng(buf: bytes) -> bool:
+    """acTL chunk before IDAT marks an APNG (opencv.go:609-627 behavior)."""
+    for ctype, _off, _ln, _end in iter_chunks(buf):
+        if ctype == b"acTL":
+            return True
+        if ctype == b"IDAT":
+            return False
+    return False
+
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+class _PngInfo:
+    width: int
+    height: int
+    bit_depth: int
+    color_type: int
+    interlace: int
+    palette: Optional[np.ndarray]
+    trns: Optional[bytes]
+    icc: bytes
+
+
+def _parse(buf: bytes) -> "_PngInfo":
+    if not buf.startswith(PNG_MAGIC):
+        raise InvalidImageError("not a PNG")
+    info = _PngInfo()
+    info.palette = None
+    info.trns = None
+    info.icc = b""
+    seen_ihdr = False
+    for ctype, off, ln, _end in iter_chunks(buf):
+        if ctype == b"IHDR":
+            if ln < 13:
+                raise InvalidImageError("bad IHDR")
+            (info.width, info.height, info.bit_depth, info.color_type,
+             _comp, _filt, info.interlace) = struct.unpack(">IIBBBBB", buf[off:off + 13])
+            seen_ihdr = True
+        elif ctype == b"PLTE":
+            info.palette = np.frombuffer(buf[off:off + ln], np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            info.trns = buf[off:off + ln]
+        elif ctype == b"iCCP":
+            data = buf[off:off + ln]
+            z = data.find(b"\x00")
+            if z != -1 and z + 2 <= len(data):
+                try:
+                    info.icc = zlib.decompress(data[z + 2:])
+                except zlib.error:
+                    info.icc = b""
+        elif ctype == b"IDAT":
+            break
+    if not seen_ihdr:
+        raise InvalidImageError("PNG missing IHDR")
+    return info
+
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _bits_per_pixel(info) -> int:
+    return _CHANNELS[info.color_type] * info.bit_depth
+
+
+def _unfilter(lib, raw: np.ndarray, rows: int, stride: int, bpp: int) -> np.ndarray:
+    out = np.empty(rows * stride, np.uint8)
+    rc = lib.lp_png_unfilter(_u8ptr(raw), _u8ptr(out), rows, stride, max(bpp, 1))
+    if rc != 0:
+        raise DecodingFailedError("bad PNG filter type")
+    return out
+
+
+def _unpack_bits(row_bytes: np.ndarray, bit_depth: int, width: int, channels: int,
+                 keep16: bool = False) -> np.ndarray:
+    """(rows, stride) packed -> (rows, width*channels) samples.
+
+    16-bit samples reduce to the high byte (libpng strip-16 behavior the
+    reference inherits through OpenCV) unless keep16 (used for exact tRNS
+    color-key comparison)."""
+    if bit_depth == 8:
+        return row_bytes[:, :width * channels]
+    if bit_depth == 16:
+        pairs = row_bytes.reshape(row_bytes.shape[0], -1, 2)[:, :width * channels]
+        if keep16:
+            return (pairs[..., 0].astype(np.uint16) << 8) | pairs[..., 1]
+        return pairs[..., 0]
+    # 1/2/4-bit: big-endian bit packing
+    rows = row_bytes.shape[0]
+    bits = np.unpackbits(row_bytes, axis=1)
+    n = width * channels
+    per = bit_depth
+    groups = bits[:, :n * per].reshape(rows, n, per)
+    vals = np.zeros((rows, n), np.uint8)
+    for b in range(per):
+        vals = ((vals.astype(np.uint16) << 1) | groups[:, :, b]).astype(np.uint8)
+    return vals
+
+
+_GRAY_SCALE = {1: 255, 2: 85, 4: 17, 8: 1, 16: 1}
+
+
+class PngDecoder(Decoder):
+    def __init__(self, buf: bytes):
+        self._raw = buf
+        self._info = _parse(buf)
+        self._lib = binding.load()
+        self._decoded = False
+        self._apng = is_apng(buf)
+        self._header: Optional[ImageHeader] = None
+
+    def header(self) -> ImageHeader:
+        if self._header is None:
+            i = self._info
+            if i.color_type in (4, 6) or i.trns is not None:
+                channels = 4
+            elif i.color_type == 0:
+                channels = 1
+            else:
+                channels = 3
+            self._header = ImageHeader(
+                width=i.width, height=i.height, channels=channels,
+                orientation=ImageOrientation.TOP_LEFT, num_frames=1,
+                content_length=png_content_length(self._raw))
+        return self._header
+
+    def description(self) -> str:
+        return "PNG"
+
+    def icc(self) -> bytes:
+        return self._info.icc
+
+    @property
+    def is_apng(self) -> bool:
+        return self._apng
+
+    # -- decode -------------------------------------------------------------
+
+    def _inflate(self) -> np.ndarray:
+        idat = b"".join(self._raw[off:off + ln]
+                        for ctype, off, ln, _ in iter_chunks(self._raw)
+                        if ctype == b"IDAT")
+        try:
+            return np.frombuffer(zlib.decompress(idat), np.uint8)
+        except zlib.error as e:
+            raise DecodingFailedError(f"PNG inflate failed: {e}") from e
+
+    def _reconstruct_samples(self, keep16: bool = False) -> np.ndarray:
+        """Undo filtering+interlace: returns (H, W*channels) samples
+        (16-bit reduced to high byte unless keep16)."""
+        i = self._info
+        ch = _CHANNELS[i.color_type]
+        data = self._inflate()
+        bpp_bytes = max(1, ch * i.bit_depth // 8)
+        dtype = np.uint16 if (keep16 and i.bit_depth == 16) else np.uint8
+        if i.interlace == 0:
+            stride = (i.width * ch * i.bit_depth + 7) // 8
+            need = i.height * (stride + 1)
+            if data.size < need:
+                raise DecodingFailedError("truncated PNG data")
+            rows = _unfilter(self._lib, data[:need], i.height, stride, bpp_bytes)
+            rows = rows.reshape(i.height, stride)
+            return _unpack_bits(rows, i.bit_depth, i.width, ch, keep16)
+        # Adam7
+        out = np.zeros((i.height, i.width * ch), dtype)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (i.width - x0 + dx - 1) // dx
+            ph = (i.height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * ch * i.bit_depth + 7) // 8
+            need = ph * (stride + 1)
+            sub = _unfilter(self._lib, data[pos:pos + need], ph, stride, bpp_bytes)
+            pos += need
+            samples = _unpack_bits(sub.reshape(ph, stride), i.bit_depth, pw, ch, keep16)
+            samples = samples.reshape(ph, pw, ch)
+            out.reshape(i.height, i.width, ch)[y0::dy, x0::dx, :] = samples
+        return out
+
+    def decode_to(self, fb: Framebuffer) -> None:
+        if self._decoded:
+            raise EOFError()
+        i = self._info
+        color_key = i.trns is not None and i.color_type in (0, 2)
+        samples = self._reconstruct_samples(keep16=color_key).reshape(
+            i.height, i.width, _CHANNELS[i.color_type])
+        alpha = None
+        if color_key:
+            nvals = 1 if i.color_type == 0 else 3
+            key = np.frombuffer(i.trns[:nvals * 2], ">u2").astype(np.uint32)
+            if i.bit_depth < 16:
+                key = key & ((1 << i.bit_depth) - 1)
+            transparent = np.all(samples.astype(np.uint32) == key, axis=-1)
+            alpha = np.where(transparent, 0, 255).astype(np.uint8)
+            if samples.dtype == np.uint16:
+                samples = (samples >> 8).astype(np.uint8)
+        arr = jnp.asarray(samples)
+        if i.color_type == 3:
+            if i.palette is None:
+                raise DecodingFailedError("palette PNG missing PLTE")
+            pal = i.palette
+            if i.trns is not None:
+                alpha = np.full(pal.shape[0], 255, np.uint8)
+                t = np.frombuffer(self._trns_bytes(), np.uint8)
+                alpha[:t.size] = t
+                lut = np.concatenate([pal[:, ::-1], alpha[:, None]], axis=1)  # BGRA
+            else:
+                lut = pal[:, ::-1]  # BGR
+            px = jnp.take(jnp.asarray(lut), arr[..., 0].astype(jnp.int32),
+                          axis=0, mode="clip")
+        elif i.color_type == 0:
+            scale = _GRAY_SCALE[i.bit_depth]
+            px = (arr * np.uint8(scale)) if scale != 1 else arr
+            if alpha is not None:
+                g = px[..., 0]
+                px = jnp.stack([g, g, g, jnp.asarray(alpha)], axis=-1)
+        elif i.color_type == 4:
+            g, a = arr[..., 0], arr[..., 1]
+            px = jnp.stack([g, g, g, a], axis=-1)
+        elif i.color_type == 2:
+            px = arr[..., ::-1]  # RGB -> BGR
+            if alpha is not None:
+                px = jnp.concatenate([px, jnp.asarray(alpha)[..., None]], axis=-1)
+        else:  # 6: RGBA -> BGRA
+            px = jnp.concatenate([arr[..., [2, 1, 0]], arr[..., 3:4]], axis=-1)
+        fb.array = px
+        fb.duration = 0.0
+        fb.x_offset = fb.y_offset = 0
+        self._decoded = True
+
+    def _trns_bytes(self) -> bytes:
+        return self._info.trns or b""
+
+
+class PngEncoder(Encoder):
+    def __init__(self, decoded_by: Optional[Decoder] = None,
+                 icc_override: Optional[bytes] = None):
+        self._lib = binding.load()
+        self._icc = icc_override
+        if self._icc is None and decoded_by is not None:
+            try:
+                self._icc = decoded_by.icc() or None
+            except Exception:
+                self._icc = None
+
+    def encode(self, fb: Optional[Framebuffer], opts: Dict[int, int]) -> Optional[bytes]:
+        if fb is None:
+            raise DecodingFailedError("PNG encoder cannot flush without a frame")
+        opts = opts or {}
+        level = int(opts.get(PNG_COMPRESSION, 6))
+        level = min(max(level, 0), 9)
+        arr = fb.to_numpy()
+        h, w, c = arr.shape
+        if c == 3:
+            rgb = arr[:, :, ::-1]
+            color_type = 2
+        elif c == 4:
+            rgb = arr[:, :, [2, 1, 0, 3]]
+            color_type = 6
+        else:
+            rgb = arr[:, :, 0:1]
+            color_type = 0
+        ch = rgb.shape[2]
+        raw = np.ascontiguousarray(rgb).reshape(h, w * ch)
+        stride = w * ch
+        filtered = np.empty(h * (stride + 1), np.uint8)
+        self._lib.lp_png_filter(_u8ptr(np.ascontiguousarray(raw)), _u8ptr(filtered),
+                                h, stride, ch)
+        comp = zlib.compress(filtered.tobytes(), level)
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        out = [PNG_MAGIC, chunk(b"IHDR", ihdr)]
+        if self._icc:
+            out.append(chunk(b"iCCP", b"ICC Profile\x00\x00" + zlib.compress(self._icc, 9)))
+        out.append(chunk(b"IDAT", comp))
+        out.append(chunk(b"IEND", b""))
+        return b"".join(out)

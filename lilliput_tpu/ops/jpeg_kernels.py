@@ -1,0 +1,208 @@
+"""JPEG dense transforms on device: IDCT/fDCT as MXU matmuls, chroma
+resampling, and YCbCr<->BGR color conversion.
+
+TPU-native replacement for the pixel half of libjpeg (the reference consumes
+it whole through OpenCV, /root/reference/opencv.cpp:93-188): the 8x8
+inverse/forward DCT is expressed as two 8x8 matrix contractions over a batch
+of blocks — exactly the shape the MXU wants — and the chroma triangle
+filter + color matrix fuse into the surrounding elementwise code. The host
+only ever sees entropy-coded bytes and quantized coefficients
+(native/src/jpeg_shim.cpp).
+
+Decode: coefs -> dequant -> IDCT -> +128 -> fancy (triangle) chroma upsample
+        -> YCbCr->BGR -> u8.
+Encode: BGR -> YCbCr -> pad to MCU -> 2x2 box chroma downsample -> -128 ->
+        fDCT -> quantize(round) -> int16 coefs.
+
+All functions take/return arrays with an arbitrary leading batch dim where
+noted, enabling whole-animation or mega-batch transcodes in one dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=1)
+def dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A: forward K = A @ P @ A.T."""
+    a = np.zeros((8, 8), np.float32)
+    for k in range(8):
+        c = np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0)
+        for n in range(8):
+            a[k, n] = c * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    return a
+
+
+def dequant_idct(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
+    """(..., bh, bw, 64) int16 + (64,) -> (..., bh*8, bw*8) f32 pixel plane.
+
+    The two 8-point transforms become batched (N,8,8)x(8,8) matmuls, which
+    XLA lowers onto the MXU; dequant fuses into the first contraction.
+    """
+    a = jnp.asarray(dct_matrix())
+    k = coefs.astype(jnp.float32) * qtable.astype(jnp.float32)
+    lead = k.shape[:-3]
+    bh, bw = k.shape[-3], k.shape[-2]
+    k = k.reshape(lead + (bh, bw, 8, 8))
+    # IDCT: P = A.T @ K @ A
+    p = jnp.einsum("ij,...jk,kl->...il", a.T, k, a,
+                   preferred_element_type=jnp.float32)
+    p = p + 128.0
+    # (…, bh, bw, 8, 8) -> (…, bh*8, bw*8)
+    p = jnp.moveaxis(p, -2, -3)  # (…, bh, 8, bw, 8)
+    return p.reshape(lead + (bh * 8, bw * 8))
+
+
+def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
+    """(..., H8, W8) f32 (0..255) -> (..., H8/8, W8/8, 64) int16 quantized."""
+    a = jnp.asarray(dct_matrix())
+    lead = plane.shape[:-2]
+    h, w = plane.shape[-2], plane.shape[-1]
+    bh, bw = h // 8, w // 8
+    p = plane.reshape(lead + (bh, 8, bw, 8))
+    p = jnp.moveaxis(p, -3, -2) - 128.0  # (…, bh, bw, 8, 8)
+    k = jnp.einsum("ij,...jk,kl->...il", a, p, a.T,
+                   preferred_element_type=jnp.float32)
+    q = jnp.round(k / qtable.astype(jnp.float32).reshape(8, 8))
+    q = jnp.clip(q, -2047, 2047).astype(jnp.int16)
+    return q.reshape(lead + (bh, bw, 64))
+
+
+# ---------------------------------------------------------------------------
+# chroma resampling
+# ---------------------------------------------------------------------------
+
+def _upsample2x_axis(x: jax.Array, axis: int, out_len: int) -> jax.Array:
+    """Triangle-filter 2x upsample along axis (libjpeg 'fancy' upsampling):
+    out[2i] = (3*x[i] + x[i-1]) / 4, out[2i+1] = (3*x[i] + x[i+1]) / 4,
+    with edge replication; computed in f32 (no intermediate rounding)."""
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    idx = np.arange(n)
+    left = x[..., np.maximum(idx - 1, 0)]
+    right = x[..., np.minimum(idx + 1, n - 1)]
+    even = (3.0 * x + left) * 0.25
+    odd = (3.0 * x + right) * 0.25
+    out = jnp.stack([even, odd], axis=-1).reshape(x.shape[:-1] + (2 * n,))
+    out = out[..., :out_len]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def upsample_chroma(plane: jax.Array, h_factor: int, v_factor: int,
+                    out_h: int, out_w: int) -> jax.Array:
+    """Upsample a chroma plane by integer factors (1 or 2 per axis)."""
+    if v_factor == 2:
+        plane = _upsample2x_axis(plane, -2, out_h)
+    if h_factor == 2:
+        plane = _upsample2x_axis(plane, -1, out_w)
+    plane = plane[..., :out_h, :out_w]
+    # replicate-pad if source plane (blocks*8) was smaller than target
+    pad_h = out_h - plane.shape[-2]
+    pad_w = out_w - plane.shape[-1]
+    if pad_h or pad_w:
+        cfg = [(0, 0)] * (plane.ndim - 2) + [(0, pad_h), (0, pad_w)]
+        plane = jnp.pad(plane, cfg, mode="edge")
+    return plane
+
+
+def downsample_chroma_2x2(plane: jax.Array) -> jax.Array:
+    """2x2 box average (libjpeg h2v2 downsample) on an even-sized plane."""
+    lead = plane.shape[:-2]
+    h, w = plane.shape[-2], plane.shape[-1]
+    v = plane.reshape(lead + (h // 2, 2, w // 2, 2))
+    return v.mean(axis=(-1, -3))
+
+
+# ---------------------------------------------------------------------------
+# color conversion (BT.601 full-range, libjpeg constants)
+# ---------------------------------------------------------------------------
+
+def ycbcr_to_bgr(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
+    cbc = cb - 128.0
+    crc = cr - 128.0
+    r = y + 1.402 * crc
+    g = y - 0.344136286 * cbc - 0.714136286 * crc
+    b = y + 1.772 * cbc
+    out = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def bgr_to_ycbcr(img: jax.Array):
+    f = img.astype(jnp.float32)
+    b, g, r = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return y, cb, cr
+
+
+# ---------------------------------------------------------------------------
+# full decode / encode pipelines (jitted per geometry)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "h2", "v2"))
+def decode_ycc_420(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
+                   out_h: int, out_w: int, h2: bool, v2: bool):
+    """Full color JPEG decode from coefficients (any of 444/422/420/440)."""
+    y = dequant_idct(y_coefs, qt_luma)[..., :out_h, :out_w]
+    cb = dequant_idct(cb_coefs, qt_chroma)
+    cr = dequant_idct(cr_coefs, qt_chroma)
+    hf = 2 if h2 else 1
+    vf = 2 if v2 else 1
+    cb = upsample_chroma(cb, hf, vf, out_h, out_w)
+    cr = upsample_chroma(cr, hf, vf, out_h, out_w)
+    return ycbcr_to_bgr(y, cb, cr)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def decode_gray(y_coefs, qt_luma, out_h: int, out_w: int):
+    y = dequant_idct(y_coefs, qt_luma)[..., :out_h, :out_w]
+    return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)[..., None]
+
+
+def _pad_to(plane: jax.Array, h: int, w: int) -> jax.Array:
+    ph, pw = h - plane.shape[-2], w - plane.shape[-1]
+    if ph or pw:
+        cfg = [(0, 0)] * (plane.ndim - 2) + [(0, ph), (0, pw)]
+        plane = jnp.pad(plane, cfg, mode="edge")
+    return plane
+
+
+@functools.partial(jax.jit, static_argnames=("subsample",))
+def encode_from_bgr(img, qt_luma, qt_chroma, subsample: bool = True):
+    """(..., H, W, 3+) u8 BGR(A) -> (y, cb, cr) quantized int16 coefficient
+    arrays, 4:2:0 when subsample else 4:4:4. Alpha is ignored."""
+    y, cb, cr = bgr_to_ycbcr(img[..., :3])
+    h, w = y.shape[-2], y.shape[-1]
+    if subsample:
+        mcu = 16
+        ph = (h + mcu - 1) // mcu * mcu
+        pw = (w + mcu - 1) // mcu * mcu
+        y = _pad_to(y, ph, pw)
+        cb = downsample_chroma_2x2(_pad_to(cb, ph, pw))
+        cr = downsample_chroma_2x2(_pad_to(cr, ph, pw))
+    else:
+        mcu = 8
+        ph = (h + mcu - 1) // mcu * mcu
+        pw = (w + mcu - 1) // mcu * mcu
+        y = _pad_to(y, ph, pw)
+        cb = _pad_to(cb, ph, pw)
+        cr = _pad_to(cr, ph, pw)
+    return (fdct_quant(y, qt_luma),
+            fdct_quant(cb, qt_chroma),
+            fdct_quant(cr, qt_chroma))
+
+
+@jax.jit
+def encode_gray_from_u8(img, qt_luma):
+    """(..., H, W, 1) u8 -> quantized luma coefficients."""
+    y = img[..., 0].astype(jnp.float32)
+    h, w = y.shape[-2], y.shape[-1]
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    return fdct_quant(_pad_to(y, ph, pw), qt_luma)

@@ -15,3 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# A site plugin may force jax_platforms to the TPU; pin tests to CPU
+# explicitly (env var alone is overridden by the plugin's config.update).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,118 @@
+"""JPEG codec tests: decode fidelity vs libjpeg (through cv2), encode parity,
+EXIF orientation, ICC, ContentLength (test taxonomy from SURVEY.md §4)."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from lilliput_tpu import binding  # noqa: E402
+
+if not binding.available():
+    pytest.skip("native host library unavailable", allow_module_level=True)
+
+from lilliput_tpu.codecs.jpeg import (JpegDecoder, JpegEncoder,  # noqa: E402
+                                      exif_orientation, jpeg_content_length)
+from lilliput_tpu.framebuffer import (JPEG_PROGRESSIVE, JPEG_QUALITY,  # noqa: E402
+                                      Framebuffer)
+
+DATA = "/root/reference/data"
+FIXTURES = sorted(glob.glob(os.path.join(DATA, "*.jpg")))
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=os.path.basename)
+def test_decode_matches_libjpeg(path):
+    buf = open(path, "rb").read()
+    d = JpegDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    mine = fb.to_numpy()
+    flags = cv2.IMREAD_IGNORE_ORIENTATION | (
+        cv2.IMREAD_GRAYSCALE if mine.shape[2] == 1 else cv2.IMREAD_COLOR)
+    ref = cv2.imread(path, flags)
+    if ref.ndim == 2:
+        ref = ref[:, :, None]
+    assert mine.shape == ref.shape
+    # float IDCT + float fancy upsampling vs libjpeg's integer approximations
+    assert _psnr(mine, ref) >= 48.0
+    assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 6
+
+
+def test_header_and_orientation():
+    buf = open(os.path.join(DATA, "sunrise.jpg"), "rb").read()
+    d = JpegDecoder(buf)
+    h = d.header()
+    assert (h.width, h.height) == (100, 75)
+    assert int(h.orientation) == 6  # sunrise.jpg is rotated
+    assert h.content_length == len(buf)
+    assert not h.is_animated()
+
+
+def test_encode_quality_size_parity_with_libjpeg():
+    buf = open(os.path.join(DATA, "coast.jpg"), "rb").read()
+    d = JpegDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    mine = fb.to_numpy()
+    out = JpegEncoder(d).encode(fb, {JPEG_QUALITY: 85})
+    back = cv2.imdecode(np.frombuffer(out, np.uint8), cv2.IMREAD_COLOR)
+    ok, cvout = cv2.imencode(".jpg", mine, [cv2.IMWRITE_JPEG_QUALITY, 85])
+    cvback = cv2.imdecode(cvout, cv2.IMREAD_COLOR)
+    # quality parity within 0.5 dB and size within 5%
+    assert abs(_psnr(back, mine) - _psnr(cvback, mine)) < 0.5
+    assert abs(len(out) - len(cvout)) / len(cvout) < 0.05
+
+
+def test_progressive_output_decodable():
+    buf = open(os.path.join(DATA, "sunrise.jpg"), "rb").read()
+    d = JpegDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    out = JpegEncoder(d).encode(fb, {JPEG_QUALITY: 80, JPEG_PROGRESSIVE: 1})
+    back = cv2.imdecode(np.frombuffer(out, np.uint8), cv2.IMREAD_COLOR)
+    assert back is not None and back.shape[:2] == (fb.height, fb.width)
+
+
+def test_progressive_input_decodes():
+    # make a progressive jpeg with cv2, decode with us
+    img = np.random.default_rng(3).integers(0, 256, (64, 48, 3), np.uint8)
+    ok, buf = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90,
+                                         cv2.IMWRITE_JPEG_PROGRESSIVE, 1])
+    d = JpegDecoder(buf.tobytes())
+    fb = Framebuffer()
+    d.decode_to(fb)
+    ref = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+    assert _psnr(fb.to_numpy(), ref) >= 48.0
+
+
+def test_content_length_truncates_trailing_garbage():
+    buf = open(os.path.join(DATA, "sunrise.jpg"), "rb").read()
+    assert jpeg_content_length(buf + b"JUNKJUNK") == len(buf)
+
+
+def test_exif_orientation_synthetic():
+    # APP1 Exif with orientation tag 3, little-endian TIFF
+    tiff = (b"II*\x00\x08\x00\x00\x00"
+            b"\x01\x00"                      # 1 entry
+            b"\x12\x01\x03\x00\x01\x00\x00\x00\x03\x00\x00\x00"
+            b"\x00\x00\x00\x00")
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    buf = b"\xff\xd8" + seg + b"\xff\xd9"
+    assert int(exif_orientation(buf)) == 3
+
+
+def test_second_decode_raises_eof():
+    buf = open(os.path.join(DATA, "sunrise.jpg"), "rb").read()
+    d = JpegDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    with pytest.raises(EOFError):
+        d.decode_to(fb)
