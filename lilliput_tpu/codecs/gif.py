@@ -1,0 +1,353 @@
+"""GIF codec: host container+LZW (own C++, native/src/gif_codec.cpp) with
+device-side frame rendering and palette quantization.
+
+Behavioral parity with the reference GIF path (giflib.cpp / giflib.go):
+
+* DecodeTo yields the FULL composited canvas per frame (the decoder applies
+  GIF disposal internally), duration = delay*10ms, offsets 0, NoBlend —
+  exactly the contract ops.go sees from giflib.go:180-219.
+* First frame paints the background color derived from the first GCB
+  (extract_background_color, giflib.cpp:590-631).
+* Partial frames with no transparency force a transparent palette slot
+  (giflib.cpp:554-560) so the encoder can represent the composited result.
+* The encoder requires the paired GifDecoder (palette reuse — giflib.go
+  ErrGifEncoderNeedsDecoder), replays non-GCE extensions (NETSCAPE loop
+  count), applies the background-transparency removal rule, and uses the
+  device argmin quantizer with prev-frame transparency optimization.
+
+Pixel-heavy stages (palette expansion, compositing, quantization) run on
+device (ops/palette.py); the host only touches indices and bitstreams.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import binding
+from ..errors import DecodingFailedError, InvalidImageError
+from ..framebuffer import (BlendMethod, DisposeMethod, Framebuffer,
+                           ImageHeader, ImageOrientation)
+from ..interfaces import Decoder, Encoder
+from ..ops import palette as P
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+binding.register_signature("lp_gif_open", [_u8p, ctypes.c_size_t, _i32p], ctypes.c_void_p)
+binding.register_signature("lp_gif_free", [ctypes.c_void_p], None)
+binding.register_signature("lp_gif_global_palette", [ctypes.c_void_p, _u8p], ctypes.c_int)
+binding.register_signature("lp_gif_next_frame", [ctypes.c_void_p, _i32p], ctypes.c_int)
+binding.register_signature("lp_gif_frame_palette", [ctypes.c_void_p, _u8p], ctypes.c_int)
+binding.register_signature("lp_gif_frame_ext", [ctypes.c_void_p, _u8p, ctypes.c_int32], ctypes.c_int)
+binding.register_signature("lp_gif_frame_indices", [ctypes.c_void_p, _u8p], ctypes.c_int)
+binding.register_signature("lp_gif_skip_frame", [ctypes.c_void_p], ctypes.c_int)
+binding.register_signature("lp_gif_anim_info", [_u8p, ctypes.c_size_t, _i32p], ctypes.c_int)
+binding.register_signature(
+    "lp_gif_enc_new",
+    [ctypes.c_int32] * 5 + [_u8p, ctypes.c_int32], ctypes.c_void_p)
+binding.register_signature(
+    "lp_gif_enc_frame",
+    [ctypes.c_void_p, _u8p, ctypes.c_int32, _i32p, _u8p, ctypes.c_int32, _u8p],
+    ctypes.c_int)
+binding.register_signature("lp_gif_enc_size", [ctypes.c_void_p], ctypes.c_long)
+binding.register_signature("lp_gif_enc_finish", [ctypes.c_void_p, _u8p, ctypes.c_size_t], ctypes.c_long)
+binding.register_signature("lp_gif_enc_free", [ctypes.c_void_p], None)
+
+# GIF disposal codes (spec): 0 unspecified, 1 none, 2 background, 3 previous
+_GIF_DISPOSE_BACKGROUND = 2
+_GIF_DISPOSE_PREVIOUS = 3
+
+# decode dimension hardening (giflib.go:39-52, default 10000)
+_gif_max_frame_dimension = 10000
+_gif_dim_lock = threading.Lock()
+
+
+def set_gif_max_frame_dimension(dim: int) -> None:
+    global _gif_max_frame_dimension
+    with _gif_dim_lock:
+        _gif_max_frame_dimension = dim
+
+
+class _FrameMeta:
+    __slots__ = ("left", "top", "width", "height", "interlace", "local_count",
+                 "trans_idx", "delay_cs", "disposal", "ext", "palette", "pal_count")
+
+
+def _u8(arr: np.ndarray):
+    return arr.ctypes.data_as(_u8p)
+
+
+class GifDecoder(Decoder):
+    def __init__(self, buf: bytes):
+        self._lib = binding.load()
+        self._buf = np.frombuffer(buf, np.uint8)
+        info = np.zeros(6, np.int32)
+        self._h = self._lib.lp_gif_open(_u8(self._buf), self._buf.size,
+                                        info.ctypes.data_as(_i32p))
+        if not self._h:
+            raise InvalidImageError("not a valid GIF")
+        self._w, self._hgt = int(info[0]), int(info[1])
+        self._global_count = int(info[2])
+        self._bg_index = int(info[3])
+        self._color_res = int(info[4])
+        self._aspect = int(info[5])
+        self._global_pal = np.zeros((256, 3), np.uint8)
+        if self._global_count:
+            self._lib.lp_gif_global_palette(self._h, _u8(self._global_pal))
+        self._anim: Optional[np.ndarray] = None
+        # render state
+        self._canvas = None        # device (H, W, 4)
+        self._prev_canvas = None
+        self._have_first = False
+        self._prev_disposal = 0
+        self._prev_rect = (0, 0, 0, 0)
+        # current frame meta, consumed by the paired encoder
+        self.frame_meta: Optional[_FrameMeta] = None
+        self._closed = False
+
+    # -- metadata ------------------------------------------------------------
+
+    def header(self) -> ImageHeader:
+        return ImageHeader(width=self._w, height=self._hgt, channels=4,
+                           orientation=ImageOrientation.TOP_LEFT,
+                           num_frames=self.frame_count(),
+                           content_length=len(self._buf))
+
+    def description(self) -> str:
+        return "GIF"
+
+    def duration(self) -> float:
+        return 0.0  # parity: reference reports 0 for GIFs (lilliput.go:55-57)
+
+    def _anim_info(self) -> np.ndarray:
+        if self._anim is None:
+            out = np.zeros(7, np.int32)
+            self._lib.lp_gif_anim_info(_u8(self._buf), self._buf.size,
+                                       out.ctypes.data_as(_i32p))
+            self._anim = out
+        return self._anim
+
+    def loop_count(self) -> int:
+        return int(self._anim_info()[0])
+
+    def frame_count(self) -> int:
+        return int(self._anim_info()[1])
+
+    def total_duration_ms(self) -> int:
+        return int(self._anim_info()[2])
+
+    def background_color(self) -> int:
+        a = self._anim_info()
+        r, g, b, al = int(a[3]), int(a[4]), int(a[5]), int(a[6])
+        return (r << 16) | (g << 8) | b | (al << 24)
+
+    # -- decoding ------------------------------------------------------------
+
+    def _next_frame_meta(self):
+        out = np.zeros(10, np.int32)
+        st = self._lib.lp_gif_next_frame(self._h, out.ctypes.data_as(_i32p))
+        if st == 0:
+            raise EOFError()
+        if st < 0:
+            raise InvalidImageError("corrupt GIF frame")
+        m = _FrameMeta()
+        (m.left, m.top, m.width, m.height, m.interlace, m.local_count,
+         m.trans_idx, m.delay_cs, m.disposal, ext_len) = (int(v) for v in out)
+        pal = np.zeros((256, 3), np.uint8)
+        m.pal_count = int(self._lib.lp_gif_frame_palette(self._h, _u8(pal)))
+        m.palette = pal
+        if ext_len > 0:
+            eb = np.zeros(ext_len, np.uint8)
+            self._lib.lp_gif_frame_ext(self._h, _u8(eb), ext_len)
+            m.ext = eb.tobytes()
+        else:
+            m.ext = b""
+        return m
+
+    def decode_to(self, fb: Framebuffer) -> None:
+        m = self._next_frame_meta()
+        maxd = _gif_max_frame_dimension
+        if m.width > maxd or m.height > maxd:
+            raise InvalidImageError("gif frame exceeds max dimension")
+        if m.pal_count <= 0:
+            raise DecodingFailedError("gif frame has no color map")
+        indices = np.empty(m.height * m.width, np.uint8)
+        if self._lib.lp_gif_frame_indices(self._h, _u8(indices)) != 0:
+            raise DecodingFailedError("gif raster decode failed")
+        indices = indices.reshape(m.height, m.width)
+
+        cw, ch = self._w, self._hgt
+        bg = self._anim_info()[3:7]  # r,g,b,a
+        bg_bgra = jnp.asarray(np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8))
+
+        if self._canvas is None:
+            self._canvas = jnp.zeros((ch, cw, 4), jnp.uint8)
+
+        # apply PREVIOUS frame's disposal (giflib.cpp:400-489)
+        if self._have_first:
+            pl, pt, pw, ph = self._clip_rect(*self._prev_rect)
+            if self._prev_disposal == _GIF_DISPOSE_BACKGROUND and pw > 0 and ph > 0:
+                mask = np.zeros((ch, cw), bool)
+                mask[pt:pt + ph, pl:pl + pw] = True
+                self._canvas = P.clear_rect_to(self._canvas, jnp.asarray(mask), bg_bgra)
+            elif self._prev_disposal == _GIF_DISPOSE_PREVIOUS and pw > 0 and ph > 0 \
+                    and self._prev_canvas is not None:
+                mask = np.zeros((ch, cw), bool)
+                mask[pt:pt + ph, pl:pl + pw] = True
+                self._canvas = P.restore_rect(self._canvas, jnp.asarray(mask),
+                                              self._prev_canvas)
+            # save canvas AFTER disposal, BEFORE drawing (giflib.cpp:491-494)
+            self._prev_canvas = self._canvas
+
+        # scatter frame indices into canvas-sized buffers (host, cheap)
+        full_idx = np.zeros((ch, cw), np.uint8)
+        drawn = np.zeros((ch, cw), bool)
+        fl, ft, fw, fh = self._clip_rect(m.left, m.top, m.width, m.height)
+        if fw > 0 and fh > 0:
+            sx, sy = fl - m.left, ft - m.top
+            full_idx[ft:ft + fh, fl:fl + fw] = indices[sy:sy + fh, sx:sx + fw]
+            drawn[ft:ft + fh, fl:fl + fw] = True
+
+        lut = np.zeros((max(m.pal_count, 1), 4), np.uint8)
+        lut[:m.pal_count, 0] = m.palette[:m.pal_count, 2]  # B
+        lut[:m.pal_count, 1] = m.palette[:m.pal_count, 1]  # G
+        lut[:m.pal_count, 2] = m.palette[:m.pal_count, 0]  # R
+        lut[:m.pal_count, 3] = 255
+
+        have_trans = m.trans_idx >= 0
+        self._canvas = P.composite_indexed_frame(
+            self._canvas, jnp.asarray(full_idx), jnp.asarray(drawn),
+            jnp.asarray(lut), jnp.int32(m.trans_idx if have_trans else 255),
+            have_trans, bg_bgra, not self._have_first)
+
+        # partial-frame transparency forcing (giflib.cpp:548-560)
+        partial = (fw < cw or fh < ch or fl != 0 or ft != 0)
+        if partial and m.trans_idx < 0:
+            m.trans_idx = m.pal_count - 1
+
+        fb.array = self._canvas
+        fb.duration = m.delay_cs * 10 / 1000.0
+        fb.x_offset = fb.y_offset = 0
+        fb.blend = BlendMethod.NO_BLEND
+        fb.dispose = (DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
+                      if m.disposal == _GIF_DISPOSE_BACKGROUND
+                      else DisposeMethod.NO_DISPOSE)
+
+        self._prev_disposal = m.disposal
+        self._prev_rect = (m.left, m.top, m.width, m.height)
+        self._have_first = True
+        self.frame_meta = m
+
+    def _clip_rect(self, left, top, w, h):
+        if left < 0:
+            w += left
+            left = 0
+        if top < 0:
+            h += top
+            top = 0
+        w = min(w, self._w - left)
+        h = min(h, self._hgt - top)
+        return left, top, max(w, 0), max(h, 0)
+
+    def skip_frame(self) -> None:
+        st = self._lib.lp_gif_skip_frame(self._h)
+        if st == 0:
+            raise EOFError()
+        if st < 0:
+            raise InvalidImageError("corrupt GIF frame")
+
+    def close(self) -> None:
+        if not self._closed and self._h:
+            self._lib.lp_gif_free(self._h)
+            self._closed = True
+            self._h = None
+
+
+class GifEncoder(Encoder):
+    """Multi-frame GIF encoder (palette reuse from the paired decoder)."""
+
+    def __init__(self, decoded_by: Optional[Decoder], icc_override: Optional[bytes] = None):
+        if not isinstance(decoded_by, GifDecoder):
+            raise InvalidImageError("GIF encoder requires a GIF decoder source")
+        self._lib = binding.load()
+        self._dec = decoded_by
+        self._h = None
+        self._prev_bgra: Optional[jnp.ndarray] = None
+        self._prev_disposal = 0
+        self._have_first = False
+        self._finished = False
+
+    def encode(self, fb: Optional[Framebuffer], opts: Dict[int, int]) -> Optional[bytes]:
+        if self._finished:
+            raise DecodingFailedError("gif encoder already finished")
+        if fb is None:
+            return self._finish()
+        m = self._dec.frame_meta
+        if m is None:
+            raise DecodingFailedError("gif encoder requires decoder frame state")
+        d = self._dec
+        if self._h is None:
+            self._h = self._lib.lp_gif_enc_new(
+                fb.width, fb.height, d._color_res, d._aspect, d._bg_index,
+                _u8(np.ascontiguousarray(d._global_pal[:max(d._global_count, 1)])),
+                d._global_count)
+            if not self._h:
+                raise DecodingFailedError("gif encoder init failed")
+
+        trans = m.trans_idx
+        use_local = m.local_count > 0
+        # background-transparency removal (giflib.cpp:891-905)
+        bg_alpha = int(d._anim_info()[6])
+        if (trans >= 0 and not use_local and d._global_count > 0
+                and trans == d._bg_index and bg_alpha == 255):
+            trans = -1
+
+        pal_rgb = jnp.asarray(m.palette[:m.pal_count].astype(np.int32))
+        prev_valid = self._have_first and self._prev_disposal in (0, 1)
+        prev = self._prev_bgra if (prev_valid and self._prev_bgra is not None) \
+            else jnp.zeros_like(fb.array)
+        idx = P.quantize_to_palette(fb.array, pal_rgb, prev,
+                                    int(trans), trans >= 0, bool(prev_valid and trans >= 0))
+        idx_np = np.ascontiguousarray(np.asarray(idx))
+
+        mcs = 2
+        effective = m.pal_count
+        while (1 << mcs) < effective:
+            mcs += 1
+        desc = np.array([0, 0, fb.width, fb.height, m.interlace, trans,
+                         m.delay_cs, m.disposal, mcs], np.int32)
+        ext = np.frombuffer(m.ext, np.uint8) if m.ext else np.zeros(0, np.uint8)
+        rc = self._lib.lp_gif_enc_frame(
+            self._h, _u8(ext) if ext.size else None, ext.size,
+            desc.ctypes.data_as(_i32p),
+            _u8(np.ascontiguousarray(m.palette[:m.pal_count])) if use_local else None,
+            m.pal_count if use_local else 0,
+            _u8(idx_np))
+        if rc != 0:
+            raise DecodingFailedError("gif frame encode failed")
+
+        self._prev_bgra = fb.array
+        self._prev_disposal = m.disposal
+        self._have_first = True
+        return None  # multi-frame: ask for more
+
+    def _finish(self) -> bytes:
+        if self._h is None:
+            raise DecodingFailedError("gif encoder got no frames")
+        size = self._lib.lp_gif_enc_size(self._h)
+        out = np.empty(size, np.uint8)
+        n = self._lib.lp_gif_enc_finish(self._h, _u8(out), out.size)
+        if n < 0:
+            raise DecodingFailedError("gif encode finalize failed")
+        self._finished = True
+        return out[:n].tobytes()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.lp_gif_enc_free(self._h)
+            self._h = None

@@ -29,9 +29,15 @@ from .ops import resize as _resize
 
 
 class DisposeMethod(enum.IntEnum):
-    """How the previous frame region is disposed (opencv.go:19-27)."""
+    """How the previous frame region is disposed (opencv.go:19-27).
+
+    RESTORE_PREVIOUS (GIF disposal 3) can surface from decoders; the
+    Transform loop treats it like NO_DISPOSE (as the reference's switch
+    does by omission, ops.go:431-441).
+    """
     NO_DISPOSE = 0
     DISPOSE_TO_BACKGROUND_COLOR = 1
+    RESTORE_PREVIOUS = 2
 
 
 class BlendMethod(enum.IntEnum):

@@ -1,0 +1,97 @@
+"""Palette ops on device: LUT expansion and nearest-palette quantization.
+
+Replaces the per-pixel CPU loops of the reference GIF path: palette->BGRA
+expansion (giflib.cpp:515-541) becomes a LUT gather; the encoder's
+crushed-RGB nearest-palette search with midpoint/extreme-color rules and
+prev-frame transparency optimization (giflib.cpp:1006-1093) becomes a
+batched |ΔR|+|ΔG|+|ΔB| argmin over the palette axis — pure VPU work over
+(H*W, N) tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("trans_idx", "use_prev", "have_trans"))
+def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
+                        prev_bgra: jax.Array,
+                        trans_idx: int, have_trans: bool, use_prev: bool) -> jax.Array:
+    """(H, W, 4) u8 BGRA -> (H, W) u8 palette indices.
+
+    palette_rgb: (N, 3) int32 RGB (the transparent entry is skipped in the
+    search). Rules match giflib.cpp:1006-1093:
+      * alpha < 128 and transparency available -> transparent index
+      * search color is the crushed-to-5-bit midpoint ((c & 0xF8) | 4) unless
+        the pixel is an extreme light/dark color, then the exact value
+      * Manhattan distance, first-lowest index wins
+      * if the pixel is closer to the previous output frame's pixel than to
+        the chosen palette color, emit transparent instead (smaller LZW)
+    """
+    b = img[..., 0].astype(jnp.int32)
+    g = img[..., 1].astype(jnp.int32)
+    r = img[..., 2].astype(jnp.int32)
+    a = img[..., 3].astype(jnp.int32)
+
+    extreme = ((r > 240) & (g > 240) & (b > 240)) | ((r < 15) & (g < 15) & (b < 15))
+    rc = jnp.where(extreme, r, (r & 0xF8) | 4)
+    gc = jnp.where(extreme, g, (g & 0xF8) | 4)
+    bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+
+    pal = palette_rgb.astype(jnp.int32)  # (N, 3)
+    dist = (jnp.abs(rc[..., None] - pal[:, 0])
+            + jnp.abs(gc[..., None] - pal[:, 1])
+            + jnp.abs(bc[..., None] - pal[:, 2]))  # (H, W, N)
+    if have_trans and 0 <= trans_idx < pal.shape[0]:
+        dist = dist.at[..., trans_idx].set(jnp.iinfo(jnp.int32).max)
+    best = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+    best_rgb = jnp.take(pal, best, axis=0, mode="clip")
+    least = (jnp.abs(r - best_rgb[..., 0]) + jnp.abs(g - best_rgb[..., 1])
+             + jnp.abs(b - best_rgb[..., 2]))
+
+    if use_prev and have_trans:
+        dp = (jnp.abs(r - prev_bgra[..., 2].astype(jnp.int32))
+              + jnp.abs(g - prev_bgra[..., 1].astype(jnp.int32))
+              + jnp.abs(b - prev_bgra[..., 0].astype(jnp.int32)))
+        best = jnp.where(dp < least, trans_idx, best)
+
+    if have_trans:
+        best = jnp.where(a < 128, trans_idx, best)
+    return best.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("have_trans", "first_frame"))
+def composite_indexed_frame(canvas: jax.Array, indices_full: jax.Array,
+                            drawn_mask: jax.Array, lut_bgra: jax.Array,
+                            trans_idx: jax.Array, have_trans: bool,
+                            bg_bgra: jax.Array, first_frame: bool) -> jax.Array:
+    """Draw a palette-indexed frame onto the BGRA canvas.
+
+    indices_full/drawn_mask are canvas-sized (host pre-scattered the frame
+    rect, so one compiled program serves every frame geometry). Transparent
+    and out-of-palette indices keep the canvas pixel (giflib.cpp:522-538).
+    """
+    if first_frame:
+        canvas = jnp.broadcast_to(bg_bgra.astype(jnp.uint8), canvas.shape)
+    idx = indices_full.astype(jnp.int32)
+    color = jnp.take(lut_bgra, idx, axis=0, mode="clip")  # (H, W, 4)
+    valid = drawn_mask & (idx < lut_bgra.shape[0])
+    if have_trans:
+        valid = valid & (idx != trans_idx)
+    return jnp.where(valid[..., None], color, canvas)
+
+
+@jax.jit
+def clear_rect_to(canvas: jax.Array, mask: jax.Array, color: jax.Array) -> jax.Array:
+    """Fill masked region with a color (dispose-to-background)."""
+    return jnp.where(mask[..., None], color.astype(canvas.dtype), canvas)
+
+
+@jax.jit
+def restore_rect(canvas: jax.Array, mask: jax.Array, saved: jax.Array) -> jax.Array:
+    """Restore masked region from a saved canvas (dispose-previous)."""
+    return jnp.where(mask[..., None], saved, canvas)
