@@ -1,0 +1,199 @@
+"""Fused batched transcode pipeline — the TPU-native serving path.
+
+This is the production counterpart of the per-frame ImageOps.Transform loop
+(SURVEY.md §7 step 10): N same-geometry images batch on a leading axis and the
+ENTIRE dense pipeline — dequant + IDCT (MXU matmuls) + chroma upsample +
+YCbCr->BGR + center-crop + INTER_AREA resize + BGR->YCbCr + 4:2:0 downsample
++ fDCT + quantize — compiles to ONE XLA program per geometry. Host threads
+run only the serial entropy stages (libjpeg Huffman via the native shim) and
+overlap with device compute through JAX's async dispatch.
+
+Where the reference crosses the cgo FFI >=4x per frame with CPU work between
+(ops.go:302-374), this path crosses the host<->device boundary exactly twice
+per batch (coefficients in, coefficients out).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import binding
+from .codecs import jpeg as J
+from .errors import DecodingFailedError
+from .ops import jpeg_kernels as K
+from .ops import resize as R
+
+_i16p = ctypes.POINTER(ctypes.c_int16)
+
+
+@dataclasses.dataclass(frozen=True)
+class JpegGeometry:
+    """Static shape key: one compiled program per geometry."""
+    width: int
+    height: int
+    h2: bool          # chroma h subsampled
+    v2: bool
+    blocks: tuple     # ((bh, bw) per component)
+
+
+def geometry_of(info) -> JpegGeometry:
+    hy, vy = info.comp_h_samp[0], info.comp_v_samp[0]
+    hc, vc = info.comp_h_samp[1], info.comp_v_samp[1]
+    return JpegGeometry(
+        width=info.width, height=info.height,
+        h2=(hy // hc == 2), v2=(vy // vc == 2),
+        blocks=tuple((int(info.comp_blocks_h[c]), int(info.comp_blocks_w[c]))
+                     for c in range(3)))
+
+
+def fit_rect(src_w: int, src_h: int, dst_w: int, dst_h: int):
+    """Center-crop rect for Fit (opencv.go:316-353 math)."""
+    aspect_in = src_w / src_h
+    aspect_out = dst_w / dst_h
+    if aspect_in > aspect_out:
+        w = int(aspect_out * src_h + 0.5)
+        h = src_h
+    else:
+        h = int(src_w / aspect_out + 0.5)
+        w = src_w
+    w, h = max(w, 1), max(h, 1)
+    left = max(int((src_w - w) * 0.5), 0)
+    top = max(int((src_h - h) * 0.5), 0)
+    return left, top, w, h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "h2", "v2", "dst_w", "dst_h", "method"))
+def fused_jpeg_fit_transcode(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
+                             src_w: int, src_h: int, h2: bool, v2: bool,
+                             dst_w: int, dst_h: int, method: str = R.AREA):
+    """(B, bh, bw, 64) coefficient batches -> quantized encode coefficients.
+
+    Matches ImageOps Fit semantics bit-for-bit with the unfused path: decode
+    to BGR u8, center-crop, INTER_AREA resize, encode at 4:2:0.
+    """
+    bgr = K.decode_ycc_420(yc, cb, cr, qt_y, qt_c, src_h, src_w, h2, v2)
+    left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
+    cropped = bgr[..., top:top + h, left:left + w, :]
+    resized = R.resize(cropped, dst_w, dst_h, method)
+    return K.encode_from_bgr(resized, enc_qt_y, enc_qt_c, subsample=True)
+
+
+class JpegTranscodePipeline:
+    """Batched JPEG->JPEG Fit transcoder for a fixed source geometry.
+
+    Usage:
+        pipe = JpegTranscodePipeline(sample_jpeg_bytes, 256, 256, quality=85)
+        outs = pipe.transcode(list_of_jpeg_bytes)   # same geometry as sample
+    """
+
+    def __init__(self, sample: bytes, dst_w: int, dst_h: int,
+                 quality: int = 85, method: str = R.AREA):
+        self._lib = binding.load()
+        self.dst_w, self.dst_h = dst_w, dst_h
+        self.method = method
+        d = J.JpegDecoder(sample)
+        info = d._info
+        if info.num_components != 3:
+            raise DecodingFailedError("pipeline expects color JPEGs")
+        self.geom = geometry_of(info)
+        d._decode_coefs_cached()
+        self.qt_y = jnp.asarray(d._qtables[info.comp_quant_tbl[0]])
+        self.qt_c = jnp.asarray(d._qtables[info.comp_quant_tbl[1]])
+        eql, eqc = J.scaled_qtables(quality)
+        self.enc_qt_y_np, self.enc_qt_c_np = eql, eqc
+        self.enc_qt_y = jnp.asarray(eql)
+        self.enc_qt_c = jnp.asarray(eqc)
+        self._out_blocks = None
+
+    # -- host entropy stages --------------------------------------------------
+
+    def decode_entropy(self, bufs: Sequence[bytes]):
+        """Huffman-decode a batch into stacked coefficient arrays (host)."""
+        g = self.geom
+        b = len(bufs)
+        ys = np.empty((b,) + g.blocks[0] + (64,), np.int16)
+        cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
+        crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
+        qtables = np.zeros((4, 64), np.uint16)
+        for i, buf in enumerate(bufs):
+            arr = np.frombuffer(buf, np.uint8)
+            ptrs = (_i16p * 3)(
+                ys[i].ctypes.data_as(_i16p),
+                cbs[i].ctypes.data_as(_i16p),
+                crs[i].ctypes.data_as(_i16p))
+            rc = self._lib.lp_jpeg_decode_coefs(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size,
+                ptrs, qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                None, 0)
+            if rc != 0:
+                raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
+        return ys, cbs, crs
+
+    def encode_entropy(self, yq: np.ndarray, cbq: np.ndarray, crq: np.ndarray) -> List[bytes]:
+        """Huffman-encode device-quantized coefficients (host)."""
+        w, h = self.dst_w, self.dst_h
+        yb = ((h + 7) // 8, (w + 7) // 8)
+        cbb = ((h + 15) // 16, (w + 15) // 16)
+        outs = []
+        hs = (ctypes.c_int32 * 3)(2, 1, 1)
+        vs = (ctypes.c_int32 * 3)(2, 1, 1)
+        qp = ctypes.POINTER(ctypes.c_uint16)
+        out_buf = np.empty(w * h * 4 + (1 << 20), np.uint8)
+        for i in range(yq.shape[0]):
+            y = np.ascontiguousarray(yq[i][:yb[0], :yb[1]])
+            cbx = np.ascontiguousarray(cbq[i][:cbb[0], :cbb[1]])
+            crx = np.ascontiguousarray(crq[i][:cbb[0], :cbb[1]])
+            ptrs = (_i16p * 3)(y.ctypes.data_as(_i16p),
+                               cbx.ctypes.data_as(_i16p),
+                               crx.ctypes.data_as(_i16p))
+            n = self._lib.lp_jpeg_encode_coefs(
+                w, h, 3, hs, vs, ptrs,
+                self.enc_qt_y_np.ctypes.data_as(qp),
+                self.enc_qt_c_np.ctypes.data_as(qp),
+                0, 0, None, 0,
+                out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_buf.size)
+            if n < 0:
+                raise DecodingFailedError(f"JPEG entropy encode failed ({n})")
+            outs.append(out_buf[:n].tobytes())
+        return outs
+
+    # -- device stage ----------------------------------------------------------
+
+    def device_step(self, ys, cbs, crs):
+        """One fused dispatch; returns device arrays (async)."""
+        g = self.geom
+        return fused_jpeg_fit_transcode(
+            jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+            self.qt_y, self.qt_c, self.enc_qt_y, self.enc_qt_c,
+            g.width, g.height, g.h2, g.v2, self.dst_w, self.dst_h, self.method)
+
+    # -- end to end --------------------------------------------------------------
+
+    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
+        ys, cbs, crs = self.decode_entropy(bufs)
+        yq, cbq, crq = self.device_step(ys, cbs, crs)
+        return self.encode_entropy(np.asarray(yq), np.asarray(cbq), np.asarray(crq))
+
+    def transcode_pipelined(self, batches: Sequence[Sequence[bytes]]) -> List[List[bytes]]:
+        """Double-buffered: host entropy for batch i+1 overlaps device batch i
+        (JAX dispatch is asynchronous; np.asarray blocks on completion)."""
+        results = []
+        pending = None  # (device arrays,)
+        for bufs in batches:
+            coefs = self.decode_entropy(bufs)
+            dev = self.device_step(*coefs)
+            if pending is not None:
+                results.append(self.encode_entropy(*[np.asarray(a) for a in pending]))
+            pending = dev
+        if pending is not None:
+            results.append(self.encode_entropy(*[np.asarray(a) for a in pending]))
+        return results
