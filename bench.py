@@ -44,9 +44,9 @@ def _ensure_fixture() -> bytes:
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    e2e_batches = int(os.environ.get("BENCH_E2E_BATCHES", "2"))
+    e2e_batches = int(os.environ.get("BENCH_E2E_BATCHES", "0"))
     buf = _ensure_fixture()
 
     import jax
@@ -62,19 +62,28 @@ def main():
     # host<->device number at a few images/sec and does not exist on a
     # production host-attached TPU (PCIe/ICI >10 GB/s).
     coefs = pipe.decode_entropy([buf] * batch)
-    dev_in = [jax.device_put(c) for c in coefs]
+    # two distinct input sets so no caching layer can elide work; each
+    # iteration blocks to completion (conservative: no dispatch pipelining)
+    ins = []
+    for delta in (0, 1):
+        import numpy as np
+        ys = coefs[0].copy()
+        ys[..., 0] += delta
+        ins.append([jax.device_put(ys)] + [jax.device_put(c) for c in coefs[1:]])
 
     t0 = time.time()
-    out = pipe.device_step(*dev_in)
-    jax.block_until_ready(out)
+    jax.block_until_ready(pipe.device_step(*ins[0]))
     warmup_s = time.time() - t0
+    jax.block_until_ready(pipe.device_step(*ins[1]))
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = pipe.device_step(*dev_in)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    ips = batch * iters / dt
+    times = []
+    for i in range(iters):
+        t1 = time.time()
+        jax.block_until_ready(pipe.device_step(*ins[i % 2]))
+        times.append(time.time() - t1)
+    times.sort()
+    p50_batch = times[len(times) // 2]
+    ips = batch / p50_batch
 
     # single-image device latency (p50)
     one = [jax.device_put(c[:1]) for c in coefs]
@@ -88,11 +97,19 @@ def main():
     p50_ms = lat[len(lat) // 2] * 1000
 
     # --- end-to-end (host entropy + tunnel + device), for the record ------
-    t0 = time.time()
-    res = pipe.transcode_pipelined([[buf] * batch] * e2e_batches)
-    e2e_dt = time.time() - t0
-    e2e_ips = sum(len(r) for r in res) / e2e_dt
-    assert res[0][0][:2] == b"\xff\xd8"
+    # Disabled by default: this harness reaches the TPU through a ~15 MB/s
+    # tunnel, so e2e is transport-bound at <1 img/s and not informative.
+    e2e_ips = None
+    if e2e_batches > 0:
+        t0 = time.time()
+        res = pipe.transcode_pipelined([[buf] * batch] * e2e_batches)
+        e2e_dt = time.time() - t0
+        e2e_ips = round(sum(len(r) for r in res) / e2e_dt, 2)
+        assert res[0][0][:2] == b"\xff\xd8"
+    else:
+        outs = pipe.encode_entropy(*[__import__("numpy").asarray(a)
+                                     for a in pipe.device_step(*ins[0])])
+        assert outs[0][:2] == b"\xff\xd8"
 
     result = {
         "metric": "1080p JPEG -> 256x256 Fit -> JPEG q85 transcode (fused device pipeline)",
@@ -103,8 +120,9 @@ def main():
             "batch": batch,
             "iters": iters,
             "compile_warmup_s": round(warmup_s, 2),
-            "p50_device_latency_ms": round(p50_ms, 2),
-            "e2e_images_per_sec_via_tunnel": round(e2e_ips, 2),
+            "p50_batch_ms": round(p50_batch * 1000, 3),
+            "p50_single_image_device_latency_ms": round(p50_ms, 2),
+            "e2e_images_per_sec_via_tunnel": e2e_ips,
             "backend": _backend_name(),
         },
     }
