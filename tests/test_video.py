@@ -1,0 +1,103 @@
+"""Video/audio probe + first-frame tests (avcodec_test.go taxonomy):
+streamability probe on std/web/corrupt-atom MP4s, codec names, audio-only
+files, AV1 flag gating, keyframe index invariants, raw keyframe decode."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from lilliput_tpu import binding
+
+if not binding.available():
+    pytest.skip("native host library unavailable", allow_module_level=True)
+
+from lilliput_tpu import (ImageOps, ImageOptions, ResizeMethod,  # noqa: E402
+                          new_decoder)
+from lilliput_tpu.errors import InvalidImageError  # noqa: E402
+from lilliput_tpu.codecs.video import (decode_raw_keyframe,  # noqa: E402
+                                       is_streamable_mp4, set_av1_enabled)
+from lilliput_tpu.framebuffer import Framebuffer  # noqa: E402
+
+TD = "/root/reference/testdata"
+
+
+def test_streamability_probe():
+    std = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+    web = open(f"{TD}/big_buck_bunny_480p_10s_web.mp4", "rb").read()
+    big = open(f"{TD}/big_buck_bunny_480p_10s_big_atom.mp4", "rb").read()
+    zero = open(f"{TD}/big_buck_bunny_480p_10s_zero_length_atom.mp4", "rb").read()
+    assert not is_streamable_mp4(std)   # moov after mdat
+    assert is_streamable_mp4(web)       # faststart
+    assert not is_streamable_mp4(big)
+    assert not is_streamable_mp4(zero)
+
+
+def test_probe_and_first_frame():
+    buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+    d = new_decoder(buf)
+    h = d.header()
+    assert (h.width, h.height) == (853, 480)  # SAR-corrected
+    assert d.video_codec() == "H264"
+    assert d.audio_codec() == "AAC"
+    assert d.description() == "MP4"
+    assert 9.5 < d.duration() < 10.5
+    assert not d.has_subtitles()
+    fb = Framebuffer()
+    d.decode_to(fb)
+    assert (fb.height, fb.width) == (480, 853)
+    assert fb.to_numpy().mean() > 1  # not blank
+
+
+def test_icc_for_video():
+    buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+    assert len(new_decoder(buf).icc()) > 0
+
+
+@pytest.mark.parametrize("path", sorted(glob.glob(f"{TD}/tos-intro-3s.*")),
+                         ids=os.path.basename)
+def test_audio_only_files(path):
+    d = new_decoder(open(path, "rb").read())
+    assert d.header().width == 0
+    assert 2.5 < d.duration() < 3.5
+    expected = {"aac": "AAC", "flac": "FLAC", "mp3": "MP3",
+                "ogg": "Vorbis", "wav": "Unknown"}
+    ext = path.rsplit(".", 1)[1]
+    assert d.audio_codec() == expected[ext]
+
+
+def test_av1_gating():
+    buf = open(f"{TD}/av1-mp4.mp4", "rb").read()
+    with pytest.raises(InvalidImageError):
+        new_decoder(buf)
+    set_av1_enabled(True)
+    try:
+        d = new_decoder(buf)
+        assert d.video_codec() == "AV1"
+        fb = Framebuffer()
+        d.decode_to(fb)
+        assert fb.width == 1280
+    finally:
+        set_av1_enabled(False)
+
+
+def test_keyframe_index_and_raw_decode():
+    buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+    d = new_decoder(buf)
+    kf = d.keyframes()
+    assert len(kf) >= 1
+    for ts, off, size in kf:
+        assert ts >= 0 and 0 <= off < len(buf) and size > 0
+    cid, extradata = d.codec_params()
+    ts, off, size = kf[0]
+    px = decode_raw_keyframe(cid, extradata, buf[off:off + size], 720, 480)
+    assert px.shape == (480, 720, 4)
+    assert (px[:, :, 3] == 255).all()  # opaque (first frame may be black)
+
+
+def test_mp4_to_jpeg_transform():
+    buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+    out = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".jpeg", width=256, height=144, resize_method=ResizeMethod.FIT,
+        disable_animated_output=True, encode_timeout=300.0))
+    assert out[:2] == b"\xff\xd8"
