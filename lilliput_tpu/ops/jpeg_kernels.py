@@ -38,38 +38,69 @@ def dct_matrix() -> np.ndarray:
     return a
 
 
+@functools.lru_cache(maxsize=1)
+def idct_kron_matrix() -> np.ndarray:
+    """(64, 64) W with W[xy, uv] = A[x,u]*A[y,v]: the full 2D IDCT as ONE
+    matmul P_flat = K_flat @ W — the MXU-optimal mapping (a (N,64)x(64,64)
+    contraction instead of 2N tiny 8x8 matmuls)."""
+    a = dct_matrix()
+    return np.kron(a, a).astype(np.float32)
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels on TPU by default; XLA path elsewhere or when
+    LILLIPUT_PALLAS=0."""
+    import os
+    flag = os.environ.get("LILLIPUT_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def dequant_idct(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
     """(..., bh, bw, 64) int16 + (64,) -> (..., bh*8, bw*8) f32 pixel plane.
 
-    The two 8-point transforms become batched (N,8,8)x(8,8) matmuls, which
-    XLA lowers onto the MXU; dequant fuses into the first contraction.
+    Dequantization folds into the IDCT matrix rows (W_q = diag(q) @ W), so
+    the whole dense half of JPEG decode is a single (N,64)x(64,64) matmul
+    per plane — dispatched to the Pallas MXU kernel on TPU
+    (ops/pallas_kernels.py, two blocks packed per 128-lane tile row).
     """
-    a = jnp.asarray(dct_matrix())
-    k = coefs.astype(jnp.float32) * qtable.astype(jnp.float32)
-    lead = k.shape[:-3]
-    bh, bw = k.shape[-3], k.shape[-2]
-    k = k.reshape(lead + (bh, bw, 8, 8))
-    # IDCT: P = A.T @ K @ A
-    p = jnp.einsum("ij,...jk,kl->...il", a.T, k, a,
-                   preferred_element_type=jnp.float32)
-    p = p + 128.0
-    # (…, bh, bw, 8, 8) -> (…, bh*8, bw*8)
+    w = jnp.asarray(idct_kron_matrix()) * qtable.astype(jnp.float32)[:, None]
+    lead = coefs.shape[:-3]
+    bh, bw = coefs.shape[-3], coefs.shape[-2]
+    flat = coefs.reshape(-1, 64)
+    if _use_pallas():
+        from . import pallas_kernels as PK
+        p = PK.dequant_idct_blocks(flat, w)
+    else:
+        p = jnp.dot(flat.astype(jnp.float32), w,
+                    preferred_element_type=jnp.float32) + 128.0
+    p = p.reshape(lead + (bh, bw, 8, 8))
     p = jnp.moveaxis(p, -2, -3)  # (…, bh, 8, bw, 8)
     return p.reshape(lead + (bh * 8, bw * 8))
 
 
 def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
-    """(..., H8, W8) f32 (0..255) -> (..., H8/8, W8/8, 64) int16 quantized."""
-    a = jnp.asarray(dct_matrix())
+    """(..., H8, W8) f32 (0..255) -> (..., H8/8, W8/8, 64) int16 quantized.
+
+    Forward transform + quantization divide fold into one (N,64)x(64,64)
+    matmul (W_f = W^T with 1/q folded into the output columns)."""
+    wf = jnp.asarray(idct_kron_matrix()).T / qtable.astype(jnp.float32)[None, :]
     lead = plane.shape[:-2]
     h, w = plane.shape[-2], plane.shape[-1]
     bh, bw = h // 8, w // 8
     p = plane.reshape(lead + (bh, 8, bw, 8))
-    p = jnp.moveaxis(p, -3, -2) - 128.0  # (…, bh, bw, 8, 8)
-    k = jnp.einsum("ij,...jk,kl->...il", a, p, a.T,
-                   preferred_element_type=jnp.float32)
-    q = jnp.round(k / qtable.astype(jnp.float32).reshape(8, 8))
-    q = jnp.clip(q, -2047, 2047).astype(jnp.int16)
+    p = jnp.moveaxis(p, -3, -2)  # (…, bh, bw, 8, 8)
+    flat = p.reshape(-1, 64)
+    if _use_pallas():
+        from . import pallas_kernels as PK
+        q = PK.fdct_quant_blocks(flat, wf).astype(jnp.int16)
+    else:
+        k = jnp.dot(flat - 128.0, wf, preferred_element_type=jnp.float32)
+        q = jnp.clip(jnp.round(k), -2047, 2047).astype(jnp.int16)
     return q.reshape(lead + (bh, bw, 64))
 
 
