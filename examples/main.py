@@ -16,6 +16,21 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+
+def _select_device(argv):
+    """Single-image CLI work is dominated by dispatch latency, so default to
+    CPU; pass -device tpu for device execution (the batched pipeline in
+    lilliput_tpu/pipeline.py is the right TPU entry point)."""
+    dev = "cpu"
+    if "-device" in argv:
+        dev = argv[argv.index("-device") + 1]
+    import jax
+    if dev != "default":
+        jax.config.update("jax_platforms", dev)
+
+
+_select_device(sys.argv)
+
 from lilliput_tpu import (ImageOps, ImageOptions, ResizeMethod, new_decoder)
 from lilliput_tpu.framebuffer import (AVIF_QUALITY, AVIF_SPEED, JPEG_QUALITY,
                                       PNG_COMPRESSION, WEBP_QUALITY)
@@ -33,6 +48,8 @@ def main():
     p.add_argument("-max-encode-duration", type=float, default=0.0)
     p.add_argument("-force-sdr", dest="force_sdr", action="store_true")
     p.add_argument("-quality", type=int, default=85)
+    p.add_argument("-device", default="cpu",
+                   help="jax platform for the transform (cpu|tpu|default)")
     args = p.parse_args()
 
     buf = open(args.input, "rb").read()

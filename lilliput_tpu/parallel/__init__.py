@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, shard_batch, replicate,  # noqa: F401
+                   sharded_transcode_step)

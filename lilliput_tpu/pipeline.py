@@ -179,9 +179,16 @@ class JpegTranscodePipeline:
     # -- end to end --------------------------------------------------------------
 
     def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
-        ys, cbs, crs = self.decode_entropy(bufs)
-        yq, cbq, crq = self.device_step(ys, cbs, crs)
-        return self.encode_entropy(np.asarray(yq), np.asarray(cbq), np.asarray(crq))
+        from .utils import StageTimer, metrics
+        with StageTimer("entropy_decode"):
+            ys, cbs, crs = self.decode_entropy(bufs)
+        with StageTimer("device"):
+            yq, cbq, crq = self.device_step(ys, cbs, crs)
+            yq, cbq, crq = np.asarray(yq), np.asarray(cbq), np.asarray(crq)
+        with StageTimer("entropy_encode"):
+            out = self.encode_entropy(yq, cbq, crq)
+        metrics.incr("images_transcoded", len(bufs))
+        return out
 
     def transcode_pipelined(self, batches: Sequence[Sequence[bytes]]) -> List[List[bytes]]:
         """Double-buffered: host entropy for batch i+1 overlaps device batch i

@@ -1,0 +1,3 @@
+from .metrics import Metrics, StageTimer, metrics  # noqa: F401
+from .logging import get_logger  # noqa: F401
+from .profiling import device_trace  # noqa: F401
