@@ -18,6 +18,7 @@ from __future__ import annotations
 import ctypes
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -116,16 +117,21 @@ class JpegTranscodePipeline:
 
     # -- host entropy stages --------------------------------------------------
 
-    def decode_entropy(self, bufs: Sequence[bytes]):
-        """Huffman-decode a batch into stacked coefficient arrays (host)."""
+    def decode_entropy(self, bufs: Sequence[bytes], workers: Optional[int] = None):
+        """Huffman-decode a batch into stacked coefficient arrays (host).
+
+        The libjpeg shim releases the GIL inside ctypes calls, so a small
+        thread pool scales entropy decode across host cores (the reference's
+        'one ImageOps per goroutine' concurrency model, SURVEY.md §2.3)."""
         g = self.geom
         b = len(bufs)
         ys = np.empty((b,) + g.blocks[0] + (64,), np.int16)
         cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
         crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
-        qtables = np.zeros((4, 64), np.uint16)
-        for i, buf in enumerate(bufs):
-            arr = np.frombuffer(buf, np.uint8)
+
+        def one(i: int):
+            arr = np.frombuffer(bufs[i], np.uint8)
+            qtables = np.zeros((4, 64), np.uint16)
             ptrs = (_i16p * 3)(
                 ys[i].ctypes.data_as(_i16p),
                 cbs[i].ctypes.data_as(_i16p),
@@ -136,6 +142,15 @@ class JpegTranscodePipeline:
                 None, 0)
             if rc != 0:
                 raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
+
+        n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
+        if n_workers <= 1 or b <= 1:
+            for i in range(b):
+                one(i)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, range(b)))
         return ys, cbs, crs
 
     def encode_entropy(self, yq: np.ndarray, cbq: np.ndarray, crq: np.ndarray) -> List[bytes]:

