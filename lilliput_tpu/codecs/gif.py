@@ -254,6 +254,73 @@ class GifDecoder(Decoder):
         h = min(h, self._hgt - top)
         return left, top, max(w, 0), max(h, 0)
 
+    def decode_animation(self):
+        """Decode ALL frames with one device dispatch (lax.scan compositing,
+        ops/palette.py:composite_animation). Host work is only LZW + index
+        scattering; returns ((N, H, W, 4) device frames, [frame metas]).
+
+        This is the TPU-first batch path; frame-at-a-time decode_to remains
+        for the reference-shaped streaming API."""
+        cw, ch = self._w, self._hgt
+        idxs, drawn, luts, counts, trans, pdisp, prects, metas = \
+            [], [], [], [], [], [], [], []
+        prev_rect = None
+        prev_disposal = 0
+        while True:
+            try:
+                m = self._next_frame_meta()
+            except EOFError:
+                break
+            maxd = _gif_max_frame_dimension
+            if m.width > maxd or m.height > maxd:
+                raise InvalidImageError("gif frame exceeds max dimension")
+            raw = np.empty(m.height * m.width, np.uint8)
+            if self._lib.lp_gif_frame_indices(self._h, _u8(raw)) != 0:
+                raise DecodingFailedError("gif raster decode failed")
+            raw = raw.reshape(m.height, m.width)
+            full_idx = np.zeros((ch, cw), np.uint8)
+            dmask = np.zeros((ch, cw), bool)
+            fl, ft, fw, fh = self._clip_rect(m.left, m.top, m.width, m.height)
+            if fw > 0 and fh > 0:
+                sx, sy = fl - m.left, ft - m.top
+                full_idx[ft:ft + fh, fl:fl + fw] = raw[sy:sy + fh, sx:sx + fw]
+                dmask[ft:ft + fh, fl:fl + fw] = True
+            lut = np.zeros((256, 4), np.uint8)
+            lut[:m.pal_count, 0] = m.palette[:m.pal_count, 2]
+            lut[:m.pal_count, 1] = m.palette[:m.pal_count, 1]
+            lut[:m.pal_count, 2] = m.palette[:m.pal_count, 0]
+            lut[:m.pal_count, 3] = 255
+            pm = np.zeros((ch, cw), bool)
+            if prev_rect is not None:
+                pl, pt, pw, ph = self._clip_rect(*prev_rect)
+                if pw > 0 and ph > 0:
+                    pm[pt:pt + ph, pl:pl + pw] = True
+            idxs.append(full_idx)
+            drawn.append(dmask)
+            luts.append(lut)
+            counts.append(m.pal_count)
+            trans.append(m.trans_idx if m.trans_idx >= 0 else -1)
+            pdisp.append(prev_disposal)
+            prects.append(pm)
+            # partial-frame transparency forcing for the encoder (parity)
+            partial = (fw < cw or fh < ch or fl != 0 or ft != 0)
+            if partial and m.trans_idx < 0:
+                m.trans_idx = m.pal_count - 1
+            metas.append(m)
+            prev_rect = (m.left, m.top, m.width, m.height)
+            prev_disposal = m.disposal
+        if not idxs:
+            return jnp.zeros((0, ch, cw, 4), jnp.uint8), []
+        bg = self._anim_info()[3:7]
+        bg_bgra = jnp.asarray(np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8))
+        frames = P.composite_animation(
+            jnp.asarray(np.stack(idxs)), jnp.asarray(np.stack(drawn)),
+            jnp.asarray(np.stack(luts)), jnp.asarray(np.array(counts, np.int32)),
+            jnp.asarray(np.array(trans, np.int32)),
+            jnp.asarray(np.array(pdisp, np.int32)),
+            jnp.asarray(np.stack(prects)), bg_bgra)
+        return frames, metas
+
     def skip_frame(self) -> None:
         st = self._lib.lp_gif_skip_frame(self._h)
         if st == 0:

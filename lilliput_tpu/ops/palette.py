@@ -95,3 +95,50 @@ def clear_rect_to(canvas: jax.Array, mask: jax.Array, color: jax.Array) -> jax.A
 def restore_rect(canvas: jax.Array, mask: jax.Array, saved: jax.Array) -> jax.Array:
     """Restore masked region from a saved canvas (dispose-previous)."""
     return jnp.where(mask[..., None], saved, canvas)
+
+
+@jax.jit
+def composite_animation(idx_frames: jax.Array, drawn_masks: jax.Array,
+                        luts: jax.Array, pal_counts: jax.Array,
+                        trans_idx: jax.Array, prev_disposal: jax.Array,
+                        prev_rect_masks: jax.Array,
+                        bg_bgra: jax.Array) -> jax.Array:
+    """Composite a whole GIF animation in ONE dispatch via lax.scan.
+
+    The loop-carried dispose/draw dependence (SURVEY.md hard part #4,
+    giflib.cpp:400-541 semantics) becomes a scan with (canvas, prev_canvas)
+    as carry; every per-frame input is pre-scattered to canvas shape on the
+    host so the compiled program is geometry-stable:
+
+      idx_frames      (N, H, W)   u8 palette indices scattered into canvas
+      drawn_masks     (N, H, W)   bool, inside this frame's clipped rect
+      luts            (N, 256, 4) u8 BGRA palette (255-padded alpha rows ok)
+      pal_counts      (N,)        i32 effective palette sizes
+      trans_idx       (N,)        i32 transparent index (-1 = none)
+      prev_disposal   (N,)        i32 GIF disposal of frame k-1 (0 for k=0)
+      prev_rect_masks (N, H, W)   bool rect of frame k-1 (False row for k=0)
+
+    Returns (N, H, W, 4) u8 composited frames.
+    """
+    h, w = idx_frames.shape[1], idx_frames.shape[2]
+    init_canvas = jnp.broadcast_to(bg_bgra.astype(jnp.uint8), (h, w, 4))
+
+    def step(carry, x):
+        canvas, prev_canvas = carry
+        idx, drawn, lut, count, trans, disp, prect = x
+        # dispose previous frame region (giflib.cpp:400-489)
+        m = prect[..., None]
+        canvas = jnp.where((disp == 2) & m, init_canvas, canvas)
+        canvas = jnp.where((disp == 3) & m, prev_canvas, canvas)
+        new_prev = canvas  # saved post-disposal, pre-draw (giflib.cpp:491-494)
+        idx32 = idx.astype(jnp.int32)
+        color = jnp.take(lut, idx32, axis=0, mode="clip")
+        valid = drawn & (idx32 != trans) & (idx32 < count)
+        canvas = jnp.where(valid[..., None], color, canvas)
+        return (canvas, new_prev), canvas
+
+    (_, _), frames = jax.lax.scan(
+        step, (init_canvas, init_canvas),
+        (idx_frames, drawn_masks, luts, pal_counts, trans_idx,
+         prev_disposal, prev_rect_masks))
+    return frames

@@ -219,3 +219,39 @@ class JpegTranscodePipeline:
         if pending is not None:
             results.append(self.encode_entropy(*[np.asarray(a) for a in pending]))
         return results
+
+
+def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
+                  file_type: str = ".gif") -> bytes:
+    """Whole-animation batched transcode (BASELINE config 3 path): LZW on
+    host, ONE scan-compositing dispatch for all frames, ONE batched resize
+    dispatch, then per-frame palette quantization + host LZW/WebP encode.
+
+    Compare ImageOps.transform, which round-trips the device once per frame
+    (the reference-shaped streaming API)."""
+    from .codecs.gif import GifDecoder, GifEncoder
+    from .framebuffer import BlendMethod, DisposeMethod, Framebuffer
+
+    dec = GifDecoder(buf)
+    frames, metas = dec.decode_animation()
+    if not metas:
+        raise DecodingFailedError("gif has no frames")
+    if fit:
+        left, top, w, h = fit_rect(dec._w, dec._hgt, dst_w, dst_h)
+        frames = frames[:, top:top + h, left:left + w, :]
+    resized = R.resize(frames, dst_w, dst_h, R.AREA)
+
+    if file_type == ".webp":
+        from .codecs.webp import WebpEncoder
+        enc = WebpEncoder(dec)
+    else:
+        enc = GifEncoder(dec)
+    for i, m in enumerate(metas):
+        dec.frame_meta = m
+        fb = Framebuffer(resized[i])
+        fb.duration = m.delay_cs * 10 / 1000.0
+        fb.blend = BlendMethod.NO_BLEND
+        fb.dispose = (DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
+                      if m.disposal == 2 else DisposeMethod.NO_DISPOSE)
+        enc.encode(fb, {})
+    return enc.encode(None, {})

@@ -134,3 +134,16 @@ def test_max_encode_frames():
     except EOFError:
         pass
     assert n == 3
+
+
+def test_batched_animation_matches_streaming():
+    """transcode_gif (one scan dispatch for all frames) must produce
+    byte-identical output to the per-frame ImageOps path."""
+    from lilliput_tpu.pipeline import transcode_gif
+    for name in ("party-discord.gif", "dispose_bgnd.gif", "restore_previous.gif"):
+        buf = open(f"{TD}/{name}", "rb").read()
+        batched = transcode_gif(buf, 20, 14)
+        streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+            file_type=".gif", width=20, height=14,
+            resize_method=ResizeMethod.RESIZE, encode_timeout=600.0))
+        assert batched == streaming, name
