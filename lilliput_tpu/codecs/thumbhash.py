@@ -97,6 +97,85 @@ def _round_u(x: float) -> int:
     return int(np.round(np.float32(x)))
 
 
+@functools.partial(jax.jit, static_argnames=("nx", "ny"))
+def _dct_grid_batch(channels: jax.Array, nx: int, ny: int):
+    """(B, h, w) planes -> (B, ny, nx) coefficient grids in one dispatch."""
+    h, w = channels.shape[-2], channels.shape[-1]
+    cosx = jnp.asarray(_cos_matrix(nx, w))
+    cosy = jnp.asarray(_cos_matrix(ny, h))
+    f = jnp.einsum("cy,byx,dx->bcd", cosy, channels, cosx,
+                   preferred_element_type=jnp.float32)
+    return f / np.float32(w * h)
+
+
+def thumbhash_batch(frames) -> list:
+    """Thumbhashes for a batch of same-shaped (B, H, W, 4) u8 BGRA images in
+    a handful of device dispatches (SURVEY.md §2.1: 'batched thumbhash over
+    N images in one dispatch'). Images must already be <=100px per side
+    (e.g. spritesheet tiles)."""
+    import jax.numpy as jnp2
+    frames = jnp.asarray(frames)
+    b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    l, p, q, a, suma = jax.vmap(_lpqa_from_bgra)(frames)
+    # batched DCT grids at the maximum coefficient counts; per-image
+    # triangular selection happens host-side in the packer
+    gl = np.asarray(_dct_grid_batch(l, 7, 7))
+    gp = np.asarray(_dct_grid_batch(p, 3, 3))
+    gq = np.asarray(_dct_grid_batch(q, 3, 3))
+    ga = np.asarray(_dct_grid_batch(a, 5, 5))
+    sums = np.asarray(suma)
+    del jnp2
+    out = []
+    m = max(w, h)
+    is_landscape = w > h
+    for i in range(b):
+        has_alpha = float(sums[i]) < float(w * h)
+        l_limit = 5 if has_alpha else 7
+        lx = max(int(np.round(np.float32(l_limit * w) / np.float32(m))), 1)
+        ly = max(int(np.round(np.float32(l_limit * h) / np.float32(m))), 1)
+        l_dc, l_ac, l_scale = _encode_channel(gl[i], max(lx, 3), max(ly, 3))
+        p_dc, p_ac, p_scale = _encode_channel(gp[i], 3, 3)
+        q_dc, q_ac, q_scale = _encode_channel(gq[i], 3, 3)
+        if has_alpha:
+            a_dc, a_ac, a_scale = _encode_channel(ga[i], 5, 5)
+        else:
+            a_dc, a_ac, a_scale = 1.0, [], 1.0
+        out.append(_pack_hash(has_alpha, is_landscape, lx, ly,
+                              l_dc, l_ac, l_scale, p_dc, p_ac, p_scale,
+                              q_dc, q_ac, q_scale, a_dc, a_ac, a_scale))
+    return out
+
+
+def _pack_hash(has_alpha, is_landscape, lx, ly, l_dc, l_ac, l_scale,
+               p_dc, p_ac, p_scale, q_dc, q_ac, q_scale,
+               a_dc, a_ac, a_scale) -> bytes:
+    """Header + 4-bit AC packing (thumbhash.cpp:222-268)."""
+    header24 = (_round_u(63.0 * l_dc)
+                | (_round_u(31.5 + 31.5 * p_dc) << 6)
+                | (_round_u(31.5 + 31.5 * q_dc) << 12)
+                | (_round_u(31.0 * l_scale) << 18)
+                | ((1 << 23) if has_alpha else 0))
+    header16 = ((ly if is_landscape else lx)
+                | (_round_u(63.0 * p_scale) << 3)
+                | (_round_u(63.0 * q_scale) << 9)
+                | ((1 << 15) if is_landscape else 0))
+    out = bytearray([header24 & 255, (header24 >> 8) & 255, header24 >> 16,
+                     header16 & 255, header16 >> 8])
+    if has_alpha:
+        out.append(_round_u(15.0 * a_dc) | (_round_u(15.0 * a_scale) << 4))
+    is_odd = False
+    acs = [l_ac, p_ac, q_ac] + ([a_ac] if has_alpha else [])
+    for ac in acs:
+        for f in ac:
+            u = _round_u(15.0 * f)
+            if is_odd:
+                out[-1] |= u << 4
+            else:
+                out.append(u)
+            is_odd = not is_odd
+    return bytes(out)
+
+
 class ThumbhashEncoder(Encoder):
     """Single-frame encoder producing the <=25-byte thumbhash."""
 
@@ -156,28 +235,6 @@ class ThumbhashEncoder(Encoder):
         else:
             a_dc, a_ac, a_scale = 1.0, [], 1.0
 
-        is_landscape = w > h
-        header24 = (_round_u(63.0 * l_dc)
-                    | (_round_u(31.5 + 31.5 * p_dc) << 6)
-                    | (_round_u(31.5 + 31.5 * q_dc) << 12)
-                    | (_round_u(31.0 * l_scale) << 18)
-                    | ((1 << 23) if has_alpha else 0))
-        header16 = ((ly if is_landscape else lx)
-                    | (_round_u(63.0 * p_scale) << 3)
-                    | (_round_u(63.0 * q_scale) << 9)
-                    | ((1 << 15) if is_landscape else 0))
-        out = bytearray([header24 & 255, (header24 >> 8) & 255, header24 >> 16,
-                         header16 & 255, header16 >> 8])
-        if has_alpha:
-            out.append(_round_u(15.0 * a_dc) | (_round_u(15.0 * a_scale) << 4))
-        is_odd = False
-        acs = [l_ac, p_ac, q_ac] + ([a_ac] if has_alpha else [])
-        for ac in acs:
-            for f in ac:
-                u = _round_u(15.0 * f)
-                if is_odd:
-                    out[-1] |= u << 4
-                else:
-                    out.append(u)
-                is_odd = not is_odd
-        return bytes(out)
+        return _pack_hash(has_alpha, w > h, lx, ly,
+                          l_dc, l_ac, l_scale, p_dc, p_ac, p_scale,
+                          q_dc, q_ac, q_scale, a_dc, a_ac, a_scale)

@@ -221,6 +221,56 @@ class JpegTranscodePipeline:
         return results
 
 
+def spritesheet(video: bytes, tile_w: int, tile_h: int,
+                max_tiles: int = 64, workers: Optional[int] = None,
+                with_thumbhashes: bool = False):
+    """Keyframe spritesheet (BASELINE config 5): stateless parallel raw
+    keyframe decodes (thread pool — avcodec.cpp:770-873's contract), then
+    ONE batched device dispatch resizes every keyframe tile; optional
+    batched thumbhashes ride the same batch.
+
+    Returns (sheet (rows, cols) BGRA np.ndarray, [timestamps_us], hashes?).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .codecs.video import VideoDecoder, decode_raw_keyframe
+
+    dec = VideoDecoder(video)
+    kf = dec.keyframes()[:max_tiles]
+    if not kf:
+        raise DecodingFailedError("no keyframes in video")
+    cid, extradata = dec.codec_params()
+    fw = dec._info.width
+    fh = dec._info.height
+
+    def one(entry):
+        ts, off, size = entry
+        return decode_raw_keyframe(cid, extradata, video[off:off + size], fw, fh)
+
+    n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
+    if n_workers > 1 and len(kf) > 1:
+        with ThreadPoolExecutor(n_workers) as ex:
+            frames = list(ex.map(one, kf))
+    else:
+        frames = [one(e) for e in kf]
+
+    batch = jnp.asarray(np.stack(frames))          # (N, H, W, 4)
+    tiles = R.resize(batch, tile_w, tile_h, R.AREA)
+    hashes = None
+    if with_thumbhashes:
+        from .codecs.thumbhash import thumbhash_batch
+        hashes = thumbhash_batch(tiles)
+    n = tiles.shape[0]
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = (n + cols - 1) // cols
+    sheet = np.zeros((rows * tile_h, cols * tile_w, 4), np.uint8)
+    tiles_np = np.asarray(tiles)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        sheet[r * tile_h:(r + 1) * tile_h, c * tile_w:(c + 1) * tile_w] = tiles_np[i]
+    return sheet, [e[0] for e in kf], hashes
+
+
 def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
                   file_type: str = ".gif") -> bytes:
     """Whole-animation batched transcode (BASELINE config 3 path): LZW on

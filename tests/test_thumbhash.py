@@ -40,3 +40,16 @@ def test_golden_thumbhash(name):
         file_type=".thumbhash", width=h.width, height=h.height,
         resize_method=ResizeMethod.NO_RESIZE, encode_timeout=300.0))
     assert base64.b64encode(out).decode() == GOLD[name]
+
+
+def test_batched_thumbhash_matches_single():
+    import numpy as np
+
+    from lilliput_tpu.codecs.thumbhash import ThumbhashEncoder, thumbhash_batch
+    from lilliput_tpu.framebuffer import Framebuffer
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 90, 100, 4), dtype=np.uint8)
+    batch = thumbhash_batch(imgs)
+    singles = [ThumbhashEncoder().encode(Framebuffer.from_array(imgs[i]), {})
+               for i in range(4)]
+    assert batch == singles

@@ -101,3 +101,12 @@ def test_mp4_to_jpeg_transform():
         file_type=".jpeg", width=256, height=144, resize_method=ResizeMethod.FIT,
         disable_animated_output=True, encode_timeout=300.0))
     assert out[:2] == b"\xff\xd8"
+
+
+def test_spritesheet_pipeline():
+    from lilliput_tpu.pipeline import spritesheet
+    buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+    sheet, ts, hashes = spritesheet(buf, 160, 90, with_thumbhashes=True)
+    assert sheet.shape[0] % 90 == 0 and sheet.shape[1] % 160 == 0
+    assert len(ts) >= 1 and all(t >= 0 for t in ts)
+    assert hashes and all(5 <= len(h) <= 25 for h in hashes)
