@@ -254,6 +254,12 @@ class GifDecoder(Decoder):
         h = min(h, self._hgt - top)
         return left, top, max(w, 0), max(h, 0)
 
+    def frame_header(self):
+        """Per-frame metadata of the most recently decoded frame (parity with
+        gifDecoder.FrameHeader, giflib.go): exposes the raw GIF rect and
+        disposal code (0 unspecified / 1 none / 2 background / 3 previous)."""
+        return self.frame_meta
+
     def decode_animation(self):
         """Decode ALL frames with one device dispatch (lax.scan compositing,
         ops/palette.py:composite_animation). Host work is only LZW + index

@@ -147,3 +147,22 @@ def test_batched_animation_matches_streaming():
             file_type=".gif", width=20, height=14,
             resize_method=ResizeMethod.RESIZE, encode_timeout=600.0))
         assert batched == streaming, name
+
+
+def test_disposal_method_sequences():
+    """Disposal sequences per frame (giflib_test.go:85-135 taxonomy)."""
+    def disposals(name):
+        d = GifDecoder(open(f"{TD}/{name}", "rb").read())
+        out = []
+        while True:
+            fb = Framebuffer()
+            try:
+                d.decode_to(fb)
+            except EOFError:
+                break
+            out.append(d.frame_header().disposal)
+        return out
+
+    assert 3 in disposals("restore_previous.gif")      # RestorePrevious
+    assert 2 in disposals("dispose_bgnd.gif")          # DisposeToBackground
+    assert all(m in (0, 1) for m in disposals("party-discord.gif"))
