@@ -165,4 +165,4 @@ def test_disposal_method_sequences():
 
     assert 3 in disposals("restore_previous.gif")      # RestorePrevious
     assert 2 in disposals("dispose_bgnd.gif")          # DisposeToBackground
-    assert all(m in (0, 1) for m in disposals("party-discord.gif"))
+    assert disposals("party-discord.gif") == [2] * 15 + [1]
