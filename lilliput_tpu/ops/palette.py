@@ -48,12 +48,25 @@ def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
     if have_trans and 0 <= trans_idx < pal.shape[0]:
         dist = dist.at[..., trans_idx].set(jnp.iinfo(jnp.int32).max)
     best = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    least_mid = jnp.min(dist, axis=-1)
 
     best_rgb = jnp.take(pal, best, axis=0, mode="clip")
-    least = (jnp.abs(r - best_rgb[..., 0]) + jnp.abs(g - best_rgb[..., 1])
-             + jnp.abs(b - best_rgb[..., 2]))
+    least_actual = (jnp.abs(r - best_rgb[..., 0]) + jnp.abs(g - best_rgb[..., 1])
+                    + jnp.abs(b - best_rgb[..., 2]))
 
     if use_prev and have_trans:
+        # giflib's 15-bit lookup cache makes the FIRST pixel of each crushed
+        # key use the midpoint distance for the prev-frame comparison, while
+        # cache hits use the actual-pixel distance (giflib.cpp:1027-1072).
+        # The "first occurrence in raster order" map is a scatter-min of
+        # linear indices over crushed keys.
+        h, w = r.shape[-2], r.shape[-1]
+        crushed = (((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)).reshape(-1)
+        lin = jnp.arange(h * w, dtype=jnp.int32)
+        first_of_key = jnp.full((1 << 15,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        first_of_key = first_of_key.at[crushed].min(lin)
+        is_first = (first_of_key[crushed] == lin).reshape(r.shape)
+        least = jnp.where(is_first, least_mid, least_actual)
         dp = (jnp.abs(r - prev_bgra[..., 2].astype(jnp.int32))
               + jnp.abs(g - prev_bgra[..., 1].astype(jnp.int32))
               + jnp.abs(b - prev_bgra[..., 0].astype(jnp.int32)))
