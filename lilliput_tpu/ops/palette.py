@@ -111,6 +111,44 @@ def restore_rect(canvas: jax.Array, mask: jax.Array, saved: jax.Array) -> jax.Ar
 
 
 @jax.jit
+def composite_animation_rgba(frames_full: jax.Array, drawn_masks: jax.Array,
+                             blend_flags: jax.Array, prev_disposal: jax.Array,
+                             prev_rect_masks: jax.Array) -> jax.Array:
+    """Composite an animated-WebP/AVIF-style clip in ONE lax.scan dispatch.
+
+    Frames carry their own BGRA pixels (pre-scattered to canvas shape, zeros
+    outside the rect); per-frame blend is WebP semantics (0 = alpha blend,
+    1 = replace) and disposal 1 clears the previous frame's rect to
+    transparent — the same ops the streaming ImageOps path applies per
+    frame (ops.go:150-218, 431-461), so outputs are byte-identical.
+
+      frames_full     (N, H, W, 4) u8
+      drawn_masks     (N, H, W)    bool
+      blend_flags     (N,)         i32  (0 blend / 1 no-blend)
+      prev_disposal   (N,)         i32  disposal of frame k-1 (0 for k=0)
+      prev_rect_masks (N, H, W)    bool rect of frame k-1
+    """
+    from .blend import alpha_blend_full
+
+    h, w = frames_full.shape[1], frames_full.shape[2]
+    init = jnp.zeros((h, w, 4), jnp.uint8)
+
+    def step(canvas, x):
+        frame, drawn, blend_flag, disp, prect = x
+        canvas = jnp.where((disp == 1) & prect[..., None],
+                           jnp.zeros((), jnp.uint8), canvas)
+        blended = alpha_blend_full(canvas, frame)
+        drawn3 = drawn[..., None]
+        canvas = jnp.where(drawn3 & (blend_flag == 0), blended, canvas)
+        canvas = jnp.where(drawn3 & (blend_flag != 0), frame, canvas)
+        return canvas, canvas
+
+    _, out = jax.lax.scan(step, init, (frames_full, drawn_masks, blend_flags,
+                                       prev_disposal, prev_rect_masks))
+    return out
+
+
+@jax.jit
 def composite_animation(idx_frames: jax.Array, drawn_masks: jax.Array,
                         luts: jax.Array, pal_counts: jax.Array,
                         trans_idx: jax.Array, prev_disposal: jax.Array,

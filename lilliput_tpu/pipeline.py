@@ -271,6 +271,75 @@ def spritesheet(video: bytes, tile_w: int, tile_h: int,
     return sheet, [e[0] for e in kf], hashes
 
 
+def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
+                   encode_options=None) -> bytes:
+    """Whole-animation batched WebP transcode (BASELINE config 4 path):
+    libwebp frame decode on host, ONE scan-compositing dispatch (alpha
+    blend + dispose), ONE batched resize, WebPAnimEncoder on host.
+    Byte-identical to the streaming ImageOps path."""
+    import ctypes as _ct
+
+    from .codecs.webp import WebpDecoder, WebpEncoder, _i32p, _u8
+    from .framebuffer import Framebuffer
+    from .ops import palette as P
+
+    dec = WebpDecoder(buf)
+    cw, ch = dec._w, dec._hgt
+    frames, drawn, blends, pdisp, prects, durations = [], [], [], [], [], []
+    prev_rect = None
+    prev_disposal = 0
+    while True:
+        meta = np.zeros(8, np.int32)
+        st = dec._lib.lp_webp_next_frame(dec._h, meta.ctypes.data_as(_i32p))
+        if st == 0:
+            break
+        if st < 0:
+            raise DecodingFailedError("webp frame parse failed")
+        x, y, w, h, dur_ms, dispose, blend, _fa = (int(v) for v in meta)
+        px = np.empty((h, w, 4), np.uint8)
+        if dec._lib.lp_webp_frame_pixels(dec._h, _u8(px), 4, w, h) != 0:
+            raise DecodingFailedError("webp frame decode failed")
+        full = np.zeros((ch, cw, 4), np.uint8)
+        dm = np.zeros((ch, cw), bool)
+        x2, y2 = max(x, 0), max(y, 0)
+        w2, h2 = min(w, cw - x2), min(h, ch - y2)
+        if w2 > 0 and h2 > 0:
+            full[y2:y2 + h2, x2:x2 + w2] = px[y2 - y:y2 - y + h2, x2 - x:x2 - x + w2]
+            dm[y2:y2 + h2, x2:x2 + w2] = True
+        pm = np.zeros((ch, cw), bool)
+        if prev_rect is not None:
+            px0, py0, pw0, ph0 = prev_rect
+            px0, py0 = max(px0, 0), max(py0, 0)
+            pw0, ph0 = min(pw0, cw - px0), min(ph0, ch - py0)
+            if pw0 > 0 and ph0 > 0:
+                pm[py0:py0 + ph0, px0:px0 + pw0] = True
+        frames.append(full)
+        drawn.append(dm)
+        blends.append(blend)
+        pdisp.append(prev_disposal)
+        prects.append(pm)
+        durations.append(dur_ms)
+        prev_rect = (x, y, w, h)
+        prev_disposal = dispose
+    del _ct
+    if not frames:
+        raise DecodingFailedError("webp has no frames")
+    comp = P.composite_animation_rgba(
+        jnp.asarray(np.stack(frames)), jnp.asarray(np.stack(drawn)),
+        jnp.asarray(np.array(blends, np.int32)),
+        jnp.asarray(np.array(pdisp, np.int32)), jnp.asarray(np.stack(prects)))
+    if fit:
+        left, top, w, h = fit_rect(cw, ch, dst_w, dst_h)
+        comp = comp[:, top:top + h, left:left + w, :]
+    resized = R.resize(comp, dst_w, dst_h, R.AREA)
+    enc = WebpEncoder(dec)
+    for i, dur in enumerate(durations):
+        fb = Framebuffer(resized[i])
+        fb.duration = dur / 1000.0
+        enc.encode(fb, encode_options or {})
+    return enc.encode(None, encode_options or {})
+
+
 def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
                   file_type: str = ".gif") -> bytes:
     """Whole-animation batched transcode (BASELINE config 3 path): LZW on

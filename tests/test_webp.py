@@ -94,3 +94,13 @@ def test_lossless_option():
     out = enc.encode(None, {WEBP_QUALITY: 101})
     back = np.array(PIL_Image.open(io.BytesIO(out)).convert("RGB"))[:, :, ::-1]
     assert np.array_equal(back, fb.to_numpy())  # lossless round trip
+
+
+def test_batched_webp_animation_matches_streaming():
+    from lilliput_tpu.pipeline import transcode_webp
+    buf = open(f"{TD}/party-discord.webp", "rb").read()
+    batched = transcode_webp(buf, 24, 15)
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".webp", width=24, height=15,
+        resize_method=ResizeMethod.RESIZE, encode_timeout=600.0))
+    assert batched == streaming
