@@ -119,6 +119,24 @@ def _parse_tiff_orientation(tiff: bytes) -> int:
     return 0
 
 
+def has_adobe_marker(buf: bytes) -> bool:
+    """APP14 'Adobe' marker: CMYK/YCCK samples are stored inverted."""
+    i = 2
+    n = len(buf)
+    while i + 4 <= n and buf[i] == 0xFF:
+        marker = buf[i + 1]
+        if marker == 0xDA:
+            return False
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            i += 2
+            continue
+        seglen = int.from_bytes(buf[i + 2:i + 4], "big")
+        if marker == 0xEE and buf[i + 4:i + 10] == b"Adobe\x00":
+            return True
+        i += 2 + seglen
+    return False
+
+
 def jpeg_content_length(buf: bytes) -> int:
     """Length up to and including EOI; trailing bytes beyond are unwanted
     (acropalypse-type leak surface, see reference opencv.go:502-557).
@@ -244,6 +262,14 @@ class JpegDecoder(Decoder):
                 self._qtables[info.comp_quant_tbl[0]],
                 self._qtables[info.comp_quant_tbl[1]],
                 h, w, h2, v2)
+        elif info.num_components == 4:
+            # CMYK (JCS_CMYK=4) / YCCK (JCS_YCCK=5); requires uniform sampling
+            if len({(info.comp_h_samp[i], info.comp_v_samp[i]) for i in range(4)}) != 1:
+                raise DecodingFailedError("subsampled CMYK JPEG unsupported")
+            px = K.decode_cmyk(
+                *self._coefs,
+                *[self._qtables[info.comp_quant_tbl[i]] for i in range(4)],
+                h, w, info.jpeg_color_space == 5, has_adobe_marker(self._raw))
         else:
             raise DecodingFailedError(
                 f"unsupported JPEG component count {info.num_components}")

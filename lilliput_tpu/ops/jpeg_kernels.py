@@ -190,6 +190,41 @@ def decode_ycc_420(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
     return ycbcr_to_bgr(y, cb, cr)
 
 
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "ycck", "inverted"))
+def decode_cmyk(c0, c1, c2, c3, qt0, qt1, qt2, qt3,
+                out_h: int, out_w: int, ycck: bool, inverted: bool):
+    """4-component (CMYK / YCCK) JPEG decode to BGR u8.
+
+    Adobe-marked files store inverted ink values, in which case
+    R = C*K/255 on the decoded samples; YCCK first undoes the YCbCr
+    transform on the CMY channels (libjpeg ycck_cmyk_convert semantics)."""
+    p = [dequant_idct(c, q)[..., :out_h, :out_w]
+         for c, q in ((c0, qt0), (c1, qt1), (c2, qt2), (c3, qt3))]
+    if ycck:
+        # the YCbCr transform was applied to the inverted-ink CMY channels,
+        # so inverting it yields the inverted ink values directly
+        cbc = p[1] - 128.0
+        crc = p[2] - 128.0
+        vc = p[0] + 1.402 * crc
+        vm = p[0] - 0.344136286 * cbc - 0.714136286 * crc
+        vy = p[0] + 1.772 * cbc
+    else:
+        vc, vm, vy = p[0], p[1], p[2]
+    vk = p[3]
+    if not inverted:  # no Adobe marker: samples are true ink coverage
+        vc, vm, vy, vk = 255.0 - vc, 255.0 - vm, 255.0 - vy, 255.0 - vk
+    inv255 = np.float32(1.0 / 255.0)
+    vc = jnp.clip(vc, 0.0, 255.0)
+    vm = jnp.clip(vm, 0.0, 255.0)
+    vy = jnp.clip(vy, 0.0, 255.0)
+    vk = jnp.clip(vk, 0.0, 255.0)
+    r_out = vc * vk * inv255
+    g_out = vm * vk * inv255
+    b_out = vy * vk * inv255
+    out = jnp.stack([b_out, g_out, r_out], axis=-1)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def decode_gray(y_coefs, qt_luma, out_h: int, out_w: int):
     y = dequant_idct(y_coefs, qt_luma)[..., :out_h, :out_w]

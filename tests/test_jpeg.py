@@ -117,3 +117,22 @@ def test_second_decode_raises_eof():
     d.decode_to(fb)
     with pytest.raises(EOFError):
         d.decode_to(fb)
+
+
+def test_cmyk_adobe_decode():
+    """4-component Adobe CMYK JPEGs decode to BGR (ROADMAP #13)."""
+    import io
+
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    img = cv2.resize(base, (64, 48), interpolation=cv2.INTER_CUBIC)
+    bio = io.BytesIO()
+    Image.fromarray(img, mode="CMYK").save(bio, format="JPEG", quality=95)
+    buf = bio.getvalue()
+    d = JpegDecoder(buf)
+    assert d.header().channels == 3
+    fb = Framebuffer()
+    d.decode_to(fb)
+    ref = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))[:, :, ::-1]
+    assert _psnr(fb.to_numpy(), ref) >= 50.0
