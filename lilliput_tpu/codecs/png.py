@@ -196,9 +196,12 @@ class PngDecoder(Decoder):
                 channels = 1
             else:
                 channels = 3
+            num_frames = 1
+            if self._apng:
+                num_frames = max(len(self._apng_frames()), 1)
             self._header = ImageHeader(
                 width=i.width, height=i.height, channels=channels,
-                orientation=ImageOrientation.TOP_LEFT, num_frames=1,
+                orientation=ImageOrientation.TOP_LEFT, num_frames=num_frames,
                 content_length=png_content_length(self._raw))
         return self._header
 
@@ -212,6 +215,15 @@ class PngDecoder(Decoder):
     def is_apng(self) -> bool:
         return self._apng
 
+    def loop_count(self) -> int:
+        """acTL num_plays (0 = infinite)."""
+        for ctype, off, ln, _ in iter_chunks(self._raw):
+            if ctype == b"acTL" and ln >= 8:
+                return int.from_bytes(self._raw[off + 4:off + 8], "big")
+            if ctype == b"IDAT":
+                break
+        return 0
+
     # -- decode -------------------------------------------------------------
 
     def _inflate(self) -> np.ndarray:
@@ -223,28 +235,33 @@ class PngDecoder(Decoder):
         except zlib.error as e:
             raise DecodingFailedError(f"PNG inflate failed: {e}") from e
 
-    def _reconstruct_samples(self, keep16: bool = False) -> np.ndarray:
+    def _reconstruct_samples(self, keep16: bool = False, data=None,
+                             width=None, height=None,
+                             interlace=None) -> np.ndarray:
         """Undo filtering+interlace: returns (H, W*channels) samples
         (16-bit reduced to high byte unless keep16)."""
         i = self._info
         ch = _CHANNELS[i.color_type]
-        data = self._inflate()
+        data = self._inflate() if data is None else data
+        width = i.width if width is None else width
+        height = i.height if height is None else height
+        interlace = i.interlace if interlace is None else interlace
         bpp_bytes = max(1, ch * i.bit_depth // 8)
         dtype = np.uint16 if (keep16 and i.bit_depth == 16) else np.uint8
-        if i.interlace == 0:
-            stride = (i.width * ch * i.bit_depth + 7) // 8
-            need = i.height * (stride + 1)
+        if interlace == 0:
+            stride = (width * ch * i.bit_depth + 7) // 8
+            need = height * (stride + 1)
             if data.size < need:
                 raise DecodingFailedError("truncated PNG data")
-            rows = _unfilter(self._lib, data[:need], i.height, stride, bpp_bytes)
-            rows = rows.reshape(i.height, stride)
-            return _unpack_bits(rows, i.bit_depth, i.width, ch, keep16)
+            rows = _unfilter(self._lib, data[:need], height, stride, bpp_bytes)
+            rows = rows.reshape(height, stride)
+            return _unpack_bits(rows, i.bit_depth, width, ch, keep16)
         # Adam7
-        out = np.zeros((i.height, i.width * ch), dtype)
+        out = np.zeros((height, width * ch), dtype)
         pos = 0
         for (x0, y0, dx, dy) in _ADAM7:
-            pw = (i.width - x0 + dx - 1) // dx
-            ph = (i.height - y0 + dy - 1) // dy
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
             stride = (pw * ch * i.bit_depth + 7) // 8
@@ -253,16 +270,14 @@ class PngDecoder(Decoder):
             pos += need
             samples = _unpack_bits(sub.reshape(ph, stride), i.bit_depth, pw, ch, keep16)
             samples = samples.reshape(ph, pw, ch)
-            out.reshape(i.height, i.width, ch)[y0::dy, x0::dx, :] = samples
+            out.reshape(height, width, ch)[y0::dy, x0::dx, :] = samples
         return out
 
-    def decode_to(self, fb: Framebuffer) -> None:
-        if self._decoded:
-            raise EOFError()
+    def _to_pixels(self, samples: np.ndarray, width: int, height: int):
+        """Color-type conversion of raw samples to device BGR(A)/gray pixels."""
         i = self._info
         color_key = i.trns is not None and i.color_type in (0, 2)
-        samples = self._reconstruct_samples(keep16=color_key).reshape(
-            i.height, i.width, _CHANNELS[i.color_type])
+        samples = samples.reshape(height, width, _CHANNELS[i.color_type])
         alpha = None
         if color_key:
             nvals = 1 if i.color_type == 0 else 3
@@ -302,10 +317,82 @@ class PngDecoder(Decoder):
                 px = jnp.concatenate([px, jnp.asarray(alpha)[..., None]], axis=-1)
         else:  # 6: RGBA -> BGRA
             px = jnp.concatenate([arr[..., [2, 1, 0]], arr[..., 3:4]], axis=-1)
-        fb.array = px
+        return px
+
+    def decode_to(self, fb: Framebuffer) -> None:
+        if self._apng and self._apng_frames():
+            return self._decode_apng_frame(fb)
+        if self._decoded:
+            raise EOFError()
+        i = self._info
+        color_key = i.trns is not None and i.color_type in (0, 2)
+        samples = self._reconstruct_samples(keep16=color_key)
+        fb.array = self._to_pixels(samples, i.width, i.height)
         fb.duration = 0.0
         fb.x_offset = fb.y_offset = 0
         self._decoded = True
+
+    # -- APNG (animated) -------------------------------------------------
+    # The reference only DETECTS APNG (opencv.go:609-627) and decodes the
+    # static image; full animated decode here reuses the PNG unfilter and
+    # hands frames to ImageOps with APNG dispose/blend semantics.
+
+    def _apng_frames(self):
+        if hasattr(self, "_frames"):
+            return self._frames
+        frames = []
+        cur = None  # (fctl dict, [data chunks])
+        for ctype, off, ln, _end in iter_chunks(self._raw):
+            if ctype == b"fcTL" and ln >= 26:
+                if cur is not None:
+                    frames.append(cur)
+                f = struct.unpack(">IIIIIHHBB", self._raw[off:off + 26])
+                cur = ({"w": f[1], "h": f[2], "x": f[3], "y": f[4],
+                        "delay_num": f[5], "delay_den": f[6],
+                        "dispose": f[7], "blend": f[8]}, [])
+            elif ctype == b"IDAT":
+                if cur is not None:
+                    cur[1].append(self._raw[off:off + ln])
+            elif ctype == b"fdAT" and ln > 4:
+                if cur is not None:
+                    cur[1].append(self._raw[off + 4:off + ln])
+        if cur is not None:
+            frames.append(cur)
+        self._frames = [f for f in frames if f[1]]
+        self._frame_idx = 0
+        return self._frames
+
+    def _decode_apng_frame(self, fb: Framebuffer) -> None:
+        frames = self._apng_frames()
+        if self._frame_idx >= len(frames):
+            raise EOFError()
+        meta, chunks = frames[self._frame_idx]
+        try:
+            data = np.frombuffer(zlib.decompress(b"".join(chunks)), np.uint8)
+        except zlib.error as e:
+            raise DecodingFailedError(f"APNG frame inflate failed: {e}") from e
+        samples = self._reconstruct_samples(
+            keep16=self._info.trns is not None and self._info.color_type in (0, 2),
+            data=data, width=meta["w"], height=meta["h"], interlace=0)
+        fb.array = self._to_pixels(samples, meta["w"], meta["h"])
+        den = meta["delay_den"] or 100
+        fb.duration = meta["delay_num"] / den
+        fb.x_offset, fb.y_offset = meta["x"], meta["y"]
+        from ..framebuffer import BlendMethod, DisposeMethod
+        fb.dispose = DisposeMethod(min(meta["dispose"], 2))
+        # APNG blend 0 = replace, 1 = over (inverse of our enum values)
+        fb.blend = (BlendMethod.USE_ALPHA_BLENDING if meta["blend"] == 1
+                    else BlendMethod.NO_BLEND)
+        self._frame_idx += 1
+
+    def skip_frame(self) -> None:
+        if self._apng and self._apng_frames():
+            if self._frame_idx >= len(self._frames):
+                raise EOFError()
+            self._frame_idx += 1
+            return
+        from ..errors import SkipNotSupportedError
+        raise SkipNotSupportedError()
 
     def _trns_bytes(self) -> bytes:
         return self._info.trns or b""

@@ -111,3 +111,34 @@ def test_content_length_truncates():
     img = np.zeros((4, 4, 3), np.uint8)
     buf = _synth_png(img)
     assert png_content_length(buf + b"trailing-acropalypse-bytes") == len(buf)
+
+
+def test_apng_animated_decode_and_transform():
+    """Full APNG animation decode (exceeds the reference, which only
+    detects APNG): frames, durations, loop count, and transform to WebP."""
+    import io
+
+    from PIL import Image
+
+    from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod, new_decoder
+    frames = [Image.fromarray(
+        np.full((20, 30, 4), (i * 60, 10 + i * 50, 200 - i * 40, 255), np.uint8),
+        "RGBA") for i in range(4)]
+    bio = io.BytesIO()
+    frames[0].save(bio, format="PNG", save_all=True, append_images=frames[1:],
+                   duration=50, loop=3, default_image=False)
+    buf = bio.getvalue()
+    d = new_decoder(buf)
+    h = d.header()
+    assert h.num_frames == 4 and d.loop_count() == 3
+    fb = Framebuffer()
+    d.decode_to(fb)
+    assert fb.duration == pytest.approx(0.05)
+    out = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".webp", resize_method=ResizeMethod.NO_RESIZE,
+        encode_timeout=600.0))
+    im = Image.open(io.BytesIO(out))
+    assert getattr(im, "n_frames", 1) == 4
+    im.seek(2)
+    px = np.array(im.convert("RGBA"))[0, 0]
+    assert np.abs(px.astype(int) - np.array([120, 110, 120, 255])).max() <= 2
