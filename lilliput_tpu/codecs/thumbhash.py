@@ -113,7 +113,6 @@ def thumbhash_batch(frames) -> list:
     a handful of device dispatches (SURVEY.md §2.1: 'batched thumbhash over
     N images in one dispatch'). Images must already be <=100px per side
     (e.g. spritesheet tiles)."""
-    import jax.numpy as jnp2
     frames = jnp.asarray(frames)
     b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     l, p, q, a, suma = jax.vmap(_lpqa_from_bgra)(frames)
@@ -124,7 +123,6 @@ def thumbhash_batch(frames) -> list:
     gq = np.asarray(_dct_grid_batch(q, 3, 3))
     ga = np.asarray(_dct_grid_batch(a, 5, 5))
     sums = np.asarray(suma)
-    del jnp2
     out = []
     m = max(w, h)
     is_landscape = w > h

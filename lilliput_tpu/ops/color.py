@@ -130,9 +130,6 @@ def reinhard_tonemap(rgb_linear: jax.Array, intensity: float = 0.0,
                      light_adapt: float = 1.0, color_adapt: float = 0.0) -> jax.Array:
     """Global Reinhard operator in the cv::createTonemapReinhard style
     (gamma applied by the caller). rgb_linear: (..., 3) float in [0, 1]."""
-    gray = (0.299 * rgb_linear[..., 2] + 0.587 * rgb_linear[..., 1]
-            + 0.114 * rgb_linear[..., 0]) if False else None
-    del gray
     # luminance (Rec.709 weights over RGB order)
     lum = (0.2126 * rgb_linear[..., 0] + 0.7152 * rgb_linear[..., 1]
            + 0.0722 * rgb_linear[..., 2])

@@ -113,7 +113,6 @@ class JpegTranscodePipeline:
         self.enc_qt_y_np, self.enc_qt_c_np = eql, eqc
         self.enc_qt_y = jnp.asarray(eql)
         self.enc_qt_c = jnp.asarray(eqc)
-        self._out_blocks = None
 
     # -- host entropy stages --------------------------------------------------
 
@@ -277,8 +276,6 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     libwebp frame decode on host, ONE scan-compositing dispatch (alpha
     blend + dispose), ONE batched resize, WebPAnimEncoder on host.
     Byte-identical to the streaming ImageOps path."""
-    import ctypes as _ct
-
     from .codecs.webp import WebpDecoder, WebpEncoder, _i32p, _u8
     from .framebuffer import Framebuffer
     from .ops import palette as P
@@ -321,7 +318,6 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         durations.append(dur_ms)
         prev_rect = (x, y, w, h)
         prev_disposal = dispose
-    del _ct
     if not frames:
         raise DecodingFailedError("webp has no frames")
     comp = P.composite_animation_rgba(
