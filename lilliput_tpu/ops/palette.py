@@ -18,8 +18,8 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("trans_idx", "use_prev", "have_trans"))
 def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
-                        prev_bgra: jax.Array,
-                        trans_idx: int, have_trans: bool, use_prev: bool) -> jax.Array:
+                        prev_bgra: jax.Array, seen_keys: jax.Array,
+                        trans_idx: int, have_trans: bool, use_prev: bool):
     """(H, W, 4) u8 BGRA -> (H, W) u8 palette indices.
 
     palette_rgb: (N, 3) int32 RGB (the transparent entry is skipped in the
@@ -54,18 +54,20 @@ def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
     least_actual = (jnp.abs(r - best_rgb[..., 0]) + jnp.abs(g - best_rgb[..., 1])
                     + jnp.abs(b - best_rgb[..., 2]))
 
+    h, w = r.shape[-2], r.shape[-1]
+    crushed = (((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)).reshape(-1)
     if use_prev and have_trans:
         # giflib's 15-bit lookup cache makes the FIRST pixel of each crushed
         # key use the midpoint distance for the prev-frame comparison, while
         # cache hits use the actual-pixel distance (giflib.cpp:1027-1072).
-        # The "first occurrence in raster order" map is a scatter-min of
-        # linear indices over crushed keys.
-        h, w = r.shape[-2], r.shape[-1]
-        crushed = (((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)).reshape(-1)
+        # The cache persists across same-palette frames, so `seen_keys`
+        # carries which keys were already computed; the frame-local "first
+        # occurrence in raster order" map is a scatter-min of linear indices.
         lin = jnp.arange(h * w, dtype=jnp.int32)
         first_of_key = jnp.full((1 << 15,), jnp.iinfo(jnp.int32).max, jnp.int32)
         first_of_key = first_of_key.at[crushed].min(lin)
-        is_first = (first_of_key[crushed] == lin).reshape(r.shape)
+        is_first = ((first_of_key[crushed] == lin)
+                    & ~seen_keys[crushed]).reshape(r.shape)
         least = jnp.where(is_first, least_mid, least_actual)
         dp = (jnp.abs(r - prev_bgra[..., 2].astype(jnp.int32))
               + jnp.abs(g - prev_bgra[..., 1].astype(jnp.int32))
@@ -74,7 +76,8 @@ def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
 
     if have_trans:
         best = jnp.where(a < 128, trans_idx, best)
-    return best.astype(jnp.uint8)
+    new_seen = seen_keys.at[crushed].set(True)
+    return best.astype(jnp.uint8), new_seen
 
 
 @functools.partial(jax.jit, static_argnames=("have_trans", "first_frame"))

@@ -136,3 +136,22 @@ def test_cmyk_adobe_decode():
     d.decode_to(fb)
     ref = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))[:, :, ::-1]
     assert _psnr(fb.to_numpy(), ref) >= 50.0
+
+
+@pytest.mark.parametrize("subsampling,name", [(0, "444"), (1, "422"), (2, "420")])
+def test_subsampling_variants_decode(subsampling, name):
+    import io
+
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    img = cv2.resize(base, (56, 42), interpolation=cv2.INTER_CUBIC)
+    bio = io.BytesIO()
+    Image.fromarray(img).save(bio, format="JPEG", quality=92,
+                              subsampling=subsampling)
+    buf = bio.getvalue()
+    d = JpegDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    ref = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)  # BGR
+    assert _psnr(fb.to_numpy(), ref) >= 48.0
