@@ -220,6 +220,51 @@ class JpegTranscodePipeline:
         return results
 
 
+class MultiGeometryPipeline:
+    """Serving front for mixed-geometry JPEG batches (SURVEY.md hard part #3).
+
+    Dynamic input shapes would force an XLA recompile per image; instead
+    requests are grouped by their exact coefficient geometry (dims +
+    subsampling), each group batching through a per-geometry
+    JpegTranscodePipeline whose compiled program is cached. Steady-state
+    traffic from a bounded set of source resolutions (the common serving
+    shape) compiles once per resolution and then always dispatches batched.
+    """
+
+    def __init__(self, dst_w: int, dst_h: int, quality: int = 85,
+                 method: str = R.AREA, max_geometries: int = 64):
+        self.dst_w, self.dst_h = dst_w, dst_h
+        self.quality = quality
+        self.method = method
+        self.max_geometries = max_geometries
+        self._pipes = {}  # JpegGeometry -> JpegTranscodePipeline
+
+    def _pipe_for(self, buf: bytes) -> "JpegTranscodePipeline":
+        info = J.JpegDecoder(buf)._info
+        key = geometry_of(info)
+        pipe = self._pipes.get(key)
+        if pipe is None:
+            if len(self._pipes) >= self.max_geometries:
+                self._pipes.pop(next(iter(self._pipes)))  # FIFO eviction
+            pipe = JpegTranscodePipeline(buf, self.dst_w, self.dst_h,
+                                         quality=self.quality, method=self.method)
+            self._pipes[key] = pipe
+        return pipe
+
+    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
+        """Group by geometry, batch each group, restore input order."""
+        groups = {}
+        for i, buf in enumerate(bufs):
+            pipe = self._pipe_for(buf)
+            groups.setdefault(id(pipe), (pipe, []))[1].append(i)
+        out: List[Optional[bytes]] = [None] * len(bufs)
+        for pipe, idxs in groups.values():
+            results = pipe.transcode([bufs[i] for i in idxs])
+            for i, r in zip(idxs, results):
+                out[i] = r
+        return out  # type: ignore[return-value]
+
+
 def spritesheet(video: bytes, tile_w: int, tile_h: int,
                 max_tiles: int = 64, workers: Optional[int] = None,
                 with_thumbhashes: bool = False):
