@@ -381,6 +381,41 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     return enc.encode(None, encode_options or {})
 
 
+def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
+                   encode_options=None, file_type: str = ".avif") -> bytes:
+    """Whole-animation batched AVIF transcode: AV1 frame decode on host,
+    frames stack directly (avis frames are full canvas, no compositing
+    needed), ONE batched resize dispatch, then the AVIF/WebP encoder."""
+    from .api import new_encoder
+    from .codecs.avif import AvifDecoder
+    from .framebuffer import Framebuffer
+
+    dec = AvifDecoder(buf)
+    frames = []
+    durations = []
+    while True:
+        fb = Framebuffer()
+        try:
+            dec.decode_to(fb)
+        except EOFError:
+            break
+        frames.append(fb.array)
+        durations.append(fb.duration)
+    if not frames:
+        raise DecodingFailedError("avif has no frames")
+    batch = jnp.stack(frames)
+    if fit:
+        left, top, w, h = fit_rect(batch.shape[2], batch.shape[1], dst_w, dst_h)
+        batch = batch[:, top:top + h, left:left + w, :]
+    resized = R.resize(batch, dst_w, dst_h, R.AREA)
+    enc = new_encoder(file_type, dec)
+    for i, dur in enumerate(durations):
+        fb = Framebuffer(resized[i])
+        fb.duration = dur
+        enc.encode(fb, encode_options or {})
+    return enc.encode(None, encode_options or {})
+
+
 def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
                   file_type: str = ".gif") -> bytes:
     """Whole-animation batched transcode (BASELINE config 3 path): LZW on

@@ -77,3 +77,13 @@ def test_avif_to_webp():
         encode_timeout=600.0))
     im = PIL_Image.open(io.BytesIO(out))
     assert im.size == (64, 64) and getattr(im, "n_frames", 1) == 5
+
+
+def test_batched_avif_transcode():
+    from lilliput_tpu.framebuffer import AVIF_QUALITY, AVIF_SPEED
+    from lilliput_tpu.pipeline import transcode_avif
+    buf = open(f"{TD}/colors-animated-8bpc-alpha-exif-xmp.avif", "rb").read()
+    out = transcode_avif(buf, 64, 64, fit=True,
+                         encode_options={AVIF_QUALITY: 60, AVIF_SPEED: 10})
+    im = PIL_Image.open(io.BytesIO(out))
+    assert im.size == (64, 64) and getattr(im, "n_frames", 1) == 5
