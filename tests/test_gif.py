@@ -166,3 +166,34 @@ def test_disposal_method_sequences():
     assert 3 in disposals("restore_previous.gif")      # RestorePrevious
     assert 2 in disposals("dispose_bgnd.gif")          # DisposeToBackground
     assert disposals("party-discord.gif") == [2] * 15 + [1]
+
+
+def test_interlaced_gif_roundtrip():
+    """Interlaced raster write/read through our own LZW + 4-pass layout."""
+    import ctypes
+
+    import numpy as np
+
+    from lilliput_tpu.codecs.gif import _i32p, _u8
+    lib = binding.load()
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (23, 17), np.uint8)
+    e = lib.lp_gif_enc_new(17, 23, 8, 0, 0, _u8(np.ascontiguousarray(pal)), 16)
+    desc = np.array([0, 0, 17, 23, 1, -1, 5, 0, 4], np.int32)  # interlace=1
+    assert lib.lp_gif_enc_frame(e, None, 0, desc.ctypes.data_as(_i32p),
+                                None, 0, _u8(np.ascontiguousarray(idx))) == 0
+    size = lib.lp_gif_enc_size(e)
+    out = np.empty(size, np.uint8)
+    n = lib.lp_gif_enc_finish(e, _u8(out), out.size)
+    lib.lp_gif_enc_free(e)
+    buf = out[:n].tobytes()
+    # our decoder deinterlaces
+    d = GifDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    expect = pal[idx][:, :, ::-1]  # BGR
+    assert np.array_equal(fb.to_numpy()[:, :, :3], expect)
+    # PIL agrees
+    im = PIL_Image.open(io.BytesIO(buf)).convert("RGB")
+    assert np.array_equal(np.array(im), pal[idx])

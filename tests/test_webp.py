@@ -104,3 +104,18 @@ def test_batched_webp_animation_matches_streaming():
         file_type=".webp", width=24, height=15,
         resize_method=ResizeMethod.RESIZE, encode_timeout=600.0))
     assert batched == streaming
+
+
+def test_extended_encode_options_accepted():
+    from lilliput_tpu.framebuffer import (WEBP_FILTER_STRENGTH, WEBP_METHOD,
+                                          WEBP_QUALITY)
+    from lilliput_tpu.framebuffer import Framebuffer as FB
+    d = new_decoder(open(f"{TD}/ferry_sunset.webp", "rb").read())
+    fb = FB()
+    d.decode_to(fb)
+    from lilliput_tpu.codecs.webp import WebpEncoder
+    enc = WebpEncoder(d)
+    opts = {WEBP_QUALITY: 70, WEBP_METHOD: 6, WEBP_FILTER_STRENGTH: 30}
+    assert enc.encode(fb, opts) is None
+    out = enc.encode(None, opts)
+    assert PIL_Image.open(io.BytesIO(out)).size == (fb.width, fb.height)
