@@ -10,6 +10,17 @@ The measured path is the fused serving pipeline (lilliput_tpu/pipeline.py):
 host Huffman decode (libjpeg entropy only) -> one fused device dispatch
 (dequant+IDCT+upsample+color+crop+INTER_AREA+fDCT+quant) -> host Huffman
 encode, double-buffered so host entropy overlaps device compute.
+
+Reported stages (detail field):
+  * device_images_per_sec  — fused dispatch throughput, coefficients in HBM
+  * host_decode_images_per_sec / host_encode_images_per_sec — threaded
+    libjpeg entropy stages on THIS host's cores (host_cores field)
+  * e2e_bound_images_per_sec — min(host pipeline, device): the honest
+    end-to-end ceiling on this host+chip pairing, assuming the double-
+    buffered overlap (pipeline.transcode_pipelined) hides the smaller side.
+    The host stages scale ~linearly with cores (they are per-image
+    independent; the shim releases the GIL), so production sizing is
+    host_cores ~= device_rate / per_core_host_rate.
 """
 
 import json
@@ -46,8 +57,11 @@ def _ensure_fixture() -> bytes:
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    host_iters = int(os.environ.get("BENCH_HOST_ITERS", "3"))
     e2e_batches = int(os.environ.get("BENCH_E2E_BATCHES", "0"))
     buf = _ensure_fixture()
+
+    import numpy as np
 
     import jax
 
@@ -55,50 +69,122 @@ def main():
 
     pipe = JpegTranscodePipeline(buf, 256, 256, quality=85)
 
-    # --- headline: device-resident fused transcode throughput -------------
-    # Inputs (entropy-decoded coefficients) live in HBM; each iteration is
-    # one fused dispatch of the full transform. This isolates the chip's
-    # work from this harness's TPU tunnel (~15 MB/s), which caps any
-    # host<->device number at a few images/sec and does not exist on a
-    # production host-attached TPU (PCIe/ICI >10 GB/s).
-    coefs = pipe.decode_entropy([buf] * batch)
-    # two distinct input sets so no caching layer can elide work; each
-    # iteration blocks to completion (conservative: no dispatch pipelining)
-    ins = []
-    for delta in (0, 1):
-        import numpy as np
-        ys = coefs[0].copy()
-        ys[..., 0] += delta
-        ins.append([jax.device_put(ys)] + [jax.device_put(c) for c in coefs[1:]])
+    # --- host entropy stages (threaded; scale with cores) ------------------
+    host_cores = os.cpu_count() or 1
+    bufs = [buf] * batch
+    coefs = pipe.decode_entropy(bufs)  # warm (page cache, thread pool)
+    dec_times = []
+    for _ in range(host_iters):
+        t0 = time.time()
+        coefs = pipe.decode_entropy(bufs)
+        dec_times.append(time.time() - t0)
+    host_decode_ips = batch / min(dec_times)
 
+    out_dev = pipe.device_step(*coefs, donate=False)
+    out_np = [np.asarray(a) for a in out_dev]
+    pipe.encode_entropy(*out_np)  # warm
+    enc_times = []
+    for _ in range(host_iters):
+        t0 = time.time()
+        outs = pipe.encode_entropy(*out_np)
+        enc_times.append(time.time() - t0)
+    host_encode_ips = batch / min(enc_times)
+    assert outs[0][:2] == b"\xff\xd8"
+    # host pipeline rate: decode and encode contend for the same cores
+    host_pipeline_ips = batch / (min(dec_times) + min(enc_times))
+
+    # --- headline: device-resident fused transcode throughput -------------
+    # Methodology (hardened in round 2): on this harness the TPU sits
+    # behind an async tunnel whose block_until_ready acks dispatch, NOT
+    # completion — naive wall-clock timing reports physically impossible
+    # rates (round 1's 445k imgs/s read 400 MB of coefficients in 0.14 ms
+    # = 3 TB/s > the chip's HBM). Every timed iteration therefore forces
+    # materialization by fetching a device-side checksum of the outputs,
+    # and the per-step time is amortized over a K-step data-dependent
+    # chain inside one jit so the tunnel round trip (~30 ms here, absent
+    # on a production host-attached chip) is paid once, not per step.
+    import jax.numpy as jnp
+
+    from lilliput_tpu.pipeline import fused_jpeg_fit_transcode
+
+    g = pipe.geom
+    chain = int(os.environ.get("BENCH_CHAIN", "4"))
+    dev_in = [jax.device_put(c) for c in coefs]
+
+    @jax.jit
+    def chained_step(yc, cbc, crc, qy, qc, eqy, eqc):
+        acc = jnp.int32(0)
+        y = yc
+        for _ in range(chain):
+            o = fused_jpeg_fit_transcode(
+                y, cbc, crc, qy, qc, eqy, eqc,
+                src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+                dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
+                orientation=pipe.orientation)
+            s = sum(jnp.sum(v.astype(jnp.int32)) for v in o)
+            acc = acc + s
+            y = yc + (s % 2).astype(jnp.int16)  # serialize the chain
+        return acc
+
+    args = (dev_in[0], dev_in[1], dev_in[2], dev_in[3], dev_in[4],
+            pipe.enc_qt_y, pipe.enc_qt_c)
     t0 = time.time()
-    jax.block_until_ready(pipe.device_step(*ins[0]))
+    int(chained_step(*args))
     warmup_s = time.time() - t0
-    jax.block_until_ready(pipe.device_step(*ins[1]))
+
+    # tunnel round-trip floor (subtracted from the chained wall time)
+    one_f = jax.device_put(np.float32(1.0))
+    triv = jax.jit(lambda x: x + 1)
+    float(triv(one_f))
+    rtts = []
+    for _ in range(10):
+        t1 = time.time()
+        float(triv(one_f))
+        rtts.append(time.time() - t1)
+    rtts.sort()
+    rtt = rtts[len(rtts) // 2]
 
     times = []
-    for i in range(iters):
+    for i in range(max(iters // chain, 3)):
         t1 = time.time()
-        jax.block_until_ready(pipe.device_step(*ins[i % 2]))
+        int(chained_step(*args))
         times.append(time.time() - t1)
     times.sort()
-    p50_batch = times[len(times) // 2]
-    ips = batch / p50_batch
+    p50_chain = times[len(times) // 2]
+    p50_batch = max(p50_chain - rtt, 1e-9) / chain
+    device_ips = batch / p50_batch
 
-    # single-image device latency (p50)
+    # single-image device latency (p50, forced materialization; includes
+    # one tunnel round trip — the rtt field bounds that adder)
     one = [jax.device_put(c[:1]) for c in coefs]
-    jax.block_until_ready(pipe.device_step(*one))
+
+    @jax.jit
+    def one_step(yc, cbc, crc, qy, qc, eqy, eqc):
+        o = fused_jpeg_fit_transcode(
+            yc, cbc, crc, qy, qc, eqy, eqc,
+            src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+            dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
+            orientation=pipe.orientation)
+        return sum(jnp.sum(v.astype(jnp.int32)) for v in o)
+
+    one_args = (one[0], one[1], one[2], one[3], one[4],
+                pipe.enc_qt_y, pipe.enc_qt_c)
+    int(one_step(*one_args))
     lat = []
-    for _ in range(20):
+    for _ in range(10):
         t1 = time.time()
-        jax.block_until_ready(pipe.device_step(*one))
+        int(one_step(*one_args))
         lat.append(time.time() - t1)
     lat.sort()
-    p50_ms = lat[len(lat) // 2] * 1000
+    p50_ms = max(lat[len(lat) // 2] - rtt, 0.0) * 1000
 
-    # --- end-to-end (host entropy + tunnel + device), for the record ------
-    # Disabled by default: this harness reaches the TPU through a ~15 MB/s
-    # tunnel, so e2e is transport-bound at <1 img/s and not informative.
+    # --- honest e2e bound ---------------------------------------------------
+    # transcode_pipelined overlaps host entropy with device compute, so the
+    # steady-state rate is min(host pipeline, device) (+ transfer, which on
+    # a host-attached chip is far above both).
+    e2e_bound = min(host_pipeline_ips, device_ips)
+
+    # --- optional measured e2e through the tunnel (off by default) --------
     e2e_ips = None
     if e2e_batches > 0:
         t0 = time.time()
@@ -106,22 +192,33 @@ def main():
         e2e_dt = time.time() - t0
         e2e_ips = round(sum(len(r) for r in res) / e2e_dt, 2)
         assert res[0][0][:2] == b"\xff\xd8"
-    else:
-        outs = pipe.encode_entropy(*[__import__("numpy").asarray(a)
-                                     for a in pipe.device_step(*ins[0])])
-        assert outs[0][:2] == b"\xff\xd8"
 
     result = {
         "metric": "1080p JPEG -> 256x256 Fit -> JPEG q85 transcode (fused device pipeline)",
-        "value": round(ips, 2),
+        "value": round(device_ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / TARGET, 4),
+        "vs_baseline": round(device_ips / TARGET, 4),
         "detail": {
             "batch": batch,
             "iters": iters,
+            "chain": chain,
             "compile_warmup_s": round(warmup_s, 2),
+            "tunnel_rtt_ms": round(rtt * 1000, 2),
+            "methodology": ("forced output materialization (device-side "
+                            "checksum fetch) + K-step data-dependent chain; "
+                            "naive block_until_ready on this tunnel acks "
+                            "dispatch only and overstates throughput ~500x"),
             "p50_batch_ms": round(p50_batch * 1000, 3),
             "p50_single_image_device_latency_ms": round(p50_ms, 2),
+            "device_images_per_sec": round(device_ips, 2),
+            "host_decode_images_per_sec": round(host_decode_ips, 2),
+            "host_encode_images_per_sec": round(host_encode_ips, 2),
+            "host_cores": host_cores,
+            "e2e_bound_images_per_sec": round(e2e_bound, 2),
+            "e2e_bound_vs_baseline": round(e2e_bound / TARGET, 4),
+            "e2e_note": ("bound = min(threaded host entropy, device); host "
+                         "stages are per-image independent and scale with "
+                         "cores — this harness host has host_cores core(s)"),
             "e2e_images_per_sec_via_tunnel": e2e_ips,
             "backend": _backend_name(),
         },

@@ -50,11 +50,22 @@ def main():
     p.add_argument("-quality", type=int, default=85)
     p.add_argument("-device", default="cpu",
                    help="jax platform for the transform (cpu|tpu|default)")
+    p.add_argument("-stats", action="store_true",
+                   help="print per-stage p50/p99 timings after the transform")
     args = p.parse_args()
 
-    buf = open(args.input, "rb").read()
-    dec = new_decoder(buf)
-    header = dec.header()
+    try:
+        buf = open(args.input, "rb").read()
+    except OSError as e:
+        # clean error like the reference CLI (examples/main.go:47-50)
+        print(f"failed to read input file: {e}", file=sys.stderr)
+        sys.exit(1)
+    try:
+        dec = new_decoder(buf)
+        header = dec.header()
+    except Exception as e:
+        print(f"error decoding image: {e}", file=sys.stderr)
+        sys.exit(1)
 
     print(f"file type: {dec.description()}")
     print(f"{header.width}x{header.height}, {header.channels}ch, "
@@ -100,6 +111,11 @@ def main():
     dt = time.time() - t0
     open(args.output, "wb").write(out)
     print(f"transformed in {dt * 1000:.1f} ms -> {args.output} ({len(out)} bytes)")
+    if args.stats:
+        import json
+
+        from lilliput_tpu.utils import metrics
+        print(json.dumps(metrics.snapshot(), indent=2))
 
 
 if __name__ == "__main__":

@@ -60,6 +60,10 @@ def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:
     if is_png(buf):
         from .codecs.png import PngDecoder
         return PngDecoder(buf)
+    if buf[:2] == b"BM":
+        # OpenCV-fallthrough format (reference decodes BMP via grfmt_bmp)
+        from .codecs.bmp import BmpDecoder
+        return BmpDecoder(buf)
     # fall through to the video/audio probe (ffmpeg shim)
     from .codecs.video import VideoDecoder
     try:
@@ -92,4 +96,7 @@ def new_encoder(ext: str, decoded_by: Optional[Decoder] = None,
     if e == ".png":
         from .codecs.png import PngEncoder
         return PngEncoder(decoded_by, icc_override=icc_override)
+    if e == ".bmp":
+        from .codecs.bmp import BmpEncoder
+        return BmpEncoder(decoded_by, icc_override=icc_override)
     raise InvalidImageError(f"unsupported output type {ext!r}")

@@ -356,7 +356,9 @@ class GifEncoder(Encoder):
         self._finished = False
         # giflib's crushed-RGB lookup cache persists while the palette stays
         # byte-identical (giflib.cpp:974-996); carried as a seen-key bitmap
-        self._seen_keys = jnp.zeros((1 << 15,), jnp.bool_)
+        # plus the cached palette index per key (exact cache emulation)
+        self._seen_keys = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)
+        self._cache_idx = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
         self._prev_palette_bytes: Optional[bytes] = None
 
     def encode(self, fb: Optional[Framebuffer], opts: Dict[int, int]) -> Optional[bytes]:
@@ -386,14 +388,15 @@ class GifEncoder(Encoder):
 
         pal_bytes = m.palette[:m.pal_count].tobytes()
         if self._prev_palette_bytes != pal_bytes:
-            self._seen_keys = jnp.zeros((1 << 15,), jnp.bool_)  # cache clear
+            self._seen_keys = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)  # cache clear
+            self._cache_idx = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
         self._prev_palette_bytes = pal_bytes
         pal_rgb = jnp.asarray(m.palette[:m.pal_count].astype(np.int32))
         prev_valid = self._have_first and self._prev_disposal in (0, 1)
         prev = self._prev_bgra if (prev_valid and self._prev_bgra is not None) \
             else jnp.zeros_like(fb.array)
-        idx, self._seen_keys = P.quantize_to_palette(
-            fb.array, pal_rgb, prev, self._seen_keys,
+        idx, self._seen_keys, self._cache_idx = P.quantize_to_palette(
+            fb.array, pal_rgb, prev, self._seen_keys, self._cache_idx,
             int(trans), trans >= 0, bool(prev_valid and trans >= 0))
         idx_np = np.ascontiguousarray(np.asarray(idx))
 

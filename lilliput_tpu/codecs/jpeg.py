@@ -19,8 +19,8 @@ import numpy as np
 
 from .. import binding
 from ..errors import DecodingFailedError, InvalidImageError
-from ..framebuffer import (JPEG_PROGRESSIVE, JPEG_QUALITY, Framebuffer,
-                           ImageHeader, ImageOrientation)
+from ..framebuffer import (JPEG_OPTIMIZE, JPEG_PROGRESSIVE, JPEG_QUALITY,
+                           Framebuffer, ImageHeader, ImageOrientation)
 from ..interfaces import Decoder, Encoder
 from ..ops import jpeg_kernels as K
 
@@ -316,6 +316,7 @@ class JpegEncoder(Encoder):
         quality = int(opts.get(JPEG_QUALITY, 95))
         quality = min(max(quality, 1), 100)
         progressive = 1 if opts.get(JPEG_PROGRESSIVE, 0) else 0
+        optimize = 1 if opts.get(JPEG_OPTIMIZE, 0) else 0
         qt_l, qt_c = scaled_qtables(quality)
 
         arr = fb.array
@@ -351,7 +352,7 @@ class JpegEncoder(Encoder):
         n = self._lib.lp_jpeg_encode_coefs(
             w, h, nc, hs, vs, ptrs,
             qt_l.ctypes.data_as(q), qt_c.ctypes.data_as(q),
-            progressive, 0,
+            progressive, optimize,
             _u8ptr(icc_arr), len(icc), _u8ptr(out), out.size)
         if n < 0:
             raise DecodingFailedError(f"JPEG entropy encode failed ({n})")

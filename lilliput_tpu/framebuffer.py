@@ -63,6 +63,7 @@ class ImageOrientation(enum.IntEnum):
 # compatible with the reference's integer constants where they are OpenCV's.
 JPEG_QUALITY = 1            # CV_IMWRITE_JPEG_QUALITY
 JPEG_PROGRESSIVE = 2        # CV_IMWRITE_JPEG_PROGRESSIVE
+JPEG_OPTIMIZE = 3           # CV_IMWRITE_JPEG_OPTIMIZE (optimize_coding)
 PNG_COMPRESSION = 16        # CV_IMWRITE_PNG_COMPRESSION
 WEBP_QUALITY = 64           # CV_IMWRITE_WEBP_QUALITY
 # Extended WebP options (webp.hpp:13-23)

@@ -164,6 +164,7 @@ class ImageOps:
 
     def _transform_loop(self, d: Decoder, enc: Encoder, opt: ImageOptions,
                         header: ImageHeader) -> bytes:
+        from .utils import StageTimer, metrics
         frame_count = 0
         duration = 0.0
         deadline = _time.monotonic() + opt.encode_timeout
@@ -172,7 +173,8 @@ class ImageOps:
             active = Framebuffer()
             empty_frame = False
             try:
-                d.decode_to(active)
+                with StageTimer("decode"):
+                    d.decode_to(active)
             except EOFError:
                 empty_frame = True
 
@@ -182,9 +184,12 @@ class ImageOps:
                 return self._require(enc.encode(None, opt.encode_options))
 
             if not empty_frame:
-                active.orientation_transform(header.orientation)
-                out = self._transform_current_frame(active, opt, header)
-                content = enc.encode(out, opt.encode_options)
+                with StageTimer("transform"):
+                    active.orientation_transform(header.orientation)
+                    out = self._transform_current_frame(active, opt, header)
+                with StageTimer("encode"):
+                    content = enc.encode(out, opt.encode_options)
+                metrics.incr("frames_transformed")
             else:
                 content = enc.encode(None, opt.encode_options)
 

@@ -61,23 +61,44 @@ def _use_pallas() -> bool:
 
 
 def dequant_idct(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
-    """(..., bh, bw, 64) int16 + (64,) -> (..., bh*8, bw*8) f32 pixel plane.
+    """(..., bh, bw, 64) int16 + (64,) or (B, 64) -> (..., bh*8, bw*8) f32.
 
     Dequantization folds into the IDCT matrix rows (W_q = diag(q) @ W), so
     the whole dense half of JPEG decode is a single (N,64)x(64,64) matmul
     per plane — dispatched to the Pallas MXU kernel on TPU
     (ops/pallas_kernels.py, two blocks packed per 128-lane tile row).
+
+    A 2-D qtable carries per-image tables for a batched (B, bh, bw, 64)
+    coefficient stack (same-quality assumptions are unsafe in serving — see
+    pipeline.JpegTranscodePipeline); each image's tables fold into its own
+    IDCT matrix so the arithmetic matches the shared-table path exactly.
     """
-    w = jnp.asarray(idct_kron_matrix()) * qtable.astype(jnp.float32)[:, None]
+    w_base = jnp.asarray(idct_kron_matrix())
     lead = coefs.shape[:-3]
     bh, bw = coefs.shape[-3], coefs.shape[-2]
-    flat = coefs.reshape(-1, 64)
-    if _use_pallas():
-        from . import pallas_kernels as PK
-        p = PK.dequant_idct_blocks(flat, w)
+    if qtable.ndim == 1:
+        w = w_base * qtable.astype(jnp.float32)[:, None]
+        flat = coefs.reshape(-1, 64)
+        if _use_pallas():
+            from . import pallas_kernels as PK
+            p = PK.dequant_idct_blocks(flat, w)
+        else:
+            p = jnp.dot(flat.astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32) + 128.0
     else:
-        p = jnp.dot(flat.astype(jnp.float32), w,
-                    preferred_element_type=jnp.float32) + 128.0
+        if lead != qtable.shape[:-1]:
+            raise ValueError(
+                f"batched qtable leading dims {qtable.shape[:-1]} must match "
+                f"coefficient leading dims {lead}")
+        b = int(np.prod(lead))
+        wq = w_base[None] * qtable.astype(jnp.float32).reshape(b, 64)[:, :, None]
+        flat = coefs.reshape(b, -1, 64)
+        if _use_pallas():
+            from . import pallas_kernels as PK
+            p = jax.vmap(PK.dequant_idct_blocks)(flat, wq)
+        else:
+            p = jnp.einsum("bnk,bkj->bnj", flat.astype(jnp.float32), wq,
+                           preferred_element_type=jnp.float32) + 128.0
     p = p.reshape(lead + (bh, bw, 8, 8))
     p = jnp.moveaxis(p, -2, -3)  # (…, bh, 8, bw, 8)
     return p.reshape(lead + (bh * 8, bw * 8))

@@ -16,25 +16,49 @@ import jax
 import jax.numpy as jnp
 
 
+#: crushed-RGB cache size + 1 dump slot for masked scatters
+CACHE_SIZE = (1 << 15) + 1
+
+
 @functools.partial(jax.jit, static_argnames=("trans_idx", "use_prev", "have_trans"))
 def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
                         prev_bgra: jax.Array, seen_keys: jax.Array,
+                        cache_idx: jax.Array,
                         trans_idx: int, have_trans: bool, use_prev: bool):
     """(H, W, 4) u8 BGRA -> (H, W) u8 palette indices.
 
     palette_rgb: (N, 3) int32 RGB (the transparent entry is skipped in the
-    search). Rules match giflib.cpp:1006-1093:
-      * alpha < 128 and transparency available -> transparent index
-      * search color is the crushed-to-5-bit midpoint ((c & 0xF8) | 4) unless
-        the pixel is an extreme light/dark color, then the exact value
-      * Manhattan distance, first-lowest index wins
-      * if the pixel is closer to the previous output frame's pixel than to
-        the chosen palette color, emit transparent instead (smaller LZW)
+    search). EXACT emulation of giflib.cpp:1006-1093 including the
+    sequential crushed-key cache (validated pixel-for-pixel against a
+    sequential oracle in tests/test_gif.py):
+      * alpha < 128 and transparency available -> transparent index, and
+        the pixel does NOT touch the cache
+      * on a cache miss (first occurrence of a crushed key, in raster
+        order), the palette search runs on the crushed-to-5-bit midpoint
+        ((c & 0xF8) | 4) — or the exact value for extreme light/dark
+        pixels — Manhattan distance, first-lowest index wins; least_dist
+        is that midpoint distance
+      * on a cache hit, best comes from the cached entry (the key's FIRST
+        occurrence, possibly from an earlier same-palette frame, carried in
+        cache_idx) and least_dist is the ACTUAL pixel's distance to it
+      * if the pixel is closer to the previous output frame's pixel than
+        least_dist, emit transparent instead (smaller LZW)
+
+    The batch construction: the frame-local first occurrence per key is a
+    scatter-min of linear raster indices; every later pixel of the key
+    gathers the first pixel's argmin result, reproducing the loop-carried
+    cache without sequential execution.
+
+    seen_keys (CACHE_SIZE,) bool and cache_idx (CACHE_SIZE,) uint8 persist
+    across same-palette frames; callers reset both when the palette changes
+    (giflib.cpp:974-996). Returns (indices, new_seen, new_cache).
     """
     b = img[..., 0].astype(jnp.int32)
     g = img[..., 1].astype(jnp.int32)
     r = img[..., 2].astype(jnp.int32)
     a = img[..., 3].astype(jnp.int32)
+    h, w = r.shape[-2], r.shape[-1]
+    n = h * w
 
     extreme = ((r > 240) & (g > 240) & (b > 240)) | ((r < 15) & (g < 15) & (b < 15))
     rc = jnp.where(extreme, r, (r & 0xF8) | 4)
@@ -47,37 +71,51 @@ def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
             + jnp.abs(bc[..., None] - pal[:, 2]))  # (H, W, N)
     if have_trans and 0 <= trans_idx < pal.shape[0]:
         dist = dist.at[..., trans_idx].set(jnp.iinfo(jnp.int32).max)
-    best = jnp.argmin(dist, axis=-1).astype(jnp.int32)
-    least_mid = jnp.min(dist, axis=-1)
+    best_mid = jnp.argmin(dist, axis=-1).astype(jnp.int32).reshape(-1)
+    least_mid = jnp.min(dist, axis=-1).reshape(-1)
+
+    rf, gf, bf = r.reshape(-1), g.reshape(-1), b.reshape(-1)
+    crushed = ((rf >> 3) << 10) | ((gf >> 3) << 5) | (bf >> 3)
+    valid = jnp.ones((n,), jnp.bool_)
+    if have_trans:
+        valid = a.reshape(-1) >= 128  # transparent pixels skip the cache
+
+    imax = jnp.iinfo(jnp.int32).max
+    lin = jnp.arange(n, dtype=jnp.int32)
+    first_of_key = jnp.full((CACHE_SIZE,), imax, jnp.int32)
+    first_of_key = first_of_key.at[crushed].min(jnp.where(valid, lin, imax))
+    first_idx = first_of_key[crushed]
+    frame_first_best = best_mid[jnp.clip(first_idx, 0, n - 1)]
+
+    seen = seen_keys[crushed]
+    cached = cache_idx[crushed].astype(jnp.int32)
+    best = jnp.where(seen, cached, frame_first_best)
+    is_first = valid & (first_idx == lin) & ~seen
 
     best_rgb = jnp.take(pal, best, axis=0, mode="clip")
-    least_actual = (jnp.abs(r - best_rgb[..., 0]) + jnp.abs(g - best_rgb[..., 1])
-                    + jnp.abs(b - best_rgb[..., 2]))
+    least_actual = (jnp.abs(rf - best_rgb[..., 0])
+                    + jnp.abs(gf - best_rgb[..., 1])
+                    + jnp.abs(bf - best_rgb[..., 2]))
+    least = jnp.where(is_first, least_mid, least_actual)
 
-    h, w = r.shape[-2], r.shape[-1]
-    crushed = (((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)).reshape(-1)
     if use_prev and have_trans:
-        # giflib's 15-bit lookup cache makes the FIRST pixel of each crushed
-        # key use the midpoint distance for the prev-frame comparison, while
-        # cache hits use the actual-pixel distance (giflib.cpp:1027-1072).
-        # The cache persists across same-palette frames, so `seen_keys`
-        # carries which keys were already computed; the frame-local "first
-        # occurrence in raster order" map is a scatter-min of linear indices.
-        lin = jnp.arange(h * w, dtype=jnp.int32)
-        first_of_key = jnp.full((1 << 15,), jnp.iinfo(jnp.int32).max, jnp.int32)
-        first_of_key = first_of_key.at[crushed].min(lin)
-        is_first = ((first_of_key[crushed] == lin)
-                    & ~seen_keys[crushed]).reshape(r.shape)
-        least = jnp.where(is_first, least_mid, least_actual)
-        dp = (jnp.abs(r - prev_bgra[..., 2].astype(jnp.int32))
-              + jnp.abs(g - prev_bgra[..., 1].astype(jnp.int32))
-              + jnp.abs(b - prev_bgra[..., 0].astype(jnp.int32)))
+        pb = prev_bgra.reshape(-1, prev_bgra.shape[-1]).astype(jnp.int32)
+        dp = (jnp.abs(rf - pb[:, 2]) + jnp.abs(gf - pb[:, 1])
+              + jnp.abs(bf - pb[:, 0]))
         best = jnp.where(dp < least, trans_idx, best)
 
     if have_trans:
-        best = jnp.where(a < 128, trans_idx, best)
-    new_seen = seen_keys.at[crushed].set(True)
-    return best.astype(jnp.uint8), new_seen
+        best = jnp.where(valid, best, trans_idx)
+
+    # cache update: transparent pixels scatter to the dump slot; seen keys
+    # keep their cached value (all writers of a key write one value)
+    crushed_w = jnp.where(valid, crushed, CACHE_SIZE - 1)
+    upd = jnp.where(seen, cached, frame_first_best).astype(jnp.uint8)
+    new_cache = cache_idx.at[crushed_w].set(upd)
+    new_seen = seen_keys.at[crushed_w].set(True)
+    return (best.reshape(h, w).astype(jnp.uint8),
+            new_seen.at[CACHE_SIZE - 1].set(False),
+            new_cache)
 
 
 @functools.partial(jax.jit, static_argnames=("have_trans", "first_frame"))

@@ -8,10 +8,12 @@ Bit-exactness contract (validated in tests/test_resize_exact.py against cv2):
 
 * INTER_AREA — bit-exact for all sizes (integer fast path, fractional
   decimation path, and the upscale->bilinear fallback with area coordinates).
-* INTER_CUBIC — bit-exact (pure float32 separable, round-half-even).
-* INTER_LINEAR — classic Q11 fixed-point (OpenCV 4.x semantics, which is what
-  the reference vendors). Bit-exact vs modern cv2 on downscale/same-size; on
-  upscale OpenCV 5.x introduced new SIMD kernels that differ by at most 1 ulp.
+* INTER_LINEAR — bit-exact for ALL sizes (Q11 fixed-point with cv::resize's
+  exact coordinate rules: coordinates narrowed to float32 before cvFloor,
+  x-axis edge coefficients clamped, y-axis fractions kept with row indices
+  clipped at the gather).
+* INTER_CUBIC — <=1 ulp (pure float32 separable; residual differences are
+  cv2 SIMD summation order on a tiny fraction of pixels).
 
 All entry points accept arbitrary leading batch dims: ``(..., H, W, C)``.
 uint8 images use the integer/float paths above; floating images use float32
@@ -50,10 +52,13 @@ def _take_h(img, idx):
 
 def _linear_u8(img, dst_w: int, dst_h: int, area_mode: bool):
     src_h, src_w = img.shape[-3], img.shape[-2]
-    sx, ax0, ax1 = T.linear_tables(src_w, dst_w, area_mode)
-    sy, ay0, ay1 = T.linear_tables(src_h, dst_h, area_mode)
+    # x: clamped edge coefficients; y: true fractions, row indices clipped
+    # (cv::resize treats the two axes differently — see T._linear_coords).
+    sx, ax0, ax1 = T.linear_tables(src_w, dst_w, area_mode, clamp=True)
+    sy, ay0, ay1 = T.linear_tables(src_h, dst_h, area_mode, clamp=False)
     sx_r = np.minimum(sx + 1, src_w - 1)
-    sy_r = np.minimum(sy + 1, src_h - 1)
+    sy0 = np.clip(sy, 0, src_h - 1)
+    sy1 = np.clip(sy + 1, 0, src_h - 1)
 
     s = img.astype(jnp.int32)
     a0 = jnp.asarray(ax0)[:, None]
@@ -62,8 +67,8 @@ def _linear_u8(img, dst_w: int, dst_h: int, area_mode: bool):
 
     b0 = jnp.asarray(ay0)[:, None, None]
     b1 = jnp.asarray(ay1)[:, None, None]
-    s0 = _take_h(h, jnp.asarray(sy))
-    s1 = _take_h(h, jnp.asarray(sy_r))
+    s0 = _take_h(h, jnp.asarray(sy0))
+    s1 = _take_h(h, jnp.asarray(sy1))
     # VResizeLinear 8U specialization:
     #   uchar((((b0*(S0>>4))>>16) + ((b1*(S1>>4))>>16) + 2) >> 2)
     out = (((b0 * (s0 >> 4)) >> 16) + ((b1 * (s1 >> 4)) >> 16) + 2) >> 2
@@ -72,13 +77,15 @@ def _linear_u8(img, dst_w: int, dst_h: int, area_mode: bool):
 
 def _linear_f32(img, dst_w: int, dst_h: int, area_mode: bool):
     src_h, src_w = img.shape[-3], img.shape[-2]
-    sx, ax0, ax1 = T.linear_tables_f32(src_w, dst_w, area_mode)
-    sy, ay0, ay1 = T.linear_tables_f32(src_h, dst_h, area_mode)
+    sx, ax0, ax1 = T.linear_tables_f32(src_w, dst_w, area_mode, clamp=True)
+    sy, ay0, ay1 = T.linear_tables_f32(src_h, dst_h, area_mode, clamp=False)
+    sy0 = np.clip(sy, 0, src_h - 1)
+    sy1 = np.clip(sy + 1, 0, src_h - 1)
     s = img.astype(jnp.float32)
     h = (_take_w(s, jnp.asarray(sx)) * jnp.asarray(ax0)[:, None]
          + _take_w(s, jnp.asarray(np.minimum(sx + 1, src_w - 1))) * jnp.asarray(ax1)[:, None])
-    out = (_take_h(h, jnp.asarray(sy)) * jnp.asarray(ay0)[:, None, None]
-           + _take_h(h, jnp.asarray(np.minimum(sy + 1, src_h - 1))) * jnp.asarray(ay1)[:, None, None])
+    out = (_take_h(h, jnp.asarray(sy0)) * jnp.asarray(ay0)[:, None, None]
+           + _take_h(h, jnp.asarray(sy1)) * jnp.asarray(ay1)[:, None, None])
     return out
 
 
@@ -133,19 +140,49 @@ def _area_fast_f32(img, dst_w: int, dst_h: int):
     return v.sum(axis=(-2, -4)) * np.float32(1.0 / (fx * fy))
 
 
+def _runtime_zero_bits(x) -> jax.Array:
+    """A uint32 zero the compiler cannot constant-fold.
+
+    ``x - x`` is not foldable for floats (it would be wrong for inf/NaN, and
+    x here is a traced runtime value), so the result is an opaque runtime 0.
+    """
+    x0 = x.reshape(-1)[0].astype(jnp.float32)
+    return jax.lax.bitcast_convert_type(x0 - x0, jnp.uint32)
+
+
+def _rounded_product(a, b, zero_bits):
+    """fl32(a*b): the product with its own float32 rounding guaranteed.
+
+    XLA:CPU unconditionally contracts mul feeding add into FMA, which skips
+    the product rounding cv::resize's scalar code performs, flipping the
+    final u8 by 1 on ~1e-5 of pixels. XOR-ing the product's bits with an
+    opaque runtime zero is a value no-op that the simplifier cannot remove,
+    so the add's operand is no longer a multiply and cannot be contracted.
+    (optimization_barrier does not help: constants are folded through it and
+    the fusion emitter contracts within a fused computation.)
+    """
+    p = a * b
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(p, jnp.uint32) ^ zero_bits, jnp.float32)
+
+
 def _area_general(img, dst_w: int, dst_h: int, round_u8: bool):
     src_h, src_w = img.shape[-3], img.shape[-2]
     xi, xw = T.area_tables(src_w, dst_w)
     yi, yw = T.area_tables(src_h, dst_h)
     s = img.astype(jnp.float32)
+    z = _runtime_zero_bits(s)
 
-    # Sequential tap accumulation preserves OpenCV's float32 summation order.
+    # Sequential tap accumulation preserves OpenCV's float32 summation order;
+    # _rounded_product preserves its per-product rounding under fusion.
     h = jnp.zeros(s.shape[:-2] + (dst_w, s.shape[-1]), jnp.float32)
     for k in range(xi.shape[1]):
-        h = h + _take_w(s, jnp.asarray(xi[:, k])) * jnp.asarray(xw[:, k])[:, None]
+        h = h + _rounded_product(
+            _take_w(s, jnp.asarray(xi[:, k])), jnp.asarray(xw[:, k])[:, None], z)
     out = jnp.zeros(h.shape[:-3] + (dst_h,) + h.shape[-2:], jnp.float32)
     for k in range(yi.shape[1]):
-        out = out + _take_h(h, jnp.asarray(yi[:, k])) * jnp.asarray(yw[:, k])[:, None, None]
+        out = out + _rounded_product(
+            _take_h(h, jnp.asarray(yi[:, k])), jnp.asarray(yw[:, k])[:, None, None], z)
     if round_u8:
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     return out
@@ -163,6 +200,60 @@ def _area(img, dst_w: int, dst_h: int):
     if is_u8:
         return _linear_u8(img, dst_w, dst_h, area_mode=True)
     return _linear_f32(img, dst_w, dst_h, area_mode=True)
+
+
+# ---------------------------------------------------------------------------
+# Matmul-form AREA resize (MXU path for the fused serving pipeline)
+# ---------------------------------------------------------------------------
+
+def _area_axis_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) f32 resampling matrix for one axis with INTER_AREA taps
+    (decimation taps when downscaling, area-rule bilinear when upscaling)."""
+    m = np.zeros((dst, src), np.float32)
+    if src >= dst:
+        idx, w = T.area_tables(src, dst)
+        for d in range(dst):
+            for k in range(idx.shape[1]):
+                m[d, idx[d, k]] += w[d, k]
+    else:
+        sx, a0, a1 = T.linear_tables_f32(src, dst, area_mode=True, clamp=True)
+        sxr = np.minimum(sx + 1, src - 1)
+        for d in range(dst):
+            m[d, sx[d]] += a0[d]
+            m[d, sxr[d]] += a1[d]
+    return m
+
+
+def resize_area_mxu(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
+    """INTER_AREA resize as two dense matrix contractions (no gathers).
+
+    TPU gathers serialize into row-at-a-time DMAs; expressing the separable
+    taps as (dst, src) matrices instead runs the whole resample on the MXU.
+    The matrices are ~K/src sparse but the MXU's f32 throughput beats the
+    gather path by an order of magnitude at serving shapes.
+
+    Accuracy: within +-1 u8 of the bit-exact `resize` path (matmul partial-
+    sum order differs from cv::resize's sequential accumulation) — used by
+    the fused serving pipeline whose contract is +-1; NOT a substitute for
+    `resize` where bit-exactness is required.
+    """
+    src_h, src_w = img.shape[-3], img.shape[-2]
+    if (src_w, src_h) == (dst_w, dst_h):
+        return img
+    is_u8 = img.dtype == jnp.uint8
+    if (src_w >= dst_w and src_h >= dst_h
+            and T.area_is_fast(src_w, src_h, dst_w, dst_h)):
+        return _area_fast_u8(img, dst_w, dst_h) if is_u8 else _area_fast_f32(img, dst_w, dst_h)
+    wx = jnp.asarray(_area_axis_matrix(src_w, dst_w))  # (dst_w, src_w)
+    wy = jnp.asarray(_area_axis_matrix(src_h, dst_h))  # (dst_h, src_h)
+    s = img.astype(jnp.float32)
+    h = jnp.einsum("...hwc,Ww->...hWc", s, wx,
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("...hWc,Hh->...HWc", h, wy,
+                     preferred_element_type=jnp.float32)
+    if is_u8:
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out
 
 
 # ---------------------------------------------------------------------------

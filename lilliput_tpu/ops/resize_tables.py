@@ -36,47 +36,70 @@ def _rint32(x: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=4096)
-def linear_tables(src: int, dst: int, area_mode: bool = False):
-    """Per-output (sx, a0, a1) for fixed-point bilinear.
+def _linear_coords(src: int, dst: int, area_mode: bool, clamp: bool):
+    """Per-output (sx int32, f float32) source coordinates, cv::resize exact.
 
-    a0/a1 are Q11 int32; sx is the left tap, right tap is min(sx+1, src-1).
-    area_mode selects the INTER_AREA-upscale coordinate rule.
+    cv::resize narrows the source coordinate to float32 BEFORE cvFloor and
+    computes scale as 1/(dst/src) — both matter for bit-exactness on large
+    images (float32 spacing near x=1900 is ~1.2e-4, enough to move a Q11
+    coefficient by 1).
+
+    clamp=True replicates the x-axis (column) edge rule: fx forced to 0 with
+    sx pinned at the border. clamp=False replicates the y-axis (row) rule:
+    sx may be -1 or src-1 with its true fraction kept; the caller clips the
+    gather indices (resizeGeneric_ clips rows, but the coefficient loop only
+    clamps columns).
     """
     if src == 1:
-        sx = np.zeros(dst, np.int32)
+        return np.zeros(dst, np.int32), np.zeros(dst, np.float32)
+    inv_scale = np.float64(dst) / np.float64(src)
+    scale = np.float64(1.0) / inv_scale
+    dxs = np.arange(dst, dtype=np.float64)
+    if area_mode:
+        s = np.floor(dxs * scale).astype(np.int64)
+        fd = ((dxs + 1) - (s + 1) * inv_scale).astype(np.float32)
+        f = np.where(fd <= 0, np.float32(0),
+                     (fd - np.floor(fd)).astype(np.float32))
+    else:
+        fxx = ((dxs + 0.5) * scale - 0.5).astype(np.float32)
+        s = np.floor(fxx).astype(np.int64)
+        f = fxx - s.astype(np.float32)
+    if clamp:
+        lo = s < 0
+        s = np.where(lo, 0, s)
+        f = np.where(lo, np.float32(0), f)
+        hi = s >= src - 1
+        s = np.where(hi, src - 1, s)
+        f = np.where(hi, np.float32(0), f)
+    return s.astype(np.int32), f.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4096)
+def linear_tables(src: int, dst: int, area_mode: bool = False,
+                  clamp: bool = True):
+    """Per-output (sx, a0, a1) for fixed-point bilinear.
+
+    a0/a1 are Q11 int32 (saturate_cast<short>(cbuf*2048) rounding); sx is the
+    left tap. With clamp=False (y-axis rule) sx may be -1 or src-1 and the
+    caller must clip both gather indices to [0, src-1].
+    """
+    sx, f = _linear_coords(src, dst, area_mode, clamp)
+    if src == 1:
         return sx, np.full(dst, INTER_RESIZE_COEF_SCALE, np.int32), np.zeros(dst, np.int32)
-    scale = np.float64(src) / dst
-    inv_scale = np.float64(dst) / src
-    sx = np.empty(dst, np.int32)
-    fx = np.empty(dst, np.float32)
-    for dx in range(dst):
-        # Coordinates are computed in double and reduced to the fractional
-        # part before narrowing to float32 (cv::resize does the same; an
-        # early narrow loses fraction bits for large source indices).
-        if area_mode:
-            s = int(np.floor(dx * scale))
-            fd = np.float64((dx + 1) - (s + 1) * inv_scale)
-            f = np.float32(0) if fd <= 0 else np.float32(fd - np.floor(fd))
-        else:
-            fd = np.float64((dx + 0.5) * scale - 0.5)
-            s = int(np.floor(fd))
-            f = np.float32(fd - s)
-        if s < 0:
-            s, f = 0, np.float32(0)
-        if s >= src - 1:
-            s, f = src - 2, np.float32(1)
-        sx[dx], fx[dx] = s, f
-    a0 = _rint32((np.float32(1.0) - fx) * np.float32(INTER_RESIZE_COEF_SCALE))
-    a1 = _rint32(fx * np.float32(INTER_RESIZE_COEF_SCALE))
+    a0 = _rint32((np.float32(1.0) - f) * np.float32(INTER_RESIZE_COEF_SCALE))
+    a1 = _rint32(f * np.float32(INTER_RESIZE_COEF_SCALE))
     return sx, a0, a1
 
 
 @functools.lru_cache(maxsize=4096)
-def linear_tables_f32(src: int, dst: int, area_mode: bool = False):
-    """Float32 (sx, a0, a1) for the float pixel-type bilinear path."""
-    sx, a0, a1 = linear_tables(src, dst, area_mode)
-    inv = np.float32(1.0 / INTER_RESIZE_COEF_SCALE)
-    return sx, a0.astype(np.float32) * inv, a1.astype(np.float32) * inv
+def linear_tables_f32(src: int, dst: int, area_mode: bool = False,
+                      clamp: bool = True):
+    """Float32 (sx, a0, a1) for the float pixel-type bilinear path (cv uses
+    the unquantized float coefficients there, not the Q11 ones)."""
+    sx, f = _linear_coords(src, dst, area_mode, clamp)
+    if src == 1:
+        return sx, np.ones(dst, np.float32), np.zeros(dst, np.float32)
+    return sx, (np.float32(1.0) - f).astype(np.float32), f
 
 
 @functools.lru_cache(maxsize=4096)

@@ -21,3 +21,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import warnings  # noqa: E402
+
+# CPU can't alias the donated serving buffers (int16 coef batches); the
+# donation targets TPU — the warning is expected noise here.
+warnings.filterwarnings(
+    "ignore", message="Some donated buffers were not usable")

@@ -197,3 +197,110 @@ def test_interlaced_gif_roundtrip():
     # PIL agrees
     im = PIL_Image.open(io.BytesIO(buf)).convert("RGB")
     assert np.array_equal(np.array(im), pal[idx])
+
+
+def _giflib_quantize_oracle(frames, palettes, trans_idxs, prev_valids):
+    """Direct sequential transcription of the reference encoder's quantizer
+    loop (giflib.cpp:1006-1093) incl. the crushed-key cache lifetime
+    (cleared when the palette bytes change, giflib.cpp:974-996)."""
+    cache = {}
+    prev_pal_bytes = None
+    prev_frame = None
+    outs = []
+    for f, (img, pal, trans, prev_ok) in enumerate(
+            zip(frames, palettes, trans_idxs, prev_valids)):
+        if prev_pal_bytes != pal.tobytes():
+            cache.clear()
+        prev_pal_bytes = pal.tobytes()
+        h, w = img.shape[:2]
+        out = np.zeros((h, w), np.uint8)
+        have_trans = trans >= 0
+        for y in range(h):
+            for x in range(w):
+                B, G, R, A = (int(v) for v in img[y, x])
+                if A < 128 and have_trans:
+                    out[y, x] = trans
+                    continue
+                key = ((R >> 3) << 10) | ((G >> 3) << 5) | (B >> 3)
+                if key not in cache:
+                    ext = (R > 240 and G > 240 and B > 240) or \
+                          (R < 15 and G < 15 and B < 15)
+                    rc = R if ext else (R & 0xF8) | 4
+                    gc = G if ext else (G & 0xF8) | 4
+                    bc = B if ext else (B & 0xF8) | 4
+                    least, best = 1 << 30, 0
+                    for i in range(pal.shape[0]):
+                        if i == trans:
+                            continue
+                        d = (abs(rc - int(pal[i, 0])) + abs(gc - int(pal[i, 1]))
+                             + abs(bc - int(pal[i, 2])))
+                        if d < least:
+                            least, best = d, i
+                    cache[key] = best
+                else:
+                    best = cache[key]
+                    least = (abs(R - int(pal[best, 0])) + abs(G - int(pal[best, 1]))
+                             + abs(B - int(pal[best, 2])))
+                if prev_ok and have_trans and prev_frame is not None:
+                    pB, pG, pR = (int(v) for v in prev_frame[y, x, :3])
+                    if abs(R - pR) + abs(G - pG) + abs(B - pB) < least:
+                        best = trans
+                out[y, x] = best
+        prev_frame = img
+        outs.append(out)
+    return outs
+
+
+def test_quantizer_matches_sequential_giflib_cache():
+    """The batched device quantizer must be pixel-exact vs the reference's
+    sequential cached loop — including cross-frame cache persistence,
+    palette-change clears, extreme-color keys, and the prev-frame
+    transparency optimization."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu.ops import palette as P
+
+    rng = np.random.default_rng(12)
+    h, w = 40, 37
+    palA = rng.integers(0, 256, (31, 3), np.uint8)
+    palB = rng.integers(0, 256, (16, 3), np.uint8)
+
+    def mk_frame(seed):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 256, (h, w, 4), np.uint8)
+        # force crushed-key collisions + extremes + low alpha regions
+        img[:10, :10, :3] = r.integers(0, 16, (10, 10, 3))        # dark extremes
+        img[10:20, :10, :3] = r.integers(241, 256, (10, 10, 3))   # light extremes
+        img[:, 20:24, :3] = (img[:, 20:24, :3] & 0xF8) | r.integers(0, 8, (h, 4, 3))
+        img[30:, 30:, 3] = 5                                       # transparent
+        img[:, :, 3] = np.where(img[:, :, 3] < 50, 5, 255)
+        return img
+
+    frames = [mk_frame(i) for i in range(4)]
+    palettes = [palA, palA, palB, palB]      # palette change clears cache
+    trans_idxs = [7, 7, -1, 3]               # incl. a no-transparency frame
+    prev_valids = [False, True, True, True]
+
+    oracle = _giflib_quantize_oracle(frames, palettes, trans_idxs, prev_valids)
+
+    from lilliput_tpu.ops.palette import CACHE_SIZE
+    seen = jnp.zeros((CACHE_SIZE,), jnp.bool_)
+    cache = jnp.zeros((CACHE_SIZE,), jnp.uint8)
+    prev_pal_bytes = None
+    prev = None
+    for i, (img, pal, trans, prev_ok) in enumerate(
+            zip(frames, palettes, trans_idxs, prev_valids)):
+        if prev_pal_bytes != pal.tobytes():
+            seen = jnp.zeros((CACHE_SIZE,), jnp.bool_)
+            cache = jnp.zeros((CACHE_SIZE,), jnp.uint8)
+        prev_pal_bytes = pal.tobytes()
+        prev_arr = jnp.asarray(prev) if (prev_ok and prev is not None) \
+            else jnp.zeros((h, w, 4), jnp.uint8)
+        idx, seen, cache = P.quantize_to_palette(
+            jnp.asarray(img), jnp.asarray(pal.astype(np.int32)), prev_arr,
+            seen, cache, int(trans), trans >= 0,
+            bool(prev_ok and trans >= 0 and prev is not None))
+        got = np.asarray(idx)
+        assert np.array_equal(got, oracle[i]), (
+            f"frame {i}: {int((got != oracle[i]).sum())} px differ")
+        prev = img

@@ -155,3 +155,20 @@ def test_subsampling_variants_decode(subsampling, name):
     d.decode_to(fb)
     ref = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)  # BGR
     assert _psnr(fb.to_numpy(), ref) >= 48.0
+
+
+def test_optimize_coding_smaller_same_pixels():
+    # JPEG_OPTIMIZE builds optimal Huffman tables: identical coefficients,
+    # strictly valid output, usually smaller (jpeg_shim.cpp optimize arg)
+    from lilliput_tpu.codecs.jpeg import JpegEncoder
+    from lilliput_tpu.framebuffer import JPEG_OPTIMIZE, JPEG_QUALITY
+    rng = np.random.default_rng(3)
+    img = cv2.resize(rng.integers(0, 256, (12, 16, 3), dtype=np.uint8),
+                     (160, 120), interpolation=cv2.INTER_CUBIC)
+    fb = Framebuffer(img)
+    plain = JpegEncoder().encode(fb, {JPEG_QUALITY: 85})
+    opt = JpegEncoder().encode(fb, {JPEG_QUALITY: 85, JPEG_OPTIMIZE: 1})
+    a = cv2.imdecode(np.frombuffer(plain, np.uint8), cv2.IMREAD_COLOR)
+    b = cv2.imdecode(np.frombuffer(opt, np.uint8), cv2.IMREAD_COLOR)
+    assert np.array_equal(a, b)  # same coefficients, different entropy coding
+    assert len(opt) <= len(plain)

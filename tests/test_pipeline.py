@@ -59,3 +59,100 @@ def test_batch_members_independent():
     both = pipe.transcode([b1, b2])
     assert pipe.transcode([b1])[0] == both[0]
     assert pipe.transcode([b2])[0] == both[1]
+
+
+def test_geometry_mismatch_raises():
+    # an image larger than the sample must be rejected BEFORE the native
+    # coefficient decode (it would overrun the batch arrays otherwise)
+    from lilliput_tpu.errors import DecodingFailedError
+    pipe = JpegTranscodePipeline(_jpeg(320, 200), 64, 64)
+    with pytest.raises(DecodingFailedError, match="geometry"):
+        pipe.transcode([_jpeg(640, 360)])
+    with pytest.raises(DecodingFailedError, match="geometry"):
+        pipe.decode_entropy([_jpeg(320, 200), _jpeg(1920, 1080)], workers=1)
+
+
+def test_per_image_quant_tables():
+    # same geometry, very different save quality: each image must be
+    # dequantized with its own tables, not the sample's
+    hi = _jpeg(320, 200, seed=5, q=95)
+    lo = _jpeg(320, 200, seed=5, q=30)
+    pipe_hi = JpegTranscodePipeline(hi, 64, 64, quality=85)
+    mixed = pipe_hi.transcode([hi, lo])
+    solo_lo = JpegTranscodePipeline(lo, 64, 64, quality=85).transcode([lo])[0]
+    a = cv2.imdecode(np.frombuffer(mixed[1], np.uint8), cv2.IMREAD_COLOR)
+    b = cv2.imdecode(np.frombuffer(solo_lo, np.uint8), cv2.IMREAD_COLOR)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def _with_orientation(jpeg: bytes, o: int) -> bytes:
+    tiff = (b"II*\x00" + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (0x0112).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little") + o.to_bytes(2, "little") + b"\x00\x00"
+            + (0).to_bytes(4, "little"))
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def test_exif_orientation_applied_in_fused_path():
+    # oriented phone-photo style input: fused serving output must match the
+    # streaming ImageOps path (which orients before fit)
+    rot = _with_orientation(_jpeg(320, 200, seed=9), 6)  # rotate 90 CW
+    mp = MultiGeometryPipeline(64, 64, quality=85)
+    fused = mp.transcode([rot])[0]
+    streaming = ImageOps(8192).transform(new_decoder(rot), ImageOptions(
+        file_type=".jpeg", width=64, height=64, resize_method=ResizeMethod.FIT,
+        encode_timeout=600.0, encode_options={JPEG_QUALITY: 85}))
+    a = cv2.imdecode(np.frombuffer(fused, np.uint8), cv2.IMREAD_COLOR)
+    b = cv2.imdecode(np.frombuffer(streaming, np.uint8), cv2.IMREAD_COLOR)
+    assert a.shape == b.shape == (64, 64, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_orientation_mismatch_raises_on_fixed_pipeline():
+    from lilliput_tpu.errors import DecodingFailedError
+    plain = _jpeg(320, 200, seed=9)
+    pipe = JpegTranscodePipeline(plain, 64, 64)
+    with pytest.raises(DecodingFailedError, match="orientation"):
+        pipe.transcode([_with_orientation(plain, 3)])
+
+
+def test_multi_geometry_lru_eviction():
+    mp = MultiGeometryPipeline(32, 32, quality=85, max_geometries=2)
+    a, b, c = _jpeg(100, 80, 1), _jpeg(120, 90, 2), _jpeg(140, 100, 3)
+    mp.transcode([a])
+    mp.transcode([b])
+    mp.transcode([a])          # touch a: now b is least-recently-used
+    mp.transcode([c])          # evicts b, NOT a
+    keys = list(mp._pipes.keys())
+    assert len(keys) == 2
+    widths = sorted(k[0].width for k in keys)
+    assert widths == [100, 140]  # a kept, b evicted
+
+
+def test_pipelined_overlap_structure():
+    # the double-buffered loop must issue batch i+1's host decode BEFORE
+    # collecting/encoding batch i (that ordering + JAX async dispatch is
+    # what overlaps host entropy with device compute)
+    buf = _jpeg(160, 120, seed=11)
+    pipe = JpegTranscodePipeline(buf, 32, 32)
+    events = []
+    orig_dec, orig_enc = pipe.decode_entropy, pipe.encode_entropy
+
+    def dec(bufs, workers=None):
+        events.append("dec")
+        return orig_dec(bufs, workers=workers)
+
+    def enc(*a, **kw):
+        events.append("enc")
+        return orig_enc(*a, **kw)
+
+    pipe.decode_entropy, pipe.encode_entropy = dec, enc
+    outs = pipe.transcode_pipelined([[buf]] * 3)
+    assert events == ["dec", "dec", "enc", "dec", "enc", "enc"]
+    flat = [o for batch in outs for o in batch]
+    assert all(o[:2] == b"\xff\xd8" for o in flat)
+    # and results identical to the unpipelined path
+    assert flat[0] == pipe.transcode([buf])[0]
