@@ -110,3 +110,73 @@ def test_spritesheet_pipeline():
     assert sheet.shape[0] % 90 == 0 and sheet.shape[1] % 160 == 0
     assert len(ts) >= 1 and all(t >= 0 for t in ts)
     assert hashes and all(5 <= len(h) <= 25 for h in hashes)
+
+
+def _extract_ftyp_moov(buf: bytes) -> bytes:
+    """ftyp+moov only, mdat stripped — simulates a media proxy that fetched
+    metadata via range requests (reference avcodec_test.go:189-256)."""
+    out = b""
+    off = 0
+    while off + 8 <= len(buf):
+        size = int.from_bytes(buf[off:off + 4], "big")
+        typ = buf[off + 4:off + 8]
+        if size < 8 or off + size > len(buf):
+            break
+        if typ in (b"ftyp", b"moov"):
+            out += buf[off:off + size]
+        off += size
+    return out
+
+
+def test_moov_only_parsing_and_raw_decode():
+    full = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+    moov = _extract_ftyp_moov(full)
+    assert 0 < len(moov) < len(full)
+
+    d = new_decoder(moov)
+    kf = d.keyframes()
+    assert len(kf) >= 1
+    for i, (ts, off, size) in enumerate(kf):
+        assert off > 0, f"keyframe {i} byte_offset should be positive"
+        assert size > 0, f"keyframe {i} size should be positive"
+    cid, extradata = d.codec_params()
+    assert cid > 0
+    assert len(extradata) > 0
+
+    # the media-proxy workflow: range-read packet bytes from the FULL file,
+    # decode each statelessly with the moov-only decoder's codec params
+    hd = d.header()
+    from lilliput_tpu.codecs.video import decode_raw_keyframe
+    for ts, off, size in kf[:3]:
+        px = decode_raw_keyframe(cid, extradata, full[off:off + size],
+                                 hd.width, hd.height)
+        assert px.shape[0] >= 480 and px.shape[2] == 4
+
+
+def test_webm_vp8_decode_and_transform():
+    # matroska demux + VP8 through the ffmpeg shim (fixture synthesized by
+    # tools/make_webm_fixture.py: libwebp VP8 key frames, hand-muxed EBML)
+    buf = open("tests/assets/tiny_vp8.webm", "rb").read()
+    d = new_decoder(buf)
+    assert d.description() == "WEBM"
+    assert d.video_codec() == "VP8"
+    hd = d.header()
+    assert (hd.width, hd.height) == (64, 48)
+    assert abs(d.duration() - 0.8) < 0.05
+    fb = Framebuffer()
+    d.decode_to(fb)
+    px = fb.to_numpy()
+    assert px.shape == (48, 64, 4)
+    # first frame content: x gradient on the red channel (BGR index 2)
+    assert int(px[24, 60, 2]) - int(px[24, 3, 2]) > 100
+
+    out = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".jpeg", width=32, height=24, resize_method=ResizeMethod.FIT,
+        disable_animated_output=True, encode_timeout=300.0))
+    assert out[:2] == b"\xff\xd8"
+
+
+def test_webm_output_rejected():
+    from lilliput_tpu import new_encoder
+    with pytest.raises(InvalidImageError):
+        new_encoder(".webm")
