@@ -146,8 +146,39 @@ class AvifDecoder(Decoder):
         self._cicp = parse_cicp(buf)
         self._is_hdr = _cicp_is_hdr(self._cicp)
         self._frames = getattr(self._im, "n_frames", 1)
-        self._durations, self._loops = parse_avis_timing(buf)
+        self._durations, _ = parse_avis_timing(buf)
         self._next = 0
+
+        # CLAP offsets + loop count from our own ISOBMFF walk
+        from . import av1_raw as AR
+        self._loops = AR.parse_loop_count(buf)
+        self._clap_off = (0, 0)
+        self._still_items = None
+        self._track = None
+        try:
+            self._still_items = AR.parse_still_items(buf)
+        except Exception:
+            self._still_items = None
+        if self._still_items and self._still_items.clap:
+            c = self._still_items.clap
+            # int(horizOffN / horizOffD) — C truncation (avif.cpp:500-522)
+            if c[5] and c[7]:
+                self._clap_off = (int(c[4] / c[5]), int(c[6] / c[7]))
+
+        # 10/12-bit HDR path: decode the AV1 payloads ourselves via the
+        # ffmpeg shim (libdav1d) so the device tone-maps full-precision
+        # planes instead of PIL's 8-bit RGB (the round-1 quality gap)
+        self._use_raw = False
+        if self._tone_map and self._is_hdr:
+            try:
+                if self._frames > 1:
+                    self._track = AR.parse_track_samples(buf)
+                    self._use_raw = self._track is not None
+                else:
+                    self._use_raw = (self._still_items is not None
+                                     and bool(self._still_items.color_av1c))
+            except Exception:
+                self._use_raw = False
 
     def header(self) -> ImageHeader:
         channels = 4 if self._im.mode in ("RGBA", "LA", "PA") else 3
@@ -178,35 +209,92 @@ class AvifDecoder(Decoder):
             return REC709_PROFILE
         return self._im.info.get("icc_profile", b"") or b""
 
+    def _decode_raw_hdr(self) -> Optional[jnp.ndarray]:
+        """Full-precision HDR decode: AV1 planes at native depth -> device
+        YUV->R'G'B' -> tone map. Returns BGR(A) u8 or None on failure."""
+        from . import av1_raw as AR
+        if self._frames > 1 and self._track:
+            samples, av1c = self._track
+            if self._next >= len(samples):
+                return None
+            rp = AR.decode_av1_planes(av1c, samples[self._next])
+        elif self._still_items:
+            rp = AR.decode_av1_planes(self._still_items.color_av1c,
+                                      self._still_items.color_data)
+        else:
+            return None
+        if rp is None:
+            return None
+        w, h = self._im.size
+        y = jnp.asarray(rp.y)
+        if rp.u is not None and rp.v is not None:
+            u, v = jnp.asarray(rp.u), jnp.asarray(rp.v)
+        else:
+            half = np.uint16(1 << (rp.depth - 1))
+            u = jnp.full(rp.y.shape, half, jnp.uint16)
+            v = u
+        space = COLOR.AVCOL_SPC.get(rp.matrix, "bt2020")
+        rgb = COLOR.yuv_to_rgb_norm(y, u, v, space=space,
+                                    full_range=rp.full_range, depth=rp.depth,
+                                    out_h=h, out_w=w)
+        primaries = {9: "bt2020", 12: "p3", 1: "bt709"}.get(
+            rp.primaries if rp.primaries > 0 else
+            (self._cicp[0] if self._cicp else 9), "bt2020")
+        trc = rp.trc if rp.trc > 0 else (self._cicp[1] if self._cicp else 16)
+        transfer = "pq" if trc == CICP_TRANSFER_PQ else "hlg"
+        sdr = COLOR.hdr_to_sdr(rgb, transfer=transfer, primaries=primaries)
+        bgr = sdr[..., ::-1]
+        # still-image auxiliary alpha item (monochrome AV1 stream)
+        if (self._frames == 1 and self._still_items
+                and self._still_items.alpha_data is not None):
+            ap = AR.decode_av1_planes(self._still_items.alpha_av1c or b"",
+                                      self._still_items.alpha_data)
+            if ap is not None:
+                maxv = float((1 << ap.depth) - 1)
+                a = jnp.clip(jnp.round(
+                    jnp.asarray(ap.y).astype(jnp.float32)[
+                        ..., :h, :w] * (255.0 / maxv)), 0, 255).astype(jnp.uint8)
+                return jnp.concatenate([bgr, a[..., None]], axis=-1)
+        return bgr
+
     def decode_to(self, fb: Framebuffer) -> None:
         if self._next >= self._frames:
             raise EOFError()
-        try:
-            self._im.seek(self._next)
-        except EOFError:
-            raise
-        mode = "RGBA" if self._im.mode in ("RGBA", "LA", "PA") else "RGB"
-        arr = np.asarray(self._im.convert(mode))
-        if mode == "RGBA":
-            bgr = arr[:, :, [2, 1, 0, 3]]
-        else:
-            bgr = arr[:, :, ::-1]
-        px = jnp.asarray(np.ascontiguousarray(bgr))
-        if self._tone_map and self._is_hdr:
-            primaries = {9: "bt2020", 12: "p3", 1: "bt709"}.get(
-                self._cicp[0], "bt2020")
-            transfer = "pq" if self._cicp[1] == CICP_TRANSFER_PQ else "hlg"
-            rgb = px[..., :3][..., ::-1].astype(jnp.float32) / 255.0
-            sdr = COLOR.hdr_to_sdr(rgb, transfer=transfer, primaries=primaries)
-            bgr_sdr = sdr[..., ::-1]
-            px = (jnp.concatenate([bgr_sdr, px[..., 3:4]], axis=-1)
-                  if mode == "RGBA" else bgr_sdr)
+        px = None
+        if self._use_raw:
+            try:
+                px = self._decode_raw_hdr()
+            except Exception:
+                px = None
+        if px is None:
+            try:
+                self._im.seek(self._next)
+            except EOFError:
+                raise
+            mode = "RGBA" if self._im.mode in ("RGBA", "LA", "PA") else "RGB"
+            arr = np.asarray(self._im.convert(mode))
+            if mode == "RGBA":
+                bgr = arr[:, :, [2, 1, 0, 3]]
+            else:
+                bgr = arr[:, :, ::-1]
+            px = jnp.asarray(np.ascontiguousarray(bgr))
+            if self._tone_map and self._is_hdr:
+                # 8-bit fallback tone map (PIL surfaces the coded signal)
+                primaries = {9: "bt2020", 12: "p3", 1: "bt709"}.get(
+                    self._cicp[0], "bt2020")
+                transfer = "pq" if self._cicp[1] == CICP_TRANSFER_PQ else "hlg"
+                rgb = px[..., :3][..., ::-1].astype(jnp.float32) / 255.0
+                sdr = COLOR.hdr_to_sdr(rgb, transfer=transfer, primaries=primaries)
+                bgr_sdr = sdr[..., ::-1]
+                px = (jnp.concatenate([bgr_sdr, px[..., 3:4]], axis=-1)
+                      if mode == "RGBA" else bgr_sdr)
         fb.array = px
         if self._next < len(self._durations):
             fb.duration = self._durations[self._next]
         else:
             fb.duration = 0.0
-        fb.x_offset = fb.y_offset = 0
+        # Clean-aperture offsets (avif.cpp:500-522 semantics)
+        fb.x_offset, fb.y_offset = self._clap_off
         fb.blend = BlendMethod.NO_BLEND          # avis frames are full canvas
         fb.dispose = DisposeMethod.NO_DISPOSE
         self._next += 1
@@ -223,6 +311,53 @@ class AvifDecoder(Decoder):
             pass
 
 
+def _set_avis_repetitions(buf: bytes, loops: int) -> bytes:
+    """Rewrite mvhd.duration = track_duration_in_movie_ts * (loops + 1)."""
+    from . import av1_raw as AR
+    moov = AR._child(buf, 0, len(buf), b"moov")
+    if not moov:
+        return buf
+    mvhd = AR._child(buf, *moov, b"mvhd")
+    if not mvhd:
+        return buf
+    v = buf[mvhd[0]]
+    # movie timescale + current duration
+    if v == 1:
+        ts_off, dur_off, dur_len = mvhd[0] + 20, mvhd[0] + 24, 8
+    else:
+        ts_off, dur_off, dur_len = mvhd[0] + 12, mvhd[0] + 16, 4
+    mts = int.from_bytes(buf[ts_off:ts_off + 4], "big")
+    # track duration in its own timescale
+    track_s = None
+    for t, s, e in AR._iter_boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        mdia = AR._child(buf, s, e, b"mdia")
+        if not mdia:
+            continue
+        mdhd = AR._child(buf, *mdia, b"mdhd")
+        if not mdhd:
+            continue
+        hv = buf[mdhd[0]]
+        if hv == 1:
+            tts = int.from_bytes(buf[mdhd[0] + 20:mdhd[0] + 24], "big")
+            tdur = int.from_bytes(buf[mdhd[0] + 24:mdhd[0] + 32], "big")
+        else:
+            tts = int.from_bytes(buf[mdhd[0] + 12:mdhd[0] + 16], "big")
+            tdur = int.from_bytes(buf[mdhd[0] + 16:mdhd[0] + 20], "big")
+        if tts and tdur:
+            track_s = tdur / tts
+            break
+    if not mts or track_s is None:
+        return buf
+    new_dur = int(round(track_s * mts * (loops + 1)))
+    if new_dur >= 1 << (8 * dur_len):
+        return buf
+    out = bytearray(buf)
+    out[dur_off:dur_off + dur_len] = new_dur.to_bytes(dur_len, "big")
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -236,11 +371,17 @@ class AvifEncoder(Encoder):
         if not _HAVE_PIL_AVIF:
             raise InvalidImageError("AVIF support unavailable")
         self._icc = icc_override
-        if self._icc is None and decoded_by is not None:
+        self._loops = 0
+        if decoded_by is not None:
+            if self._icc is None:
+                try:
+                    self._icc = decoded_by.icc() or None
+                except Exception:
+                    self._icc = None
             try:
-                self._icc = decoded_by.icc() or None
+                self._loops = int(decoded_by.loop_count())
             except Exception:
-                self._icc = None
+                self._loops = 0
         self._frames: List[np.ndarray] = []
         self._durations: List[int] = []
         self._opts: Dict[int, int] = {}
@@ -268,7 +409,13 @@ class AvifEncoder(Encoder):
             kwargs["icc_profile"] = self._icc
         if len(imgs) > 1:
             kwargs.update(save_all=True, append_images=imgs[1:],
-                          duration=self._durations or 100, loop=0)
+                          duration=self._durations or 100)
         imgs[0].save(bio, **kwargs)
         self._flushed = True
-        return bio.getvalue()
+        out = bio.getvalue()
+        if len(imgs) > 1 and self._loops > 0:
+            # source loop count passthrough: libavif expresses a finite
+            # repetition count as mvhd.duration = track_duration*(loops+1)
+            # (encoder parity with avif.cpp:639; loop 0 stays infinite)
+            out = _set_avis_repetitions(out, self._loops)
+        return out

@@ -393,6 +393,105 @@ int lp_av_decode_raw_keyframe(int32_t codec_id, const uint8_t* extradata,
     return rc;
 }
 
+// ---------------------------------------------------------------------------
+// Stateless packet -> native-bit-depth planes (the 10-bit AVIF HDR path:
+// lilliput_tpu/codecs/avif.py feeds AV1 OBU samples it extracted from the
+// ISOBMFF here, and the device tone-maps the full-precision planes —
+// replacing the reference's 8-bit-through-libavif route for this repo and
+// matching its dav1d-backed depth, avif.cpp:88-199).
+// ---------------------------------------------------------------------------
+
+struct RawFrame {
+    AVCodecContext* ctx = nullptr;
+    AVFrame* frame = nullptr;
+};
+
+// Decode ONE coded frame. codec_name (e.g. "libdav1d") is preferred; falls
+// back to the generic decoder for codec_id. Returns handle or null.
+// out12: w, h, pix_fmt, colorspace, color_range, plane_count, chroma_w,
+//        chroma_h, bit_depth, color_primaries, color_trc, bytes_per_sample
+void* lp_av_raw_frame_decode(const char* codec_name, int32_t codec_id,
+                             const uint8_t* extradata, int32_t extradata_len,
+                             const uint8_t* pkt_data, size_t pkt_len,
+                             int32_t* out12) {
+    if (extradata_len > 10240) return nullptr;  // extradata cap
+    const AVCodec* dec = nullptr;
+    if (codec_name && codec_name[0])
+        dec = avcodec_find_decoder_by_name(codec_name);
+    if (!dec) dec = avcodec_find_decoder(static_cast<AVCodecID>(codec_id));
+    if (!dec) return nullptr;
+    auto* rf = new (std::nothrow) RawFrame();
+    if (!rf) return nullptr;
+    rf->ctx = avcodec_alloc_context3(dec);
+    if (!rf->ctx) { delete rf; return nullptr; }
+    if (extradata_len > 0) {
+        rf->ctx->extradata = static_cast<uint8_t*>(
+            av_mallocz(extradata_len + AV_INPUT_BUFFER_PADDING_SIZE));
+        std::memcpy(rf->ctx->extradata, extradata, extradata_len);
+        rf->ctx->extradata_size = extradata_len;
+    }
+    bool ok = false;
+    if (avcodec_open2(rf->ctx, dec, nullptr) == 0) {
+        AVPacket* pkt = av_packet_alloc();
+        rf->frame = av_frame_alloc();
+        uint8_t* buf = static_cast<uint8_t*>(
+            av_malloc(pkt_len + AV_INPUT_BUFFER_PADDING_SIZE));
+        std::memcpy(buf, pkt_data, pkt_len);
+        std::memset(buf + pkt_len, 0, AV_INPUT_BUFFER_PADDING_SIZE);
+        av_packet_from_data(pkt, buf, static_cast<int>(pkt_len));
+        pkt->flags |= AV_PKT_FLAG_KEY;
+        if (avcodec_send_packet(rf->ctx, pkt) == 0) {
+            avcodec_send_packet(rf->ctx, nullptr);  // flush
+            if (avcodec_receive_frame(rf->ctx, rf->frame) == 0) ok = true;
+        }
+        av_packet_free(&pkt);
+    }
+    if (!ok) {
+        if (rf->frame) av_frame_free(&rf->frame);
+        avcodec_free_context(&rf->ctx);
+        delete rf;
+        return nullptr;
+    }
+    const AVFrame* f = rf->frame;
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get(static_cast<AVPixelFormat>(f->format));
+    int planes = 0;
+    for (int i = 0; i < AV_NUM_DATA_POINTERS; i++)
+        if (f->data[i]) planes = i + 1;
+    out12[0] = f->width;
+    out12[1] = f->height;
+    out12[2] = f->format;
+    out12[3] = f->colorspace;
+    out12[4] = f->color_range;
+    out12[5] = planes;
+    out12[6] = desc ? AV_CEIL_RSHIFT(f->width, desc->log2_chroma_w) : f->width;
+    out12[7] = desc ? AV_CEIL_RSHIFT(f->height, desc->log2_chroma_h) : f->height;
+    out12[8] = desc ? desc->comp[0].depth : 8;
+    out12[9] = f->color_primaries;
+    out12[10] = f->color_trc;
+    out12[11] = desc && desc->comp[0].depth > 8 ? 2 : 1;
+    return rf;
+}
+
+int lp_av_raw_frame_plane(void* h, int32_t idx, uint8_t* out,
+                          int32_t row_bytes, int32_t rows) {
+    auto* rf = static_cast<RawFrame*>(h);
+    const AVFrame* f = rf->frame;
+    if (idx >= AV_NUM_DATA_POINTERS || !f->data[idx]) return -1;
+    for (int32_t y = 0; y < rows; y++)
+        std::memcpy(out + static_cast<size_t>(y) * row_bytes,
+                    f->data[idx] + static_cast<size_t>(y) * f->linesize[idx],
+                    row_bytes);
+    return 0;
+}
+
+void lp_av_raw_frame_free(void* h) {
+    auto* rf = static_cast<RawFrame*>(h);
+    if (rf->frame) av_frame_free(&rf->frame);
+    if (rf->ctx) avcodec_free_context(&rf->ctx);
+    delete rf;
+}
+
 // short container format name (e.g. "mov,mp4,m4a,3gp,3g2,mj2", "matroska,webm")
 int lp_av_format_name(void* h, char* out, int32_t cap) {
     auto* d = static_cast<AvDec*>(h);

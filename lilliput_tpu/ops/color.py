@@ -77,6 +77,51 @@ def yuv420_to_bgr(y: jax.Array, u: jax.Array, v: jax.Array,
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("space", "full_range", "depth",
+                                              "out_h", "out_w"))
+def yuv_to_rgb_norm(y: jax.Array, u: jax.Array, v: jax.Array,
+                    space: str = "bt2020", full_range: bool = False,
+                    depth: int = 10, out_h: int = 0, out_w: int = 0) -> jax.Array:
+    """Planar YUV at ANY bit depth -> (H, W, 3) normalized f32 R'G'B'.
+
+    The 10/12-bit AVIF HDR input path: planes arrive as u16 (or u8) and the
+    output stays the full-precision coded (nonlinear) signal in [0, 1] for
+    hdr_to_sdr to linearize — no 8-bit quantization anywhere (the round-1
+    gap vs the reference's dav1d-depth pipeline, avif.cpp:88-199).
+    """
+    from .jpeg_kernels import upsample_chroma
+
+    out_h = out_h or y.shape[-2]
+    out_w = out_w or y.shape[-1]
+    yf = y.astype(jnp.float32)
+    uf = u.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if uf.shape[-2:] != (out_h, out_w):
+        hf = 2 if uf.shape[-1] * 2 >= out_w else 1
+        vfac = 2 if uf.shape[-2] * 2 >= out_h else 1
+        uf = upsample_chroma(uf, hf, vfac, out_h, out_w)
+        vf = upsample_chroma(vf, hf, vfac, out_h, out_w)
+    yf = yf[..., :out_h, :out_w]
+
+    step = float(1 << (depth - 8))
+    half = float(1 << (depth - 1))
+    maxv = float((1 << depth) - 1)
+    if full_range:
+        yn = yf / np.float32(maxv)
+        cb = (uf - np.float32(half)) / np.float32(maxv)
+        cr = (vf - np.float32(half)) / np.float32(maxv)
+    else:
+        yn = (yf - np.float32(16.0 * step)) / np.float32(219.0 * step)
+        cb = (uf - np.float32(half)) / np.float32(224.0 * step)
+        cr = (vf - np.float32(half)) / np.float32(224.0 * step)
+
+    c_rr, c_gb, c_gr, c_bb = yuv_to_bgr_coeffs(space)
+    r = yn + np.float32(c_rr) * cr
+    g = yn + np.float32(c_gb) * cb + np.float32(c_gr) * cr
+    b = yn + np.float32(c_bb) * cb
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
 # ---------------------------------------------------------------------------
 # HDR transfer functions + tone mapping (avif.cpp:88-199 math)
 # ---------------------------------------------------------------------------

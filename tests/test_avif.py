@@ -87,3 +87,120 @@ def test_batched_avif_transcode():
                          encode_options={AVIF_QUALITY: 60, AVIF_SPEED: 10})
     im = PIL_Image.open(io.BytesIO(out))
     assert im.size == (64, 64) and getattr(im, "n_frames", 1) == 5
+
+
+# ---------------------------------------------------------------------------
+# 10/12-bit HDR path + CLAP + loop passthrough (round 2)
+# ---------------------------------------------------------------------------
+
+def test_hdr_uses_native_depth_planes():
+    """HDR decode must run on the full-precision AV1 planes (12-bit here),
+    not PIL's 8-bit RGB: the two paths agree globally but the native-depth
+    output resolves gradient steps the 8-bit signal quantized away."""
+    import numpy as np
+    from lilliput_tpu.codecs.avif import AvifDecoder
+    buf = open(f"{TD}/hdr_color_preservation.avif", "rb").read()
+    d = AvifDecoder(buf)
+    assert d._use_raw, "HDR still should take the native-depth path"
+    fb = Framebuffer(); d.decode_to(fb)
+    hi = fb.to_numpy()
+
+    d8 = AvifDecoder(buf)
+    d8._use_raw = False
+    fb8 = Framebuffer(); d8.decode_to(fb8)
+    lo = fb8.to_numpy()
+
+    diff = np.abs(hi.astype(int) - lo.astype(int))
+    assert diff.mean() < 4.0              # same tone-map, consistent output
+    assert diff.max() >= 4                # ...but measurably more precision
+    # banding: fewer >1-step jumps along a gradient row at native depth
+    def jumps(px):
+        return int((np.abs(np.diff(px[1080, :, 2].astype(int))) > 1).sum())
+    assert jumps(hi) <= jumps(lo)
+
+
+def _inject_clap(buf: bytes, clap) -> bytes:
+    """Append a clap property to a real still AVIF: rebuild ipco/ipma inside
+    meta, then shift the iloc extent offset by the growth."""
+    import struct
+    from lilliput_tpu.codecs import av1_raw as AR
+
+    def box(typ, payload):
+        return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+    meta_s, meta_e = AR._child(buf, 0, len(buf), b"meta")
+    ms = meta_s + 4
+    iprp_s, iprp_e = AR._child(buf, ms, meta_e, b"iprp")
+    ipco_s, ipco_e = AR._child(buf, iprp_s, iprp_e, b"ipco")
+    ipma_s, ipma_e = AR._child(buf, iprp_s, iprp_e, b"ipma")
+    nprops = sum(1 for _ in AR._iter_boxes(buf, ipco_s, ipco_e))
+
+    clap_box = box(b"clap", struct.pack(">8i", *clap))
+    new_ipco = box(b"ipco", buf[ipco_s:ipco_e] + clap_box)
+    # ipma v0/flags0: verflags(4) entry_count(4) item_id(2) assoc_count(1) ...
+    pay = bytearray(buf[ipma_s:ipma_e])
+    assert pay[3] & 1 == 0, "2-byte associations not handled"
+    pay[4 + 4 + 2] += 1                      # assoc_count of entry 1
+    pay.append(0x80 | (nprops + 1))          # clap is transformative -> essential
+    new_ipma = box(b"ipma", bytes(pay))
+    new_iprp = box(b"iprp", new_ipco + new_ipma)
+    new_meta_payload = (buf[meta_s:iprp_s - 8] + new_iprp
+                        + buf[iprp_e:meta_e])
+    new_meta = box(b"meta", new_meta_payload)
+    out = bytearray(buf[:meta_s - 8] + new_meta + buf[meta_e:])
+    delta = len(new_meta) - (meta_e - (meta_s - 8))
+
+    # shift every iloc extent offset (v0, offset_size=length_size=4)
+    nm_s, nm_e = AR._child(bytes(out), 0, len(out), b"meta")
+    iloc_s, iloc_e = AR._child(bytes(out), nm_s + 4, nm_e, b"iloc")
+    p = iloc_s
+    version = out[p]; p += 4
+    offset_size = out[p] >> 4; length_size = out[p] & 0xF
+    base_offset_size = out[p + 1] >> 4
+    p += 2
+    count = int.from_bytes(out[p:p + 2], "big"); p += 2
+    assert version == 0 and offset_size == 4 and base_offset_size == 0
+    for _ in range(count):
+        p += 2 + 2                           # item_id + data_reference_index
+        ec = int.from_bytes(out[p:p + 2], "big"); p += 2
+        for _ in range(ec):
+            off = int.from_bytes(out[p:p + 4], "big")
+            out[p:p + 4] = (off + delta).to_bytes(4, "big")
+            p += 4 + length_size
+    return bytes(out)
+
+
+def test_clap_offsets_surfaced():
+    from lilliput_tpu.codecs import av1_raw as AR
+    from lilliput_tpu.codecs.avif import AvifDecoder
+    src = open(f"{TD}/colors_sdr_srgb.avif", "rb").read()
+    # a libavif-valid clean aperture (integral, even-aligned crop for
+    # 4:2:0) whose offsets still exercise the N/D division
+    clap = (160, 1, 120, 1, 28, 2, -40, 2)   # horizOff 28/2, vertOff -40/2
+    buf = _inject_clap(src, clap)
+    # our walk finds the synthetic box
+    got = AR.parse_still_items(buf)
+    assert got is not None and got.clap == clap
+    # PIL/libavif accepts the hand-built file and the decoder surfaces the
+    # C-truncated offsets (avif.cpp:500-522: int division)
+    d = AvifDecoder(buf)
+    fb = Framebuffer(); d.decode_to(fb)
+    assert (fb.x_offset, fb.y_offset) == (14, -20)
+
+
+def test_loop_count_passthrough_roundtrip():
+    import numpy as np
+    from lilliput_tpu.codecs import av1_raw as AR
+    from lilliput_tpu.codecs.avif import AvifEncoder
+    enc = AvifEncoder()
+    enc._loops = 3
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        fb = Framebuffer(rng.integers(0, 256, (32, 32, 3), np.uint8))
+        fb.duration = 0.1
+        enc.encode(fb, {})
+    out = enc.encode(None, {})
+    assert AR.parse_loop_count(out) == 3
+    # loop 0 (infinite) stays untouched
+    d = new_decoder(open(f"{TD}/colors-animated-8bpc-alpha-exif-xmp.avif", "rb").read())
+    assert d.loop_count() == 0
