@@ -15,6 +15,15 @@ Public surface mirrors the reference Go API (lilliput.go, ops.go):
                                         height=256, resize_method=ResizeMethod.FIT))
 """
 
+import jax as _jax
+
+# Image fidelity depends on exact f32 matmuls: TPU XLA's DEFAULT matmul
+# precision runs f32 dots as single-pass bf16 on the MXU, which corrupts
+# IDCT/resize/thumbhash outputs by tens of u8 levels (measured +-37 on the
+# JPEG decode path). Force full-f32 MXU passes for everything this package
+# traces; compute is nowhere near the bottleneck (HBM bandwidth is).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .api import new_decoder, new_encoder  # noqa: F401
 from .errors import (BufTooSmallError, DecodingFailedError,  # noqa: F401
                      EncodeTimeoutError, FrameBufNoPixelsError,

@@ -60,6 +60,16 @@ def _use_pallas() -> bool:
         return False
 
 
+def _use_megakernel() -> bool:
+    """Fused decode megakernel gate: LILLIPUT_MEGAKERNEL overrides, else
+    follows the Pallas gate (on-TPU default)."""
+    import os
+    flag = os.environ.get("LILLIPUT_MEGAKERNEL")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    return _use_pallas()
+
+
 def dequant_idct(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
     """(..., bh, bw, 64) int16 + (64,) or (B, 64) -> (..., bh*8, bw*8) f32.
 
@@ -135,9 +145,10 @@ def _upsample2x_axis(x: jax.Array, axis: int, out_len: int) -> jax.Array:
     with edge replication; computed in f32 (no intermediate rounding)."""
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
-    idx = np.arange(n)
-    left = x[..., np.maximum(idx - 1, 0)]
-    right = x[..., np.minimum(idx + 1, n - 1)]
+    # shifted-slice concats, NOT index gathers: XLA lowers gathers on TPU to
+    # serialized dynamic-slices (measured 35 GB/s vs 260+ for concat form)
+    left = jnp.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    right = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
     even = (3.0 * x + left) * 0.25
     odd = (3.0 * x + right) * 0.25
     out = jnp.stack([even, odd], axis=-1).reshape(x.shape[:-1] + (2 * n,))
@@ -197,10 +208,47 @@ def bgr_to_ycbcr(img: jax.Array):
 # full decode / encode pipelines (jitted per geometry)
 # ---------------------------------------------------------------------------
 
+def _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
+                           out_h: int, out_w: int, h2: bool, v2: bool,
+                           interpret: bool = False):
+    """Dispatch to the fused decode megakernel (ops/pallas_kernels.py) when
+    the subsampling shape supports it (4:2:0 and 4:4:4 — the overwhelming
+    majority of real traffic); returns None for 4:2:2/4:4:0, which fall back
+    to the split dequant_idct + upsample_chroma + ycbcr_to_bgr path."""
+    if h2 != v2:
+        return None
+    if not h2 and not (y_coefs.shape[-3:-1] == cb_coefs.shape[-3:-1]
+                       == cr_coefs.shape[-3:-1]):
+        return None
+    lead = y_coefs.shape[:-3]
+    b = int(np.prod(lead)) if lead else 1
+    yc = y_coefs.reshape((b,) + y_coefs.shape[-3:])
+    cb = cb_coefs.reshape((b,) + cb_coefs.shape[-3:])
+    cr = cr_coefs.reshape((b,) + cr_coefs.shape[-3:])
+    w_base = jnp.asarray(idct_kron_matrix())
+
+    def fold(qt):
+        q = (qt.astype(jnp.float32).reshape(-1, 64) if qt.ndim > 1
+             else qt.astype(jnp.float32)[None])
+        return w_base[None] * q[:, :, None]
+
+    from . import pallas_kernels as PK
+    fn = PK.decode420_packed if h2 else PK.decode444_packed
+    packed = fn(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
+                interpret=interpret)
+    u8v = jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    return u8v[:, :out_h, :out_w, :3].reshape(lead + (out_h, out_w, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "h2", "v2"))
 def decode_ycc_420(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
                    out_h: int, out_w: int, h2: bool, v2: bool):
     """Full color JPEG decode from coefficients (any of 444/422/420/440)."""
+    if _use_megakernel():
+        out = _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs,
+                                     qt_luma, qt_chroma, out_h, out_w, h2, v2)
+        if out is not None:
+            return out
     y = dequant_idct(y_coefs, qt_luma)[..., :out_h, :out_w]
     cb = dequant_idct(cb_coefs, qt_chroma)
     cr = dequant_idct(cr_coefs, qt_chroma)

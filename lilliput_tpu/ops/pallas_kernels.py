@@ -1,11 +1,20 @@
 """Pallas TPU kernels for the hot dense ops.
 
-The flagship kernel is the fused dequant+IDCT: JPEG's 2D 8x8 inverse DCT is
-one (N,64)x(64,64) matmul after vectorizing blocks (see
-jpeg_kernels.idct_kron_matrix). Packing TWO blocks per row and
-block-diagonalizing the transform to (128,128) fills the MXU's native tile
-exactly; dequantization rides in the matrix rows and the +128 level shift in
-the epilogue, so one VMEM round trip covers dequant+IDCT+bias.
+Two tiers of kernels:
+
+* dequant_idct_blocks / fdct_quant_blocks — the (N,64)x(64,64) MXU matmul
+  form of JPEG's 2D 8x8 DCT (see jpeg_kernels.idct_kron_matrix). Packing TWO
+  blocks per row and block-diagonalizing the transform to (128,128) fills
+  the MXU's native tile exactly; dequantization rides in the matrix rows and
+  the +128 level shift in the epilogue.
+
+* decode420_packed / decode444_packed — the decode MEGAKERNEL: one grid step
+  per (image, MCU row) runs dequant + IDCT + block->plane relayout + chroma
+  triangle upsample + YCbCr->BGR + u8 quantization and writes packed BGRA
+  u32 pixels. Where the split path writes/rereads f32 planes between the
+  IDCT and the color stage (>=16 bytes/px of HBM traffic), the megakernel
+  reads int16 coefficients (~3 B/px) and writes u8 BGRA (4 B/px) once —
+  the dense half of JPEG decode at its HBM-bandwidth speed of light.
 
 Kernels run compiled on TPU and fall back to XLA elsewhere (tests exercise
 them through Pallas interpret mode for bit-parity with the XLA path).
@@ -63,6 +72,285 @@ def dequant_idct_blocks(coefs_flat: jax.Array, wq: jax.Array,
         interpret=interpret,
     )(x, w2)
     return out.reshape(padded_pairs * 2, 64)[:n]
+
+
+# ---------------------------------------------------------------------------
+# decode megakernel: coefficients -> packed BGRA, one pass
+# ---------------------------------------------------------------------------
+
+_ALPHA_FF = -16777216  # 0xFF000000 as int32 (alpha byte of the packed pixel)
+
+
+def _pack_bgra(b: jax.Array, g: jax.Array, r: jax.Array) -> jax.Array:
+    """Round/clip three f32 channel planes to u8 and pack little-endian
+    BGRA into int32 (byte 0 = B), matching lax.bitcast_convert_type order.
+    Rounding matches jpeg_kernels.ycbcr_to_bgr exactly (round-half-even)."""
+    def u8(x):
+        return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.int32)
+    return u8(b) | (u8(g) << 8) | (u8(r) << 16) | jnp.int32(_ALPHA_FF)
+
+
+@functools.lru_cache(maxsize=1)
+def _upsample_sel_matrices() -> np.ndarray:
+    """0/1 selection matrices expressing the 2x triangle-upsample EXPANSION
+    as exact MXU matmuls over block-vectorized (j, 64) planes.
+
+    A block vector index is x*8+y (pixel row x, col y). The triangle filter
+    value itself is computed elementwise ((3*c + neighbor) * 0.25 — the same
+    expression tree as jpeg_kernels._upsample2x_axis, so results are
+    bit-identical); these matrices only PLACE each filtered value into its
+    output quadrant block, and a 0/1 selection matmul is exact in f32.
+
+    Layout: [Ae0, Ao0, Ae1, Ao1] vertical quadrants qy (even/odd output
+    rows), [He0, Ho0, He1, Ho1] horizontal quadrants qx (even/odd cols)."""
+    s = np.zeros((8, 64, 64), np.float32)
+    for qy in range(2):
+        for xp in range(8):
+            k = 4 * qy + xp // 2
+            dst = s[2 * qy] if xp % 2 == 0 else s[2 * qy + 1]
+            for y in range(8):
+                dst[k * 8 + y, xp * 8 + y] = 1.0
+    for qx in range(2):
+        for yp in range(8):
+            m = 4 * qx + yp // 2
+            dst = s[4 + 2 * qx] if yp % 2 == 0 else s[5 + 2 * qx]
+            for x in range(8):
+                dst[x * 8 + m, x * 8 + yp] = 1.0
+    return s
+
+
+def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
+    """pltpu.roll with negative shifts normalized (it requires shift >= 0)."""
+    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+
+
+MEGA_TILE_ROWS = 8  # MCU rows per megakernel grid step
+
+
+def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int):
+    """Builds the 4:2:0 megakernel body for a tile of t_rows MCU rows.
+
+    Per grid step (image b, row-tile i) everything happens in block-vector
+    space (sublane = block index, lane = x*8+y pixel index inside a block):
+    kron-matmul IDCT (block PAIRS packed to the MXU's 128 lanes for luma),
+    lane-roll neighbor taps, 0/1-selection-matmul upsample expansion (a
+    selection matmul is exact in f32, so outputs stay bit-identical to the
+    split XLA path), elementwise color + u8 pack. No transposes and no
+    lane-crossing shape casts (Mosaic cannot lower those)."""
+    n = t_rows * cbw
+
+    def kernel(y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
+               wy_ref, wc_ref, sae_ref, sao_ref, she_ref, sho_ref, out_ref):
+        i = pl.program_id(1)
+        wc = wc_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 64), 1)
+        lane_x = lane // 8
+        lane_y = lane % 8
+        sub = jax.lax.broadcasted_iota(jnp.int32, (n, 64), 0)
+        glob = i * t_rows + sub // cbw       # global chroma block row
+        row_j = sub % cbw                    # block column within the row
+
+        def idct(x):
+            return jnp.dot(x.astype(jnp.float32), wc,
+                           preferred_element_type=jnp.float32) + 128.0
+
+        def upsample2x2(cur_ref, prev_ref, next_ref):
+            cp = idct(cur_ref[0].reshape(n, 64))
+            pp8 = _roll(idct(prev_ref[0, 0]), 8, 1)
+            nn8 = _roll(idct(next_ref[0, 0]), -8, 1)
+            # pixel-row +-1 neighbors: lane roll by 8 shifts x inside the
+            # block; x==0/7 lanes splice in the adjacent block row (from
+            # within the tile, or the neighbor-tile boundary row refs)
+            up_in = _roll(cp, 8, 1)
+            dn_in = _roll(cp, -8, 1)
+            up_x = (pp8 if t_rows == 1
+                    else jnp.concatenate([pp8, up_in[:-cbw]], axis=0))
+            dn_x = (nn8 if t_rows == 1
+                    else jnp.concatenate([dn_in[cbw:], nn8], axis=0))
+            up = jnp.where(lane_x == 0, up_x, up_in)
+            up = jnp.where((glob == 0) & (lane_x == 0), cp, up)
+            dn = jnp.where(lane_x == 7, dn_x, dn_in)
+            dn = jnp.where((glob == cbh_true - 1) & (lane_x == 7), cp, dn)
+            ve = (3.0 * cp + up) * 0.25
+            vo = (3.0 * cp + dn) * 0.25
+            vq = (jnp.dot(ve, sae_ref[:], preferred_element_type=jnp.float32)
+                  + jnp.dot(vo, sao_ref[:],
+                            preferred_element_type=jnp.float32))
+            out = []
+            for qy in range(2):
+                v = vq[:, 64 * qy:64 * qy + 64]
+                # pixel-col +-1 neighbors: lane roll by 1; y==0/7 take the
+                # adjacent BLOCK (sublane roll) or edge-replicate at j edges
+                vl = _roll(v, 1, 0)
+                vr = _roll(v, -1, 0)
+                left = jnp.where(lane_y == 0,
+                                 jnp.where(row_j == 0, v, _roll(vl, -7, 1)),
+                                 _roll(v, 1, 1))
+                right = jnp.where(lane_y == 7,
+                                  jnp.where(row_j == cbw - 1, v,
+                                            _roll(vr, 7, 1)),
+                                  _roll(v, -1, 1))
+                he = (3.0 * v + left) * 0.25
+                ho = (3.0 * v + right) * 0.25
+                out.append(
+                    jnp.dot(he, she_ref[:],
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(ho, sho_ref[:],
+                              preferred_element_type=jnp.float32))
+            return out       # per qy: (n, 128) = even|odd block-pair lanes
+
+        cbu = upsample2x2(cbc_ref, cbp_ref, cbn_ref)
+        cru = upsample2x2(crc_ref, crp_ref, crn_ref)
+        wy2 = wy_ref[0]
+        for r in range(2 * t_rows):
+            t, qy = r // 2, r % 2
+            yf = y_ref[0, r].astype(jnp.float32)     # (cbw, 128): block pair
+            y = jnp.dot(yf, wy2, preferred_element_type=jnp.float32) + 128.0
+            cbv = cbu[qy][t * cbw:(t + 1) * cbw] - 128.0
+            crv = cru[qy][t * cbw:(t + 1) * cbw] - 128.0
+            rr = y + 1.402 * crv
+            gg = y - 0.344136286 * cbv - 0.714136286 * crv
+            bb = y + 1.772 * cbv
+            out_ref[0, t, qy] = _pack_bgra(bb, gg, rr)
+
+    return kernel
+
+
+def _blocks_to_plane_xla(blocks: jax.Array, bh: int, bw: int) -> jax.Array:
+    """(B, bh, bw, 64) block-vectorized -> (B, bh*8, bw*8) plane (XLA-side
+    relayout: one transpose pass over the packed int32 pixels)."""
+    b = blocks.shape[0]
+    p = blocks.reshape(b, bh, bw, 8, 8)
+    return jnp.moveaxis(p, -2, -3).reshape(b, bh * 8, bw * 8)
+
+
+def _block_diag_pair(w: jax.Array) -> jax.Array:
+    """(B, 64, 64) -> (B, 128, 128) block-diagonal: two blocks per MXU tile.
+    Zero padding adds exact zeros to each output sum, so results match the
+    single-block matmul bit-for-bit."""
+    bsz = w.shape[0]
+    w2 = jnp.zeros((bsz, 128, 128), jnp.float32)
+    return w2.at[:, :64, :64].set(w).at[:, 64:, 64:].set(w)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
+                     wqy: jax.Array, wqc: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """4:2:0 decode megakernel.
+
+    (B, ybh, ybw, 64) + 2x(B, cbh, cbw, 64) int16 coefficients with
+    per-image dequant-folded IDCT matrices (B, 64, 64) -> (B, cbh_pad*16,
+    cbw*16) int32 packed BGRA (bitcast to u8 gives (..., 4) = B,G,R,255).
+    Caller crops to the true image dims."""
+    bsz, cbh, cbw = cb.shape[0], cb.shape[1], cb.shape[2]
+    t = min(MEGA_TILE_ROWS, cbh)
+    cbh_pad = -(-cbh // t) * t
+    cb = jnp.pad(cb, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
+    cr = jnp.pad(cr, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
+    yc = jnp.pad(yc, ((0, 0), (0, 2 * cbh_pad - yc.shape[1]),
+                      (0, 2 * cbw - yc.shape[2]), (0, 0)))
+    yc2 = yc.reshape(bsz, 2 * cbh_pad, cbw, 128)   # free: block pairs
+    wqy = jnp.broadcast_to(wqy, (bsz, 64, 64))
+    wqc = jnp.broadcast_to(wqc, (bsz, 64, 64))
+    s = _upsample_sel_matrices()
+    sae = jnp.asarray(np.concatenate([s[0], s[2]], axis=1))
+    sao = jnp.asarray(np.concatenate([s[1], s[3]], axis=1))
+    she = jnp.asarray(np.concatenate([s[4], s[6]], axis=1))
+    sho = jnp.asarray(np.concatenate([s[5], s[7]], axis=1))
+    cspec = pl.BlockSpec((1, t, cbw, 64), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    espec = lambda m: pl.BlockSpec((1, 1, cbw, 64), m,
+                                   memory_space=pltpu.VMEM)
+    prev = lambda b, i: (b, jnp.maximum(i * t - 1, 0), 0, 0)
+    nxt = lambda b, i: (b, jnp.minimum(i * t + t, cbh_pad - 1), 0, 0)
+    sspec = pl.BlockSpec((64, 128), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    blocks = pl.pallas_call(
+        _dec420_kernel_factory(t, cbw, cbh),
+        out_shape=jax.ShapeDtypeStruct((bsz, cbh_pad, 2, cbw, 128),
+                                       jnp.int32),
+        grid=(bsz, cbh_pad // t),
+        in_specs=[
+            pl.BlockSpec((1, 2 * t, cbw, 128), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            espec(prev), cspec, espec(nxt),
+            espec(prev), cspec, espec(nxt),
+            pl.BlockSpec((1, 128, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, 64), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            sspec, sspec, sspec, sspec,
+        ],
+        out_specs=pl.BlockSpec((1, t, 2, cbw, 128),
+                               lambda b, i: (b, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yc2, cb, cb, cb, cr, cr, cr, _block_diag_pair(wqy), wqc,
+      sae, sao, she, sho)
+    blk = blocks.reshape(bsz, 2 * cbh_pad, 2 * cbw, 64)
+    return _blocks_to_plane_xla(blk, 2 * cbh_pad, 2 * cbw)
+
+
+def _dec444_kernel_factory(t_rows: int):
+    def kernel(y_ref, cb_ref, cr_ref, wy_ref, wc_ref, out_ref):
+        wy = wy_ref[0]
+        wc = wc_ref[0]
+        for r in range(t_rows):
+            y = jnp.dot(y_ref[0, r].astype(jnp.float32), wy,
+                        preferred_element_type=jnp.float32) + 128.0
+            # the +128 then -128 round-trip is kept (NOT algebraically
+            # cancelled) so f32 results stay bit-identical to the split path
+            cb = (jnp.dot(cb_ref[0, r].astype(jnp.float32), wc,
+                          preferred_element_type=jnp.float32) + 128.0) - 128.0
+            cr = (jnp.dot(cr_ref[0, r].astype(jnp.float32), wc,
+                          preferred_element_type=jnp.float32) + 128.0) - 128.0
+            rr = y + 1.402 * cr
+            gg = y - 0.344136286 * cb - 0.714136286 * cr
+            bb = y + 1.772 * cb
+            out_ref[0, r] = _pack_bgra(bb, gg, rr)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode444_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
+                     wqy: jax.Array, wqc: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """4:4:4 decode megakernel: 3x(B, bh, bw, 64) int16 -> (B, bh_pad*8,
+    bw_pad*8) int32 packed BGRA (caller crops)."""
+    bsz, bh, bw = yc.shape[0], yc.shape[1], yc.shape[2]
+    bw_pad = bw + (bw % 2)
+    t = min(MEGA_TILE_ROWS, bh)
+    bh_pad = -(-bh // t) * t
+
+    def prep(c):
+        c = jnp.pad(c, ((0, 0), (0, bh_pad - bh), (0, bw_pad - bw), (0, 0)))
+        return c.reshape(bsz, bh_pad, bw_pad // 2, 128)
+
+    wqy = jnp.broadcast_to(wqy, (bsz, 64, 64))
+    wqc = jnp.broadcast_to(wqc, (bsz, 64, 64))
+    bw2 = bw_pad // 2
+    spec = pl.BlockSpec((1, t, bw2, 128), lambda b, i: (b, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((1, 128, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blocks = pl.pallas_call(
+        _dec444_kernel_factory(t),
+        out_shape=jax.ShapeDtypeStruct((bsz, bh_pad, bw2, 128), jnp.int32),
+        grid=(bsz, bh_pad // t),
+        in_specs=[spec, spec, spec, wspec, wspec],
+        out_specs=pl.BlockSpec((1, t, bw2, 128), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(prep(yc), prep(cb), prep(cr),
+      _block_diag_pair(wqy), _block_diag_pair(wqc))
+    blk = blocks.reshape(bsz, bh_pad, bw_pad, 64)
+    return _blocks_to_plane_xla(blk, bh_pad, bw_pad)
 
 
 def _fdct_kernel(px_ref, w_ref, out_ref):

@@ -224,6 +224,45 @@ def _area_axis_matrix(src: int, dst: int) -> np.ndarray:
     return m
 
 
+_BAND_GROUP = 64  # output rows per banded-contraction slab
+
+
+def _banded_groups(mat: np.ndarray, group: int = _BAND_GROUP):
+    """Split a banded (dst, src) axis matrix into per-output-group slabs
+    covering only each group's nonzero source window. Returns
+    [(src_lo, src_hi, slab)] in output order; None when banding would not
+    shrink the contraction (e.g. near-dense matrices)."""
+    dst, src = mat.shape
+    groups = []
+    total = 0
+    for g0 in range(0, dst, group):
+        rows = mat[g0:min(g0 + group, dst)]
+        nz = np.nonzero(rows.any(axis=0))[0]
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        groups.append((lo, hi, np.ascontiguousarray(rows[:, lo:hi])))
+        total += (hi - lo) * rows.shape[0]
+    if total >= 0.75 * dst * src:
+        return None
+    return groups
+
+
+def _banded_contract(s: jax.Array, mat: np.ndarray, axis: int) -> jax.Array:
+    """Contract spatial `axis` (-3=h, -2=w) of (..., h, w, c) with a banded
+    (dst, src) matrix as per-group slab matmuls: each 64-output-row group
+    reads only its ~(scale*64+taps)-row source window, cutting MXU work
+    ~4x at serving shapes vs the dense form (same nonzero terms, so the
+    +-1 contract of resize_area_mxu is unchanged)."""
+    groups = _banded_groups(mat)
+    eq = "...hwc,Ww->...hWc" if axis == -2 else "...hwc,Hh->...Hwc"
+    if groups is None:
+        return jnp.einsum(eq, s, jnp.asarray(mat),
+                          preferred_element_type=jnp.float32)
+    parts = [jnp.einsum(eq, jax.lax.slice_in_dim(s, lo, hi, axis=axis),
+                        jnp.asarray(slab), preferred_element_type=jnp.float32)
+             for lo, hi, slab in groups]
+    return jnp.concatenate(parts, axis=axis)
+
+
 def resize_area_mxu(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     """INTER_AREA resize as two dense matrix contractions (no gathers).
 
@@ -244,13 +283,11 @@ def resize_area_mxu(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     if (src_w >= dst_w and src_h >= dst_h
             and T.area_is_fast(src_w, src_h, dst_w, dst_h)):
         return _area_fast_u8(img, dst_w, dst_h) if is_u8 else _area_fast_f32(img, dst_w, dst_h)
-    wx = jnp.asarray(_area_axis_matrix(src_w, dst_w))  # (dst_w, src_w)
-    wy = jnp.asarray(_area_axis_matrix(src_h, dst_h))  # (dst_h, src_h)
+    wx = _area_axis_matrix(src_w, dst_w)  # (dst_w, src_w)
+    wy = _area_axis_matrix(src_h, dst_h)  # (dst_h, src_h)
     s = img.astype(jnp.float32)
-    h = jnp.einsum("...hwc,Ww->...hWc", s, wx,
-                   preferred_element_type=jnp.float32)
-    out = jnp.einsum("...hWc,Hh->...HWc", h, wy,
-                     preferred_element_type=jnp.float32)
+    h = _banded_contract(s, wx, axis=-2)
+    out = _banded_contract(h, wy, axis=-3)
     if is_u8:
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     return out

@@ -1,0 +1,91 @@
+"""Decode-megakernel parity: the fused Pallas coefficient->BGRA kernel
+(ops/pallas_kernels.decode{420,444}_packed) must be bit-identical to the
+split dequant_idct + upsample_chroma + ycbcr_to_bgr path on every
+subsampling/odd-geometry case (interpret mode on CPU; the real-TPU numerics
+check runs in bench.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lilliput_tpu.codecs.jpeg import scaled_qtables
+from lilliput_tpu.ops import jpeg_kernels as K
+
+
+def _bl(n: int, f: int) -> int:
+    """Block count along one axis for a plane subsampled by f."""
+    return (-(-n // f) + 7) // 8
+
+
+def _coefs(rng, h, w, sub, batch=2):
+    f = 2 if sub == "420" else 1
+    yc = rng.integers(-300, 300, (batch, _bl(h, 1), _bl(w, 1), 64)).astype(np.int16)
+    cb = rng.integers(-200, 200, (batch, _bl(h, f), _bl(w, f), 64)).astype(np.int16)
+    cr = rng.integers(-200, 200, (batch, _bl(h, f), _bl(w, f), 64)).astype(np.int16)
+    return yc, cb, cr
+
+
+CASES = [(64, 48), (67, 61), (16, 16), (130, 17), (8, 8), (24, 129)]
+
+
+@pytest.mark.parametrize("h,w", CASES)
+@pytest.mark.parametrize("sub", ["420", "444"])
+def test_megakernel_matches_split_path(h, w, sub):
+    rng = np.random.default_rng(42)
+    yc, cb, cr = _coefs(rng, h, w, sub)
+    qy, qc = scaled_qtables(85)
+    s2 = sub == "420"
+    args = (jnp.asarray(yc), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(qy), jnp.asarray(qc))
+    ref = K.decode_ycc_420(*args, h, w, s2, s2)  # CPU default: split path
+    got = K._decode_ycc_megakernel(*args, h, w, s2, s2, interpret=True)
+    assert got is not None
+    assert got.shape == ref.shape == (2, h, w, 3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_megakernel_per_image_qtables():
+    """Serving path: each image dequantizes with its OWN tables."""
+    rng = np.random.default_rng(7)
+    h, w = 67, 61
+    yc, cb, cr = _coefs(rng, h, w, "420", batch=3)
+    qy = np.stack([scaled_qtables(q)[0] for q in (30, 85, 95)])
+    qc = np.stack([scaled_qtables(q)[1] for q in (30, 85, 95)])
+    args = (jnp.asarray(yc), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(qy), jnp.asarray(qc))
+    ref = K.decode_ycc_420(*args, h, w, True, True)
+    got = K._decode_ycc_megakernel(*args, h, w, True, True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # per-image tables actually matter: image 0 at q30 differs from q85
+    ref_q85 = K.decode_ycc_420(
+        args[0], args[1], args[2],
+        jnp.asarray(scaled_qtables(85)[0]), jnp.asarray(scaled_qtables(85)[1]),
+        h, w, True, True)
+    assert not np.array_equal(np.asarray(got[0]), np.asarray(ref_q85[0]))
+
+
+def test_megakernel_unbatched_lead():
+    """Streaming decoder shape: no leading batch axis."""
+    rng = np.random.default_rng(3)
+    h, w = 40, 56
+    yc, cb, cr = _coefs(rng, h, w, "420", batch=1)
+    qy, qc = scaled_qtables(75)
+    args = (jnp.asarray(yc[0]), jnp.asarray(cb[0]), jnp.asarray(cr[0]),
+            jnp.asarray(qy), jnp.asarray(qc))
+    ref = K.decode_ycc_420(*args, h, w, True, True)
+    got = K._decode_ycc_megakernel(*args, h, w, True, True, interpret=True)
+    assert got.shape == (h, w, 3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_megakernel_declines_422():
+    """4:2:2/4:4:0 fall back to the split path (returns None)."""
+    rng = np.random.default_rng(1)
+    h, w = 32, 32
+    yc = rng.integers(-100, 100, (1, 4, 4, 64)).astype(np.int16)
+    cbh = rng.integers(-100, 100, (1, 4, 2, 64)).astype(np.int16)
+    qy, qc = scaled_qtables(85)
+    got = K._decode_ycc_megakernel(
+        jnp.asarray(yc), jnp.asarray(cbh), jnp.asarray(cbh),
+        jnp.asarray(qy), jnp.asarray(qc), h, w, True, False)
+    assert got is None
