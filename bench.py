@@ -154,29 +154,37 @@ def main():
     p50_batch = max(p50_chain - rtt, 1e-9) / chain
     device_ips = batch / p50_batch
 
-    # single-image device latency (p50, forced materialization; includes
-    # one tunnel round trip — the rtt field bounds that adder)
+    # single-image device latency: the per-step time of a 16-deep data-
+    # dependent chain of batch-1 transforms (a lone step is ~sub-ms, far
+    # below the tunnel RTT's jitter, so it must be amortized to measure)
     one = [jax.device_put(c[:1]) for c in coefs]
+    lat_chain = 16
 
     @jax.jit
-    def one_step(yc, cbc, crc, qy, qc, eqy, eqc):
-        o = fused_jpeg_fit_transcode(
-            yc, cbc, crc, qy, qc, eqy, eqc,
-            src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
-            dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
-            orientation=pipe.orientation)
-        return sum(jnp.sum(v.astype(jnp.int32)) for v in o)
+    def one_chained(yc, cbc, crc, qy, qc, eqy, eqc):
+        acc = jnp.int32(0)
+        y = yc
+        for _ in range(lat_chain):
+            o = fused_jpeg_fit_transcode(
+                y, cbc, crc, qy, qc, eqy, eqc,
+                src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+                dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
+                orientation=pipe.orientation)
+            s = sum(jnp.sum(v.astype(jnp.int32)) for v in o)
+            acc = acc + s
+            y = yc + (s % 2).astype(jnp.int16)  # serialize the chain
+        return acc
 
     one_args = (one[0], one[1], one[2], one[3], one[4],
                 pipe.enc_qt_y, pipe.enc_qt_c)
-    int(one_step(*one_args))
+    int(one_chained(*one_args))
     lat = []
-    for _ in range(10):
+    for _ in range(5):
         t1 = time.time()
-        int(one_step(*one_args))
+        int(one_chained(*one_args))
         lat.append(time.time() - t1)
     lat.sort()
-    p50_ms = max(lat[len(lat) // 2] - rtt, 0.0) * 1000
+    p50_ms = max(lat[len(lat) // 2] - rtt, 0.0) / lat_chain * 1000
 
     # --- honest e2e bound ---------------------------------------------------
     # transcode_pipelined overlaps host entropy with device compute, so the

@@ -35,8 +35,12 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lp_jpeg_decode_coefs.restype = c.c_int
     lib.lp_jpeg_encode_coefs.argtypes = [
         c.c_int32, c.c_int32, c.c_int32, i32p, i32p, c.POINTER(i16p),
-        u16p, u16p, c.c_int32, c.c_int32, u8p, c.c_int32, u8p, c.c_size_t]
+        u16p, u16p, c.c_int32, c.c_int32, c.c_int32, u8p, c.c_int32,
+        u8p, c.c_size_t]
     lib.lp_jpeg_encode_coefs.restype = c.c_long
+    lib.lp_jpeg_decode_coefs_parallel.argtypes = [
+        u8p, c.c_size_t, c.POINTER(i16p), u16p, c.c_int32]
+    lib.lp_jpeg_decode_coefs_parallel.restype = c.c_int
     lib.lp_jpeg_scale_qtable.argtypes = [u16p, c.c_int32, c.c_int32, u16p]
     lib.lp_jpeg_scale_qtable.restype = None
     _configure_optional(lib)

@@ -19,7 +19,8 @@ import numpy as np
 
 from .. import binding
 from ..errors import DecodingFailedError, InvalidImageError
-from ..framebuffer import (JPEG_OPTIMIZE, JPEG_PROGRESSIVE, JPEG_QUALITY,
+from ..framebuffer import (JPEG_OPTIMIZE, JPEG_PROGRESSIVE,  # noqa: E501
+                           JPEG_QUALITY, JPEG_RST_INTERVAL,
                            Framebuffer, ImageHeader, ImageOrientation)
 from ..interfaces import Decoder, Encoder
 from ..ops import jpeg_kernels as K
@@ -64,6 +65,18 @@ class _JpegInfo(ctypes.Structure):
         ("jpeg_color_space", ctypes.c_int32),
         ("restart_interval", ctypes.c_int32),
     ]
+
+
+def intra_decode_workers() -> int:
+    """Host threads for restart-marker-parallel Huffman decode of ONE image
+    (LILLIPUT_JPEG_INTRA_WORKERS; default 1 = serial). Batch serving uses
+    image-level threading instead (pipeline.decode_entropy); intra-image
+    slicing is the latency lever for single large images."""
+    import os
+    try:
+        return max(int(os.environ.get("LILLIPUT_JPEG_INTRA_WORKERS", "1")), 1)
+    except ValueError:
+        return 1
 
 
 def _u8ptr(arr: np.ndarray):
@@ -233,10 +246,22 @@ class JpegDecoder(Decoder):
             ptrs[c] = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
         qtables = np.zeros((4, 64), np.uint16)
         icc_buf = np.zeros(max(info.icc_length, 1), np.uint8)
-        rc = self._lib.lp_jpeg_decode_coefs(
-            _u8ptr(self._buf), self._buf.size, ptrs,
-            qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-            _u8ptr(icc_buf), icc_buf.size)
+        rc = -10
+        workers = intra_decode_workers()
+        if (workers > 1 and info.restart_interval > 0 and not info.progressive
+                and info.icc_length == 0):
+            # restart-marker-parallel Huffman decode (SURVEY hard part #2):
+            # DRI segments reset bit state + DC predictors, so the scan
+            # slices across host threads inside ONE image
+            rc = self._lib.lp_jpeg_decode_coefs_parallel(
+                _u8ptr(self._buf), self._buf.size, ptrs,
+                qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                workers)
+        if rc != 0:  # not sliceable (or parallel decode failed): serial path
+            rc = self._lib.lp_jpeg_decode_coefs(
+                _u8ptr(self._buf), self._buf.size, ptrs,
+                qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                _u8ptr(icc_buf), icc_buf.size)
         if rc != 0:
             raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
         self._coefs = coefs
@@ -317,6 +342,7 @@ class JpegEncoder(Encoder):
         quality = min(max(quality, 1), 100)
         progressive = 1 if opts.get(JPEG_PROGRESSIVE, 0) else 0
         optimize = 1 if opts.get(JPEG_OPTIMIZE, 0) else 0
+        rst_rows = max(int(opts.get(JPEG_RST_INTERVAL, 0)), 0)
         qt_l, qt_c = scaled_qtables(quality)
 
         arr = fb.array
@@ -352,7 +378,7 @@ class JpegEncoder(Encoder):
         n = self._lib.lp_jpeg_encode_coefs(
             w, h, nc, hs, vs, ptrs,
             qt_l.ctypes.data_as(q), qt_c.ctypes.data_as(q),
-            progressive, optimize,
+            progressive, optimize, rst_rows,
             _u8ptr(icc_arr), len(icc), _u8ptr(out), out.size)
         if n < 0:
             raise DecodingFailedError(f"JPEG entropy encode failed ({n})")

@@ -64,6 +64,7 @@ class ImageOrientation(enum.IntEnum):
 JPEG_QUALITY = 1            # CV_IMWRITE_JPEG_QUALITY
 JPEG_PROGRESSIVE = 2        # CV_IMWRITE_JPEG_PROGRESSIVE
 JPEG_OPTIMIZE = 3           # CV_IMWRITE_JPEG_OPTIMIZE (optimize_coding)
+JPEG_RST_INTERVAL = 4       # CV_IMWRITE_JPEG_RST_INTERVAL (DRI, MCU rows)
 PNG_COMPRESSION = 16        # CV_IMWRITE_PNG_COMPRESSION
 WEBP_QUALITY = 64           # CV_IMWRITE_WEBP_QUALITY
 # Extended WebP options (webp.hpp:13-23)

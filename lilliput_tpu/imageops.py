@@ -122,6 +122,13 @@ class ImageOps:
         out_w, out_h = opt.width, opt.height
         if opt.resize_method == ResizeMethod.NO_RESIZE:
             out_w, out_h = header.width, header.height
+        if out_w <= 0 or out_h <= 0:
+            # reference surfaces this as a cv::resize error from the C++
+            # side (opencv.go:284-299); fail with a clear message instead
+            # of a ZeroDivisionError deep in the fit math
+            raise ValueError(
+                f"transform dimensions must be positive, got "
+                f"{out_w}x{out_h} (method={opt.resize_method})")
         fit = opt.resize_method in (ResizeMethod.FIT, ResizeMethod.NO_RESIZE)
         return self._fit_or_resize(active, header, out_w, out_h, fit)
 

@@ -20,6 +20,9 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <thread>
+#include <vector>
+
 #include <jpeglib.h>
 #include <jerror.h>
 
@@ -205,6 +208,7 @@ long lp_jpeg_encode_coefs(int32_t width, int32_t height, int32_t ncomp,
                           int16_t** coefs,
                           const uint16_t* qtable_luma, const uint16_t* qtable_chroma,
                           int32_t progressive, int32_t optimize,
+                          int32_t restart_in_rows,
                           const uint8_t* icc, int32_t icc_len,
                           uint8_t* out, size_t out_cap) {
     jpeg_compress_struct cinfo;
@@ -246,6 +250,10 @@ long lp_jpeg_encode_coefs(int32_t width, int32_t height, int32_t ncomp,
     }
     if (progressive) jpeg_simple_progression(&cinfo);
     if (optimize) cinfo.optimize_coding = TRUE;
+    // DRI restart markers every N MCU rows (IMWRITE_JPEG_RST_INTERVAL
+    // parity with the reference's OpenCV encoder options); also what makes
+    // lp_jpeg_decode_coefs_parallel able to split the scan
+    if (restart_in_rows > 0) cinfo.restart_in_rows = restart_in_rows;
 
     // build virtual coefficient arrays and fill from device output
     jvirt_barray_ptr barrays[LP_JPEG_MAX_COMPONENTS];
@@ -295,6 +303,199 @@ long lp_jpeg_encode_coefs(int32_t width, int32_t height, int32_t ncomp,
     std::memcpy(out, mem_out, mem_size);
     free(mem_out);
     return written;
+}
+
+// ---------------------------------------------------------------------------
+// Restart-marker-parallel coefficient decode (SURVEY.md hard part #2).
+//
+// A baseline single-scan JPEG with a DRI interval that is a whole number of
+// MCU rows splits into independently decodable slices: each restart marker
+// resets the bit buffer and DC predictors. Each worker gets a synthetic
+// in-memory JPEG = original headers (SOF height patched to its slice) +
+// its slice's entropy bytes (restart markers renumbered from RST0) + EOI,
+// decoded with a private libjpeg instance into the right block-row offset
+// of the shared output arrays. Returns 0 ok, -10 "not sliceable" (caller
+// falls back to lp_jpeg_decode_coefs), other negatives on error.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct lp_markers {
+    size_t sof_payload = 0;   // offset of SOF payload (precision byte)
+    size_t scan_start = 0;    // first entropy byte after SOS header
+    bool progressive = false;
+};
+
+int lp_find_markers(const uint8_t* buf, size_t len, lp_markers* out) {
+    if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return -1;
+    size_t p = 2;
+    while (p + 4 <= len) {
+        if (buf[p] != 0xFF) return -1;
+        uint8_t m = buf[p + 1];
+        if (m == 0xFF) { p++; continue; }                 // fill byte
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { p += 2; continue; }
+        size_t seglen = (static_cast<size_t>(buf[p + 2]) << 8) | buf[p + 3];
+        if (seglen < 2 || p + 2 + seglen > len) return -1;
+        if (m == 0xC0 || m == 0xC1) out->sof_payload = p + 4;
+        else if (m == 0xC2) { out->sof_payload = p + 4; out->progressive = true; }
+        else if (m == 0xDA) { out->scan_start = p + 2 + seglen; return 0; }
+        p += 2 + seglen;
+    }
+    return -1;
+}
+
+// Decode one synthetic slice JPEG into coefs at the given MCU-row offset.
+int lp_decode_slice(const uint8_t* sbuf, size_t slen, int16_t** coefs,
+                    const int32_t* full_bw, const int32_t* full_bh,
+                    const int32_t* v_samp, int32_t mcu_row0) {
+    jpeg_decompress_struct cinfo;
+    lp_error_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = lp_error_exit;
+    jerr.pub.emit_message = lp_emit_message;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, sbuf, static_cast<unsigned long>(slen));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -2;
+    }
+    jvirt_barray_ptr* barrays = jpeg_read_coefficients(&cinfo);
+    if (!barrays) {
+        jpeg_destroy_decompress(&cinfo);
+        return -3;
+    }
+    for (int c = 0; c < cinfo.num_components && c < LP_JPEG_MAX_COMPONENTS; c++) {
+        jpeg_component_info* ci = &cinfo.comp_info[c];
+        const JDIMENSION bw = ci->width_in_blocks;
+        const JDIMENSION bh = ci->height_in_blocks;
+        if (static_cast<int32_t>(bw) != full_bw[c]) {
+            jpeg_destroy_decompress(&cinfo);
+            return -4;
+        }
+        const int32_t row0 = mcu_row0 * v_samp[c];
+        int16_t* dst = coefs[c] + static_cast<size_t>(row0) * bw * DCTSIZE2;
+        for (JDIMENSION row = 0; row < bh; row++) {
+            if (row0 + static_cast<int32_t>(row) >= full_bh[c]) break;
+            JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+                reinterpret_cast<j_common_ptr>(&cinfo), barrays[c], row, 1, FALSE);
+            std::memcpy(dst + static_cast<size_t>(row) * bw * DCTSIZE2,
+                        rows[0], sizeof(JCOEF) * bw * DCTSIZE2);
+        }
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+}  // namespace
+
+int lp_jpeg_decode_coefs_parallel(const uint8_t* buf, size_t len,
+                                  int16_t** coefs, uint16_t* qtables,
+                                  int32_t nthreads) {
+    lp_jpeg_info info;
+    int rc = lp_jpeg_get_info(buf, len, &info);
+    if (rc != 0) return rc;
+    if (info.progressive || info.restart_interval <= 0 ||
+        info.num_components > LP_JPEG_MAX_COMPONENTS)
+        return -10;
+    int max_h = 1, max_v = 1;
+    for (int c = 0; c < info.num_components; c++) {
+        if (info.comp_h_samp[c] > max_h) max_h = info.comp_h_samp[c];
+        if (info.comp_v_samp[c] > max_v) max_v = info.comp_v_samp[c];
+    }
+    const int32_t mcu_w = 8 * max_h, mcu_h = 8 * max_v;
+    const int32_t mcus_per_row = (info.width + mcu_w - 1) / mcu_w;
+    const int32_t total_mcu_rows = (info.height + mcu_h - 1) / mcu_h;
+    if (info.restart_interval % mcus_per_row != 0) return -10;
+    const int32_t rows_per_seg = info.restart_interval / mcus_per_row;
+
+    lp_markers mk;
+    if (lp_find_markers(buf, len, &mk) != 0 || mk.sof_payload == 0) return -10;
+
+    // entropy-scan segment boundaries (offset of each 0xFF of an RST pair)
+    std::vector<size_t> bounds;  // start offset of each segment
+    bounds.push_back(mk.scan_start);
+    size_t end = len;
+    for (size_t p = mk.scan_start; p + 1 < len; p++) {
+        if (buf[p] != 0xFF) continue;
+        uint8_t m = buf[p + 1];
+        if (m == 0x00 || m == 0xFF) { p++; continue; }      // stuffed/fill
+        if (m >= 0xD0 && m <= 0xD7) { bounds.push_back(p + 2); p++; continue; }
+        if (m == 0xD9) { end = p; break; }
+        return -10;  // another scan/marker: not a single-scan baseline image
+    }
+    const size_t n_segs = bounds.size();
+    const int32_t expect_segs = (total_mcu_rows + rows_per_seg - 1) / rows_per_seg;
+    if (static_cast<int32_t>(n_segs) != expect_segs) return -10;
+
+    // quant tables from the (shared) header
+    {
+        jpeg_decompress_struct cinfo;
+        lp_error_mgr jerr;
+        cinfo.err = jpeg_std_error(&jerr.pub);
+        jerr.pub.error_exit = lp_error_exit;
+        jerr.pub.emit_message = lp_emit_message;
+        if (setjmp(jerr.jump)) { jpeg_destroy_decompress(&cinfo); return -2; }
+        jpeg_create_decompress(&cinfo);
+        jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+        jpeg_read_header(&cinfo, TRUE);
+        for (int t = 0; t < NUM_QUANT_TBLS; t++) {
+            if (cinfo.quant_tbl_ptrs[t]) {
+                for (int i = 0; i < DCTSIZE2; i++)
+                    qtables[t * DCTSIZE2 + i] = cinfo.quant_tbl_ptrs[t]->quantval[i];
+            } else {
+                std::memset(qtables + t * DCTSIZE2, 0, sizeof(uint16_t) * DCTSIZE2);
+            }
+        }
+        jpeg_destroy_decompress(&cinfo);
+    }
+
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > static_cast<int32_t>(n_segs)) nthreads = static_cast<int32_t>(n_segs);
+
+    std::vector<int> rcs(nthreads, 0);
+    std::vector<std::thread> workers;
+    for (int w = 0; w < nthreads; w++) {
+        const size_t s0 = n_segs * w / nthreads;
+        const size_t s1 = n_segs * (w + 1) / nthreads;
+        workers.emplace_back([&, w, s0, s1]() {
+            const int32_t r0 = static_cast<int32_t>(s0) * rows_per_seg;
+            const int32_t r1 = static_cast<int32_t>(s1) * rows_per_seg;
+            const int32_t slice_rows =
+                (r1 >= total_mcu_rows ? total_mcu_rows : r1) - r0;
+            const int32_t slice_h =
+                (r1 >= total_mcu_rows) ? info.height - r0 * mcu_h
+                                       : slice_rows * mcu_h;
+            // synthetic slice: headers + renumbered entropy slice + EOI
+            std::vector<uint8_t> sb;
+            sb.reserve(mk.scan_start + (bounds.back() - bounds[s0]) + 4);
+            sb.insert(sb.end(), buf, buf + mk.scan_start);
+            sb[mk.sof_payload + 1] = static_cast<uint8_t>((slice_h >> 8) & 0xFF);
+            sb[mk.sof_payload + 2] = static_cast<uint8_t>(slice_h & 0xFF);
+            for (size_t s = s0; s < s1; s++) {
+                const size_t a = bounds[s];
+                const size_t b = (s + 1 < n_segs) ? bounds[s + 1] - 2 : end;
+                if (s > s0) {
+                    sb.push_back(0xFF);
+                    sb.push_back(static_cast<uint8_t>(0xD0 + ((s - s0 - 1) & 7)));
+                }
+                sb.insert(sb.end(), buf + a, buf + b);
+            }
+            sb.push_back(0xFF);
+            sb.push_back(0xD9);
+            rcs[w] = lp_decode_slice(sb.data(), sb.size(), coefs,
+                                     info.comp_blocks_w, info.comp_blocks_h,
+                                     info.comp_v_samp, r0);
+        });
+    }
+    for (auto& t : workers) t.join();
+    for (int r : rcs)
+        if (r != 0) return r;
+    return 0;
 }
 
 // Scale a base quant table by libjpeg quality semantics (quality 1..100).

@@ -285,7 +285,7 @@ class JpegTranscodePipeline:
                 w, h, 3, hs, vs, ptrs,
                 self.enc_qt_y_np.ctypes.data_as(qp),
                 self.enc_qt_c_np.ctypes.data_as(qp),
-                0, opt, None, 0,
+                0, opt, 0, None, 0,
                 out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 out_buf.size)
             if n < 0:

@@ -172,3 +172,55 @@ def test_optimize_coding_smaller_same_pixels():
     b = cv2.imdecode(np.frombuffer(opt, np.uint8), cv2.IMREAD_COLOR)
     assert np.array_equal(a, b)  # same coefficients, different entropy coding
     assert len(opt) <= len(plain)
+
+
+def test_rst_interval_encode_option():
+    """JPEG_RST_INTERVAL emits DRI restart markers (reference exposes
+    OpenCV's IMWRITE_JPEG_RST_INTERVAL through its open-coded int options,
+    opencv.go:44-60)."""
+    from lilliput_tpu.codecs.jpeg import JpegDecoder, JpegEncoder
+    from lilliput_tpu.framebuffer import Framebuffer, JPEG_RST_INTERVAL
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    out = JpegEncoder().encode(Framebuffer(img), {JPEG_RST_INTERVAL: 1})
+    d = JpegDecoder(out)
+    assert d._info.restart_interval > 0
+    # and the stream actually contains RST markers
+    assert any(out[i] == 0xFF and 0xD0 <= out[i + 1] <= 0xD7
+               for i in range(2, len(out) - 1))
+    plain = JpegEncoder().encode(Framebuffer(img), {})
+    assert JpegDecoder(plain)._info.restart_interval == 0
+
+
+def test_restart_parallel_decode_matches_serial(monkeypatch):
+    """Restart-marker-parallel Huffman decode (jpeg_shim.cpp
+    lp_jpeg_decode_coefs_parallel) must produce coefficient arrays
+    byte-identical to the serial libjpeg path."""
+    from lilliput_tpu.codecs.jpeg import JpegDecoder, JpegEncoder
+    from lilliput_tpu.framebuffer import Framebuffer, JPEG_RST_INTERVAL
+    rng = np.random.default_rng(6)
+    # odd dims: exercises partial trailing MCU row in the last slice
+    img = rng.integers(0, 256, (133, 91, 3), np.uint8)
+    buf = JpegEncoder().encode(Framebuffer(img), {JPEG_RST_INTERVAL: 1})
+
+    d_serial = JpegDecoder(buf)
+    d_serial._decode_coefs_cached()
+
+    monkeypatch.setenv("LILLIPUT_JPEG_INTRA_WORKERS", "4")
+    d_par = JpegDecoder(buf)
+    d_par._decode_coefs_cached()
+
+    assert len(d_serial._coefs) == len(d_par._coefs)
+    for a, b in zip(d_serial._coefs, d_par._coefs):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(d_serial._qtables, d_par._qtables)
+
+
+def test_restart_parallel_falls_back_without_dri(monkeypatch):
+    """Images without restart markers silently use the serial decoder."""
+    from lilliput_tpu.codecs.jpeg import JpegDecoder
+    monkeypatch.setenv("LILLIPUT_JPEG_INTRA_WORKERS", "4")
+    buf = open("/root/reference/data/sunrise.jpg", "rb").read()
+    d = JpegDecoder(buf)
+    d._decode_coefs_cached()
+    assert len(d._coefs) == 3

@@ -157,3 +157,15 @@ def test_metrics_populated():
     snap = metrics.snapshot()
     assert snap["counters"]["images_transcoded"] == 1
     assert "device" in snap["stages"] and snap["stages"]["device"]["count"] == 1
+
+
+def test_zero_target_dims_raise_cleanly():
+    """0x0 Fit must raise a clear error, not a ZeroDivisionError (the
+    reference surfaces this as a cv::resize error, opencv.go:284-299)."""
+    from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod
+    buf = open("/root/reference/data/sunrise.jpg", "rb").read()
+    d = new_decoder(buf)
+    with pytest.raises(ValueError, match="must be positive"):
+        ImageOps(8192).transform(d, ImageOptions(
+            file_type=".jpeg", width=0, height=0,
+            resize_method=ResizeMethod.FIT))
