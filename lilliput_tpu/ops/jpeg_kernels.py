@@ -208,13 +208,16 @@ def bgr_to_ycbcr(img: jax.Array):
 # full decode / encode pipelines (jitted per geometry)
 # ---------------------------------------------------------------------------
 
-def _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
-                           out_h: int, out_w: int, h2: bool, v2: bool,
-                           interpret: bool = False):
-    """Dispatch to the fused decode megakernel (ops/pallas_kernels.py) when
-    the subsampling shape supports it (4:2:0 and 4:4:4 — the overwhelming
-    majority of real traffic); returns None for 4:2:2/4:4:0, which fall back
-    to the split dequant_idct + upsample_chroma + ycbcr_to_bgr path."""
+def decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
+                      out_h: int, out_w: int, h2: bool, v2: bool,
+                      interpret: bool = False):
+    """Megakernel decode to PACKED BGRA int32 planes (lead + (out_h, out_w)),
+    or None when the subsampling shape is unsupported (4:2:2/4:4:0).
+
+    The packed form is the serving-path representation: TPU layouts make a
+    (..., 3) u8 minor dim catastrophically slow (a measured 15 ms/batch-64
+    just to slice BGR out of BGRA), while channel extraction from int32 via
+    shifts fuses into whatever consumes the planes."""
     if h2 != v2:
         return None
     if not h2 and not (y_coefs.shape[-3:-1] == cb_coefs.shape[-3:-1]
@@ -236,8 +239,31 @@ def _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
     fn = PK.decode420_packed if h2 else PK.decode444_packed
     packed = fn(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
                 interpret=interpret)
+    return packed[:, :out_h, :out_w].reshape(lead + (out_h, out_w))
+
+
+def packed_to_planes(packed: jax.Array):
+    """Packed BGRA int32 -> (b, g, r) f32 planes (exact u8 values)."""
+    bpl = (packed & 255).astype(jnp.float32)
+    gpl = ((packed >> 8) & 255).astype(jnp.float32)
+    rpl = ((packed >> 16) & 255).astype(jnp.float32)
+    return bpl, gpl, rpl
+
+
+def _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
+                           out_h: int, out_w: int, h2: bool, v2: bool,
+                           interpret: bool = False):
+    """Dispatch to the fused decode megakernel (ops/pallas_kernels.py) when
+    the subsampling shape supports it (4:2:0 and 4:4:4 — the overwhelming
+    majority of real traffic); returns None for 4:2:2/4:4:0, which fall back
+    to the split dequant_idct + upsample_chroma + ycbcr_to_bgr path."""
+    packed = decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma,
+                               qt_chroma, out_h, out_w, h2, v2,
+                               interpret=interpret)
+    if packed is None:
+        return None
     u8v = jax.lax.bitcast_convert_type(packed, jnp.uint8)
-    return u8v[:, :out_h, :out_w, :3].reshape(lead + (out_h, out_w, 3))
+    return u8v[..., :3]
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "h2", "v2"))
@@ -308,11 +334,7 @@ def _pad_to(plane: jax.Array, h: int, w: int) -> jax.Array:
     return plane
 
 
-@functools.partial(jax.jit, static_argnames=("subsample",))
-def encode_from_bgr(img, qt_luma, qt_chroma, subsample: bool = True):
-    """(..., H, W, 3+) u8 BGR(A) -> (y, cb, cr) quantized int16 coefficient
-    arrays, 4:2:0 when subsample else 4:4:4. Alpha is ignored."""
-    y, cb, cr = bgr_to_ycbcr(img[..., :3])
+def _encode_ycc(y, cb, cr, qt_luma, qt_chroma, subsample: bool):
     h, w = y.shape[-2], y.shape[-1]
     if subsample:
         mcu = 16
@@ -331,6 +353,26 @@ def encode_from_bgr(img, qt_luma, qt_chroma, subsample: bool = True):
     return (fdct_quant(y, qt_luma),
             fdct_quant(cb, qt_chroma),
             fdct_quant(cr, qt_chroma))
+
+
+@functools.partial(jax.jit, static_argnames=("subsample",))
+def encode_from_bgr(img, qt_luma, qt_chroma, subsample: bool = True):
+    """(..., H, W, 3+) u8 BGR(A) -> (y, cb, cr) quantized int16 coefficient
+    arrays, 4:2:0 when subsample else 4:4:4. Alpha is ignored."""
+    y, cb, cr = bgr_to_ycbcr(img[..., :3])
+    return _encode_ycc(y, cb, cr, qt_luma, qt_chroma, subsample)
+
+
+@functools.partial(jax.jit, static_argnames=("subsample",))
+def encode_from_bgr_planes(bpl, gpl, rpl, qt_luma, qt_chroma,
+                           subsample: bool = True):
+    """Planar variant for the packed serving path: three (..., H, W) f32
+    planes holding exact u8 values. Identical math to encode_from_bgr
+    without ever materializing a channel-minor array (TPU layout poison)."""
+    y = 0.299 * rpl + 0.587 * gpl + 0.114 * bpl
+    cb = -0.168735892 * rpl - 0.331264108 * gpl + 0.5 * bpl + 128.0
+    cr = 0.5 * rpl - 0.418687589 * gpl - 0.081312411 * bpl + 128.0
+    return _encode_ycc(y, cb, cr, qt_luma, qt_chroma, subsample)
 
 
 @jax.jit

@@ -124,6 +124,27 @@ def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
+def _sel_dot_exact(a: jax.Array, s3_ref) -> jax.Array:
+    """EXACT a @ S for a 0/1 selection matrix S, in native bf16 MXU passes.
+
+    s3_ref holds S stacked 3x along K as bf16 (exact: entries are 0/1).
+    The f32 activation splits exactly into three disjoint bf16 mantissa
+    slices (hi = rn(a); mid = rn(a-hi); lo = a-hi-mid, each <=8 significand
+    bits); concatenated along K, one DEFAULT-precision bf16 matmul then
+    sums, per output element, exactly the three slices of one selected
+    source element (plus exact zeros) — bit-identical to a full-precision
+    f32 selection at ~1/4 the MXU passes of the 6-pass HIGHEST emulation."""
+    hi = a.astype(jnp.bfloat16)
+    r = a - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    a3 = jnp.concatenate([hi, mid, lo], axis=1)
+    return jax.lax.dot_general(
+        a3, s3_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+
+
 MEGA_TILE_ROWS = 8  # MCU rows per megakernel grid step
 
 
@@ -244,7 +265,14 @@ def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     cbw*16) int32 packed BGRA (bitcast to u8 gives (..., 4) = B,G,R,255).
     Caller crops to the true image dims."""
     bsz, cbh, cbw = cb.shape[0], cb.shape[1], cb.shape[2]
-    t = min(MEGA_TILE_ROWS, cbh)
+    # prefer a tile size dividing cbh (avoids the row-pad copies — a
+    # jnp.pad of the coefficient stack is a full HBM round trip), but not
+    # at the cost of doubling the grid: small tiles lose more to per-step
+    # overhead than the pad costs
+    t = max(d for d in range(1, min(MEGA_TILE_ROWS, cbh) + 1)
+            if cbh % d == 0)
+    if t < 3 and cbh > MEGA_TILE_ROWS:
+        t = MEGA_TILE_ROWS
     cbh_pad = -(-cbh // t) * t
     cb = jnp.pad(cb, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
     cr = jnp.pad(cr, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
@@ -294,23 +322,23 @@ def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     return _blocks_to_plane_xla(blk, 2 * cbh_pad, 2 * cbw)
 
 
-def _dec444_kernel_factory(t_rows: int):
+def _dec444_kernel_factory(t_rows: int, bw2: int):
+    n = t_rows * bw2
+
     def kernel(y_ref, cb_ref, cr_ref, wy_ref, wc_ref, out_ref):
-        wy = wy_ref[0]
-        wc = wc_ref[0]
-        for r in range(t_rows):
-            y = jnp.dot(y_ref[0, r].astype(jnp.float32), wy,
-                        preferred_element_type=jnp.float32) + 128.0
-            # the +128 then -128 round-trip is kept (NOT algebraically
-            # cancelled) so f32 results stay bit-identical to the split path
-            cb = (jnp.dot(cb_ref[0, r].astype(jnp.float32), wc,
-                          preferred_element_type=jnp.float32) + 128.0) - 128.0
-            cr = (jnp.dot(cr_ref[0, r].astype(jnp.float32), wc,
-                          preferred_element_type=jnp.float32) + 128.0) - 128.0
-            rr = y + 1.402 * cr
-            gg = y - 0.344136286 * cb - 0.714136286 * cr
-            bb = y + 1.772 * cb
-            out_ref[0, r] = _pack_bgra(bb, gg, rr)
+        def plane(ref, w):
+            f = ref[0].reshape(n, 128).astype(jnp.float32)
+            return jnp.dot(f, w, preferred_element_type=jnp.float32) + 128.0
+
+        y = plane(y_ref, wy_ref[0])
+        # the +128 then -128 round-trip is kept (NOT algebraically
+        # cancelled) so f32 results stay bit-identical to the split path
+        cb = plane(cb_ref, wc_ref[0]) - 128.0
+        cr = plane(cr_ref, wc_ref[0]) - 128.0
+        rr = y + 1.402 * cr
+        gg = y - 0.344136286 * cb - 0.714136286 * cr
+        bb = y + 1.772 * cb
+        out_ref[0] = _pack_bgra(bb, gg, rr).reshape(t_rows, bw2, 128)
 
     return kernel
 
@@ -338,7 +366,7 @@ def decode444_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     wspec = pl.BlockSpec((1, 128, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     blocks = pl.pallas_call(
-        _dec444_kernel_factory(t),
+        _dec444_kernel_factory(t, bw2),
         out_shape=jax.ShapeDtypeStruct((bsz, bh_pad, bw2, 128), jnp.int32),
         grid=(bsz, bh_pad // t),
         in_specs=[spec, spec, spec, wspec, wspec],

@@ -263,6 +263,33 @@ def _banded_contract(s: jax.Array, mat: np.ndarray, axis: int) -> jax.Array:
     return jnp.concatenate(parts, axis=axis)
 
 
+def resize_area_mxu_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
+    """INTER_AREA resize of a single (..., H, W) f32 plane holding exact u8
+    values -> (..., dst_h, dst_w) f32 (caller rounds/clips). Planar variant
+    for the packed serving path: channel-minor arrays have pathological TPU
+    layouts, so the pipeline resizes B/G/R planes independently. Same +-1
+    contract as resize_area_mxu."""
+    src_h, src_w = plane.shape[-2], plane.shape[-1]
+    if (src_w, src_h) == (dst_w, dst_h):
+        return plane
+
+    def contract(s, mat, axis):
+        groups = _banded_groups(mat)
+        eq = "...hw,Ww->...hW" if axis == -1 else "...hw,Hh->...Hw"
+        if groups is None:
+            return jnp.einsum(eq, s, jnp.asarray(mat),
+                              preferred_element_type=jnp.float32)
+        parts = [jnp.einsum(eq, jax.lax.slice_in_dim(s, lo, hi, axis=axis),
+                            jnp.asarray(slab),
+                            preferred_element_type=jnp.float32)
+                 for lo, hi, slab in groups]
+        return jnp.concatenate(parts, axis=axis)
+
+    out = contract(plane.astype(jnp.float32),
+                   _area_axis_matrix(src_w, dst_w), axis=-1)
+    return contract(out, _area_axis_matrix(src_h, dst_h), axis=-2)
+
+
 def resize_area_mxu(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     """INTER_AREA resize as two dense matrix contractions (no gathers).
 

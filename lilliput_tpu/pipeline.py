@@ -119,11 +119,32 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
         yby0, yby1 = y0 // 8, -(-y1 // 8)
         cbx0, cbx1 = x0 // (8 * fx), -(-x1 // (8 * fx))
         cby0, cby1 = y0 // (8 * fy), -(-y1 // (8 * fy))
-        bgr = K.decode_ycc_420(
-            yc[..., yby0:yby1, ybx0:ybx1, :],
-            cb[..., cby0:cby1, cbx0:cbx1, :],
-            cr[..., cby0:cby1, cbx0:cbx1, :],
-            qt_y, qt_c, rh, rw, h2, v2)
+        if fy == 2:
+            # take whole MCU rows of luma when the (host-padded) array has
+            # them: a conforming slice lets the megakernel skip its row-pad
+            yby1 = min(2 * cby1, yc.shape[-3])
+        win = (yc[..., yby0:yby1, ybx0:ybx1, :],
+               cb[..., cby0:cby1, cbx0:cbx1, :],
+               cr[..., cby0:cby1, cbx0:cbx1, :])
+        if (method == R.AREA and K._use_megakernel()
+                and os.environ.get("LILLIPUT_PLANAR_TAIL", "0")
+                in ("1", "true", "on")):
+            packed = K.decode_ycc_packed(*win, qt_y, qt_c, rh, rw, h2, v2)
+            if packed is not None:
+                # experimental fully planar tail (off by default: measured
+                # ~2655 vs 2897 imgs/s for the bitcast tail below — XLA
+                # already fuses the BGRA bitcast+slice into the resize,
+                # while the per-plane banded einsums fragment the fusion)
+                cp = packed[..., top - y0:top - y0 + h,
+                            left - x0:left - x0 + w]
+                planes = K.packed_to_planes(cp)
+                out = [jnp.clip(jnp.round(
+                    R.resize_area_mxu_plane(p, dst_w, dst_h)), 0, 255)
+                    for p in planes]
+                return K.encode_from_bgr_planes(
+                    out[0], out[1], out[2], enc_qt_y, enc_qt_c,
+                    subsample=True)
+        bgr = K.decode_ycc_420(*win, qt_y, qt_c, rh, rw, h2, v2)
         cropped = bgr[..., top - y0:top - y0 + h, left - x0:left - x0 + w, :]
     else:
         bgr = K.decode_ycc_420(yc, cb, cr, qt_y, qt_c, src_h, src_w, h2, v2)
@@ -222,7 +243,12 @@ class JpegTranscodePipeline:
         'one ImageOps per goroutine' concurrency model, SURVEY.md §2.3)."""
         g = self.geom
         b = len(bufs)
-        ys = np.empty((b,) + g.blocks[0] + (64,), np.int16)
+        # luma rows rounded up to whole MCU rows (zeros in the pad): the
+        # device megakernel needs 2 luma block rows per chroma row, and a
+        # host-side calloc is free while a device-side jnp.pad is a full
+        # HBM round trip over the coefficient stack
+        ybh, ybw = g.blocks[0]
+        ys = np.zeros((b, ybh + (ybh % 2), ybw, 64), np.int16)
         cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
         crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
         qty = np.empty((b, 64), np.uint16)

@@ -89,3 +89,54 @@ def test_megakernel_declines_422():
         jnp.asarray(yc), jnp.asarray(cbh), jnp.asarray(cbh),
         jnp.asarray(qy), jnp.asarray(qc), h, w, True, False)
     assert got is None
+
+
+def test_planar_resize_matches_channel_resize():
+    """resize_area_mxu_plane on separate planes must match resize_area_mxu
+    on the stacked image within the +-1 contract (and exactly on CPU)."""
+    from lilliput_tpu.ops import resize as R
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (2, 96, 128, 3), np.uint8)
+    ref = np.asarray(R.resize_area_mxu(jnp.asarray(img), 40, 24))
+    planes = [jnp.asarray(img[..., c], jnp.float32) for c in range(3)]
+    got = [np.clip(np.round(np.asarray(
+        R.resize_area_mxu_plane(p, 40, 24))), 0, 255).astype(np.uint8)
+        for p in planes]
+    for c in range(3):
+        d = np.abs(ref[..., c].astype(int) - got[c].astype(int))
+        assert d.max() <= 1
+        assert np.array_equal(ref[..., c], got[c])  # exact on CPU
+
+
+def test_planar_encode_matches_channel_encode():
+    from lilliput_tpu.codecs.jpeg import scaled_qtables
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (2, 64, 80, 3), np.uint8)
+    qy, qc = scaled_qtables(85)
+    ref = K.encode_from_bgr(jnp.asarray(img), jnp.asarray(qy), jnp.asarray(qc))
+    got = K.encode_from_bgr_planes(
+        jnp.asarray(img[..., 0], jnp.float32),
+        jnp.asarray(img[..., 1], jnp.float32),
+        jnp.asarray(img[..., 2], jnp.float32),
+        jnp.asarray(qy), jnp.asarray(qc))
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_ycc_packed_matches_bgr():
+    """Packed int32 decode equals the BGR megakernel output per channel."""
+    rng = np.random.default_rng(13)
+    h, w = 67, 61
+    yc, cb, cr = _coefs(rng, h, w, "420")
+    qy, qc = scaled_qtables(85)
+    args = (jnp.asarray(yc), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(qy), jnp.asarray(qc))
+    bgr = K._decode_ycc_megakernel(*args, h, w, True, True, interpret=True)
+    packed = K.decode_ycc_packed(*args, h, w, True, True, interpret=True)
+    bp, gp, rp = K.packed_to_planes(packed)
+    np.testing.assert_array_equal(np.asarray(bgr[..., 0]),
+                                  np.asarray(bp).astype(np.uint8))
+    np.testing.assert_array_equal(np.asarray(bgr[..., 1]),
+                                  np.asarray(gp).astype(np.uint8))
+    np.testing.assert_array_equal(np.asarray(bgr[..., 2]),
+                                  np.asarray(rp).astype(np.uint8))
