@@ -64,6 +64,11 @@ def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:
         # OpenCV-fallthrough format (reference decodes BMP via grfmt_bmp)
         from .codecs.bmp import BmpDecoder
         return BmpDecoder(buf)
+    from .codecs.pnm import is_pnm
+    if is_pnm(buf):
+        # OpenCV-fallthrough format (netpbm via grfmt_pxm)
+        from .codecs.pnm import PnmDecoder
+        return PnmDecoder(buf)
     # fall through to the video/audio probe (ffmpeg shim)
     from .codecs.video import VideoDecoder
     try:
@@ -99,4 +104,7 @@ def new_encoder(ext: str, decoded_by: Optional[Decoder] = None,
     if e == ".bmp":
         from .codecs.bmp import BmpEncoder
         return BmpEncoder(decoded_by, icc_override=icc_override)
+    if e in (".pbm", ".pgm", ".ppm", ".pnm"):
+        from .codecs.pnm import PnmEncoder
+        return PnmEncoder(decoded_by, icc_override=icc_override, subtype=e)
     raise InvalidImageError(f"unsupported output type {ext!r}")

@@ -1,0 +1,199 @@
+"""PNM codec (PBM/PGM/PPM, P1-P6) — host header/token walk + device pixels.
+
+Closes more of the reference's OpenCV-fallthrough gap: lilliput decodes the
+netpbm family through OpenCV's grfmt_pxm (`NewDecoder` fallthrough,
+/root/reference/lilliput.go:157) and encodes `.pbm/.pgm/.ppm` through the
+OpenCV encoder (/root/reference/lilliput.go:199). Matches OpenCV reader
+semantics: ASCII (P1-P3) and binary (P4-P6), maxval up to 65535 (16-bit
+samples are big-endian and scaled to 8-bit on decode).
+
+TPU split: header parse / ASCII tokenizing / the serial byte walk stay on
+host; bit unpack (P4), 16->8 scaling, maxval normalization, and RGB->BGR
+channel reversal run on device.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import DecodingFailedError, InvalidImageError
+from ..framebuffer import Framebuffer, ImageHeader, ImageOrientation
+from ..interfaces import Decoder, Encoder
+
+
+def is_pnm(buf: bytes) -> bool:
+    return (len(buf) >= 3 and buf[0] == 0x50  # 'P'
+            and buf[1] in b"123456" and buf[2] in b" \t\r\n#")
+
+
+_TOKEN = re.compile(rb"(?:\s|#[^\n]*\n)*([^\s#]+)")
+
+
+class PnmDecoder(Decoder):
+    def __init__(self, buf: bytes):
+        if not is_pnm(buf):
+            raise InvalidImageError("not a PNM")
+        self._buf = buf
+        self._kind = buf[1] - 0x30  # 1..6
+        self._parse_header()
+        self._decoded = False
+
+    def _next_token(self) -> bytes:
+        m = _TOKEN.match(self._buf, self._pos)
+        if not m:
+            raise InvalidImageError("PNM header truncated")
+        self._pos = m.end()
+        return m.group(1)
+
+    def _parse_header(self) -> None:
+        self._pos = 2
+        self._w = int(self._next_token())
+        self._h = int(self._next_token())
+        if self._kind in (1, 4):          # bitmap: no maxval
+            self._maxval = 1
+        else:
+            self._maxval = int(self._next_token())
+        if not (0 < self._w <= 1 << 20 and 0 < self._h <= 1 << 20
+                and 0 < self._maxval <= 65535):
+            raise InvalidImageError("invalid PNM header")
+        # binary formats: exactly ONE whitespace byte after the header
+        if self._kind >= 4:
+            self._data_off = self._pos + 1
+        self._color = self._kind in (3, 6)
+
+    def header(self) -> ImageHeader:
+        return ImageHeader(width=self._w, height=self._h,
+                           channels=3 if self._color else 1,
+                           orientation=ImageOrientation.TOP_LEFT,
+                           num_frames=1, content_length=len(self._buf))
+
+    def description(self) -> str:
+        return {1: "PBM", 2: "PGM", 3: "PPM",
+                4: "PBM", 5: "PGM", 6: "PPM"}[self._kind]
+
+    def icc(self) -> bytes:
+        return b""
+
+    # -- host serial stage -----------------------------------------------------
+
+    def _samples(self) -> np.ndarray:
+        """Raw samples as (h, w, c) uint16 (host parse; device normalizes)."""
+        w, h = self._w, self._h
+        c = 3 if self._color else 1
+        k = self._kind
+        if k in (1, 2, 3):               # ASCII
+            body = self._buf[self._pos:]
+            # strip comments, then tokenize numerals
+            body = re.sub(rb"#[^\n]*", b"", body)
+            vals = np.array(body.split()[: h * w * c], np.uint16)
+            if vals.size < h * w * c:
+                raise DecodingFailedError("PNM pixel data truncated")
+            if k == 1:                    # PBM ASCII: 1 = black
+                vals = 1 - vals
+            return vals.reshape(h, w, c)
+        if k == 4:                        # packed bits, row-aligned to bytes
+            stride = (w + 7) // 8
+            need = stride * h
+            data = np.frombuffer(self._buf, np.uint8, count=need,
+                                 offset=self._data_off)
+            return data.reshape(h, stride)[..., None].astype(np.uint16)
+        bytes_per = 2 if self._maxval > 255 else 1
+        need = h * w * c * bytes_per
+        avail = len(self._buf) - self._data_off
+        if avail < need:
+            raise DecodingFailedError("PNM pixel data truncated")
+        data = np.frombuffer(self._buf, np.uint8, count=need,
+                             offset=self._data_off)
+        if bytes_per == 2:                # big-endian 16-bit samples
+            data = data.reshape(h, w, c, 2).astype(np.uint16)
+            return (data[..., 0] << 8) | data[..., 1]
+        return data.reshape(h, w, c).astype(np.uint16)
+
+    def decode_to(self, fb: Framebuffer) -> None:
+        if self._decoded:
+            raise EOFError()
+        raw = jnp.asarray(self._samples())
+        if self._kind == 4:               # device bit unpack: 1 = black
+            bits = jnp.unpackbits(raw[..., 0].astype(jnp.uint8), axis=1)
+            px = ((1 - bits[:, :self._w]) * 255).astype(jnp.uint8)[..., None]
+        elif self._maxval == 255:
+            px = raw.astype(jnp.uint8)
+        elif self._maxval > 255:          # OpenCV scales 16-bit down: >> 8
+            px = (raw >> 8).astype(jnp.uint8)
+        else:                             # normalize small maxval to 0..255
+            px = jnp.clip(jnp.round(raw.astype(jnp.float32)
+                                    * (255.0 / self._maxval)),
+                          0, 255).astype(jnp.uint8)
+        if self._color:
+            px = px[..., ::-1]            # RGB file order -> BGR framebuffer
+        fb.array = px
+        fb.duration = 0.0
+        fb.x_offset = fb.y_offset = 0
+        self._decoded = True
+
+    def duration(self) -> float:
+        return 0.0
+
+    def loop_count(self) -> int:
+        return 0
+
+    def background_color(self):
+        return 0
+
+    def skip_frame(self) -> None:
+        raise NotImplementedError
+
+    def is_streamable(self) -> bool:
+        return False
+
+    def has_subtitles(self) -> bool:
+        return False
+
+    def video_codec(self) -> str:
+        return ""
+
+    def audio_codec(self) -> str:
+        return ""
+
+    def close(self) -> None:
+        pass
+
+
+class PnmEncoder(Encoder):
+    """Binary P5 (gray) / P6 (color) writer — OpenCV's default form.
+
+    Channel/extension mismatches error like OpenCV's grfmt_pxm writer does
+    (".pgm expects gray image"); ".pnm" accepts either."""
+
+    def __init__(self, decoded_by: Optional[Decoder] = None,
+                 icc_override: Optional[bytes] = None,
+                 subtype: str = ".pnm"):
+        del decoded_by, icc_override
+        self._subtype = subtype
+
+    def encode(self, fb: Optional[Framebuffer],
+               opts: Dict[int, int]) -> Optional[bytes]:
+        if fb is None:
+            raise DecodingFailedError("PNM encoder cannot flush without a frame")
+        arr = fb.to_numpy()
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        gray = arr.ndim == 2
+        if self._subtype in (".pgm", ".pbm") and not gray:
+            raise DecodingFailedError(
+                f"{self._subtype} expects a gray image (grfmt_pxm semantics)")
+        if self._subtype == ".ppm" and gray:
+            raise DecodingFailedError(
+                ".ppm expects a color image (grfmt_pxm semantics)")
+        h, w = arr.shape[:2]
+        if gray:
+            return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+        rgb = np.ascontiguousarray(arr[:, :, 2::-1])  # BGR(A) -> RGB
+        return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,101 @@
+"""PNM codec tests against the cv2 oracle (the reference decodes netpbm
+through OpenCV's grfmt_pxm, lilliput.go:157)."""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod, new_decoder
+from lilliput_tpu.codecs.pnm import PnmDecoder, PnmEncoder, is_pnm
+from lilliput_tpu.framebuffer import Framebuffer
+
+
+def _decode(buf: bytes) -> np.ndarray:
+    d = PnmDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    a = fb.to_numpy()
+    return a[:, :, 0] if a.ndim == 3 and a.shape[2] == 1 else a
+
+
+@pytest.mark.parametrize("color", [False, True], ids=["gray", "color"])
+def test_binary_pnm_matches_cv2(color):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (37, 53, 3) if color else (37, 53), np.uint8)
+    ok, enc = cv2.imencode(".ppm" if color else ".pgm", img)
+    assert ok
+    buf = enc.tobytes()
+    assert is_pnm(buf)
+    got = _decode(buf)
+    ref = cv2.imdecode(enc, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_ascii_pgm_and_ppm():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    body = " ".join(str(v) for v in img.flatten())
+    buf = f"P2\n# comment\n4 3\n255\n{body}\n".encode()
+    np.testing.assert_array_equal(_decode(buf), img)
+    rgb = np.stack([img, img // 2, img // 3], axis=-1)
+    body = " ".join(str(v) for v in rgb.flatten())
+    buf = f"P3\n4 3 # dims\n255\n{body}\n".encode()
+    got = _decode(buf)  # BGR
+    np.testing.assert_array_equal(got, rgb[..., ::-1])
+
+
+def test_p4_bitmap():
+    # 10x2 bitmap: alternating bits; P4 rows byte-aligned, 1 = black
+    bits = np.tile(np.array([1, 0], np.uint8), 5)
+    rows = np.stack([bits, 1 - bits])
+    packed = np.packbits(rows, axis=1)
+    buf = b"P4\n10 2\n" + packed.tobytes()
+    got = _decode(buf)
+    np.testing.assert_array_equal(got, (1 - rows) * 255)
+
+
+def test_16bit_pgm_scales_like_cv2():
+    rng = np.random.default_rng(1)
+    img16 = rng.integers(0, 65536, (9, 11), np.uint16)
+    ok, enc = cv2.imencode(".pgm", img16)
+    assert ok
+    got = _decode(enc.tobytes())
+    ref8 = (img16 >> 8).astype(np.uint8)  # OpenCV 8-bit read semantics
+    np.testing.assert_array_equal(got, ref8)
+
+
+def test_roundtrip_and_transform():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    enc = PnmEncoder().encode(Framebuffer(img), {})
+    assert enc.startswith(b"P6")
+    round_ = _decode(enc)
+    np.testing.assert_array_equal(round_, img)
+    # cv2 can read what we write
+    ref = cv2.imdecode(np.frombuffer(enc, np.uint8), cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(ref, img)
+    # end-to-end Transform ppm -> ppm
+    d = new_decoder(enc)
+    out = ImageOps(8192).transform(d, ImageOptions(
+        file_type=".ppm", width=16, height=12,
+        resize_method=ResizeMethod.FIT))
+    assert out.startswith(b"P6")
+    assert cv2.imdecode(np.frombuffer(out, np.uint8),
+                        cv2.IMREAD_COLOR).shape == (12, 16, 3)
+
+
+def test_pgm_color_mismatch_errors():
+    from lilliput_tpu.errors import DecodingFailedError
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    from lilliput_tpu import new_encoder
+    enc = new_encoder(".pgm")
+    with pytest.raises(DecodingFailedError, match="gray"):
+        enc.encode(Framebuffer(img), {})
+
+
+def test_truncated_pnm_rejected():
+    buf = b"P6\n100 100\n255\n" + b"\x00" * 10
+    d = PnmDecoder(buf)
+    from lilliput_tpu.errors import DecodingFailedError
+    with pytest.raises(DecodingFailedError):
+        d.decode_to(Framebuffer())
