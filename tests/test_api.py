@@ -73,3 +73,14 @@ def test_short_buffers_rejected():
     for buf in (b"", b"\x89", b"GIF", b"RIFF"):
         with pytest.raises(InvalidImageError):
             new_decoder(buf)
+
+
+def test_native_manifest_verifies():
+    """Integrity manifest analog of the reference's deps/verify_deps.py:
+    source hashes, exported C ABI, linked system sonames."""
+    import subprocess
+    import sys
+    r = subprocess.run([sys.executable, "tools/verify_native.py"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
