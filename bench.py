@@ -55,7 +55,7 @@ def _ensure_fixture() -> bytes:
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     host_iters = int(os.environ.get("BENCH_HOST_ITERS", "3"))
     e2e_batches = int(os.environ.get("BENCH_E2E_BATCHES", "0"))
