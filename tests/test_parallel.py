@@ -43,3 +43,22 @@ def test_sharded_matches_single_device(sp):
     ref = [np.asarray(r) for r in ref]
     for o, r in zip(out, ref):
         assert np.abs(o.astype(int) - r.astype(int)).max() <= 1  # f32 reassoc
+
+
+def test_sharded_pipeline_matches_single(tmp_path):
+    """ShardedJpegPipeline over an 8-device dp mesh must produce bytes
+    identical to the single-device JpegTranscodePipeline (including an
+    uneven batch that needs dp padding)."""
+    import bench as B
+    from lilliput_tpu.parallel import ShardedJpegPipeline
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    buf = B._ensure_fixture()
+    bufs = [buf] * 5  # 5 % 8 != 0: exercises the pad/drop path
+    mesh = make_mesh(8)
+    sharded = ShardedJpegPipeline(buf, 96, 96, quality=80, mesh=mesh)
+    single = JpegTranscodePipeline(buf, 96, 96, quality=80)
+    with mesh:
+        got = sharded.transcode(bufs)
+    ref = single.transcode(bufs)
+    assert got == ref
