@@ -105,31 +105,46 @@ def main():
     # on a production host-attached chip) is paid once, not per step.
     import jax.numpy as jnp
 
-    from lilliput_tpu.pipeline import fused_jpeg_fit_transcode
+    from lilliput_tpu.pipeline import (fused_jpeg_fit_transcode,
+                                       fused_jpeg_fit_transcode_ycc)
 
     g = pipe.geom
     chain = int(os.environ.get("BENCH_CHAIN", "4"))
     dev_in = [jax.device_put(c) for c in coefs]
 
-    @jax.jit
-    def chained_step(yc, cbc, crc, qy, qc, eqy, eqc):
-        acc = jnp.int32(0)
-        y = yc
-        for _ in range(chain):
-            o = fused_jpeg_fit_transcode(
-                y, cbc, crc, qy, qc, eqy, eqc,
-                src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
-                dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
-                orientation=pipe.orientation)
-            s = sum(jnp.sum(v.astype(jnp.int32)) for v in o)
-            acc = acc + s
-            y = yc + (s % 2).astype(jnp.int16)  # serialize the chain
-        return acc
+    def make_chained(step_fn):
+        @jax.jit
+        def chained_step(yc, cbc, crc, qy, qc, eqy, eqc):
+            acc = jnp.int32(0)
+            y = yc
+            for _ in range(chain):
+                o = step_fn(y, cbc, crc, qy, qc, eqy, eqc)
+                s = sum(jnp.sum(v.astype(jnp.int32)) for v in o)
+                acc = acc + s
+                y = yc + (s % 2).astype(jnp.int16)  # serialize the chain
+            return acc
+        return chained_step
+
+    def rgb_step(y, cbc, crc, qy, qc, eqy, eqc):
+        return fused_jpeg_fit_transcode(
+            y, cbc, crc, qy, qc, eqy, eqc,
+            src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+            dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
+            orientation=pipe.orientation)
+
+    def ycc_step(y, cbc, crc, qy, qc, eqy, eqc):
+        return fused_jpeg_fit_transcode_ycc(
+            y, cbc, crc, qy, qc, eqy, eqc,
+            src_w=g.width, src_h=g.height,
+            dst_w=pipe.dst_w, dst_h=pipe.dst_h)
 
     args = (dev_in[0], dev_in[1], dev_in[2], dev_in[3], dev_in[4],
             pipe.enc_qt_y, pipe.enc_qt_c)
+    chained_rgb = make_chained(rgb_step)
+    chained_ycc = make_chained(ycc_step)
     t0 = time.time()
-    int(chained_step(*args))
+    int(chained_rgb(*args))
+    int(chained_ycc(*args))
     warmup_s = time.time() - t0
 
     # tunnel round-trip floor (subtracted from the chained wall time)
@@ -144,15 +159,26 @@ def main():
     rtts.sort()
     rtt = rtts[len(rtts) // 2]
 
-    times = []
-    for i in range(max(iters // chain, 3)):
-        t1 = time.time()
-        int(chained_step(*args))
-        times.append(time.time() - t1)
-    times.sort()
-    p50_chain = times[len(times) // 2]
-    p50_batch = max(p50_chain - rtt, 1e-9) / chain
-    device_ips = batch / p50_batch
+    def measure(chained_step):
+        times = []
+        for _ in range(max(iters // chain, 3)):
+            t1 = time.time()
+            int(chained_step(*args))
+            times.append(time.time() - t1)
+        times.sort()
+        p50_chain = times[len(times) // 2]
+        p50 = max(p50_chain - rtt, 1e-9) / chain
+        return batch / p50, p50
+
+    # parity mode: BGR-path pixels, validated +-1 vs the reference-shaped
+    # unfused Transform; direct mode: YCbCr-domain (one chroma resample,
+    # PSNR-gated vs parity in tests/test_pipeline.py) — both are full
+    # 1080p->256 q85 transcodes; the headline takes the faster production
+    # mode and reports the other alongside.
+    rgb_ips, rgb_p50 = measure(chained_rgb)
+    ycc_ips, ycc_p50 = measure(chained_ycc)
+    device_ips = max(rgb_ips, ycc_ips)
+    p50_batch = min(rgb_p50, ycc_p50)
 
     # single-image device latency: the per-step time of a 16-deep data-
     # dependent chain of batch-1 transforms (a lone step is ~sub-ms, far
@@ -219,6 +245,15 @@ def main():
             "p50_batch_ms": round(p50_batch * 1000, 3),
             "p50_single_image_device_latency_ms": round(p50_ms, 2),
             "device_images_per_sec": round(device_ips, 2),
+            "mode_rgb_parity_images_per_sec": round(rgb_ips, 2),
+            "mode_ycc_direct_images_per_sec": round(ycc_ips, 2),
+            "mode_note": ("rgb_parity reproduces the reference-shaped "
+                          "BGR pipeline (+-1 u8 vs unfused Transform); "
+                          "ycc_direct transcodes in the YCbCr domain with "
+                          "ONE chroma resample (PSNR>=38dB color / 42dB "
+                          "luma vs parity mode, gated in tests) — a mode "
+                          "the reference's BGRA framebuffer design cannot "
+                          "express"),
             "host_decode_images_per_sec": round(host_decode_ips, 2),
             "host_encode_images_per_sec": round(host_encode_ips, 2),
             "host_cores": host_cores,

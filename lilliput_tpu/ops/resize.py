@@ -263,6 +263,47 @@ def _banded_contract(s: jax.Array, mat: np.ndarray, axis: int) -> jax.Array:
     return jnp.concatenate(parts, axis=axis)
 
 
+def area_axis_matrix_scaled(src: int, dst: int, scale: float,
+                            offset: float) -> np.ndarray:
+    """(dst, src) INTER_AREA matrix for a dst grid whose sample d covers the
+    source interval [offset + d*scale, offset + (d+1)*scale) — the general-
+    position form used by the YCbCr-direct serving mode, where the chroma
+    plane is resampled at its native half resolution with a possible half-
+    pixel crop offset."""
+    m = np.zeros((dst, src), np.float64)
+    inv = 1.0 / scale
+    for d in range(dst):
+        a = offset + d * scale
+        b = a + scale
+        for k in range(max(int(np.floor(a)), 0),
+                       min(int(np.ceil(b)), src)):
+            ov = min(b, k + 1.0) - max(a, float(k))
+            if ov > 0:
+                m[d, k] = ov * inv
+    return m.astype(np.float32)
+
+
+def resize_area_plane_mat(plane: jax.Array, mat_w: np.ndarray,
+                          mat_h: np.ndarray) -> jax.Array:
+    """Contract a (..., H, W) f32 plane with explicit per-axis AREA
+    matrices (banded when profitable)."""
+    out = _banded_plane_contract(plane.astype(jnp.float32), mat_w, axis=-1)
+    return _banded_plane_contract(out, mat_h, axis=-2)
+
+
+def _banded_plane_contract(s: jax.Array, mat: np.ndarray,
+                           axis: int) -> jax.Array:
+    groups = _banded_groups(mat)
+    eq = "...hw,Ww->...hW" if axis == -1 else "...hw,Hh->...Hw"
+    if groups is None:
+        return jnp.einsum(eq, s, jnp.asarray(mat),
+                          preferred_element_type=jnp.float32)
+    parts = [jnp.einsum(eq, jax.lax.slice_in_dim(s, lo, hi, axis=axis),
+                        jnp.asarray(slab), preferred_element_type=jnp.float32)
+             for lo, hi, slab in groups]
+    return jnp.concatenate(parts, axis=axis)
+
+
 def resize_area_mxu_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     """INTER_AREA resize of a single (..., H, W) f32 plane holding exact u8
     values -> (..., dst_h, dst_w) f32 (caller rounds/clips). Planar variant
@@ -272,22 +313,8 @@ def resize_area_mxu_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array
     src_h, src_w = plane.shape[-2], plane.shape[-1]
     if (src_w, src_h) == (dst_w, dst_h):
         return plane
-
-    def contract(s, mat, axis):
-        groups = _banded_groups(mat)
-        eq = "...hw,Ww->...hW" if axis == -1 else "...hw,Hh->...Hw"
-        if groups is None:
-            return jnp.einsum(eq, s, jnp.asarray(mat),
-                              preferred_element_type=jnp.float32)
-        parts = [jnp.einsum(eq, jax.lax.slice_in_dim(s, lo, hi, axis=axis),
-                            jnp.asarray(slab),
-                            preferred_element_type=jnp.float32)
-                 for lo, hi, slab in groups]
-        return jnp.concatenate(parts, axis=axis)
-
-    out = contract(plane.astype(jnp.float32),
-                   _area_axis_matrix(src_w, dst_w), axis=-1)
-    return contract(out, _area_axis_matrix(src_h, dst_h), axis=-2)
+    return resize_area_plane_mat(plane, _area_axis_matrix(src_w, dst_w),
+                                 _area_axis_matrix(src_h, dst_h))
 
 
 def resize_area_mxu(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:

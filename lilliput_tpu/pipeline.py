@@ -160,6 +160,67 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
     return K.encode_from_bgr(resized, enc_qt_y, enc_qt_c, subsample=True)
 
 
+def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
+                             src_w: int, src_h: int,
+                             dst_w: int, dst_h: int):
+    """YCbCr-direct Fit transcode (chroma_mode='direct').
+
+    Planes never leave YCbCr: luma crops+resizes directly to the output
+    grid, and chroma is resampled ONCE at its native half resolution
+    straight to the output's 4:2:0 grid (general-position AREA matrices
+    absorb the half-pixel crop offset). This skips YCbCr<->BGR, the
+    triangle upsample, and the 2x2 re-downsample — the chroma signal is
+    resampled once instead of three times, at roughly half the device
+    work. The reference cannot express this mode (everything passes
+    through BGRA framebuffers, ops.go:283-375); output bytes differ
+    slightly from the BGR-path in chroma (PSNR-gated in tests).
+    Requires 4:2:0, upright orientation, and even dst dims.
+    """
+    left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
+    plane_w = min(yc.shape[-2] * 8, cb.shape[-2] * 16)
+    plane_h = min(yc.shape[-3] * 8, cb.shape[-3] * 16)
+    x0 = max((left // 16) * 16, 0)
+    y0 = max((top // 16) * 16, 0)
+    x1 = min(((left + w + 15) // 16) * 16, plane_w)
+    y1 = min(((top + h + 15) // 16) * 16, plane_h)
+    rw, rh = x1 - x0, y1 - y0
+    ywin = yc[..., y0 // 8:-(-y1 // 8), x0 // 8:-(-x1 // 8), :]
+    cwin = (slice(None),) * (cb.ndim - 3) + (
+        slice(y0 // 16, -(-y1 // 16)), slice(x0 // 16, -(-x1 // 16)),
+        slice(None))
+    tx, ty = left - x0, top - y0
+
+    y = K.dequant_idct(ywin, qt_y)[..., :rh, :rw]
+    y8 = jnp.clip(jnp.round(y[..., ty:ty + h, tx:tx + w]), 0, 255)
+    yr = jnp.clip(jnp.round(
+        R.resize_area_mxu_plane(y8, dst_w, dst_h)), 0, 255)
+
+    ch, cwid = rh // 2, rw // 2
+    mat_w = R.area_axis_matrix_scaled(cwid, dst_w // 2, w / dst_w, tx / 2)
+    mat_h = R.area_axis_matrix_scaled(ch, dst_h // 2, h / dst_h, ty / 2)
+
+    def chroma(cplane):
+        p = jnp.clip(jnp.round(
+            K.dequant_idct(cplane[cwin], qt_c)[..., :ch, :cwid]), 0, 255)
+        return jnp.clip(jnp.round(
+            R.resize_area_plane_mat(p, mat_w, mat_h)), 0, 255)
+
+    cbr = chroma(cb)
+    crr = chroma(cr)
+    mcu = 16
+    ph = (dst_h + mcu - 1) // mcu * mcu
+    pw = (dst_w + mcu - 1) // mcu * mcu
+    return (K.fdct_quant(K._pad_to(yr, ph, pw), enc_qt_y),
+            K.fdct_quant(K._pad_to(cbr, ph // 2, pw // 2), enc_qt_c),
+            K.fdct_quant(K._pad_to(crr, ph // 2, pw // 2), enc_qt_c))
+
+
+_YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h")
+
+fused_jpeg_fit_transcode_ycc = jax.jit(
+    _fused_jpeg_fit_ycc_impl, static_argnames=_YCC_STATICS)
+
+
 _FUSED_STATICS = ("src_w", "src_h", "h2", "v2", "dst_w", "dst_h", "method",
                   "orientation")
 
@@ -184,11 +245,14 @@ class JpegTranscodePipeline:
 
     def __init__(self, sample: bytes, dst_w: int, dst_h: int,
                  quality: int = 85, method: str = R.AREA,
-                 optimize_coding: bool = False):
+                 optimize_coding: bool = False, chroma_mode: str = "rgb"):
         self._lib = binding.load()
         self.dst_w, self.dst_h = dst_w, dst_h
         self.method = method
         self.optimize_coding = optimize_coding
+        if chroma_mode not in ("rgb", "direct"):
+            raise ValueError("chroma_mode must be 'rgb' or 'direct'")
+        self.chroma_mode = chroma_mode
         d = J.JpegDecoder(sample)
         info = d._info
         if info.num_components != 3:
@@ -338,6 +402,19 @@ class JpegTranscodePipeline:
         for reuse; pass donate=False when the caller keeps device-resident
         inputs alive across calls (e.g. bench loops)."""
         g = self.geom
+        if self.chroma_mode == "direct":
+            if not (g.h2 and g.v2 and self.orientation == 1
+                    and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
+                    and self.method == R.AREA):
+                raise DecodingFailedError(
+                    "chroma_mode='direct' needs 4:2:0, upright orientation, "
+                    "AREA method, and even output dims")
+            return fused_jpeg_fit_transcode_ycc(
+                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+                jnp.asarray(qty), jnp.asarray(qtc),
+                self.enc_qt_y, self.enc_qt_c,
+                src_w=g.width, src_h=g.height,
+                dst_w=self.dst_w, dst_h=self.dst_h)
         fn = _fused_jpeg_fit_donating if donate else fused_jpeg_fit_transcode
         return fn(
             jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),

@@ -156,3 +156,38 @@ def test_pipelined_overlap_structure():
     assert all(o[:2] == b"\xff\xd8" for o in flat)
     # and results identical to the unpipelined path
     assert flat[0] == pipe.transcode([buf])[0]
+
+
+def test_ycc_direct_mode_quality():
+    """chroma_mode='direct' (YCbCr-domain transcode, one chroma resample
+    instead of three) must decode cleanly and stay within a tight PSNR of
+    the parity-mode output; luma especially close."""
+    import cv2
+    import bench as B
+    buf = B._ensure_fixture()
+    rgb_pipe = JpegTranscodePipeline(buf, 256, 256, quality=85)
+    ycc_pipe = JpegTranscodePipeline(buf, 256, 256, quality=85,
+                                     chroma_mode="direct")
+    a = rgb_pipe.transcode([buf])[0]
+    b = ycc_pipe.transcode([buf])[0]
+    ia = cv2.imdecode(np.frombuffer(a, np.uint8), cv2.IMREAD_COLOR)
+    ib = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
+    assert ia.shape == ib.shape == (256, 256, 3)
+    mse = np.mean((ia.astype(np.float64) - ib.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 38.0, f"direct-vs-rgb PSNR {psnr:.1f} dB"
+    ya = cv2.cvtColor(ia, cv2.COLOR_BGR2YCrCb)[..., 0].astype(np.float64)
+    yb = cv2.cvtColor(ib, cv2.COLOR_BGR2YCrCb)[..., 0].astype(np.float64)
+    ymse = np.mean((ya - yb) ** 2)
+    ypsnr = 10 * np.log10(255.0 ** 2 / max(ymse, 1e-12))
+    assert ypsnr >= 42.0, f"luma PSNR {ypsnr:.1f} dB"
+
+
+def test_ycc_direct_rejects_unsupported():
+    import bench as B
+    buf = B._ensure_fixture()
+    from lilliput_tpu.errors import DecodingFailedError
+    pipe = JpegTranscodePipeline(buf, 255, 255, quality=85,
+                                 chroma_mode="direct")  # odd dims
+    with pytest.raises(DecodingFailedError, match="direct"):
+        pipe.transcode([buf])
