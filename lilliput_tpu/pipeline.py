@@ -318,6 +318,13 @@ class JpegTranscodePipeline:
         qty = np.empty((b, 64), np.uint16)
         qtc = np.empty((b, 64), np.uint16)
 
+        n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
+        # small batches underfill the pool: slice each image's scan at its
+        # restart markers across the idle threads (byte-identical output;
+        # jpeg_shim.cpp lp_jpeg_decode_coefs_parallel falls back serially
+        # for images without a row-aligned DRI)
+        intra = max(1, n_workers // max(b, 1)) if b < n_workers else 1
+
         def one(i: int):
             info = self._validate_header(bufs[i])
             arr = np.frombuffer(bufs[i], np.uint8)
@@ -326,16 +333,25 @@ class JpegTranscodePipeline:
                 ys[i].ctypes.data_as(_i16p),
                 cbs[i].ctypes.data_as(_i16p),
                 crs[i].ctypes.data_as(_i16p))
-            rc = self._lib.lp_jpeg_decode_coefs(
-                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size,
-                ptrs, qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-                None, 0)
+            rc = -10
+            if (intra > 1 and info.restart_interval > 0
+                    and not info.progressive):
+                rc = self._lib.lp_jpeg_decode_coefs_parallel(
+                    arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    arr.size, ptrs,
+                    qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    intra)
+            if rc != 0:
+                rc = self._lib.lp_jpeg_decode_coefs(
+                    arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    arr.size, ptrs,
+                    qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    None, 0)
             if rc != 0:
                 raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
             qty[i] = qtables[info.comp_quant_tbl[0]]
             qtc[i] = qtables[info.comp_quant_tbl[1]]
 
-        n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
         if n_workers <= 1 or b <= 1:
             for i in range(b):
                 one(i)
@@ -467,11 +483,13 @@ class MultiGeometryPipeline:
     """
 
     def __init__(self, dst_w: int, dst_h: int, quality: int = 85,
-                 method: str = R.AREA, max_geometries: int = 64):
+                 method: str = R.AREA, max_geometries: int = 64,
+                 chroma_mode: str = "rgb"):
         self.dst_w, self.dst_h = dst_w, dst_h
         self.quality = quality
         self.method = method
         self.max_geometries = max_geometries
+        self.chroma_mode = chroma_mode
         # (JpegGeometry, orientation) -> JpegTranscodePipeline, LRU order
         self._pipes: "OrderedDict[Tuple[JpegGeometry, int], JpegTranscodePipeline]" = OrderedDict()
 
@@ -484,8 +502,15 @@ class MultiGeometryPipeline:
                 # LRU eviction: a hot geometry must not lose its compiled
                 # program to an early arrival (round-1 VERDICT weak #5)
                 self._pipes.popitem(last=False)
+            info2 = geometry_of(info)
+            mode = (self.chroma_mode
+                    if (self.chroma_mode == "direct" and info2.h2 and info2.v2
+                        and int(J.exif_orientation(buf)) == 1
+                        and self.dst_w % 2 == 0 and self.dst_h % 2 == 0)
+                    else "rgb")
             pipe = JpegTranscodePipeline(buf, self.dst_w, self.dst_h,
-                                         quality=self.quality, method=self.method)
+                                         quality=self.quality,
+                                         method=self.method, chroma_mode=mode)
         else:
             self._pipes.pop(key)
         self._pipes[key] = pipe  # most-recently-used position

@@ -191,3 +191,34 @@ def test_ycc_direct_rejects_unsupported():
                                  chroma_mode="direct")  # odd dims
     with pytest.raises(DecodingFailedError, match="direct"):
         pipe.transcode([buf])
+
+
+def test_multigeometry_direct_mode_fallback():
+    """MultiGeometryPipeline(chroma_mode='direct') uses the YCbCr-direct
+    path for eligible images and falls back to rgb per group otherwise."""
+    import bench as B
+    buf = B._ensure_fixture()
+    mg = MultiGeometryPipeline(128, 128, quality=85, chroma_mode="direct")
+    outs = mg.transcode([buf, buf])
+    assert all(o[:2] == b"\xff\xd8" for o in outs)
+    pipe = next(iter(mg._pipes.values()))
+    assert pipe.chroma_mode == "direct"
+    mg_odd = MultiGeometryPipeline(127, 127, quality=85, chroma_mode="direct")
+    outs = mg_odd.transcode([buf])
+    assert outs[0][:2] == b"\xff\xd8"
+    pipe = next(iter(mg_odd._pipes.values()))
+    assert pipe.chroma_mode == "rgb"  # odd dims: auto-fallback
+
+
+def test_pipeline_decode_with_restart_markers():
+    """A single restart-marked image through the batched pipeline decodes
+    via the intra-image parallel path, byte-identical results."""
+    from lilliput_tpu.codecs.jpeg import JpegEncoder
+    from lilliput_tpu.framebuffer import Framebuffer, JPEG_RST_INTERVAL
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (128, 96, 3), np.uint8)
+    rst = JpegEncoder().encode(Framebuffer(img), {JPEG_RST_INTERVAL: 1})
+    pipe = JpegTranscodePipeline(rst, 32, 32, quality=85)
+    out1 = pipe.transcode([rst])                 # b=1 < workers: intra path
+    out4 = pipe.transcode([rst] * 4)
+    assert out1[0] == out4[0] == out4[3]
