@@ -64,11 +64,35 @@ def jpeg_roundtrip(lib):
     assert d._coefs[0].size > 0
 
 
+def jpeg_restart_parallel(lib):
+    """Threaded slice decode of a restart-marked scan (heap + thread safety
+    of lp_jpeg_decode_coefs_parallel; coefficients must match the serial
+    path byte for byte). Fixture via cv2 — jit-compiled paths crash ASan
+    inside jaxlib's own nanobind interceptors, so no jax calls here."""
+    import cv2
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (133, 91, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_RST_INTERVAL, 1])
+    assert ok
+    rst = enc.tobytes()
+    serial = J.JpegDecoder(rst)
+    serial._decode_coefs_cached()
+    os.environ["LILLIPUT_JPEG_INTRA_WORKERS"] = "4"
+    try:
+        par = J.JpegDecoder(rst)
+        par._decode_coefs_cached()
+    finally:
+        del os.environ["LILLIPUT_JPEG_INTRA_WORKERS"]
+    for a, b in zip(serial._coefs, par._coefs):
+        assert np.array_equal(a, b)
+
+
 def main():
     lib = binding.load()
     gif_roundtrip(lib)
     png_filter_roundtrip(lib)
     jpeg_roundtrip(lib)
+    jpeg_restart_parallel(lib)
     print("asan smoke OK")
 
 
