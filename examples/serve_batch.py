@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Batch serving demo: the TPU-native counterpart of running one lilliput
+ImageOps per goroutine (reference README.md:5-8).
+
+    python examples/serve_batch.py IMG.jpg [IMG2.jpg ...] \
+        -width 256 -height 256 [-quality 85] [-mode rgb|direct] [-sharded]
+
+Routes mixed-geometry JPEG requests through MultiGeometryPipeline (one
+compiled program per source geometry, order-preserving batch dispatch);
+-sharded shards each batch over every visible chip/device instead. -mode
+direct selects the YCbCr-domain transcode (one chroma resample; fastest)
+where eligible, falling back per group otherwise."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("inputs", nargs="+")
+    ap.add_argument("-width", type=int, default=256)
+    ap.add_argument("-height", type=int, default=256)
+    ap.add_argument("-quality", type=int, default=85)
+    ap.add_argument("-mode", choices=("rgb", "direct"), default="rgb")
+    ap.add_argument("-sharded", action="store_true")
+    ap.add_argument("-outdir", default=".")
+    ap.add_argument("-device", default=None,
+                    help="jax platform override (e.g. cpu)")
+    args = ap.parse_args()
+
+    if args.device:
+        import jax
+        jax.config.update("jax_platforms", args.device)
+
+    bufs = [open(p, "rb").read() for p in args.inputs]
+    t0 = time.time()
+    if args.sharded:
+        from lilliput_tpu.parallel import ShardedJpegPipeline, make_mesh
+        mesh = make_mesh()
+        pipe = ShardedJpegPipeline(bufs[0], args.width, args.height,
+                                   quality=args.quality, mesh=mesh,
+                                   chroma_mode=args.mode)
+        with mesh:
+            outs = pipe.transcode(bufs)
+        kind = f"sharded over {mesh.devices.size} device(s)"
+    else:
+        from lilliput_tpu import MultiGeometryPipeline
+        pipe = MultiGeometryPipeline(args.width, args.height,
+                                     quality=args.quality,
+                                     chroma_mode=args.mode)
+        outs = pipe.transcode(bufs)
+        kind = "multi-geometry"
+    dt = time.time() - t0
+
+    for path, out in zip(args.inputs, outs):
+        dst = os.path.join(
+            args.outdir,
+            os.path.splitext(os.path.basename(path))[0] + ".out.jpg")
+        open(dst, "wb").write(out)
+        print(f"{path} -> {dst} ({len(out)} bytes)")
+    print(f"{len(bufs)} image(s) in {dt * 1e3:.1f} ms "
+          f"({kind}, mode={args.mode}, incl. compile)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -306,7 +306,9 @@ long lp_jpeg_encode_coefs(int32_t width, int32_t height, int32_t ncomp,
 }
 
 // ---------------------------------------------------------------------------
-// Restart-marker-parallel coefficient decode (SURVEY.md hard part #2).
+// Restart-marker-parallel coefficient decode (SURVEY.md hard part #2;
+// the same scan-slicing idea as GPU JPEG decoders, e.g. "Accelerating
+// JPEG Decompression on GPUs", arXiv:2111.09219).
 //
 // A baseline single-scan JPEG with a DRI interval that is a whole number of
 // MCU rows splits into independently decodable slices: each restart marker

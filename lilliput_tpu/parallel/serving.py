@@ -22,7 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..pipeline import JpegTranscodePipeline, fused_jpeg_fit_transcode
+from ..pipeline import (JpegTranscodePipeline, fused_jpeg_fit_transcode,
+                        fused_jpeg_fit_transcode_ycc)
 from .mesh import make_mesh
 
 
@@ -41,13 +42,20 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         self._batch_sharding = NamedSharding(self.mesh, P("dp"))
         self._repl = NamedSharding(self.mesh, P())
         g = self.geom
-        self._step = jax.jit(
-            lambda yc, cb, cr, qy, qc, eqy, eqc: fused_jpeg_fit_transcode(
-                yc, cb, cr, qy, qc, eqy, eqc,
-                src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
-                dst_w=dst_w, dst_h=dst_h, method=self.method,
-                orientation=self.orientation),
-            out_shardings=self._batch_sharding)
+        if self.chroma_mode == "direct":
+            def fn(yc, cb, cr, qy, qc, eqy, eqc):
+                return fused_jpeg_fit_transcode_ycc(
+                    yc, cb, cr, qy, qc, eqy, eqc,
+                    src_w=g.width, src_h=g.height,
+                    dst_w=dst_w, dst_h=dst_h)
+        else:
+            def fn(yc, cb, cr, qy, qc, eqy, eqc):
+                return fused_jpeg_fit_transcode(
+                    yc, cb, cr, qy, qc, eqy, eqc,
+                    src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+                    dst_w=dst_w, dst_h=dst_h, method=self.method,
+                    orientation=self.orientation)
+        self._step = jax.jit(fn, out_shardings=self._batch_sharding)
 
     def device_step(self, ys, cbs, crs, qty, qtc, donate: bool = True):
         del donate  # sharded placement governs buffers

@@ -175,6 +175,10 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
     through BGRA framebuffers, ops.go:283-375); output bytes differ
     slightly from the BGR-path in chroma (PSNR-gated in tests).
     Requires 4:2:0, upright orientation, and even dst dims.
+
+    Compressed/native-domain processing of JPEG data is an established
+    direction (e.g. arXiv:2104.00185 trains networks straight from DCT
+    coefficients); here it is applied to transcoding.
     """
     left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
     plane_w = min(yc.shape[-2] * 8, cb.shape[-2] * 16)
