@@ -212,6 +212,29 @@ def main():
     lat.sort()
     p50_ms = max(lat[len(lat) // 2] - rtt, 0.0) / lat_chain * 1000
 
+    # --- on-device kernel numerics gate ------------------------------------
+    # Pallas megakernel vs the split XLA path, both COMPILED on this chip
+    # (the CPU suite only exercises interpret mode): must agree bit-for-bit.
+    from lilliput_tpu.ops import jpeg_kernels as KK
+
+    def _numerics_check():
+        sm = [jax.device_put(c[:1]) for c in coefs]
+        h_, w_ = g.height, g.width
+        mega = KK._decode_ycc_megakernel(
+            sm[0], sm[1], sm[2], sm[3][0], sm[4][0], h_, w_, g.h2, g.v2)
+        if mega is None:
+            return None
+        y = KK.dequant_idct(sm[0], sm[3][0])[..., :h_, :w_]
+        cbp = KK.upsample_chroma(KK.dequant_idct(sm[1], sm[4][0]),
+                                 2 if g.h2 else 1, 2 if g.v2 else 1, h_, w_)
+        crp = KK.upsample_chroma(KK.dequant_idct(sm[2], sm[4][0]),
+                                 2 if g.h2 else 1, 2 if g.v2 else 1, h_, w_)
+        split = KK.ycbcr_to_bgr(y, cbp, crp)
+        d = jnp.max(jnp.abs(mega.astype(jnp.int32) - split.astype(jnp.int32)))
+        return int(d)
+
+    pallas_vs_xla = _numerics_check()
+
     # --- honest e2e bound ---------------------------------------------------
     # transcode_pipelined overlaps host entropy with device compute, so the
     # steady-state rate is min(host pipeline, device) (+ transfer, which on
@@ -247,6 +270,7 @@ def main():
             "device_images_per_sec": round(device_ips, 2),
             "mode_rgb_parity_images_per_sec": round(rgb_ips, 2),
             "mode_ycc_direct_images_per_sec": round(ycc_ips, 2),
+            "pallas_megakernel_vs_xla_max_abs_diff": pallas_vs_xla,
             "mode_note": ("rgb_parity reproduces the reference-shaped "
                           "BGR pipeline (+-1 u8 vs unfused Transform); "
                           "ycc_direct transcodes in the YCbCr domain with "
