@@ -47,6 +47,51 @@ def idct_kron_matrix() -> np.ndarray:
     return np.kron(a, a).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def scaled_idct_kron_matrix(k: int) -> np.ndarray:
+    """(64, k*k) matrix reconstructing a kxk pixel block from the top-left
+    kxk DCT coefficients — libjpeg's M/8 scaled decode (jpeg_idct_4x4 etc.,
+    what OpenCV exposes as IMREAD_REDUCED_*): a k-point inverse DCT of the
+    truncated spectrum with the sqrt(k/8) energy rescale folded in."""
+    bk = np.zeros((k, k), np.float64)
+    for u in range(k):
+        a = np.sqrt(1.0 / k) if u == 0 else np.sqrt(2.0 / k)
+        for m in range(k):
+            bk[m, u] = a * np.cos((2 * m + 1) * u * np.pi / (2 * k))
+    w = np.zeros((64, k * k), np.float64)
+    scale = k / 8.0  # sqrt(k/8) per axis
+    for u in range(k):
+        for v in range(k):
+            for mx in range(k):
+                for my in range(k):
+                    w[u * 8 + v, mx * k + my] = bk[mx, u] * bk[my, v] * scale
+    return w.astype(np.float32)
+
+
+def dequant_idct_scaled(coefs: jax.Array, qtable: jax.Array,
+                        k: int) -> jax.Array:
+    """(..., bh, bw, 64) int16 + (64,)/(B, 64) tables -> (..., bh*k, bw*k)
+    f32 plane at k/8 scale (level-shifted). Per-image tables fold into the
+    matrix like dequant_idct."""
+    w_base = jnp.asarray(scaled_idct_kron_matrix(k))
+    lead = coefs.shape[:-3]
+    bh, bw = coefs.shape[-3], coefs.shape[-2]
+    if qtable.ndim == 1:
+        w = w_base * qtable.astype(jnp.float32)[:, None]
+        p = jnp.dot(coefs.reshape(-1, 64).astype(jnp.float32), w,
+                    preferred_element_type=jnp.float32) + 128.0
+    else:
+        b = int(np.prod(lead)) if lead else 1
+        wq = (w_base[None]
+              * qtable.astype(jnp.float32).reshape(b, 64)[:, :, None])
+        p = jnp.einsum("bnc,bcj->bnj",
+                       coefs.reshape(b, -1, 64).astype(jnp.float32), wq,
+                       preferred_element_type=jnp.float32) + 128.0
+    p = p.reshape(lead + (bh, bw, k, k))
+    p = jnp.moveaxis(p, -2, -3)
+    return p.reshape(lead + (bh * k, bw * k))
+
+
 def _use_pallas() -> bool:
     """Pallas kernels on TPU by default; XLA path elsewhere or when
     LILLIPUT_PALLAS=0."""

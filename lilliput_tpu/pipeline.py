@@ -162,7 +162,7 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
 def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                              src_w: int, src_h: int,
-                             dst_w: int, dst_h: int):
+                             dst_w: int, dst_h: int, dct_scale: int = 1):
     """YCbCr-direct Fit transcode (chroma_mode='direct').
 
     Planes never leave YCbCr: luma crops+resizes directly to the output
@@ -194,18 +194,38 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
         slice(None))
     tx, ty = left - x0, top - y0
 
-    y = K.dequant_idct(ywin, qt_y)[..., :rh, :rw]
-    y8 = jnp.clip(jnp.round(y[..., ty:ty + h, tx:tx + w]), 0, 255)
-    yr = jnp.clip(jnp.round(
-        R.resize_area_mxu_plane(y8, dst_w, dst_h)), 0, 255)
-
-    ch, cwid = rh // 2, rw // 2
-    mat_w = R.area_axis_matrix_scaled(cwid, dst_w // 2, w / dst_w, tx / 2)
-    mat_h = R.area_axis_matrix_scaled(ch, dst_h // 2, h / dst_h, ty / 2)
+    s = dct_scale
+    if s == 1:
+        y = K.dequant_idct(ywin, qt_y)[..., :rh, :rw]
+        y8 = jnp.clip(jnp.round(y[..., ty:ty + h, tx:tx + w]), 0, 255)
+        yr = jnp.clip(jnp.round(
+            R.resize_area_mxu_plane(y8, dst_w, dst_h)), 0, 255)
+    else:
+        # DCT-domain scaled decode (dct_scale=2: libjpeg's 4/8 reduced
+        # decode, OpenCV IMREAD_REDUCED_*_2): reconstruct the luma plane at
+        # half resolution straight from the top-left 4x4 coefficients —
+        # a quarter of the decode work before a smaller final resample.
+        y = jnp.clip(jnp.round(
+            K.dequant_idct_scaled(ywin, qt_y, 8 // s)), 0, 255)
+        ym_w = R.area_axis_matrix_scaled(y.shape[-1], dst_w,
+                                         w / s / dst_w, tx / s)
+        ym_h = R.area_axis_matrix_scaled(y.shape[-2], dst_h,
+                                         h / s / dst_h, ty / s)
+        yr = jnp.clip(jnp.round(R.resize_area_plane_mat(y, ym_w, ym_h)),
+                      0, 255)
 
     def chroma(cplane):
-        p = jnp.clip(jnp.round(
-            K.dequant_idct(cplane[cwin], qt_c)[..., :ch, :cwid]), 0, 255)
+        if s == 1:
+            ch, cwid = rh // 2, rw // 2
+            p = jnp.clip(jnp.round(
+                K.dequant_idct(cplane[cwin], qt_c)[..., :ch, :cwid]), 0, 255)
+        else:
+            p = jnp.clip(jnp.round(
+                K.dequant_idct_scaled(cplane[cwin], qt_c, 8 // s)), 0, 255)
+        mat_w = R.area_axis_matrix_scaled(p.shape[-1], dst_w // 2,
+                                          w / s / dst_w, tx / (2 * s))
+        mat_h = R.area_axis_matrix_scaled(p.shape[-2], dst_h // 2,
+                                          h / s / dst_h, ty / (2 * s))
         return jnp.clip(jnp.round(
             R.resize_area_plane_mat(p, mat_w, mat_h)), 0, 255)
 
@@ -219,7 +239,7 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
             K.fdct_quant(K._pad_to(crr, ph // 2, pw // 2), enc_qt_c))
 
 
-_YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h")
+_YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale")
 
 fused_jpeg_fit_transcode_ycc = jax.jit(
     _fused_jpeg_fit_ycc_impl, static_argnames=_YCC_STATICS)
@@ -249,14 +269,20 @@ class JpegTranscodePipeline:
 
     def __init__(self, sample: bytes, dst_w: int, dst_h: int,
                  quality: int = 85, method: str = R.AREA,
-                 optimize_coding: bool = False, chroma_mode: str = "rgb"):
+                 optimize_coding: bool = False, chroma_mode: str = "rgb",
+                 dct_scale: int = 1):
         self._lib = binding.load()
         self.dst_w, self.dst_h = dst_w, dst_h
         self.method = method
         self.optimize_coding = optimize_coding
         if chroma_mode not in ("rgb", "direct"):
             raise ValueError("chroma_mode must be 'rgb' or 'direct'")
+        if dct_scale not in (1, 2):
+            raise ValueError("dct_scale must be 1 or 2")
+        if dct_scale != 1 and chroma_mode != "direct":
+            raise ValueError("dct_scale needs chroma_mode='direct'")
         self.chroma_mode = chroma_mode
+        self.dct_scale = dct_scale
         d = J.JpegDecoder(sample)
         info = d._info
         if info.num_components != 3:
@@ -434,7 +460,8 @@ class JpegTranscodePipeline:
                 jnp.asarray(qty), jnp.asarray(qtc),
                 self.enc_qt_y, self.enc_qt_c,
                 src_w=g.width, src_h=g.height,
-                dst_w=self.dst_w, dst_h=self.dst_h)
+                dst_w=self.dst_w, dst_h=self.dst_h,
+                dct_scale=self.dct_scale)
         fn = _fused_jpeg_fit_donating if donate else fused_jpeg_fit_transcode
         return fn(
             jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),

@@ -1,5 +1,6 @@
 """Serving pipeline tests: fused batched transcode matches the streaming
 ImageOps path; multi-geometry routing preserves order and caches programs."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -222,3 +223,49 @@ def test_pipeline_decode_with_restart_markers():
     out1 = pipe.transcode([rst])                 # b=1 < workers: intra path
     out4 = pipe.transcode([rst] * 4)
     assert out1[0] == out4[0] == out4[3]
+
+
+def test_dct_scaled_decode_matches_pil_draft():
+    """dequant_idct_scaled (k=4) is libjpeg's 4/8 reduced decode; PIL's
+    draft mode uses the same scaled IDCT, so half-res luma must agree
+    closely (their fixed-point vs our f32)."""
+    import io
+    from PIL import Image
+    import bench as B
+    from lilliput_tpu.codecs.jpeg import JpegDecoder
+    from lilliput_tpu.ops import jpeg_kernels as K
+    buf = B._ensure_fixture()
+    d = JpegDecoder(buf)
+    d._decode_coefs_cached()
+    qt = d._qtables[d._info.comp_quant_tbl[0]]
+    half = np.asarray(K.dequant_idct_scaled(
+        jnp.asarray(d._coefs[0]), jnp.asarray(qt), 4))
+    half = np.clip(np.round(half), 0, 255).astype(np.uint8)
+
+    im = Image.open(io.BytesIO(buf))
+    im.draft("YCbCr", (im.width // 2, im.height // 2))
+    ref = np.asarray(im.convert("YCbCr"))[..., 0]
+    hh, ww = min(ref.shape[0], half.shape[0]), min(ref.shape[1], half.shape[1])
+    diff = half[:hh, :ww].astype(int) - ref[:hh, :ww].astype(int)
+    mse = float((diff.astype(np.float64) ** 2).mean())
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 40.0, f"scaled decode vs PIL draft: {psnr:.1f} dB"
+
+
+def test_dct_scale2_transcode_quality():
+    """dct_scale=2 end-to-end: decodes cleanly, close to the full-res
+    direct-mode output (reduced decode then resample vs full decode)."""
+    import cv2
+    import bench as B
+    buf = B._ensure_fixture()
+    full = JpegTranscodePipeline(buf, 256, 256, quality=85,
+                                 chroma_mode="direct")
+    half = JpegTranscodePipeline(buf, 256, 256, quality=85,
+                                 chroma_mode="direct", dct_scale=2)
+    a = cv2.imdecode(np.frombuffer(full.transcode([buf])[0], np.uint8),
+                     cv2.IMREAD_COLOR)
+    b = cv2.imdecode(np.frombuffer(half.transcode([buf])[0], np.uint8),
+                     cv2.IMREAD_COLOR)
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 34.0, f"dct_scale=2 vs full: {psnr:.1f} dB"
