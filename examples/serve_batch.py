@@ -26,6 +26,8 @@ def main() -> int:
     ap.add_argument("-height", type=int, default=256)
     ap.add_argument("-quality", type=int, default=85)
     ap.add_argument("-mode", choices=("rgb", "direct"), default="rgb")
+    ap.add_argument("-dct-scale", type=int, choices=(1, 2, 4), default=1,
+                    help="reduced decode (2=half, 4=quarter; needs -mode direct)")
     ap.add_argument("-sharded", action="store_true")
     ap.add_argument("-outdir", default=".")
     ap.add_argument("-device", default=None,
@@ -51,7 +53,8 @@ def main() -> int:
         from lilliput_tpu import MultiGeometryPipeline
         pipe = MultiGeometryPipeline(args.width, args.height,
                                      quality=args.quality,
-                                     chroma_mode=args.mode)
+                                     chroma_mode=args.mode,
+                                     dct_scale=args.dct_scale)
         outs = pipe.transcode(bufs)
         kind = "multi-geometry"
     dt = time.time() - t0

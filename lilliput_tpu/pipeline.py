@@ -277,8 +277,8 @@ class JpegTranscodePipeline:
         self.optimize_coding = optimize_coding
         if chroma_mode not in ("rgb", "direct"):
             raise ValueError("chroma_mode must be 'rgb' or 'direct'")
-        if dct_scale not in (1, 2):
-            raise ValueError("dct_scale must be 1 or 2")
+        if dct_scale not in (1, 2, 4):
+            raise ValueError("dct_scale must be 1, 2 or 4")
         if dct_scale != 1 and chroma_mode != "direct":
             raise ValueError("dct_scale needs chroma_mode='direct'")
         self.chroma_mode = chroma_mode
@@ -515,12 +515,13 @@ class MultiGeometryPipeline:
 
     def __init__(self, dst_w: int, dst_h: int, quality: int = 85,
                  method: str = R.AREA, max_geometries: int = 64,
-                 chroma_mode: str = "rgb"):
+                 chroma_mode: str = "rgb", dct_scale: int = 1):
         self.dst_w, self.dst_h = dst_w, dst_h
         self.quality = quality
         self.method = method
         self.max_geometries = max_geometries
         self.chroma_mode = chroma_mode
+        self.dct_scale = dct_scale
         # (JpegGeometry, orientation) -> JpegTranscodePipeline, LRU order
         self._pipes: "OrderedDict[Tuple[JpegGeometry, int], JpegTranscodePipeline]" = OrderedDict()
 
@@ -539,9 +540,10 @@ class MultiGeometryPipeline:
                         and int(J.exif_orientation(buf)) == 1
                         and self.dst_w % 2 == 0 and self.dst_h % 2 == 0)
                     else "rgb")
-            pipe = JpegTranscodePipeline(buf, self.dst_w, self.dst_h,
-                                         quality=self.quality,
-                                         method=self.method, chroma_mode=mode)
+            pipe = JpegTranscodePipeline(
+                buf, self.dst_w, self.dst_h, quality=self.quality,
+                method=self.method, chroma_mode=mode,
+                dct_scale=self.dct_scale if mode == "direct" else 1)
         else:
             self._pipes.pop(key)
         self._pipes[key] = pipe  # most-recently-used position

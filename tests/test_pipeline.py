@@ -269,3 +269,22 @@ def test_dct_scale2_transcode_quality():
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
     assert psnr >= 34.0, f"dct_scale=2 vs full: {psnr:.1f} dB"
+
+
+def test_dct_scale4_transcode_quality():
+    """dct_scale=4 (2x2 coefficients) still downscales for the headline
+    shape; quality bar is looser (quarter-res reconstruction)."""
+    import cv2
+    import bench as B
+    buf = B._ensure_fixture()
+    full = JpegTranscodePipeline(buf, 256, 256, quality=85,
+                                 chroma_mode="direct")
+    quarter = JpegTranscodePipeline(buf, 256, 256, quality=85,
+                                    chroma_mode="direct", dct_scale=4)
+    a = cv2.imdecode(np.frombuffer(full.transcode([buf])[0], np.uint8),
+                     cv2.IMREAD_COLOR)
+    b = cv2.imdecode(np.frombuffer(quarter.transcode([buf])[0], np.uint8),
+                     cv2.IMREAD_COLOR)
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 28.0, f"dct_scale=4 vs full: {psnr:.1f} dB"
