@@ -1,0 +1,78 @@
+"""Untrusted-input robustness: truncated/corrupted buffers must raise typed
+errors (or decode successfully), never crash or hang — the reference's
+pervasive hardening stance (SURVEY.md §5: dimension guards, CVE-2026-26740,
+acropalypse truncation, caps)."""
+import numpy as np
+import pytest
+
+from lilliput_tpu import new_decoder
+from lilliput_tpu.errors import LilliputError
+from lilliput_tpu.framebuffer import Framebuffer
+
+FIXTURES = [
+    "/root/reference/data/sunrise.jpg",
+    "/root/reference/data/firefox.png",
+    "/root/reference/testdata/party-discord.gif",
+    "/root/reference/testdata/tears_of_steel_icc.webp",
+]
+
+OK_ERRORS = (LilliputError, EOFError, ValueError)
+
+
+def _poke(buf: bytes) -> None:
+    """Header parse + first-frame decode must either work or raise cleanly."""
+    try:
+        d = new_decoder(buf)
+        d.header()
+        fb = Framebuffer()
+        d.decode_to(fb)
+    except OK_ERRORS:
+        return
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.rsplit("/", 1)[1])
+def test_truncations_do_not_crash(path):
+    buf = open(path, "rb").read()
+    n = len(buf)
+    for cut in (8, 16, 64, n // 4, n // 2, n - 1):
+        _poke(buf[:cut])
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.rsplit("/", 1)[1])
+def test_byte_corruption_does_not_crash(path):
+    rng = np.random.default_rng(0)
+    buf = bytearray(open(path, "rb").read())
+    for _ in range(12):
+        b = bytearray(buf)
+        for _ in range(8):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        _poke(bytes(b))
+
+
+def test_pnm_bmp_fuzz():
+    from lilliput_tpu.codecs.bmp import BmpEncoder
+    from lilliput_tpu.codecs.pnm import PnmEncoder
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    for enc in (PnmEncoder(), BmpEncoder()):
+        buf = enc.encode(Framebuffer(img), {})
+        for cut in (3, 10, len(buf) // 2, len(buf) - 1):
+            _poke(buf[:cut])
+        for _ in range(8):
+            b = bytearray(buf)
+            for _ in range(6):
+                b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+            _poke(bytes(b))
+
+
+def test_giant_dims_rejected():
+    """Synthetic headers claiming absurd dimensions must be rejected before
+    any allocation explosion (GIF guard parity, giflib.go:39-52)."""
+    # PNM claiming 2^30 x 2^30
+    _poke(b"P6\n1073741824 1073741824\n255\n\x00")
+    # BMP claiming huge dims
+    import struct
+    hdr = (b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 1 << 30, 1 << 30, 1, 24, 0,
+                         0, 0, 0, 0, 0))
+    _poke(hdr + b"\x00" * 8)
