@@ -197,7 +197,11 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
     s = dct_scale
     if s == 1:
         y = K.dequant_idct(ywin, qt_y)[..., :rh, :rw]
-        y8 = jnp.clip(jnp.round(y[..., ty:ty + h, tx:tx + w]), 0, 255)
+        # u8 materialization: the plane between decode and resize is the
+        # largest intermediate; storing it 1 B/px instead of f32 quarters
+        # its HBM traffic (values are exact u8 either way)
+        y8 = jnp.clip(jnp.round(y[..., ty:ty + h, tx:tx + w]),
+                      0, 255).astype(jnp.uint8)
         yr = jnp.clip(jnp.round(
             R.resize_area_mxu_plane(y8, dst_w, dst_h)), 0, 255)
     else:
@@ -218,10 +222,12 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
         if s == 1:
             ch, cwid = rh // 2, rw // 2
             p = jnp.clip(jnp.round(
-                K.dequant_idct(cplane[cwin], qt_c)[..., :ch, :cwid]), 0, 255)
+                K.dequant_idct(cplane[cwin], qt_c)[..., :ch, :cwid]),
+                0, 255).astype(jnp.uint8)
         else:
             p = jnp.clip(jnp.round(
-                K.dequant_idct_scaled(cplane[cwin], qt_c, 8 // s)), 0, 255)
+                K.dequant_idct_scaled(cplane[cwin], qt_c, 8 // s)),
+                0, 255).astype(jnp.uint8)
         mat_w = R.area_axis_matrix_scaled(p.shape[-1], dst_w // 2,
                                           w / s / dst_w, tx / (2 * s))
         mat_h = R.area_axis_matrix_scaled(p.shape[-2], dst_h // 2,
