@@ -183,6 +183,11 @@ def main():
     # PSNR-gated vs parity in tests/test_pipeline.py) — both are full
     # 1080p->256 q85 transcodes; the headline takes the faster production
     # mode and reports the other alongside.
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            int(chained_ycc(*args))
+
     rgb_ips, rgb_p50 = measure(chained_rgb)
     ycc_ips, ycc_p50 = measure(chained_ycc)
     scaled_ips, _ = measure(chained_scaled)

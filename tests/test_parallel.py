@@ -62,3 +62,20 @@ def test_sharded_pipeline_matches_single(tmp_path):
         got = sharded.transcode(bufs)
     ref = single.transcode(bufs)
     assert got == ref
+
+
+def test_sharded_direct_mode_matches_single():
+    """chroma_mode='direct' sharded over dp == single-device bytes."""
+    import bench as B
+    from lilliput_tpu.parallel import ShardedJpegPipeline
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    buf = B._ensure_fixture()
+    mesh = make_mesh(8)
+    sharded = ShardedJpegPipeline(buf, 96, 96, quality=80, mesh=mesh,
+                                  chroma_mode="direct")
+    single = JpegTranscodePipeline(buf, 96, 96, quality=80,
+                                   chroma_mode="direct")
+    with mesh:
+        got = sharded.transcode([buf] * 3)
+    assert got == single.transcode([buf] * 3)
