@@ -249,6 +249,47 @@ def main():
 
     pallas_vs_xla = _numerics_check()
 
+    # TPU vs host-CPU decode drift (accumulation-order ulps at rounding
+    # boundaries; contract is <=1). Small tile so the tunnel fetch is cheap.
+    def _cpu_drift():
+        cby = 16 // (2 if g.v2 else 1)
+        cbx = 16 // (2 if g.h2 else 1)
+        sm = [coefs[0][:1, :16, :16], coefs[1][:1, :cby, :cbx],
+              coefs[2][:1, :cby, :cbx], coefs[3][:1], coefs[4][:1]]
+        th, tw = 16 * 8, 16 * 8
+        dev = KK.decode_ycc_420(
+            jax.device_put(sm[0]), jax.device_put(sm[1]),
+            jax.device_put(sm[2]), jax.device_put(sm[3][0]),
+            jax.device_put(sm[4][0]), th, tw, g.h2, g.v2)
+        dev = np.asarray(dev).astype(np.int32)
+        cpu_dev = jax.devices("cpu")[0]
+        # the Pallas/megakernel gates read the PROCESS backend (tpu), so
+        # pin them off for the CPU-reference trace
+        os.environ["LILLIPUT_PALLAS"] = "0"
+        os.environ["LILLIPUT_MEGAKERNEL"] = "0"
+        with jax.default_device(cpu_dev):
+            y = KK.dequant_idct(jax.device_put(sm[0], cpu_dev),
+                                jax.device_put(sm[3][0], cpu_dev))[..., :th, :tw]
+            f = 2 if g.h2 else 1
+            cbp = KK.upsample_chroma(
+                KK.dequant_idct(jax.device_put(sm[1], cpu_dev),
+                                jax.device_put(sm[4][0], cpu_dev)), f, f, th, tw)
+            crp = KK.upsample_chroma(
+                KK.dequant_idct(jax.device_put(sm[2], cpu_dev),
+                                jax.device_put(sm[4][0], cpu_dev)), f, f, th, tw)
+            ref = np.asarray(KK.ycbcr_to_bgr(y, cbp, crp)).astype(np.int32)
+        del os.environ["LILLIPUT_PALLAS"]
+        del os.environ["LILLIPUT_MEGAKERNEL"]
+        return int(np.abs(dev - ref).max())
+
+    try:
+        tpu_vs_cpu = _cpu_drift()
+    except Exception:
+        tpu_vs_cpu = None
+    finally:
+        os.environ.pop("LILLIPUT_PALLAS", None)
+        os.environ.pop("LILLIPUT_MEGAKERNEL", None)
+
     # --- honest e2e bound ---------------------------------------------------
     # transcode_pipelined overlaps host entropy with device compute, so the
     # steady-state rate is min(host pipeline, device) (+ transfer, which on
@@ -286,6 +327,7 @@ def main():
             "mode_ycc_direct_images_per_sec": round(ycc_ips, 2),
             "mode_ycc_dct_scale2_images_per_sec": round(scaled_ips, 2),
             "pallas_megakernel_vs_xla_max_abs_diff": pallas_vs_xla,
+            "tpu_vs_cpu_decode_max_abs_diff": tpu_vs_cpu,
             "mode_note": ("rgb_parity reproduces the reference-shaped "
                           "BGR pipeline (+-1 u8 vs unfused Transform); "
                           "ycc_direct transcodes in the YCbCr domain with "
