@@ -16,7 +16,7 @@ from typing import Dict, Optional
 
 from .errors import EncodeTimeoutError
 from .framebuffer import (BlendMethod, DisposeMethod, Framebuffer,
-                          ImageHeader, ImageOrientation)
+                          ImageHeader)
 from .interfaces import Decoder, Encoder
 
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
-import functools
 import os
 import warnings
 from collections import OrderedDict
