@@ -126,17 +126,19 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                cb[..., cby0:cby1, cbx0:cbx1, :],
                cr[..., cby0:cby1, cbx0:cbx1, :])
         if (method == R.AREA and K._use_megakernel()
-                and os.environ.get("LILLIPUT_PLANAR_TAIL", "0")
-                in ("1", "true", "on")):
+                and os.environ.get("LILLIPUT_PLANAR_TAIL", "1")
+                not in ("0", "false", "off")):
             packed = K.decode_ycc_packed(*win, qt_y, qt_c, rh, rw, h2, v2)
             if packed is not None:
-                # experimental fully planar tail (off by default: measured
-                # ~2655 vs 2897 imgs/s for the bitcast tail below — XLA
-                # already fuses the BGRA bitcast+slice into the resize,
-                # while the per-plane banded einsums fragment the fusion)
+                # fully planar tail (default since u8 materialization:
+                # 3912 vs 3595 imgs/s for the bitcast tail below;
+                # LILLIPUT_PLANAR_TAIL=0 restores the old tail)
                 cp = packed[..., top - y0:top - y0 + h,
                             left - x0:left - x0 + w]
-                planes = K.packed_to_planes(cp)
+                # u8 materialization (see the ycc path): planes stored
+                # 1 B/px between extraction and resize
+                planes = [p.astype(jnp.uint8)
+                          for p in K.packed_to_planes(cp)]
                 out = [jnp.clip(jnp.round(
                     R.resize_area_mxu_plane(p, dst_w, dst_h)), 0, 255)
                     for p in planes]
