@@ -68,24 +68,46 @@ def scaled_idct_kron_matrix(k: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def scaled_coef_indices(k: int) -> np.ndarray:
+    """Natural-order indices of the top-left kxk DCT coefficients — the only
+    rows scaled_idct_kron_matrix(k) reads. A coefficient batch sliced to
+    these k*k lanes on the host decodes bit-identically while shipping
+    64/(k*k) less data over H2D (4x at dct_scale=2, 16x at dct_scale=4)."""
+    return np.array([u * 8 + v for u in range(k) for v in range(k)], np.int64)
+
+
 def dequant_idct_scaled(coefs: jax.Array, qtable: jax.Array,
                         k: int) -> jax.Array:
     """(..., bh, bw, 64) int16 + (64,)/(B, 64) tables -> (..., bh*k, bw*k)
     f32 plane at k/8 scale (level-shifted). Per-image tables fold into the
-    matrix like dequant_idct."""
+    matrix like dequant_idct.
+
+    Also accepts HOST-TRUNCATED coefficients of shape (..., bh, bw, k*k)
+    holding only the scaled_coef_indices(k) lanes (qtable stays full 64):
+    the matrix and tables are sliced to match, so results are bit-identical
+    to the full-coefficient form."""
     w_base = jnp.asarray(scaled_idct_kron_matrix(k))
+    nc = coefs.shape[-1]
+    if nc == k * k and k != 8:
+        idx = scaled_coef_indices(k)
+        w_base = w_base[jnp.asarray(idx)]
+        qtable = qtable[..., jnp.asarray(idx)]
+    elif nc != 64:
+        raise ValueError(
+            f"coefficient lane dim must be 64 or {k * k}, got {nc}")
     lead = coefs.shape[:-3]
     bh, bw = coefs.shape[-3], coefs.shape[-2]
     if qtable.ndim == 1:
         w = w_base * qtable.astype(jnp.float32)[:, None]
-        p = jnp.dot(coefs.reshape(-1, 64).astype(jnp.float32), w,
+        p = jnp.dot(coefs.reshape(-1, nc).astype(jnp.float32), w,
                     preferred_element_type=jnp.float32) + 128.0
     else:
         b = int(np.prod(lead)) if lead else 1
         wq = (w_base[None]
-              * qtable.astype(jnp.float32).reshape(b, 64)[:, :, None])
+              * qtable.astype(jnp.float32).reshape(b, -1)[:, :, None])
         p = jnp.einsum("bnc,bcj->bnj",
-                       coefs.reshape(b, -1, 64).astype(jnp.float32), wq,
+                       coefs.reshape(b, -1, nc).astype(jnp.float32), wq,
                        preferred_element_type=jnp.float32) + 128.0
     p = p.reshape(lead + (bh, bw, k, k))
     p = jnp.moveaxis(p, -2, -3)

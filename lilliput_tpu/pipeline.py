@@ -396,6 +396,14 @@ class JpegTranscodePipeline:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(n_workers) as ex:
                 list(ex.map(one, range(b)))
+        if self.dct_scale > 1:
+            # ship only the kxk corner coefficients the scaled IDCT reads:
+            # byte-identical output at 64/(k*k) less H2D traffic (4x at
+            # dct_scale=2, 16x at 4 — the transfer matters on PCIe hosts)
+            idx = K.scaled_coef_indices(8 // self.dct_scale)
+            ys = np.ascontiguousarray(ys[..., idx])
+            cbs = np.ascontiguousarray(cbs[..., idx])
+            crs = np.ascontiguousarray(crs[..., idx])
         return ys, cbs, crs, qty, qtc
 
     def encode_entropy(self, yq: np.ndarray, cbq: np.ndarray, crq: np.ndarray,

@@ -271,6 +271,33 @@ def test_dct_scale2_transcode_quality():
     assert psnr >= 34.0, f"dct_scale=2 vs full: {psnr:.1f} dB"
 
 
+def test_dct_scale_coef_truncation_byte_identical():
+    """dct_scale>1 ships only the kxk corner coefficients to the device
+    (decode_entropy host-side truncation); output bytes must equal the
+    full-coefficient path exactly (the scaled IDCT reads no other lanes)."""
+    from lilliput_tpu.pipeline import fused_jpeg_fit_transcode_ycc
+    buf = _jpeg(512, 384, seed=11)
+    for s in (2, 4):
+        k = 8 // s
+        pipe = JpegTranscodePipeline(buf, 128, 128, quality=85,
+                                     chroma_mode="direct", dct_scale=s)
+        coefs = pipe.decode_entropy([buf, buf])
+        assert coefs[0].shape[-1] == k * k  # truncated on host
+        truncated = pipe.transcode([buf, buf])
+
+        full = JpegTranscodePipeline(buf, 128, 128, quality=85,
+                                     chroma_mode="direct")
+        ys, cbs, crs, qty, qtc = full.decode_entropy([buf, buf])
+        out = fused_jpeg_fit_transcode_ycc(
+            jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+            jnp.asarray(qty), jnp.asarray(qtc),
+            pipe.enc_qt_y, pipe.enc_qt_c,
+            src_w=pipe.geom.width, src_h=pipe.geom.height,
+            dst_w=128, dst_h=128, dct_scale=s)
+        ref = pipe.encode_entropy(*[np.asarray(a) for a in out])
+        assert truncated == ref
+
+
 def test_dct_scale4_transcode_quality():
     """dct_scale=4 (2x2 coefficients) still downscales for the headline
     shape; quality bar is looser (quarter-res reconstruction)."""
