@@ -125,24 +125,26 @@ def main():
             return acc
         return chained_step
 
+    win = pipe.window_static  # decode_entropy ships windowed coefficients
+
     def rgb_step(y, cbc, crc, qy, qc, eqy, eqc):
         return fused_jpeg_fit_transcode(
             y, cbc, crc, qy, qc, eqy, eqc,
             src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
             dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
-            orientation=pipe.orientation)
+            orientation=pipe.orientation, window=win)
 
     def ycc_step(y, cbc, crc, qy, qc, eqy, eqc):
         return fused_jpeg_fit_transcode_ycc(
             y, cbc, crc, qy, qc, eqy, eqc,
             src_w=g.width, src_h=g.height,
-            dst_w=pipe.dst_w, dst_h=pipe.dst_h)
+            dst_w=pipe.dst_w, dst_h=pipe.dst_h, window=win)
 
     def ycc_scaled_step(y, cbc, crc, qy, qc, eqy, eqc):
         return fused_jpeg_fit_transcode_ycc(
             y, cbc, crc, qy, qc, eqy, eqc,
             src_w=g.width, src_h=g.height,
-            dst_w=pipe.dst_w, dst_h=pipe.dst_h, dct_scale=2)
+            dst_w=pipe.dst_w, dst_h=pipe.dst_h, dct_scale=2, window=win)
 
     args = (dev_in[0], dev_in[1], dev_in[2], dev_in[3], dev_in[4],
             pipe.enc_qt_y, pipe.enc_qt_c)
@@ -209,7 +211,7 @@ def main():
                 y, cbc, crc, qy, qc, eqy, eqc,
                 src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
                 dst_w=pipe.dst_w, dst_h=pipe.dst_h, method=pipe.method,
-                orientation=pipe.orientation)
+                orientation=pipe.orientation, window=win)
             s = sum(jnp.sum(v.astype(jnp.int32)) for v in o)
             acc = acc + s
             y = yc + (s % 2).astype(jnp.int16)  # serialize the chain
@@ -233,7 +235,8 @@ def main():
 
     def _numerics_check():
         sm = [jax.device_put(c[:1]) for c in coefs]
-        h_, w_ = g.height, g.width
+        # coefficients are host-windowed; compare over the window extent
+        h_, w_ = (win[3], win[2]) if win else (g.height, g.width)
         mega = KK._decode_ycc_megakernel(
             sm[0], sm[1], sm[2], sm[3][0], sm[4][0], h_, w_, g.h2, g.v2)
         if mega is None:

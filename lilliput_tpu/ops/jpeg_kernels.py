@@ -309,6 +309,34 @@ def decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
     return packed[:, :out_h, :out_w].reshape(lead + (out_h, out_w))
 
 
+def decode_ycc_packed_blocks(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
+                             h2: bool, v2: bool, interpret: bool = False):
+    """Megakernel decode to packed-BGRA int32 still in BLOCK-VECTOR space:
+    (B, cbh_pad, 2, cbw, 128), where plane[row, col] lives at
+    [row // 16, (row // 8) % 2, col // 16, (col // 8 % 2) * 64 +
+    (row % 8) * 8 + col % 8]. Returns None when the subsampling shape is
+    not 4:2:0. The serving tail extracts u8 channels from this form (one
+    elementwise pass) BEFORE the block->plane relayout, so the transpose
+    moves 1 B/px/channel instead of 4."""
+    if not (h2 and v2):
+        return None
+    lead = y_coefs.shape[:-3]
+    b = int(np.prod(lead)) if lead else 1
+    yc = y_coefs.reshape((b,) + y_coefs.shape[-3:])
+    cb = cb_coefs.reshape((b,) + cb_coefs.shape[-3:])
+    cr = cr_coefs.reshape((b,) + cr_coefs.shape[-3:])
+    w_base = jnp.asarray(idct_kron_matrix())
+
+    def fold(qt):
+        q = (qt.astype(jnp.float32).reshape(-1, 64) if qt.ndim > 1
+             else qt.astype(jnp.float32)[None])
+        return w_base[None] * q[:, :, None]
+
+    from . import pallas_kernels as PK
+    return PK._decode420_call(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
+                              interpret)
+
+
 def packed_to_planes(packed: jax.Array):
     """Packed BGRA int32 -> (b, g, r) f32 planes (exact u8 values)."""
     bpl = (packed & 255).astype(jnp.float32)

@@ -90,35 +90,6 @@ def _pack_bgra(b: jax.Array, g: jax.Array, r: jax.Array) -> jax.Array:
     return u8(b) | (u8(g) << 8) | (u8(r) << 16) | jnp.int32(_ALPHA_FF)
 
 
-@functools.lru_cache(maxsize=1)
-def _upsample_sel_matrices() -> np.ndarray:
-    """0/1 selection matrices expressing the 2x triangle-upsample EXPANSION
-    as exact MXU matmuls over block-vectorized (j, 64) planes.
-
-    A block vector index is x*8+y (pixel row x, col y). The triangle filter
-    value itself is computed elementwise ((3*c + neighbor) * 0.25 — the same
-    expression tree as jpeg_kernels._upsample2x_axis, so results are
-    bit-identical); these matrices only PLACE each filtered value into its
-    output quadrant block, and a 0/1 selection matmul is exact in f32.
-
-    Layout: [Ae0, Ao0, Ae1, Ao1] vertical quadrants qy (even/odd output
-    rows), [He0, Ho0, He1, Ho1] horizontal quadrants qx (even/odd cols)."""
-    s = np.zeros((8, 64, 64), np.float32)
-    for qy in range(2):
-        for xp in range(8):
-            k = 4 * qy + xp // 2
-            dst = s[2 * qy] if xp % 2 == 0 else s[2 * qy + 1]
-            for y in range(8):
-                dst[k * 8 + y, xp * 8 + y] = 1.0
-    for qx in range(2):
-        for yp in range(8):
-            m = 4 * qx + yp // 2
-            dst = s[4 + 2 * qx] if yp % 2 == 0 else s[5 + 2 * qx]
-            for x in range(8):
-                dst[x * 8 + m, x * 8 + yp] = 1.0
-    return s
-
-
 def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
     """pltpu.roll with negative shifts normalized (it requires shift >= 0)."""
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
@@ -148,20 +119,68 @@ def _sel_dot_exact(a: jax.Array, s3_ref) -> jax.Array:
 MEGA_TILE_ROWS = 8  # MCU rows per megakernel grid step
 
 
-def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int):
+@functools.lru_cache(maxsize=1)
+def _upsample_sel_matrices() -> np.ndarray:
+    """0/1 selection matrices expressing the 2x triangle-upsample EXPANSION
+    as exact MXU matmuls over block-vectorized (j, 64) planes.
+
+    A block vector index is x*8+y (pixel row x, col y). The triangle filter
+    value itself is computed elementwise ((3*c + neighbor) * 0.25 — the same
+    expression tree as jpeg_kernels._upsample2x_axis, so results are
+    bit-identical); these matrices only PLACE each filtered value into its
+    output quadrant block, and a 0/1 selection matmul is exact in f32.
+
+    Layout: [Ae0, Ao0, Ae1, Ao1] vertical quadrants qy (even/odd output
+    rows), [He0, Ho0, He1, Ho1] horizontal quadrants qx (even/odd cols)."""
+    s = np.zeros((8, 64, 64), np.float32)
+    for qy in range(2):
+        for xp in range(8):
+            k = 4 * qy + xp // 2
+            dst = s[2 * qy] if xp % 2 == 0 else s[2 * qy + 1]
+            for y in range(8):
+                dst[k * 8 + y, xp * 8 + y] = 1.0
+    for qx in range(2):
+        for yp in range(8):
+            m = 4 * qx + yp // 2
+            dst = s[4 + 2 * qx] if yp % 2 == 0 else s[5 + 2 * qx]
+            for x in range(8):
+                dst[x * 8 + m, x * 8 + yp] = 1.0
+    return s
+
+
+def _expand_mode() -> str:
+    """Upsample-expansion strategy inside the 4:2:0 megakernel: 'mm3'
+    (default — 0/1-selection matmuls on 3x-stacked bf16 via _sel_dot_exact,
+    exact at 1/2 the MXU passes of HIGHEST), 'mm' (HIGHEST f32 selection
+    matmuls), or 'roll' (VPU lane-roll/select placement, zero MXU). All
+    three are bit-identical; measured on v5e: mm3 < mm < roll."""
+    import os
+    return os.environ.get("LILLIPUT_EXPAND", "mm3")
+
+
+def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
+                           expand_mode: str = "mm3"):
     """Builds the 4:2:0 megakernel body for a tile of t_rows MCU rows.
 
     Per grid step (image b, row-tile i) everything happens in block-vector
     space (sublane = block index, lane = x*8+y pixel index inside a block):
     kron-matmul IDCT (block PAIRS packed to the MXU's 128 lanes for luma),
-    lane-roll neighbor taps, 0/1-selection-matmul upsample expansion (a
-    selection matmul is exact in f32, so outputs stay bit-identical to the
-    split XLA path), elementwise color + u8 pack. No transposes and no
+    lane-roll neighbor taps, exact upsample EXPANSION (see _expand_mode —
+    each output lane receives exactly one filtered value, so every mode
+    stays bit-identical to the split XLA path), elementwise color + u8
+    quantization, packed-BGRA int32 store. No transposes and no
     lane-crossing shape casts (Mosaic cannot lower those)."""
     n = t_rows * cbw
 
-    def kernel(y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
-               wy_ref, wc_ref, sae_ref, sao_ref, she_ref, sho_ref, out_ref):
+    def kernel(*refs):
+        if expand_mode == "roll":
+            (y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
+             wy_ref, wc_ref, out_ref) = refs
+            sae_ref = sao_ref = she_ref = sho_ref = None
+        else:
+            (y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
+             wy_ref, wc_ref, sae_ref, sao_ref, she_ref, sho_ref,
+             out_ref) = refs
         i = pl.program_id(1)
         wc = wc_ref[0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (n, 64), 1)
@@ -174,6 +193,28 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int):
         def idct(x):
             return jnp.dot(x.astype(jnp.float32), wc,
                            preferred_element_type=jnp.float32) + 128.0
+
+        def expand_rows(ve, vo, qy):
+            # 2x vertical expansion, quadrant qy: output pixel row x reads
+            # filtered value (ve if x even else vo) at source row 4*qy+x//2
+            # — a lane roll by (x - 4*qy - x//2)*8 selected per lane_x
+            out = jnp.zeros_like(ve)
+            for x in range(8):
+                src = ve if x % 2 == 0 else vo
+                shift = (x - (4 * qy + x // 2)) * 8
+                out = jnp.where(lane_x == x, _roll(src, shift, 1), out)
+            return out
+
+        def expand_cols(he, ho, qx):
+            # 2x horizontal expansion, quadrant qx: output col y reads
+            # (he if y even else ho) at source col 4*qx+y//2
+            out = jnp.zeros_like(he)
+            for y in range(8):
+                src = he if y % 2 == 0 else ho
+                shift = y - (4 * qx + y // 2)
+                out = jnp.where(lane_y == y, _roll(src, shift, 1), out)
+            return out
+
 
         def upsample2x2(cur_ref, prev_ref, next_ref):
             cp = idct(cur_ref[0].reshape(n, 64))
@@ -194,12 +235,19 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int):
             dn = jnp.where((glob == cbh_true - 1) & (lane_x == 7), cp, dn)
             ve = (3.0 * cp + up) * 0.25
             vo = (3.0 * cp + dn) * 0.25
-            vq = (jnp.dot(ve, sae_ref[:], preferred_element_type=jnp.float32)
-                  + jnp.dot(vo, sao_ref[:],
-                            preferred_element_type=jnp.float32))
+            if expand_mode == "mm":
+                vq = (jnp.dot(ve, sae_ref[:],
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(vo, sao_ref[:],
+                                preferred_element_type=jnp.float32))
+            elif expand_mode == "mm3":
+                vq = _sel_dot_exact(ve, sae_ref) + _sel_dot_exact(vo, sao_ref)
             out = []
             for qy in range(2):
-                v = vq[:, 64 * qy:64 * qy + 64]
+                if expand_mode == "roll":
+                    v = expand_rows(ve, vo, qy)
+                else:
+                    v = vq[:, 64 * qy:64 * qy + 64]
                 # pixel-col +-1 neighbors: lane roll by 1; y==0/7 take the
                 # adjacent BLOCK (sublane roll) or edge-replicate at j edges
                 vl = _roll(v, 1, 0)
@@ -213,15 +261,26 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int):
                                   _roll(v, -1, 1))
                 he = (3.0 * v + left) * 0.25
                 ho = (3.0 * v + right) * 0.25
-                out.append(
-                    jnp.dot(he, she_ref[:],
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(ho, sho_ref[:],
-                              preferred_element_type=jnp.float32))
+                if expand_mode == "roll":
+                    out.append(jnp.concatenate(
+                        [expand_cols(he, ho, 0), expand_cols(he, ho, 1)],
+                        axis=1))
+                elif expand_mode == "mm":
+                    out.append(
+                        jnp.dot(he, she_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(ho, sho_ref[:],
+                                  preferred_element_type=jnp.float32))
+                else:
+                    out.append(_sel_dot_exact(he, she_ref)
+                               + _sel_dot_exact(ho, sho_ref))
             return out       # per qy: (n, 128) = even|odd block-pair lanes
 
         cbu = upsample2x2(cbc_ref, cbp_ref, cbn_ref)
         cru = upsample2x2(crc_ref, crp_ref, crn_ref)
+        # luma IDCT + color per block-pair row: the small per-row matmuls
+        # interleave with the VPU color/pack work (measured faster than one
+        # whole-tile (2n,128)x(128,128) contraction)
         wy2 = wy_ref[0]
         for r in range(2 * t_rows):
             t, qy = r // 2, r % 2
@@ -254,25 +313,21 @@ def _block_diag_pair(w: jax.Array) -> jax.Array:
     return w2.at[:, :64, :64].set(w).at[:, 64:, 64:].set(w)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
-                     wqy: jax.Array, wqc: jax.Array,
-                     interpret: bool = False) -> jax.Array:
-    """4:2:0 decode megakernel.
-
-    (B, ybh, ybw, 64) + 2x(B, cbh, cbw, 64) int16 coefficients with
-    per-image dequant-folded IDCT matrices (B, 64, 64) -> (B, cbh_pad*16,
-    cbw*16) int32 packed BGRA (bitcast to u8 gives (..., 4) = B,G,R,255).
-    Caller crops to the true image dims."""
+def _decode420_call(yc: jax.Array, cb: jax.Array, cr: jax.Array,
+                    wqy: jax.Array, wqc: jax.Array, interpret: bool):
+    """Shared 4:2:0 megakernel dispatch; returns packed-BGRA int32 output
+    still in block-vector space: (B, cbh_pad, 2, cbw, 128)."""
     bsz, cbh, cbw = cb.shape[0], cb.shape[1], cb.shape[2]
     # prefer a tile size dividing cbh (avoids the row-pad copies — a
     # jnp.pad of the coefficient stack is a full HBM round trip), but not
     # at the cost of doubling the grid: small tiles lose more to per-step
     # overhead than the pad costs
+    import os
     t = max(d for d in range(1, min(MEGA_TILE_ROWS, cbh) + 1)
             if cbh % d == 0)
     if t < 3 and cbh > MEGA_TILE_ROWS:
         t = MEGA_TILE_ROWS
+    t = int(os.environ.get("LILLIPUT_MEGA_T", t))
     cbh_pad = -(-cbh // t) * t
     cb = jnp.pad(cb, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
     cr = jnp.pad(cr, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
@@ -281,21 +336,29 @@ def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     yc2 = yc.reshape(bsz, 2 * cbh_pad, cbw, 128)   # free: block pairs
     wqy = jnp.broadcast_to(wqy, (bsz, 64, 64))
     wqc = jnp.broadcast_to(wqc, (bsz, 64, 64))
-    s = _upsample_sel_matrices()
-    sae = jnp.asarray(np.concatenate([s[0], s[2]], axis=1))
-    sao = jnp.asarray(np.concatenate([s[1], s[3]], axis=1))
-    she = jnp.asarray(np.concatenate([s[4], s[6]], axis=1))
-    sho = jnp.asarray(np.concatenate([s[5], s[7]], axis=1))
     cspec = pl.BlockSpec((1, t, cbw, 64), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM)
     espec = lambda m: pl.BlockSpec((1, 1, cbw, 64), m,
                                    memory_space=pltpu.VMEM)
     prev = lambda b, i: (b, jnp.maximum(i * t - 1, 0), 0, 0)
     nxt = lambda b, i: (b, jnp.minimum(i * t + t, cbh_pad - 1), 0, 0)
-    sspec = pl.BlockSpec((64, 128), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    blocks = pl.pallas_call(
-        _dec420_kernel_factory(t, cbw, cbh),
+    mode = _expand_mode()
+    sel_args, sel_specs = [], []
+    if mode != "roll":
+        s = _upsample_sel_matrices()
+        mats = [np.concatenate([s[a], s[a + 2]], axis=1)
+                for a in (0, 1, 4, 5)]               # sae, sao, she, sho
+        if mode == "mm3":
+            # 3x-stacked bf16 form for _sel_dot_exact (exact: entries 0/1)
+            mats = [np.concatenate([m, m, m], axis=0) for m in mats]
+            sel_args = [jnp.asarray(m, dtype=jnp.bfloat16) for m in mats]
+        else:
+            sel_args = [jnp.asarray(m) for m in mats]
+        k_rows = mats[0].shape[0]
+        sel_specs = [pl.BlockSpec((k_rows, 128), lambda b, i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 4
+    return pl.pallas_call(
+        _dec420_kernel_factory(t, cbw, cbh, mode),
         out_shape=jax.ShapeDtypeStruct((bsz, cbh_pad, 2, cbw, 128),
                                        jnp.int32),
         grid=(bsz, cbh_pad // t),
@@ -308,18 +371,34 @@ def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64, 64), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            sspec, sspec, sspec, sspec,
-        ],
+        ] + sel_specs,
         out_specs=pl.BlockSpec((1, t, 2, cbw, 128),
                                lambda b, i: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(yc2, cb, cb, cb, cr, cr, cr, _block_diag_pair(wqy), wqc,
-      sae, sao, she, sho)
+    )(yc2, cb, cb, cb, cr, cr, cr, _block_diag_pair(wqy), wqc, *sel_args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
+                     wqy: jax.Array, wqc: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """4:2:0 decode megakernel.
+
+    (B, ybh, ybw, 64) + 2x(B, cbh, cbw, 64) int16 coefficients with
+    per-image dequant-folded IDCT matrices (B, 64, 64) -> (B, cbh_pad*16,
+    cbw*16) int32 packed BGRA (bitcast to u8 gives (..., 4) = B,G,R,255).
+    Caller crops to the true image dims."""
+    bsz, cbh = cb.shape[0], cb.shape[1]
+    cbw = cb.shape[2]
+    blocks = _decode420_call(yc, cb, cr, wqy, wqc, interpret)
+    cbh_pad = blocks.shape[1]
     blk = blocks.reshape(bsz, 2 * cbh_pad, 2 * cbw, 64)
     return _blocks_to_plane_xla(blk, 2 * cbh_pad, 2 * cbw)
+
+
 
 
 def _dec444_kernel_factory(t_rows: int, bw2: int):

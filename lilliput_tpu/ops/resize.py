@@ -304,6 +304,18 @@ def _banded_plane_contract(s: jax.Array, mat: np.ndarray,
     return jnp.concatenate(parts, axis=axis)
 
 
+def area_matrix_embedded(window: int, off: int, length: int,
+                         dst: int) -> np.ndarray:
+    """(dst, window) AREA axis matrix with the crop [off, off+length) folded
+    in: crop-then-resize collapses into ONE contraction (columns outside the
+    crop get weight 0). Taps are identical to _area_axis_matrix(length, dst)
+    shifted by off, both directions (upscale uses the area-rule bilinear
+    fallback like cv::resize)."""
+    m = np.zeros((dst, window), np.float32)
+    m[:, off:off + length] = _area_axis_matrix(length, dst)
+    return m
+
+
 def resize_area_mxu_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     """INTER_AREA resize of a single (..., H, W) f32 plane holding exact u8
     values -> (..., dst_h, dst_w) f32 (caller rounds/clips). Planar variant

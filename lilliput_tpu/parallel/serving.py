@@ -47,14 +47,16 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
                 return fused_jpeg_fit_transcode_ycc(
                     yc, cb, cr, qy, qc, eqy, eqc,
                     src_w=g.width, src_h=g.height,
-                    dst_w=dst_w, dst_h=dst_h)
+                    dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
+                    window=self.window_static)
         else:
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
                 return fused_jpeg_fit_transcode(
                     yc, cb, cr, qy, qc, eqy, eqc,
                     src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
                     dst_w=dst_w, dst_h=dst_h, method=self.method,
-                    orientation=self.orientation)
+                    orientation=self.orientation,
+                    window=self.window_static)
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
 
     def device_step(self, ys, cbs, crs, qty, qtc, donate: bool = True):

@@ -78,10 +78,41 @@ def fit_rect(src_w: int, src_h: int, dst_w: int, dst_h: int):
     return left, top, w, h
 
 
+def mcu_decode_window(src_w: int, src_h: int, dst_w: int, dst_h: int,
+                      h2: bool, v2: bool, blocks, luma_rows: int):
+    """MCU-aligned coefficient window covering the Fit crop plus one MCU
+    margin (the chroma triangle filter's neighbor taps). Returns
+    (x0, y0, rw, rh, luma_rowslice, luma_colslice, chroma_rowslice,
+    chroma_colslice) in BLOCK units — the same window _fused_jpeg_fit_impl
+    computes, factored out so decode_entropy can slice on the HOST: the
+    coefficient H2D transfer and the device graph then carry only the
+    window (~40% less for the 1080p->square headline shape)."""
+    left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
+    fx = 2 if h2 else 1
+    fy = 2 if v2 else 1
+    mx, my = 8 * fx, 8 * fy
+    ybh, ybw = blocks[0]
+    cbh, cbw = blocks[1]
+    plane_w = min(ybw * 8, cbw * 8 * fx)
+    plane_h = min(ybh * 8, cbh * 8 * fy)
+    x0 = max((left // mx) * mx - mx, 0)
+    y0 = max((top // my) * my - my, 0)
+    x1 = min(((left + w + mx - 1) // mx + 1) * mx, plane_w)
+    y1 = min(((top + h + my - 1) // my + 1) * my, plane_h)
+    ybx0, ybx1 = x0 // 8, -(-x1 // 8)
+    yby0, yby1 = y0 // 8, -(-y1 // 8)
+    cbx0, cbx1 = x0 // (8 * fx), -(-x1 // (8 * fx))
+    cby0, cby1 = y0 // (8 * fy), -(-y1 // (8 * fy))
+    if fy == 2:
+        yby1 = min(2 * cby1, luma_rows)
+    return (x0, y0, x1 - x0, y1 - y0, slice(yby0, yby1), slice(ybx0, ybx1),
+            slice(cby0, cby1), slice(cbx0, cbx1))
+
+
 def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                          src_w: int, src_h: int, h2: bool, v2: bool,
                          dst_w: int, dst_h: int, method: str = R.AREA,
-                         orientation: int = 1):
+                         orientation: int = 1, window=None):
     """(B, bh, bw, 64) coefficient batches -> quantized encode coefficients.
 
     Pipeline: decode to BGR u8, EXIF orientation normalization, center-crop,
@@ -104,35 +135,71 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
     """
     if orientation == 1:
         left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
-        fx = 2 if h2 else 1
-        fy = 2 if v2 else 1
-        mx, my = 8 * fx, 8 * fy
-        plane_w = min(yc.shape[-2] * 8, cb.shape[-2] * 8 * fx)
-        plane_h = min(yc.shape[-3] * 8, cb.shape[-3] * 8 * fy)
-        x0 = max((left // mx) * mx - mx, 0)
-        y0 = max((top // my) * my - my, 0)
-        x1 = min(((left + w + mx - 1) // mx + 1) * mx, plane_w)
-        y1 = min(((top + h + my - 1) // my + 1) * my, plane_h)
-        rw, rh = x1 - x0, y1 - y0
-        ybx0, ybx1 = x0 // 8, -(-x1 // 8)
-        yby0, yby1 = y0 // 8, -(-y1 // 8)
-        cbx0, cbx1 = x0 // (8 * fx), -(-x1 // (8 * fx))
-        cby0, cby1 = y0 // (8 * fy), -(-y1 // (8 * fy))
-        if fy == 2:
-            # take whole MCU rows of luma when the (host-padded) array has
-            # them: a conforming slice lets the megakernel skip its row-pad
-            yby1 = min(2 * cby1, yc.shape[-3])
-        win = (yc[..., yby0:yby1, ybx0:ybx1, :],
-               cb[..., cby0:cby1, cbx0:cbx1, :],
-               cr[..., cby0:cby1, cbx0:cbx1, :])
+        if window is not None:
+            # the host already sliced the arrays to the decode window
+            # (decode_entropy); (x0, y0, rw, rh) describe its plane origin
+            x0, y0, rw, rh = window
+            win = (yc, cb, cr)
+        else:
+            fx = 2 if h2 else 1
+            fy = 2 if v2 else 1
+            mx, my = 8 * fx, 8 * fy
+            plane_w = min(yc.shape[-2] * 8, cb.shape[-2] * 8 * fx)
+            plane_h = min(yc.shape[-3] * 8, cb.shape[-3] * 8 * fy)
+            x0 = max((left // mx) * mx - mx, 0)
+            y0 = max((top // my) * my - my, 0)
+            x1 = min(((left + w + mx - 1) // mx + 1) * mx, plane_w)
+            y1 = min(((top + h + my - 1) // my + 1) * my, plane_h)
+            rw, rh = x1 - x0, y1 - y0
+            ybx0, ybx1 = x0 // 8, -(-x1 // 8)
+            yby0, yby1 = y0 // 8, -(-y1 // 8)
+            cbx0, cbx1 = x0 // (8 * fx), -(-x1 // (8 * fx))
+            cby0, cby1 = y0 // (8 * fy), -(-y1 // (8 * fy))
+            if fy == 2:
+                # take whole MCU rows of luma when the (host-padded) array
+                # has them: a conforming slice lets the megakernel skip its
+                # row-pad
+                yby1 = min(2 * cby1, yc.shape[-3])
+            win = (yc[..., yby0:yby1, ybx0:ybx1, :],
+                   cb[..., cby0:cby1, cbx0:cbx1, :],
+                   cr[..., cby0:cby1, cbx0:cbx1, :])
         if (method == R.AREA and K._use_megakernel()
                 and os.environ.get("LILLIPUT_PLANAR_TAIL", "1")
                 not in ("0", "false", "off")):
+            if (h2 and v2 and os.environ.get("LILLIPUT_BLOCK_TAIL", "1")
+                    not in ("0", "false", "off")):
+                # u8-block tail (default): extract u8 channels while the
+                # pixels are still in block-vector space (one elementwise
+                # pass over the packed int32), relayout each channel as u8
+                # (1 B/px through the transpose instead of 4), and fold the
+                # pixel crop into the resize matrices so no crop slice pass
+                # exists at all (measured: rgb parity 3.9k -> 4.4k imgs/s
+                # on v5e; LILLIPUT_BLOCK_TAIL=0 restores the packed tail)
+                blocks = K.decode_ycc_packed_blocks(*win, qt_y, qt_c, h2, v2)
+                if blocks is not None:
+                    bsz = blocks.shape[0]
+                    cbh_pad, cbw = blocks.shape[1], blocks.shape[3]
+                    blk = blocks.reshape(bsz, 2 * cbh_pad, 2 * cbw, 64)
+                    from .ops import pallas_kernels as PK
+                    mw = R.area_matrix_embedded(
+                        cbw * 16, left - x0, w, dst_w)
+                    mh = R.area_matrix_embedded(
+                        cbh_pad * 16, top - y0, h, dst_h)
+                    out = []
+                    for sh in (0, 8, 16):
+                        ch = ((blk >> sh) & 255).astype(jnp.uint8)
+                        p = PK._blocks_to_plane_xla(
+                            ch, 2 * cbh_pad, 2 * cbw)
+                        out.append(jnp.clip(jnp.round(
+                            R.resize_area_plane_mat(p, mw, mh)), 0, 255))
+                    return K.encode_from_bgr_planes(
+                        out[0], out[1], out[2], enc_qt_y, enc_qt_c,
+                        subsample=True)
             packed = K.decode_ycc_packed(*win, qt_y, qt_c, rh, rw, h2, v2)
             if packed is not None:
-                # fully planar tail (default since u8 materialization:
-                # 3912 vs 3595 imgs/s for the bitcast tail below;
-                # LILLIPUT_PLANAR_TAIL=0 restores the old tail)
+                # fully planar u8 tail (default for 4:4:4; beats the
+                # bitcast tail below: 3912 vs 3595 imgs/s;
+                # LILLIPUT_PLANAR_TAIL=0 restores the bitcast tail)
                 cp = packed[..., top - y0:top - y0 + h,
                             left - x0:left - x0 + w]
                 # u8 materialization (see the ycc path): planes stored
@@ -163,7 +230,8 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
 def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                              src_w: int, src_h: int,
-                             dst_w: int, dst_h: int, dct_scale: int = 1):
+                             dst_w: int, dst_h: int, dct_scale: int = 1,
+                             window=None):
     """YCbCr-direct Fit transcode (chroma_mode='direct').
 
     Planes never leave YCbCr: luma crops+resizes directly to the output
@@ -182,17 +250,23 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
     coefficients); here it is applied to transcoding.
     """
     left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
-    plane_w = min(yc.shape[-2] * 8, cb.shape[-2] * 16)
-    plane_h = min(yc.shape[-3] * 8, cb.shape[-3] * 16)
-    x0 = max((left // 16) * 16, 0)
-    y0 = max((top // 16) * 16, 0)
-    x1 = min(((left + w + 15) // 16) * 16, plane_w)
-    y1 = min(((top + h + 15) // 16) * 16, plane_h)
-    rw, rh = x1 - x0, y1 - y0
-    ywin = yc[..., y0 // 8:-(-y1 // 8), x0 // 8:-(-x1 // 8), :]
-    cwin = (slice(None),) * (cb.ndim - 3) + (
-        slice(y0 // 16, -(-y1 // 16)), slice(x0 // 16, -(-x1 // 16)),
-        slice(None))
+    if window is not None:
+        # host-sliced arrays (any 16-aligned window covering the crop)
+        x0, y0, rw, rh = window
+        ywin = yc
+        cwin = (slice(None),) * cb.ndim
+    else:
+        plane_w = min(yc.shape[-2] * 8, cb.shape[-2] * 16)
+        plane_h = min(yc.shape[-3] * 8, cb.shape[-3] * 16)
+        x0 = max((left // 16) * 16, 0)
+        y0 = max((top // 16) * 16, 0)
+        x1 = min(((left + w + 15) // 16) * 16, plane_w)
+        y1 = min(((top + h + 15) // 16) * 16, plane_h)
+        rw, rh = x1 - x0, y1 - y0
+        ywin = yc[..., y0 // 8:-(-y1 // 8), x0 // 8:-(-x1 // 8), :]
+        cwin = (slice(None),) * (cb.ndim - 3) + (
+            slice(y0 // 16, -(-y1 // 16)), slice(x0 // 16, -(-x1 // 16)),
+            slice(None))
     tx, ty = left - x0, top - y0
 
     s = dct_scale
@@ -246,14 +320,14 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
             K.fdct_quant(K._pad_to(crr, ph // 2, pw // 2), enc_qt_c))
 
 
-_YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale")
+_YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale", "window")
 
 fused_jpeg_fit_transcode_ycc = jax.jit(
     _fused_jpeg_fit_ycc_impl, static_argnames=_YCC_STATICS)
 
 
 _FUSED_STATICS = ("src_w", "src_h", "h2", "v2", "dst_w", "dst_h", "method",
-                  "orientation")
+                  "orientation", "window")
 
 #: public variant: inputs stay live (reusable for benchmarking/sharding)
 fused_jpeg_fit_transcode = jax.jit(
@@ -296,6 +370,20 @@ class JpegTranscodePipeline:
             raise DecodingFailedError("pipeline expects color JPEGs")
         self.geom = geometry_of(info)
         self.orientation = int(J.exif_orientation(sample))
+        # host-side decode window (orientation-1 Fit): coefficients outside
+        # the MCU-aligned crop window never leave the host — decode_entropy
+        # slices each image's arrays and the device fns get window=(x0, y0,
+        # rw, rh) as a static (~40% less H2D for 1080p->square)
+        g = self.geom
+        ybh = g.blocks[0][0]
+        if self.orientation == 1:
+            self._window = mcu_decode_window(
+                g.width, g.height, dst_w, dst_h, g.h2, g.v2, g.blocks,
+                ybh + (ybh % 2))
+        else:
+            self._window = None
+        #: static (x0, y0, rw, rh) for the device fns (None = full arrays)
+        self.window_static = self._window[:4] if self._window else None
         eql, eqc = J.scaled_qtables(quality)
         self.enc_qt_y_np, self.enc_qt_c_np = eql, eqc
         self.enc_qt_y = jnp.asarray(eql)
@@ -349,9 +437,32 @@ class JpegTranscodePipeline:
         # host-side calloc is free while a device-side jnp.pad is a full
         # HBM round trip over the coefficient stack
         ybh, ybw = g.blocks[0]
-        ys = np.zeros((b, ybh + (ybh % 2), ybw, 64), np.int16)
-        cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
-        crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
+        win = self._window
+        if win is None:
+            ys = np.zeros((b, ybh + (ybh % 2), ybw, 64), np.int16)
+            cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
+            crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
+        else:
+            # window mode: the shim decodes into per-thread full-geometry
+            # scratch and only the MCU crop window is copied into the batch
+            # (and later shipped to the device)
+            import threading
+            _, _, _, _, yr, ycs, crr, ccs = win
+            ys = np.empty((b, yr.stop - yr.start, ycs.stop - ycs.start, 64),
+                          np.int16)
+            cbs = np.empty((b, crr.stop - crr.start, ccs.stop - ccs.start,
+                            64), np.int16)
+            crs = np.empty_like(cbs)
+            tls = threading.local()
+
+            def scratch():
+                s = getattr(tls, "s", None)
+                if s is None:
+                    s = (np.zeros((ybh + (ybh % 2), ybw, 64), np.int16),
+                         np.empty(g.blocks[1] + (64,), np.int16),
+                         np.empty(g.blocks[2] + (64,), np.int16))
+                    tls.s = s
+                return s
         qty = np.empty((b, 64), np.uint16)
         qtc = np.empty((b, 64), np.uint16)
 
@@ -366,10 +477,14 @@ class JpegTranscodePipeline:
             info = self._validate_header(bufs[i])
             arr = np.frombuffer(bufs[i], np.uint8)
             qtables = np.zeros((4, 64), np.uint16)
+            if win is None:
+                ty, tcb, tcr = ys[i], cbs[i], crs[i]
+            else:
+                ty, tcb, tcr = scratch()
             ptrs = (_i16p * 3)(
-                ys[i].ctypes.data_as(_i16p),
-                cbs[i].ctypes.data_as(_i16p),
-                crs[i].ctypes.data_as(_i16p))
+                ty.ctypes.data_as(_i16p),
+                tcb.ctypes.data_as(_i16p),
+                tcr.ctypes.data_as(_i16p))
             rc = -10
             if (intra > 1 and info.restart_interval > 0
                     and not info.progressive):
@@ -386,6 +501,10 @@ class JpegTranscodePipeline:
                     None, 0)
             if rc != 0:
                 raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
+            if win is not None:
+                ys[i] = ty[yr, ycs]
+                cbs[i] = tcb[crr, ccs]
+                crs[i] = tcr[crr, ccs]
             qty[i] = qtables[info.comp_quant_tbl[0]]
             qtc[i] = qtables[info.comp_quant_tbl[1]]
 
@@ -476,7 +595,7 @@ class JpegTranscodePipeline:
                 self.enc_qt_y, self.enc_qt_c,
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
-                dct_scale=self.dct_scale)
+                dct_scale=self.dct_scale, window=self.window_static)
         fn = _fused_jpeg_fit_donating if donate else fused_jpeg_fit_transcode
         return fn(
             jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
@@ -484,7 +603,8 @@ class JpegTranscodePipeline:
             self.enc_qt_y, self.enc_qt_c,
             src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
             dst_w=self.dst_w, dst_h=self.dst_h,
-            method=self.method, orientation=self.orientation)
+            method=self.method, orientation=self.orientation,
+            window=self.window_static)
 
     # -- end to end --------------------------------------------------------------
 

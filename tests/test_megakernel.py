@@ -123,6 +123,51 @@ def test_planar_encode_matches_channel_encode():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_block_tail_pieces_match_planar_tail():
+    """The u8-block serving tail: decode_ycc_packed_blocks' block-vector
+    layout must reconstruct the exact u8 channels, and the crop-embedded
+    resize matrices (area_matrix_embedded) must equal crop-then-resize
+    exactly (identical taps, identical contraction)."""
+    from lilliput_tpu.ops import pallas_kernels as PK
+    from lilliput_tpu.ops import resize as R
+    rng = np.random.default_rng(14)
+    h, w = 131, 157                       # odd geometry, non-divisor blocks
+    yc, cb, cr = _coefs(rng, h, w, "420")
+    qy, qc = scaled_qtables(85)
+    args = (jnp.asarray(yc), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(qy), jnp.asarray(qc))
+    bgr = K._decode_ycc_megakernel(*args, h, w, True, True, interpret=True)
+    blocks = K.decode_ycc_packed_blocks(*args, True, True, interpret=True)
+    assert blocks is not None
+    b2, rb, two, cbw, lanes = blocks.shape
+    assert (two, lanes) == (2, 128)
+
+    # 1. u8 channels extracted in block space reconstruct the exact pixels
+    blk = np.asarray(blocks).reshape(b2, 2 * rb, 2 * cbw, 64)
+    for c, sh in ((0, 0), (1, 8), (2, 16)):
+        ch = ((blk >> sh) & 255).astype(np.uint8)
+        plane = np.asarray(PK._blocks_to_plane_xla(
+            jnp.asarray(ch), 2 * rb, 2 * cbw))
+        np.testing.assert_array_equal(plane[:, :h, :w],
+                                      np.asarray(bgr[..., c]))
+
+    # 2. crop folded into the axis matrices == crop-then-resize (exact)
+    top, left, ch_, cw_ = 3, 5, 96, 144
+    dst_w, dst_h = 40, 24
+    blk0 = ((blk >> 0) & 255).astype(np.uint8)
+    full = np.asarray(PK._blocks_to_plane_xla(
+        jnp.asarray(blk0), 2 * rb, 2 * cbw))
+    mw = R.area_matrix_embedded(cbw * 16, left, cw_, dst_w)
+    mh = R.area_matrix_embedded(rb * 16, top, ch_, dst_h)
+    got = np.clip(np.round(np.asarray(
+        R.resize_area_plane_mat(jnp.asarray(full, jnp.float32), mw, mh))),
+        0, 255)
+    refp = np.clip(np.round(np.asarray(R.resize_area_mxu_plane(
+        jnp.asarray(full[:, top:top + ch_, left:left + cw_], jnp.float32),
+        dst_w, dst_h))), 0, 255)
+    assert np.abs(got - refp).max() <= 1
+
+
 def test_decode_ycc_packed_matches_bgr():
     """Packed int32 decode equals the BGR megakernel output per channel."""
     rng = np.random.default_rng(13)

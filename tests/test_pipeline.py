@@ -271,6 +271,24 @@ def test_dct_scale2_transcode_quality():
     assert psnr >= 34.0, f"dct_scale=2 vs full: {psnr:.1f} dB"
 
 
+def test_host_windowed_decode_byte_identical_to_full():
+    """decode_entropy ships only the MCU decode window (host-side slicing);
+    output bytes must equal the full-coefficient in-graph-slicing path
+    exactly (identical blocks reach identical ops)."""
+    for dims, mode in (((640, 480), "rgb"), ((610, 414), "rgb"),
+                       ((640, 480), "direct")):
+        buf = _jpeg(*dims, seed=21)
+        pipe = JpegTranscodePipeline(buf, 100, 100, quality=85,
+                                     chroma_mode=mode)
+        assert pipe.window_static is not None
+        windowed = pipe.transcode([buf, buf])
+        full = JpegTranscodePipeline(buf, 100, 100, quality=85,
+                                     chroma_mode=mode)
+        full._window = None
+        full.window_static = None
+        assert windowed == full.transcode([buf, buf])
+
+
 def test_dct_scale_coef_truncation_byte_identical():
     """dct_scale>1 ships only the kxk corner coefficients to the device
     (decode_entropy host-side truncation); output bytes must equal the
@@ -293,7 +311,8 @@ def test_dct_scale_coef_truncation_byte_identical():
             jnp.asarray(qty), jnp.asarray(qtc),
             pipe.enc_qt_y, pipe.enc_qt_c,
             src_w=pipe.geom.width, src_h=pipe.geom.height,
-            dst_w=128, dst_h=128, dct_scale=s)
+            dst_w=128, dst_h=128, dct_scale=s,
+            window=full.window_static)
         ref = pipe.encode_entropy(*[np.asarray(a) for a in out])
         assert truncated == ref
 
