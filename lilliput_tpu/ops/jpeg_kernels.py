@@ -279,17 +279,29 @@ def decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
                       out_h: int, out_w: int, h2: bool, v2: bool,
                       interpret: bool = False):
     """Megakernel decode to PACKED BGRA int32 planes (lead + (out_h, out_w)),
-    or None when the subsampling shape is unsupported (4:2:2/4:4:0).
+    or None when the coefficient shapes don't fit a supported layout
+    (4:2:0, 4:2:2, 4:4:0 and 4:4:4 are all covered).
 
     The packed form is the serving-path representation: TPU layouts make a
     (..., 3) u8 minor dim catastrophically slow (a measured 15 ms/batch-64
     just to slice BGR out of BGRA), while channel extraction from int32 via
     shifts fuses into whatever consumes the planes."""
-    if h2 != v2:
-        return None
-    if not h2 and not (y_coefs.shape[-3:-1] == cb_coefs.shape[-3:-1]
-                       == cr_coefs.shape[-3:-1]):
-        return None
+    from . import pallas_kernels as PK
+    ysh, csh = y_coefs.shape[-3:-1], cb_coefs.shape[-3:-1]
+    if h2 and v2:
+        fn = PK.decode420_packed
+    elif h2:
+        if ysh[0] != csh[0]:
+            return None
+        fn = PK.decode422_packed
+    elif v2:
+        if ysh[1] != csh[1]:
+            return None
+        fn = PK.decode440_packed
+    else:
+        if not (ysh == csh == cr_coefs.shape[-3:-1]):
+            return None
+        fn = PK.decode444_packed
     lead = y_coefs.shape[:-3]
     b = int(np.prod(lead)) if lead else 1
     yc = y_coefs.reshape((b,) + y_coefs.shape[-3:])
@@ -302,8 +314,6 @@ def decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
              else qt.astype(jnp.float32)[None])
         return w_base[None] * q[:, :, None]
 
-    from . import pallas_kernels as PK
-    fn = PK.decode420_packed if h2 else PK.decode444_packed
     packed = fn(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
                 interpret=interpret)
     return packed[:, :out_h, :out_w].reshape(lead + (out_h, out_w))
@@ -348,10 +358,10 @@ def packed_to_planes(packed: jax.Array):
 def _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
                            out_h: int, out_w: int, h2: bool, v2: bool,
                            interpret: bool = False):
-    """Dispatch to the fused decode megakernel (ops/pallas_kernels.py) when
-    the subsampling shape supports it (4:2:0 and 4:4:4 — the overwhelming
-    majority of real traffic); returns None for 4:2:2/4:4:0, which fall back
-    to the split dequant_idct + upsample_chroma + ycbcr_to_bgr path."""
+    """Dispatch to the fused decode megakernel (ops/pallas_kernels.py) —
+    4:2:0, 4:2:2, 4:4:0 and 4:4:4 are all covered; returns None only when
+    the coefficient shapes don't match the declared subsampling, falling
+    back to the split dequant_idct + upsample_chroma + ycbcr_to_bgr path."""
     packed = decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma,
                                qt_chroma, out_h, out_w, h2, v2,
                                interpret=interpret)

@@ -401,6 +401,297 @@ def decode420_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
 
 
 
+def _dec422_kernel_factory(t_rows: int, cbw: int, expand_mode: str):
+    """4:2:2 megakernel body: chroma rows align 1:1 with luma block rows;
+    only the horizontal triangle upsample runs (no neighbor-row refs)."""
+    n = t_rows * cbw
+
+    def kernel(*refs):
+        if expand_mode == "roll":
+            (y_ref, cb_ref, cr_ref, wy_ref, wc_ref, out_ref) = refs
+            she_ref = sho_ref = None
+        else:
+            (y_ref, cb_ref, cr_ref, wy_ref, wc_ref, she_ref, sho_ref,
+             out_ref) = refs
+        wc = wc_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 64), 1)
+        lane_y = lane % 8
+        sub = jax.lax.broadcasted_iota(jnp.int32, (n, 64), 0)
+        row_j = sub % cbw
+
+        def expand_cols(he, ho, qx):
+            out = jnp.zeros_like(he)
+            for y in range(8):
+                src = he if y % 2 == 0 else ho
+                shift = y - (4 * qx + y // 2)
+                out = jnp.where(lane_y == y, _roll(src, shift, 1), out)
+            return out
+
+        def upsample_h(cur_ref):
+            v = jnp.dot(cur_ref[0].reshape(n, 64).astype(jnp.float32), wc,
+                        preferred_element_type=jnp.float32) + 128.0
+            vl = _roll(v, 1, 0)
+            vr = _roll(v, -1, 0)
+            left = jnp.where(lane_y == 0,
+                             jnp.where(row_j == 0, v, _roll(vl, -7, 1)),
+                             _roll(v, 1, 1))
+            right = jnp.where(lane_y == 7,
+                              jnp.where(row_j == cbw - 1, v,
+                                        _roll(vr, 7, 1)),
+                              _roll(v, -1, 1))
+            he = (3.0 * v + left) * 0.25
+            ho = (3.0 * v + right) * 0.25
+            if expand_mode == "roll":
+                return jnp.concatenate(
+                    [expand_cols(he, ho, 0), expand_cols(he, ho, 1)],
+                    axis=1)
+            if expand_mode == "mm":
+                return (jnp.dot(he, she_ref[:],
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(ho, sho_ref[:],
+                                  preferred_element_type=jnp.float32))
+            return _sel_dot_exact(he, she_ref) + _sel_dot_exact(ho, sho_ref)
+
+        cbu = upsample_h(cb_ref) - 128.0
+        cru = upsample_h(cr_ref) - 128.0
+        wy2 = wy_ref[0]
+        for r in range(t_rows):
+            yf = y_ref[0, r].astype(jnp.float32)
+            y = jnp.dot(yf, wy2, preferred_element_type=jnp.float32) + 128.0
+            cbv = cbu[r * cbw:(r + 1) * cbw]
+            crv = cru[r * cbw:(r + 1) * cbw]
+            rr = y + 1.402 * crv
+            gg = y - 0.344136286 * cbv - 0.714136286 * crv
+            bb = y + 1.772 * cbv
+            out_ref[0, r] = _pack_bgra(bb, gg, rr)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode422_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
+                     wqy: jax.Array, wqc: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """4:2:2 decode megakernel: (B, bh, bw, 64) luma + 2x(B, bh, cbw, 64)
+    chroma -> (B, bh_pad*8, cbw*16) packed BGRA int32 (caller crops)."""
+    bsz, bh, cbw = cb.shape[0], cb.shape[1], cb.shape[2]
+    t = max(d for d in range(1, min(MEGA_TILE_ROWS, bh) + 1) if bh % d == 0)
+    if t < 3 and bh > MEGA_TILE_ROWS:
+        t = MEGA_TILE_ROWS
+    bh_pad = -(-bh // t) * t
+    cb = jnp.pad(cb, ((0, 0), (0, bh_pad - bh), (0, 0), (0, 0)))
+    cr = jnp.pad(cr, ((0, 0), (0, bh_pad - bh), (0, 0), (0, 0)))
+    yc = jnp.pad(yc, ((0, 0), (0, bh_pad - yc.shape[1]),
+                      (0, 2 * cbw - yc.shape[2]), (0, 0)))
+    yc2 = yc.reshape(bsz, bh_pad, cbw, 128)
+    wqy = jnp.broadcast_to(wqy, (bsz, 64, 64))
+    wqc = jnp.broadcast_to(wqc, (bsz, 64, 64))
+    mode = _expand_mode()
+    sel_args, sel_specs = [], []
+    if mode != "roll":
+        s = _upsample_sel_matrices()
+        mats = [np.concatenate([s[a], s[a + 2]], axis=1) for a in (4, 5)]
+        if mode == "mm3":
+            mats = [np.concatenate([m, m, m], axis=0) for m in mats]
+            sel_args = [jnp.asarray(m, dtype=jnp.bfloat16) for m in mats]
+        else:
+            sel_args = [jnp.asarray(m) for m in mats]
+        k_rows = mats[0].shape[0]
+        sel_specs = [pl.BlockSpec((k_rows, 128), lambda b, i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    cspec = pl.BlockSpec((1, t, cbw, 64), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    blocks = pl.pallas_call(
+        _dec422_kernel_factory(t, cbw, mode),
+        out_shape=jax.ShapeDtypeStruct((bsz, bh_pad, cbw, 128), jnp.int32),
+        grid=(bsz, bh_pad // t),
+        in_specs=[
+            pl.BlockSpec((1, t, cbw, 128), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            cspec, cspec,
+            pl.BlockSpec((1, 128, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64, 64), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + sel_specs,
+        out_specs=pl.BlockSpec((1, t, cbw, 128), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yc2, cb, cr, _block_diag_pair(wqy), wqc, *sel_args)
+    blk = blocks.reshape(bsz, bh_pad, 2 * cbw, 64)
+    return _blocks_to_plane_xla(blk, bh_pad, 2 * cbw)
+
+
+def _dec440_kernel_factory(t_rows: int, bw2: int, cbh_true: int,
+                           expand_mode: str):
+    """4:4:0 megakernel body: pair-packed chroma expands vertically 2x.
+
+    Lanes hold (pair, x, y); within-half x rolls use shift 72/56 (mod 128)
+    so x=0 lanes read the previous row's x=7 of the SAME pair half."""
+    n = t_rows * bw2
+
+    def kernel(*refs):
+        if expand_mode == "roll":
+            (y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
+             wy_ref, wc_ref, out_ref) = refs
+            sae_ref = sao_ref = None
+        else:
+            (y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
+             wy_ref, wc_ref, sae_ref, sao_ref, out_ref) = refs
+        i = pl.program_id(1)
+        wc2 = wc_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 1)
+        lane_x = (lane % 64) // 8
+        sub = jax.lax.broadcasted_iota(jnp.int32, (n, 128), 0)
+        glob = i * t_rows + sub // bw2
+
+        def idct(x):
+            return jnp.dot(x.astype(jnp.float32), wc2,
+                           preferred_element_type=jnp.float32) + 128.0
+
+        def expand_rows(ve, vo, qy):
+            out = jnp.zeros_like(ve)
+            for x in range(8):
+                src = ve if x % 2 == 0 else vo
+                shift = (x - (4 * qy + x // 2)) * 8
+                # shift within each 64-lane half: add 64 when the in-half
+                # shift would cross the pair boundary (never happens here:
+                # |shift| <= 32 and source x' in [0,7] of the same half)
+                out = jnp.where(lane_x == x, _roll(src, shift, 1), out)
+            return out
+
+        def upsample_v(cur_ref, prev_ref, next_ref):
+            cp = idct(cur_ref[0].reshape(n, 128))
+            # within-half x=7 -> x=0 / x=0 -> x=7 rolls (72 == -56 mod 128)
+            pp8 = _roll(idct(prev_ref[0, 0]), 72, 1)
+            nn8 = _roll(idct(next_ref[0, 0]), 56, 1)
+            up_in = _roll(cp, 8, 1)
+            dn_in = _roll(cp, -8, 1)
+            up_pair = _roll(cp, 72, 1)
+            dn_pair = _roll(cp, 56, 1)
+            up_x = (pp8 if t_rows == 1
+                    else jnp.concatenate([pp8, up_pair[:-bw2]], axis=0))
+            dn_x = (nn8 if t_rows == 1
+                    else jnp.concatenate([dn_pair[bw2:], nn8], axis=0))
+            up = jnp.where(lane_x == 0, up_x, up_in)
+            up = jnp.where((glob == 0) & (lane_x == 0), cp, up)
+            dn = jnp.where(lane_x == 7, dn_x, dn_in)
+            dn = jnp.where((glob == cbh_true - 1) & (lane_x == 7), cp, dn)
+            ve = (3.0 * cp + up) * 0.25
+            vo = (3.0 * cp + dn) * 0.25
+            if expand_mode == "roll":
+                return [expand_rows(ve, vo, 0), expand_rows(ve, vo, 1)]
+            if expand_mode == "mm":
+                vq = (jnp.dot(ve, sae_ref[:],
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(vo, sao_ref[:],
+                                preferred_element_type=jnp.float32))
+            else:
+                vq = _sel_dot_exact(ve, sae_ref) + _sel_dot_exact(vo, sao_ref)
+            return [vq[:, :128], vq[:, 128:]]
+
+        cbu = upsample_v(cbc_ref, cbp_ref, cbn_ref)
+        cru = upsample_v(crc_ref, crp_ref, crn_ref)
+        wy2 = wy_ref[0]
+        for r in range(2 * t_rows):
+            t, qy = r // 2, r % 2
+            yf = y_ref[0, r].astype(jnp.float32)
+            y = jnp.dot(yf, wy2, preferred_element_type=jnp.float32) + 128.0
+            cbv = cbu[qy][t * bw2:(t + 1) * bw2] - 128.0
+            crv = cru[qy][t * bw2:(t + 1) * bw2] - 128.0
+            rr = y + 1.402 * crv
+            gg = y - 0.344136286 * cbv - 0.714136286 * crv
+            bb = y + 1.772 * cbv
+            out_ref[0, t, qy] = _pack_bgra(bb, gg, rr)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode440_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
+                     wqy: jax.Array, wqc: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """4:4:0 decode megakernel: (B, bh, bw, 64) luma + 2x(B, cbh, bw, 64)
+    chroma -> (B, cbh_pad*16, bw_pad*8) packed BGRA int32 (caller crops)."""
+    bsz, cbh, bw = cb.shape[0], cb.shape[1], cb.shape[2]
+    bw_pad = bw + (bw % 2)
+    bw2 = bw_pad // 2
+    t = max(d for d in range(1, min(MEGA_TILE_ROWS, cbh) + 1)
+            if cbh % d == 0)
+    if t < 3 and cbh > MEGA_TILE_ROWS:
+        t = MEGA_TILE_ROWS
+    cbh_pad = -(-cbh // t) * t
+
+    def prepc(c):
+        c = jnp.pad(c, ((0, 0), (0, cbh_pad - cbh), (0, bw_pad - bw),
+                        (0, 0)))
+        return c.reshape(bsz, cbh_pad, bw2, 128)
+
+    yc = jnp.pad(yc, ((0, 0), (0, 2 * cbh_pad - yc.shape[1]),
+                      (0, bw_pad - yc.shape[2]), (0, 0)))
+    yc2 = yc.reshape(bsz, 2 * cbh_pad, bw2, 128)
+    cbp, crp = prepc(cb), prepc(cr)
+    wqy = jnp.broadcast_to(wqy, (bsz, 64, 64))
+    wqc = jnp.broadcast_to(wqc, (bsz, 64, 64))
+    mode = _expand_mode()
+    sel_args, sel_specs = [], []
+    if mode != "roll":
+        s = _upsample_sel_matrices()
+        # pair-packed: block-diagonalize the vertical selection matrices
+        # per pair half, grouping output columns [qy=0 pair | qy=1 pair]
+        def bd(e0, e1):
+            z = np.zeros((128, 256), np.float32)
+            z[:64, 0:64] = e0
+            z[64:128, 64:128] = e0
+            z[:64, 128:192] = e1
+            z[64:128, 192:256] = e1
+            return z
+        sae = bd(s[0], s[2])
+        sao = bd(s[1], s[3])
+        mats = [sae, sao]
+        if mode == "mm3":
+            mats = [np.concatenate([m, m, m], axis=0) for m in mats]
+            sel_args = [jnp.asarray(m, dtype=jnp.bfloat16) for m in mats]
+        else:
+            sel_args = [jnp.asarray(m) for m in mats]
+        k_rows = mats[0].shape[0]
+        sel_specs = [pl.BlockSpec((k_rows, 256), lambda b, i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    cspec = pl.BlockSpec((1, t, bw2, 128), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    espec = lambda m: pl.BlockSpec((1, 1, bw2, 128), m,
+                                   memory_space=pltpu.VMEM)
+    prev = lambda b, i: (b, jnp.maximum(i * t - 1, 0), 0, 0)
+    nxt = lambda b, i: (b, jnp.minimum(i * t + t, cbh_pad - 1), 0, 0)
+    blocks = pl.pallas_call(
+        _dec440_kernel_factory(t, bw2, cbh, mode),
+        out_shape=jax.ShapeDtypeStruct((bsz, cbh_pad, 2, bw2, 128),
+                                       jnp.int32),
+        grid=(bsz, cbh_pad // t),
+        in_specs=[
+            pl.BlockSpec((1, 2 * t, bw2, 128), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            espec(prev), cspec, espec(nxt),
+            espec(prev), cspec, espec(nxt),
+            pl.BlockSpec((1, 128, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + sel_specs,
+        out_specs=pl.BlockSpec((1, t, 2, bw2, 128),
+                               lambda b, i: (b, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yc2, cbp, cbp, cbp, crp, crp, crp, _block_diag_pair(wqy),
+      _block_diag_pair(wqc), *sel_args)
+    blk = blocks.reshape(bsz, 2 * cbh_pad, bw_pad, 64)
+    return _blocks_to_plane_xla(blk, 2 * cbh_pad, bw_pad)
+
+
 def _dec444_kernel_factory(t_rows: int, bw2: int):
     n = t_rows * bw2
 

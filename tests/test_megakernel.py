@@ -1,6 +1,6 @@
-"""Decode-megakernel parity: the fused Pallas coefficient->BGRA kernel
-(ops/pallas_kernels.decode{420,444}_packed) must be bit-identical to the
-split dequant_idct + upsample_chroma + ycbcr_to_bgr path on every
+"""Decode-megakernel parity: the fused Pallas coefficient->BGRA kernels
+(ops/pallas_kernels.decode{420,422,440,444}_packed) must be bit-identical
+to the split dequant_idct + upsample_chroma + ycbcr_to_bgr path on every
 subsampling/odd-geometry case (interpret mode on CPU; the real-TPU numerics
 check runs in bench.py)."""
 
@@ -17,11 +17,16 @@ def _bl(n: int, f: int) -> int:
     return (-(-n // f) + 7) // 8
 
 
+def _sub_factors(sub):
+    return (2 if sub in ("420", "422") else 1,   # horizontal
+            2 if sub in ("420", "440") else 1)   # vertical
+
+
 def _coefs(rng, h, w, sub, batch=2):
-    f = 2 if sub == "420" else 1
+    fh, fv = _sub_factors(sub)
     yc = rng.integers(-300, 300, (batch, _bl(h, 1), _bl(w, 1), 64)).astype(np.int16)
-    cb = rng.integers(-200, 200, (batch, _bl(h, f), _bl(w, f), 64)).astype(np.int16)
-    cr = rng.integers(-200, 200, (batch, _bl(h, f), _bl(w, f), 64)).astype(np.int16)
+    cb = rng.integers(-200, 200, (batch, _bl(h, fv), _bl(w, fh), 64)).astype(np.int16)
+    cr = rng.integers(-200, 200, (batch, _bl(h, fv), _bl(w, fh), 64)).astype(np.int16)
     return yc, cb, cr
 
 
@@ -29,16 +34,17 @@ CASES = [(64, 48), (67, 61), (16, 16), (130, 17), (8, 8), (24, 129)]
 
 
 @pytest.mark.parametrize("h,w", CASES)
-@pytest.mark.parametrize("sub", ["420", "444"])
+@pytest.mark.parametrize("sub", ["420", "444", "422", "440"])
 def test_megakernel_matches_split_path(h, w, sub):
     rng = np.random.default_rng(42)
     yc, cb, cr = _coefs(rng, h, w, sub)
     qy, qc = scaled_qtables(85)
-    s2 = sub == "420"
+    fh, fv = _sub_factors(sub)
+    h2, v2 = fh == 2, fv == 2
     args = (jnp.asarray(yc), jnp.asarray(cb), jnp.asarray(cr),
             jnp.asarray(qy), jnp.asarray(qc))
-    ref = K.decode_ycc_420(*args, h, w, s2, s2)  # CPU default: split path
-    got = K._decode_ycc_megakernel(*args, h, w, s2, s2, interpret=True)
+    ref = K.decode_ycc_420(*args, h, w, h2, v2)  # CPU default: split path
+    got = K._decode_ycc_megakernel(*args, h, w, h2, v2, interpret=True)
     assert got is not None
     assert got.shape == ref.shape == (2, h, w, 3)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
@@ -78,13 +84,15 @@ def test_megakernel_unbatched_lead():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_megakernel_declines_422():
-    """4:2:2/4:4:0 fall back to the split path (returns None)."""
+def test_megakernel_declines_shape_mismatch():
+    """Coefficient shapes inconsistent with the declared subsampling fall
+    back to the split path (returns None) instead of mis-decoding."""
     rng = np.random.default_rng(1)
     h, w = 32, 32
     yc = rng.integers(-100, 100, (1, 4, 4, 64)).astype(np.int16)
-    cbh = rng.integers(-100, 100, (1, 4, 2, 64)).astype(np.int16)
+    cbh = rng.integers(-100, 100, (1, 2, 2, 64)).astype(np.int16)
     qy, qc = scaled_qtables(85)
+    # 4:2:2 claims chroma rows == luma rows; these are halved -> decline
     got = K._decode_ycc_megakernel(
         jnp.asarray(yc), jnp.asarray(cbh), jnp.asarray(cbh),
         jnp.asarray(qy), jnp.asarray(qc), h, w, True, False)

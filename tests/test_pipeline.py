@@ -271,6 +271,29 @@ def test_dct_scale2_transcode_quality():
     assert psnr >= 34.0, f"dct_scale=2 vs full: {psnr:.1f} dB"
 
 
+def test_fused_pipeline_422_matches_streaming():
+    """4:2:2 source through the fused pipeline (per-axis subsampled window
+    + megakernel-backed decode) matches the streaming Transform."""
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (120, 180, 3), np.uint8)
+    bio = io.BytesIO()
+    Image.fromarray(img).save(bio, format="JPEG", quality=90, subsampling=1)
+    buf = bio.getvalue()
+    pipe = JpegTranscodePipeline(buf, 64, 64, quality=85)
+    assert pipe.geom.h2 and not pipe.geom.v2          # really 4:2:2
+    fused = pipe.transcode([buf])[0]
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".jpeg", width=64, height=64,
+        resize_method=ResizeMethod.FIT, encode_timeout=600.0,
+        encode_options={JPEG_QUALITY: 85}))
+    import cv2
+    a = cv2.imdecode(np.frombuffer(fused, np.uint8), cv2.IMREAD_COLOR)
+    b = cv2.imdecode(np.frombuffer(streaming, np.uint8), cv2.IMREAD_COLOR)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
 def test_host_windowed_decode_byte_identical_to_full():
     """decode_entropy ships only the MCU decode window (host-side slicing);
     output bytes must equal the full-coefficient in-graph-slicing path
