@@ -181,6 +181,47 @@ def dequant_idct(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
     return p.reshape(lead + (bh * 8, bw * 8))
 
 
+def dequant_idct_u8(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
+    """dequant_idct with the u8 quantization applied while pixels are still
+    in BLOCK space: (..., bh, bw, 64) int16 -> (..., bh*8, bw*8) bf16 plane
+    holding exact u8 values. The round/clip is elementwise, so doing it
+    before the block->plane relayout is value-identical to rounding the
+    f32 plane — but the relayout transpose then moves 2 B/px instead of 4.
+    Used by the serving path where the plane feeds a resize contraction
+    (the matmul upcasts bf16 exactly)."""
+    lead = coefs.shape[:-3]
+    bh, bw = coefs.shape[-3], coefs.shape[-2]
+    w_base = jnp.asarray(idct_kron_matrix())
+    if qtable.ndim == 1:
+        w = w_base * qtable.astype(jnp.float32)[:, None]
+        flat = coefs.reshape(-1, 64)
+        if _use_pallas():
+            from . import pallas_kernels as PK
+            p = PK.dequant_idct_blocks_u8(flat, w)
+        else:
+            p = jnp.dot(flat.astype(jnp.float32), w,
+                        preferred_element_type=jnp.float32) + 128.0
+            p = jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.bfloat16)
+    else:
+        if lead != qtable.shape[:-1]:
+            raise ValueError(
+                f"batched qtable leading dims {qtable.shape[:-1]} must match "
+                f"coefficient leading dims {lead}")
+        b = int(np.prod(lead))
+        wq = w_base[None] * qtable.astype(jnp.float32).reshape(b, 64)[:, :, None]
+        flat = coefs.reshape(b, -1, 64)
+        if _use_pallas():
+            from . import pallas_kernels as PK
+            p = jax.vmap(PK.dequant_idct_blocks_u8)(flat, wq)
+        else:
+            p = jnp.einsum("bnk,bkj->bnj", flat.astype(jnp.float32), wq,
+                           preferred_element_type=jnp.float32) + 128.0
+            p = jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.bfloat16)
+    p = p.reshape(lead + (bh, bw, 8, 8))
+    p = jnp.moveaxis(p, -2, -3)
+    return p.reshape(lead + (bh * 8, bw * 8))
+
+
 def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
     """(..., H8, W8) f32 (0..255) -> (..., H8/8, W8/8, 64) int16 quantized.
 

@@ -271,14 +271,15 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
     s = dct_scale
     if s == 1:
-        y = K.dequant_idct(ywin, qt_y)[..., :rh, :rw]
-        # u8 materialization: the plane between decode and resize is the
-        # largest intermediate; storing it 1 B/px instead of f32 quarters
-        # its HBM traffic (values are exact u8 either way)
-        y8 = jnp.clip(jnp.round(y[..., ty:ty + h, tx:tx + w]),
-                      0, 255).astype(jnp.uint8)
+        # u8 quantization happens in the IDCT kernel epilogue (block
+        # space, bf16 — 2 B/px through the relayout transpose instead of
+        # 4) and the crop folds into the resize matrices, so neither a
+        # crop slice nor a separate u8 pass exists
+        y8 = K.dequant_idct_u8(ywin, qt_y)
+        mwl = R.area_matrix_embedded(y8.shape[-1], tx, w, dst_w)
+        mhl = R.area_matrix_embedded(y8.shape[-2], ty, h, dst_h)
         yr = jnp.clip(jnp.round(
-            R.resize_area_mxu_plane(y8, dst_w, dst_h)), 0, 255)
+            R.resize_area_plane_mat(y8, mwl, mhl)), 0, 255)
     else:
         # DCT-domain scaled decode (dct_scale=2: libjpeg's 4/8 reduced
         # decode, OpenCV IMREAD_REDUCED_*_2): reconstruct the luma plane at
@@ -295,10 +296,7 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
     def chroma(cplane):
         if s == 1:
-            ch, cwid = rh // 2, rw // 2
-            p = jnp.clip(jnp.round(
-                K.dequant_idct(cplane[cwin], qt_c)[..., :ch, :cwid]),
-                0, 255).astype(jnp.uint8)
+            p = K.dequant_idct_u8(cplane[cwin], qt_c)
         else:
             p = jnp.clip(jnp.round(
                 K.dequant_idct_scaled(cplane[cwin], qt_c, 8 // s)),
