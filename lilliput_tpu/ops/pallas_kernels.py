@@ -153,7 +153,22 @@ def _sel_dot_exact(a: jax.Array, s3_ref) -> jax.Array:
         preferred_element_type=jnp.float32)
 
 
-MEGA_TILE_ROWS = 8  # MCU rows per megakernel grid step
+MEGA_TILE_ROWS = 8   # pad-granularity fallback tile (rows % divisor != 0)
+MEGA_TILE_MAX = 20   # largest divisor tile considered (VMEM double-buffer
+                     # pressure regresses beyond this: t=17 beat t=34 on v5e)
+
+
+def _tile_rows(rows: int) -> int:
+    """Grid tile size: the largest divisor of `rows` up to MEGA_TILE_MAX
+    (no pad copies — a jnp.pad of the coefficient stack is a full HBM round
+    trip), falling back to MEGA_TILE_ROWS with padding when the best
+    divisor is tiny (small tiles lose more to per-step overhead)."""
+    import os
+    t = max(d for d in range(1, min(MEGA_TILE_MAX, rows) + 1)
+            if rows % d == 0)
+    if t < 3 and rows > MEGA_TILE_ROWS:
+        t = MEGA_TILE_ROWS
+    return int(os.environ.get("LILLIPUT_MEGA_T", t))
 
 
 @functools.lru_cache(maxsize=1)
@@ -355,16 +370,7 @@ def _decode420_call(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     """Shared 4:2:0 megakernel dispatch; returns packed-BGRA int32 output
     still in block-vector space: (B, cbh_pad, 2, cbw, 128)."""
     bsz, cbh, cbw = cb.shape[0], cb.shape[1], cb.shape[2]
-    # prefer a tile size dividing cbh (avoids the row-pad copies — a
-    # jnp.pad of the coefficient stack is a full HBM round trip), but not
-    # at the cost of doubling the grid: small tiles lose more to per-step
-    # overhead than the pad costs
-    import os
-    t = max(d for d in range(1, min(MEGA_TILE_ROWS, cbh) + 1)
-            if cbh % d == 0)
-    if t < 3 and cbh > MEGA_TILE_ROWS:
-        t = MEGA_TILE_ROWS
-    t = int(os.environ.get("LILLIPUT_MEGA_T", t))
+    t = _tile_rows(cbh)
     cbh_pad = -(-cbh // t) * t
     cb = jnp.pad(cb, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
     cr = jnp.pad(cr, ((0, 0), (0, cbh_pad - cbh), (0, 0), (0, 0)))
@@ -512,9 +518,7 @@ def decode422_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     """4:2:2 decode megakernel: (B, bh, bw, 64) luma + 2x(B, bh, cbw, 64)
     chroma -> (B, bh_pad*8, cbw*16) packed BGRA int32 (caller crops)."""
     bsz, bh, cbw = cb.shape[0], cb.shape[1], cb.shape[2]
-    t = max(d for d in range(1, min(MEGA_TILE_ROWS, bh) + 1) if bh % d == 0)
-    if t < 3 and bh > MEGA_TILE_ROWS:
-        t = MEGA_TILE_ROWS
+    t = _tile_rows(bh)
     bh_pad = -(-bh // t) * t
     cb = jnp.pad(cb, ((0, 0), (0, bh_pad - bh), (0, 0), (0, 0)))
     cr = jnp.pad(cr, ((0, 0), (0, bh_pad - bh), (0, 0), (0, 0)))
@@ -655,10 +659,7 @@ def decode440_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     bsz, cbh, bw = cb.shape[0], cb.shape[1], cb.shape[2]
     bw_pad = bw + (bw % 2)
     bw2 = bw_pad // 2
-    t = max(d for d in range(1, min(MEGA_TILE_ROWS, cbh) + 1)
-            if cbh % d == 0)
-    if t < 3 and cbh > MEGA_TILE_ROWS:
-        t = MEGA_TILE_ROWS
+    t = _tile_rows(cbh)
     cbh_pad = -(-cbh // t) * t
 
     def prepc(c):
@@ -758,7 +759,7 @@ def decode444_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     bw_pad*8) int32 packed BGRA (caller crops)."""
     bsz, bh, bw = yc.shape[0], yc.shape[1], yc.shape[2]
     bw_pad = bw + (bw % 2)
-    t = min(MEGA_TILE_ROWS, bh)
+    t = _tile_rows(bh)
     bh_pad = -(-bh // t) * t
 
     def prep(c):
