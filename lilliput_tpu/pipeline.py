@@ -53,6 +53,11 @@ class JpegGeometry:
 
 
 def geometry_of(info) -> JpegGeometry:
+    if info.num_components == 1:
+        return JpegGeometry(
+            width=info.width, height=info.height, h2=False, v2=False,
+            blocks=((int(info.comp_blocks_h[0]),
+                     int(info.comp_blocks_w[0])),))
     hy, vy = info.comp_h_samp[0], info.comp_v_samp[0]
     hc, vc = info.comp_h_samp[1], info.comp_v_samp[1]
     return JpegGeometry(
@@ -318,6 +323,60 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
             K.fdct_quant(K._pad_to(crr, ph // 2, pw // 2), enc_qt_c))
 
 
+def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
+                              dst_w: int, dst_h: int, dct_scale: int = 1,
+                              orientation: int = 1, window=None):
+    """Grayscale Fit transcode: luma coefficients -> quantized luma encode
+    coefficients (1-component JPEG in and out, like the reference's
+    Transform over grayscale sources). Same structure as the color paths:
+    u8 quantization in the IDCT kernel epilogue, crop folded into the
+    resize matrices, optional DCT-domain reduced decode."""
+    s = dct_scale
+    if orientation == 1:
+        left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
+        if window is not None:
+            x0, y0 = window[0], window[1]
+            ywin = yc
+        else:
+            x0 = y0 = 0
+            ywin = yc
+        tx, ty = left - x0, top - y0
+        if s == 1:
+            y8 = K.dequant_idct_u8(ywin, qt_y)
+            mwl = R.area_matrix_embedded(y8.shape[-1], tx, w, dst_w)
+            mhl = R.area_matrix_embedded(y8.shape[-2], ty, h, dst_h)
+            yr = jnp.clip(jnp.round(
+                R.resize_area_plane_mat(y8, mwl, mhl)), 0, 255)
+        else:
+            y = jnp.clip(jnp.round(
+                K.dequant_idct_scaled(ywin, qt_y, 8 // s)), 0, 255)
+            ym_w = R.area_axis_matrix_scaled(y.shape[-1], dst_w,
+                                             w / s / dst_w, tx / s)
+            ym_h = R.area_axis_matrix_scaled(y.shape[-2], dst_h,
+                                             h / s / dst_h, ty / s)
+            yr = jnp.clip(jnp.round(R.resize_area_plane_mat(y, ym_w, ym_h)),
+                          0, 255)
+    else:
+        gray = K.decode_gray(yc, qt_y, src_h, src_w)     # (..., H, W, 1)
+        gray = O.orient(gray, orientation)
+        eff_w, eff_h = ((src_h, src_w) if O.swaps_dimensions(orientation)
+                        else (src_w, src_h))
+        left, top, w, h = fit_rect(eff_w, eff_h, dst_w, dst_h)
+        cropped = gray[..., top:top + h, left:left + w, :]
+        yr = R.resize(cropped, dst_w, dst_h, R.AREA)[..., 0].astype(
+            jnp.float32)
+    ph = (dst_h + 7) // 8 * 8
+    pw = (dst_w + 7) // 8 * 8
+    return (K.fdct_quant(K._pad_to(yr, ph, pw), enc_qt_y),)
+
+
+_GRAY_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale",
+                 "orientation", "window")
+
+fused_jpeg_fit_transcode_gray = jax.jit(
+    _fused_jpeg_fit_gray_impl, static_argnames=_GRAY_STATICS)
+
+
 _YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale", "window")
 
 fused_jpeg_fit_transcode_ycc = jax.jit(
@@ -364,8 +423,13 @@ class JpegTranscodePipeline:
         self.dct_scale = dct_scale
         d = J.JpegDecoder(sample)
         info = d._info
-        if info.num_components != 3:
-            raise DecodingFailedError("pipeline expects color JPEGs")
+        if info.num_components not in (1, 3):
+            raise DecodingFailedError(
+                "pipeline expects color or grayscale JPEGs")
+        self.ncomp = int(info.num_components)
+        if self.ncomp == 1 and chroma_mode == "direct":
+            # grayscale has no chroma; the luma-only path is the only mode
+            self.chroma_mode = chroma_mode = "rgb"
         self.geom = geometry_of(info)
         self.orientation = int(J.exif_orientation(sample))
         # host-side decode window (orientation-1 Fit): coefficients outside
@@ -375,9 +439,12 @@ class JpegTranscodePipeline:
         g = self.geom
         ybh = g.blocks[0][0]
         if self.orientation == 1:
+            blocks = g.blocks if self.ncomp == 3 else (g.blocks[0],
+                                                       g.blocks[0])
+            luma_rows = ybh + (ybh % 2) if self.ncomp == 3 else ybh
             self._window = mcu_decode_window(
-                g.width, g.height, dst_w, dst_h, g.h2, g.v2, g.blocks,
-                ybh + (ybh % 2))
+                g.width, g.height, dst_w, dst_h, g.h2, g.v2, blocks,
+                luma_rows)
         else:
             self._window = None
         #: static (x0, y0, rw, rh) for the device fns (None = full arrays)
@@ -404,8 +471,10 @@ class JpegTranscodePipeline:
             ctypes.byref(info))
         if rc != 0:
             raise DecodingFailedError(f"JPEG header parse failed ({rc})")
-        if info.num_components != 3:
-            raise DecodingFailedError("pipeline expects 3-component JPEGs")
+        if info.num_components != self.ncomp:
+            raise DecodingFailedError(
+                f"component-count mismatch: pipeline compiled for "
+                f"{self.ncomp}-component JPEGs, got {info.num_components}")
         if geometry_of(info) != self.geom:
             raise DecodingFailedError(
                 f"geometry mismatch: pipeline compiled for {self.geom}, "
@@ -423,7 +492,8 @@ class JpegTranscodePipeline:
 
         Returns (ys, cbs, crs, qt_y, qt_c) with qt_* of shape (B, 64) — each
         image is dequantized with its OWN tables on device (same-size JPEGs
-        saved at different qualities must not share tables).
+        saved at different qualities must not share tables). Grayscale
+        pipelines return (ys, qt_y).
 
         The libjpeg shim releases the GIL inside ctypes calls, so a small
         thread pool scales entropy decode across host cores (the reference's
@@ -435,11 +505,14 @@ class JpegTranscodePipeline:
         # host-side calloc is free while a device-side jnp.pad is a full
         # HBM round trip over the coefficient stack
         ybh, ybw = g.blocks[0]
+        gray = self.ncomp == 1
+        ypad = 0 if gray else ybh % 2
         win = self._window
         if win is None:
-            ys = np.zeros((b, ybh + (ybh % 2), ybw, 64), np.int16)
-            cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
-            crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
+            ys = np.zeros((b, ybh + ypad, ybw, 64), np.int16)
+            if not gray:
+                cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
+                crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
         else:
             # window mode: the shim decodes into per-thread full-geometry
             # scratch and only the MCU crop window is copied into the batch
@@ -448,21 +521,24 @@ class JpegTranscodePipeline:
             _, _, _, _, yr, ycs, crr, ccs = win
             ys = np.empty((b, yr.stop - yr.start, ycs.stop - ycs.start, 64),
                           np.int16)
-            cbs = np.empty((b, crr.stop - crr.start, ccs.stop - ccs.start,
-                            64), np.int16)
-            crs = np.empty_like(cbs)
+            if not gray:
+                cbs = np.empty((b, crr.stop - crr.start,
+                                ccs.stop - ccs.start, 64), np.int16)
+                crs = np.empty_like(cbs)
             tls = threading.local()
 
             def scratch():
                 s = getattr(tls, "s", None)
                 if s is None:
-                    s = (np.zeros((ybh + (ybh % 2), ybw, 64), np.int16),
-                         np.empty(g.blocks[1] + (64,), np.int16),
-                         np.empty(g.blocks[2] + (64,), np.int16))
+                    s = ((np.zeros((ybh + ypad, ybw, 64), np.int16),)
+                         if gray else
+                         (np.zeros((ybh + ypad, ybw, 64), np.int16),
+                          np.empty(g.blocks[1] + (64,), np.int16),
+                          np.empty(g.blocks[2] + (64,), np.int16)))
                     tls.s = s
                 return s
         qty = np.empty((b, 64), np.uint16)
-        qtc = np.empty((b, 64), np.uint16)
+        qtc = None if gray else np.empty((b, 64), np.uint16)
 
         n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
         # small batches underfill the pool: slice each image's scan at its
@@ -476,13 +552,11 @@ class JpegTranscodePipeline:
             arr = np.frombuffer(bufs[i], np.uint8)
             qtables = np.zeros((4, 64), np.uint16)
             if win is None:
-                ty, tcb, tcr = ys[i], cbs[i], crs[i]
+                comps = (ys[i],) if gray else (ys[i], cbs[i], crs[i])
             else:
-                ty, tcb, tcr = scratch()
-            ptrs = (_i16p * 3)(
-                ty.ctypes.data_as(_i16p),
-                tcb.ctypes.data_as(_i16p),
-                tcr.ctypes.data_as(_i16p))
+                comps = scratch()
+            ptrs = (_i16p * len(comps))(
+                *[c.ctypes.data_as(_i16p) for c in comps])
             rc = -10
             if (intra > 1 and info.restart_interval > 0
                     and not info.progressive):
@@ -500,11 +574,13 @@ class JpegTranscodePipeline:
             if rc != 0:
                 raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
             if win is not None:
-                ys[i] = ty[yr, ycs]
-                cbs[i] = tcb[crr, ccs]
-                crs[i] = tcr[crr, ccs]
+                ys[i] = comps[0][yr, ycs]
+                if not gray:
+                    cbs[i] = comps[1][crr, ccs]
+                    crs[i] = comps[2][crr, ccs]
             qty[i] = qtables[info.comp_quant_tbl[0]]
-            qtc[i] = qtables[info.comp_quant_tbl[1]]
+            if not gray:
+                qtc[i] = qtables[info.comp_quant_tbl[1]]
 
         if n_workers <= 1 or b <= 1:
             for i in range(b):
@@ -519,23 +595,30 @@ class JpegTranscodePipeline:
             # dct_scale=2, 16x at 4 — the transfer matters on PCIe hosts)
             idx = K.scaled_coef_indices(8 // self.dct_scale)
             ys = np.ascontiguousarray(ys[..., idx])
-            cbs = np.ascontiguousarray(cbs[..., idx])
-            crs = np.ascontiguousarray(crs[..., idx])
+            if not gray:
+                cbs = np.ascontiguousarray(cbs[..., idx])
+                crs = np.ascontiguousarray(crs[..., idx])
+        if gray:
+            return ys, qty
         return ys, cbs, crs, qty, qtc
 
-    def encode_entropy(self, yq: np.ndarray, cbq: np.ndarray, crq: np.ndarray,
+    def encode_entropy(self, yq: np.ndarray, cbq: Optional[np.ndarray] = None,
+                       crq: Optional[np.ndarray] = None,
                        workers: Optional[int] = None) -> List[bytes]:
         """Huffman-encode device-quantized coefficients (host, threaded).
 
-        Like decode_entropy, the shim releases the GIL so encode scales
-        across host cores; each worker owns its output buffer."""
+        Color pipelines take (yq, cbq, crq); grayscale just (yq,). Like
+        decode_entropy, the shim releases the GIL so encode scales across
+        host cores; each worker owns its output buffer."""
         w, h = self.dst_w, self.dst_h
         yb = ((h + 7) // 8, (w + 7) // 8)
         cbb = ((h + 15) // 16, (w + 15) // 16)
+        gray = self.ncomp == 1
         b = yq.shape[0]
         outs: List[Optional[bytes]] = [None] * b
-        hs = (ctypes.c_int32 * 3)(2, 1, 1)
-        vs = (ctypes.c_int32 * 3)(2, 1, 1)
+        nc = 1 if gray else 3
+        hs = (ctypes.c_int32 * nc)(*([1] if gray else [2, 1, 1]))
+        vs = (ctypes.c_int32 * nc)(*([1] if gray else [2, 1, 1]))
         qp = ctypes.POINTER(ctypes.c_uint16)
         opt = 1 if self.optimize_coding else 0
         cap = w * h * 4 + (1 << 20)
@@ -544,13 +627,16 @@ class JpegTranscodePipeline:
             if out_buf is None:
                 out_buf = np.empty(cap, np.uint8)
             y = np.ascontiguousarray(yq[i][:yb[0], :yb[1]])
-            cbx = np.ascontiguousarray(cbq[i][:cbb[0], :cbb[1]])
-            crx = np.ascontiguousarray(crq[i][:cbb[0], :cbb[1]])
-            ptrs = (_i16p * 3)(y.ctypes.data_as(_i16p),
-                               cbx.ctypes.data_as(_i16p),
-                               crx.ctypes.data_as(_i16p))
+            if gray:
+                ptrs = (_i16p * 1)(y.ctypes.data_as(_i16p))
+            else:
+                cbx = np.ascontiguousarray(cbq[i][:cbb[0], :cbb[1]])
+                crx = np.ascontiguousarray(crq[i][:cbb[0], :cbb[1]])
+                ptrs = (_i16p * 3)(y.ctypes.data_as(_i16p),
+                                   cbx.ctypes.data_as(_i16p),
+                                   crx.ctypes.data_as(_i16p))
             n = self._lib.lp_jpeg_encode_coefs(
-                w, h, 3, hs, vs, ptrs,
+                w, h, nc, hs, vs, ptrs,
                 self.enc_qt_y_np.ctypes.data_as(qp),
                 self.enc_qt_c_np.ctypes.data_as(qp),
                 0, opt, 0, None, 0,
@@ -573,13 +659,24 @@ class JpegTranscodePipeline:
 
     # -- device stage ----------------------------------------------------------
 
-    def device_step(self, ys, cbs, crs, qty, qtc, donate: bool = True):
+    def device_step(self, ys, cbs=None, crs=None, qty=None, qtc=None,
+                    donate: bool = True):
         """One fused dispatch; returns device arrays (async).
 
+        Color pipelines take (ys, cbs, crs, qty, qtc); grayscale (ys, qty)
+        — i.e. device_step(*decode_entropy(bufs)) works for both.
         donate=True (serving default) hands the coefficient buffers to XLA
         for reuse; pass donate=False when the caller keeps device-resident
         inputs alive across calls (e.g. bench loops)."""
         g = self.geom
+        if self.ncomp == 1:
+            qty = cbs  # (ys, qty) calling convention
+            return fused_jpeg_fit_transcode_gray(
+                jnp.asarray(ys), jnp.asarray(qty), self.enc_qt_y,
+                src_w=g.width, src_h=g.height,
+                dst_w=self.dst_w, dst_h=self.dst_h,
+                dct_scale=self.dct_scale, orientation=self.orientation,
+                window=self.window_static)
         if self.chroma_mode == "direct":
             if not (g.h2 and g.v2 and self.orientation == 1
                     and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
@@ -611,10 +708,9 @@ class JpegTranscodePipeline:
         with StageTimer("entropy_decode"):
             coefs = self.decode_entropy(bufs)
         with StageTimer("device"):
-            yq, cbq, crq = self.device_step(*coefs)
-            yq, cbq, crq = np.asarray(yq), np.asarray(cbq), np.asarray(crq)
+            dev = [np.asarray(a) for a in self.device_step(*coefs)]
         with StageTimer("entropy_encode"):
-            out = self.encode_entropy(yq, cbq, crq)
+            out = self.encode_entropy(*dev)
         metrics.incr("images_transcoded", len(bufs))
         return out
 

@@ -271,6 +271,62 @@ def test_dct_scale2_transcode_quality():
     assert psnr >= 34.0, f"dct_scale=2 vs full: {psnr:.1f} dB"
 
 
+def _gray_jpeg(w, h, seed=0, q=90):
+    rng = np.random.default_rng(seed)
+    img = cv2.resize(rng.integers(0, 256, (10, 10), np.uint8), (w, h),
+                     interpolation=cv2.INTER_CUBIC)
+    ok, b = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
+    return b.tobytes()
+
+
+def test_fused_pipeline_grayscale_matches_streaming():
+    """1-component JPEGs batch through the luma-only fused path; output is
+    a grayscale JPEG matching the streaming Transform."""
+    buf = _gray_jpeg(320, 200, seed=3)
+    pipe = JpegTranscodePipeline(buf, 64, 64, quality=85)
+    assert pipe.ncomp == 1
+    fused = pipe.transcode([buf, buf])
+    assert fused[0] == fused[1]
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".jpeg", width=64, height=64,
+        resize_method=ResizeMethod.FIT, encode_timeout=600.0,
+        encode_options={JPEG_QUALITY: 85}))
+    a = cv2.imdecode(np.frombuffer(fused[0], np.uint8),
+                     cv2.IMREAD_UNCHANGED)
+    b = cv2.imdecode(np.frombuffer(streaming, np.uint8),
+                     cv2.IMREAD_UNCHANGED)
+    assert a.ndim == b.ndim == 2          # both stayed single-channel
+    assert a.shape == b.shape == (64, 64)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_fused_pipeline_grayscale_oriented():
+    """Grayscale + EXIF orientation routes through the orient path."""
+    buf = _with_orientation(_gray_jpeg(200, 320, seed=4), 6)
+    pipe = JpegTranscodePipeline(buf, 48, 48, quality=85)
+    out = pipe.transcode([buf])[0]
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".jpeg", width=48, height=48,
+        resize_method=ResizeMethod.FIT, encode_timeout=600.0,
+        encode_options={JPEG_QUALITY: 85}))
+    a = cv2.imdecode(np.frombuffer(out, np.uint8), cv2.IMREAD_UNCHANGED)
+    b = cv2.imdecode(np.frombuffer(streaming, np.uint8),
+                     cv2.IMREAD_UNCHANGED)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_multi_geometry_mixes_gray_and_color():
+    bufs = [_jpeg(320, 200, 1), _gray_jpeg(320, 200, 2),
+            _jpeg(320, 200, 3), _gray_jpeg(200, 320, 4)]
+    mp = MultiGeometryPipeline(64, 64, quality=85)
+    outs = mp.transcode(bufs)
+    for i, o in enumerate(outs):
+        im = cv2.imdecode(np.frombuffer(o, np.uint8), cv2.IMREAD_UNCHANGED)
+        assert im.shape[:2] == (64, 64)
+        solo = mp.transcode([bufs[i]])[0]
+        assert solo == o
+
+
 def test_fused_pipeline_422_matches_streaming():
     """4:2:2 source through the fused pipeline (per-axis subsampled window
     + megakernel-backed decode) matches the streaming Transform."""
