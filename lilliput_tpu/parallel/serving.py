@@ -42,7 +42,16 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         self._batch_sharding = NamedSharding(self.mesh, P("dp"))
         self._repl = NamedSharding(self.mesh, P())
         g = self.geom
-        if self.chroma_mode == "direct":
+        if self.ncomp == 1:
+            from ..pipeline import fused_jpeg_fit_transcode_gray
+
+            def fn(yc, qy, eqy):
+                return fused_jpeg_fit_transcode_gray(
+                    yc, qy, eqy, src_w=g.width, src_h=g.height,
+                    dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
+                    orientation=self.orientation,
+                    window=self.window_static)
+        elif self.chroma_mode == "direct":
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
                 return fused_jpeg_fit_transcode_ycc(
                     yc, cb, cr, qy, qc, eqy, eqc,
@@ -59,19 +68,27 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
                     window=self.window_static)
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
 
-    def device_step(self, ys, cbs, crs, qty, qtc, donate: bool = True):
+    def device_step(self, ys, cbs=None, crs=None, qty=None, qtc=None,
+                    donate: bool = True):
         del donate  # sharded placement governs buffers
         pad = (-len(ys)) % self._dp
-        if pad:
-            def p(a):
-                return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-            ys, cbs, crs = p(ys), p(cbs), p(crs)
-            qty, qtc = p(qty), p(qtc)
-        args = [jax.device_put(a, self._batch_sharding)
-                for a in (ys, cbs, crs, qty, qtc)]
-        eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
-        eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
-        out = self._step(*args, eqy, eqc)
+
+        def p(a):
+            return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+
+        if self.ncomp == 1:
+            qty = cbs  # (ys, qty) calling convention
+            batch = (p(ys), p(qty)) if pad else (ys, qty)
+            args = [jax.device_put(a, self._batch_sharding) for a in batch]
+            eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
+            out = self._step(*args, eqy)
+        else:
+            batch = ((p(ys), p(cbs), p(crs), p(qty), p(qtc)) if pad
+                     else (ys, cbs, crs, qty, qtc))
+            args = [jax.device_put(a, self._batch_sharding) for a in batch]
+            eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
+            eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
+            out = self._step(*args, eqy, eqc)
         if pad:
             out = tuple(o[:-pad] for o in out)
         return out

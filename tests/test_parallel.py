@@ -64,6 +64,25 @@ def test_sharded_pipeline_matches_single(tmp_path):
     assert got == ref
 
 
+def test_sharded_grayscale_matches_single():
+    """Grayscale (luma-only) pipeline sharded over dp == single-device."""
+    import cv2
+    from lilliput_tpu.parallel import ShardedJpegPipeline
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    rng = np.random.default_rng(9)
+    img = cv2.resize(rng.integers(0, 256, (10, 10), np.uint8), (320, 200),
+                     interpolation=cv2.INTER_CUBIC)
+    ok, b = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    buf = b.tobytes()
+    mesh = make_mesh(8)
+    sharded = ShardedJpegPipeline(buf, 64, 64, quality=85, mesh=mesh)
+    single = JpegTranscodePipeline(buf, 64, 64, quality=85)
+    with mesh:
+        got = sharded.transcode([buf] * 5)   # uneven: pad/drop path
+    assert got == single.transcode([buf] * 5)
+
+
 def test_sharded_direct_mode_matches_single():
     """chroma_mode='direct' sharded over dp == single-device bytes."""
     import bench as B
