@@ -419,6 +419,7 @@ def _decode420_call(yc: jax.Array, cb: jax.Array, cr: jax.Array,
                                lambda b, i: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(yc2, cb, cb, cb, cr, cr, cr, _block_diag_pair(wqy), wqc, *sel_args)
@@ -558,6 +559,7 @@ def decode422_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
         out_specs=pl.BlockSpec((1, t, cbw, 128), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(yc2, cb, cr, _block_diag_pair(wqy), wqc, *sel_args)
@@ -722,6 +724,7 @@ def decode440_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
                                lambda b, i: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(yc2, cbp, cbp, cbp, crp, crp, crp, _block_diag_pair(wqy),
@@ -781,6 +784,7 @@ def decode444_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
         out_specs=pl.BlockSpec((1, t, bw2, 128), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(prep(yc), prep(cb), prep(cr),
