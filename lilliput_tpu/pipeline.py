@@ -121,22 +121,26 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
     """(B, bh, bw, 64) coefficient batches -> quantized encode coefficients.
 
     Pipeline: decode to BGR u8, EXIF orientation normalization, center-crop,
-    INTER_AREA resize, encode at 4:2:0. Resize/crop are bit-exact with the
-    unfused ImageOps path; the JPEG round-trip itself is exact to +-1 u8
-    (f32 accumulation-order differences between the batched and streaming
-    IDCT dispatch shapes).
+    INTER_AREA resize, encode at 4:2:0. Output is within +-1 u8 of the
+    unfused ImageOps path (tested): the decode half is bit-identical, but
+    the matmul-form AREA resample and the batched IDCT dispatch shapes
+    reassociate f32 sums relative to the streaming path's tap order.
 
     qt_y/qt_c may be (64,) shared tables or (B, 64) per-image tables (the
     serving path always passes per-image tables — images of the same
     geometry but different save quality must not share dequant tables).
 
-    Two serving-path optimizations (upright images):
+    Serving-path optimizations (upright images):
       * decode window — only the MCU-aligned coefficient window covering
         the Fit crop (plus one MCU margin for the chroma triangle filter's
-        neighbor taps) is IDCT'd: identical pixels, ~40% less work for the
-        1080p->square headline shape;
-      * the AREA resample runs as dense MXU matrix contractions
-        (R.resize_area_mxu) instead of gathers, which serialize on TPU.
+        neighbor taps) is IDCT'd (host-sliced when window is set):
+        identical pixels, ~40% less work for the 1080p->square headline;
+      * u8 channels are extracted while pixels are still in block-vector
+        space and the crop folds into the AREA resize matrices
+        (area_matrix_embedded) — no crop slice pass, 1 B/px/channel
+        through the relayout transpose;
+      * the AREA resample runs as banded MXU matrix contractions instead
+        of gathers, which serialize on TPU.
     """
     if orientation == 1:
         left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)

@@ -315,6 +315,23 @@ def test_fused_pipeline_grayscale_oriented():
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+def test_grayscale_dct_scale_truncation():
+    """Grayscale + dct_scale=2: reduced decode with host coefficient
+    truncation still yields a sane thumbnail (PSNR vs full decode)."""
+    buf = _gray_jpeg(512, 384, seed=7)
+    full = JpegTranscodePipeline(buf, 128, 128, quality=85)
+    half = JpegTranscodePipeline(buf, 128, 128, quality=85,
+                                 chroma_mode="direct", dct_scale=2)
+    assert half.decode_entropy([buf])[0].shape[-1] == 16  # truncated
+    a = cv2.imdecode(np.frombuffer(full.transcode([buf])[0], np.uint8),
+                     cv2.IMREAD_UNCHANGED)
+    b = cv2.imdecode(np.frombuffer(half.transcode([buf])[0], np.uint8),
+                     cv2.IMREAD_UNCHANGED)
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert psnr >= 34.0, f"gray dct_scale=2 vs full: {psnr:.1f} dB"
+
+
 def test_multi_geometry_mixes_gray_and_color():
     bufs = [_jpeg(320, 200, 1), _gray_jpeg(320, 200, 2),
             _jpeg(320, 200, 3), _gray_jpeg(200, 320, 4)]
