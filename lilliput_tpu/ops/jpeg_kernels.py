@@ -329,20 +329,26 @@ def decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
     shifts fuses into whatever consumes the planes."""
     from . import pallas_kernels as PK
     ysh, csh = y_coefs.shape[-3:-1], cb_coefs.shape[-3:-1]
+    if csh != cr_coefs.shape[-3:-1]:
+        return None
+
+    def half(n):  # chroma blocks for a half-sampled luma axis
+        return -(-n // 2)
+
     if h2 and v2:
+        ok = csh == (half(ysh[0]), half(ysh[1]))
         fn = PK.decode420_packed
     elif h2:
-        if ysh[0] != csh[0]:
-            return None
+        ok = csh == (ysh[0], half(ysh[1]))
         fn = PK.decode422_packed
     elif v2:
-        if ysh[1] != csh[1]:
-            return None
+        ok = csh == (half(ysh[0]), ysh[1])
         fn = PK.decode440_packed
     else:
-        if not (ysh == csh == cr_coefs.shape[-3:-1]):
-            return None
+        ok = csh == ysh
         fn = PK.decode444_packed
+    if not ok:
+        return None
     lead = y_coefs.shape[:-3]
     b = int(np.prod(lead)) if lead else 1
     yc = y_coefs.reshape((b,) + y_coefs.shape[-3:])
@@ -384,8 +390,9 @@ def decode_ycc_packed_blocks(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
         return w_base[None] * q[:, :, None]
 
     from . import pallas_kernels as PK
-    return PK._decode420_call(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
-                              interpret)
+    blocks = PK._decode420_call(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
+                                interpret)
+    return blocks.reshape(lead + blocks.shape[1:])
 
 
 def packed_to_planes(packed: jax.Array):

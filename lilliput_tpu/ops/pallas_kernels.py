@@ -210,6 +210,55 @@ def _expand_mode() -> str:
     return os.environ.get("LILLIPUT_EXPAND", "mm3")
 
 
+def _expand_rows_roll(ve, vo, qy, lane_x):
+    """2x vertical expansion, quadrant qy, as VPU lane rolls: output pixel
+    row x reads filtered value (ve if x even else vo) at source row
+    4*qy+x//2 — a lane roll by (x - 4*qy - x//2)*8 selected per lane_x.
+    Exact (each output lane copies exactly one filtered value)."""
+    out = jnp.zeros_like(ve)
+    for x in range(8):
+        src = ve if x % 2 == 0 else vo
+        shift = (x - (4 * qy + x // 2)) * 8
+        out = jnp.where(lane_x == x, _roll(src, shift, 1), out)
+    return out
+
+
+def _expand_cols_roll(he, ho, qx, lane_y):
+    """2x horizontal expansion, quadrant qx: output col y reads
+    (he if y even else ho) at source col 4*qx+y//2."""
+    out = jnp.zeros_like(he)
+    for y in range(8):
+        src = he if y % 2 == 0 else ho
+        shift = y - (4 * qx + y // 2)
+        out = jnp.where(lane_y == y, _roll(src, shift, 1), out)
+    return out
+
+
+def _sel_quadrant_mats(indices):
+    """[qy0|qy1]-column selection matrices for the given even/odd filter
+    indices of _upsample_sel_matrices (e.g. (0, 1) vertical, (4, 5)
+    horizontal)."""
+    s = _upsample_sel_matrices()
+    return [np.concatenate([s[a], s[a + 2]], axis=1) for a in indices]
+
+
+def _sel_staging(mode: str, mats):
+    """Stage 0/1 selection matrices as kernel operands: f32 for 'mm',
+    3x-stacked bf16 for 'mm3' (the _sel_dot_exact form — exact since the
+    entries are 0/1); returns (args, specs). Empty for 'roll'."""
+    if mode == "roll":
+        return [], []
+    if mode == "mm3":
+        mats = [np.concatenate([m, m, m], axis=0) for m in mats]
+        args = [jnp.asarray(m, dtype=jnp.bfloat16) for m in mats]
+    else:
+        args = [jnp.asarray(m) for m in mats]
+    k_rows, width = mats[0].shape
+    specs = [pl.BlockSpec((k_rows, width), lambda b, i: (0, 0),
+                          memory_space=pltpu.VMEM)] * len(mats)
+    return args, specs
+
+
 def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
                            expand_mode: str = "mm3"):
     """Builds the 4:2:0 megakernel body for a tile of t_rows MCU rows.
@@ -246,28 +295,6 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
             return jnp.dot(x.astype(jnp.float32), wc,
                            preferred_element_type=jnp.float32) + 128.0
 
-        def expand_rows(ve, vo, qy):
-            # 2x vertical expansion, quadrant qy: output pixel row x reads
-            # filtered value (ve if x even else vo) at source row 4*qy+x//2
-            # — a lane roll by (x - 4*qy - x//2)*8 selected per lane_x
-            out = jnp.zeros_like(ve)
-            for x in range(8):
-                src = ve if x % 2 == 0 else vo
-                shift = (x - (4 * qy + x // 2)) * 8
-                out = jnp.where(lane_x == x, _roll(src, shift, 1), out)
-            return out
-
-        def expand_cols(he, ho, qx):
-            # 2x horizontal expansion, quadrant qx: output col y reads
-            # (he if y even else ho) at source col 4*qx+y//2
-            out = jnp.zeros_like(he)
-            for y in range(8):
-                src = he if y % 2 == 0 else ho
-                shift = y - (4 * qx + y // 2)
-                out = jnp.where(lane_y == y, _roll(src, shift, 1), out)
-            return out
-
-
         def upsample2x2(cur_ref, prev_ref, next_ref):
             cp = idct(cur_ref[0].reshape(n, 64))
             pp8 = _roll(idct(prev_ref[0, 0]), 8, 1)
@@ -297,7 +324,7 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
             out = []
             for qy in range(2):
                 if expand_mode == "roll":
-                    v = expand_rows(ve, vo, qy)
+                    v = _expand_rows_roll(ve, vo, qy, lane_x)
                 else:
                     v = vq[:, 64 * qy:64 * qy + 64]
                 # pixel-col +-1 neighbors: lane roll by 1; y==0/7 take the
@@ -315,8 +342,8 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
                 ho = (3.0 * v + right) * 0.25
                 if expand_mode == "roll":
                     out.append(jnp.concatenate(
-                        [expand_cols(he, ho, 0), expand_cols(he, ho, 1)],
-                        axis=1))
+                        [_expand_cols_roll(he, ho, 0, lane_y),
+                         _expand_cols_roll(he, ho, 1, lane_y)], axis=1))
                 elif expand_mode == "mm":
                     out.append(
                         jnp.dot(he, she_ref[:],
@@ -463,14 +490,6 @@ def _dec422_kernel_factory(t_rows: int, cbw: int, expand_mode: str):
         sub = jax.lax.broadcasted_iota(jnp.int32, (n, 64), 0)
         row_j = sub % cbw
 
-        def expand_cols(he, ho, qx):
-            out = jnp.zeros_like(he)
-            for y in range(8):
-                src = he if y % 2 == 0 else ho
-                shift = y - (4 * qx + y // 2)
-                out = jnp.where(lane_y == y, _roll(src, shift, 1), out)
-            return out
-
         def upsample_h(cur_ref):
             v = jnp.dot(cur_ref[0].reshape(n, 64).astype(jnp.float32), wc,
                         preferred_element_type=jnp.float32) + 128.0
@@ -487,8 +506,8 @@ def _dec422_kernel_factory(t_rows: int, cbw: int, expand_mode: str):
             ho = (3.0 * v + right) * 0.25
             if expand_mode == "roll":
                 return jnp.concatenate(
-                    [expand_cols(he, ho, 0), expand_cols(he, ho, 1)],
-                    axis=1)
+                    [_expand_cols_roll(he, ho, 0, lane_y),
+                     _expand_cols_roll(he, ho, 1, lane_y)], axis=1)
             if expand_mode == "mm":
                 return (jnp.dot(he, she_ref[:],
                                 preferred_element_type=jnp.float32)
@@ -529,18 +548,7 @@ def decode422_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     wqy = jnp.broadcast_to(wqy, (bsz, 64, 64))
     wqc = jnp.broadcast_to(wqc, (bsz, 64, 64))
     mode = _expand_mode()
-    sel_args, sel_specs = [], []
-    if mode != "roll":
-        s = _upsample_sel_matrices()
-        mats = [np.concatenate([s[a], s[a + 2]], axis=1) for a in (4, 5)]
-        if mode == "mm3":
-            mats = [np.concatenate([m, m, m], axis=0) for m in mats]
-            sel_args = [jnp.asarray(m, dtype=jnp.bfloat16) for m in mats]
-        else:
-            sel_args = [jnp.asarray(m) for m in mats]
-        k_rows = mats[0].shape[0]
-        sel_specs = [pl.BlockSpec((k_rows, 128), lambda b, i: (0, 0),
-                                  memory_space=pltpu.VMEM)] * 2
+    sel_args, sel_specs = _sel_staging(mode, _sel_quadrant_mats((4, 5)))
     cspec = pl.BlockSpec((1, t, cbw, 64), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM)
     blocks = pl.pallas_call(
@@ -594,17 +602,6 @@ def _dec440_kernel_factory(t_rows: int, bw2: int, cbh_true: int,
             return jnp.dot(x.astype(jnp.float32), wc2,
                            preferred_element_type=jnp.float32) + 128.0
 
-        def expand_rows(ve, vo, qy):
-            out = jnp.zeros_like(ve)
-            for x in range(8):
-                src = ve if x % 2 == 0 else vo
-                shift = (x - (4 * qy + x // 2)) * 8
-                # shift within each 64-lane half: add 64 when the in-half
-                # shift would cross the pair boundary (never happens here:
-                # |shift| <= 32 and source x' in [0,7] of the same half)
-                out = jnp.where(lane_x == x, _roll(src, shift, 1), out)
-            return out
-
         def upsample_v(cur_ref, prev_ref, next_ref):
             cp = idct(cur_ref[0].reshape(n, 128))
             # within-half x=7 -> x=0 / x=0 -> x=7 rolls (72 == -56 mod 128)
@@ -625,7 +622,11 @@ def _dec440_kernel_factory(t_rows: int, bw2: int, cbh_true: int,
             ve = (3.0 * cp + up) * 0.25
             vo = (3.0 * cp + dn) * 0.25
             if expand_mode == "roll":
-                return [expand_rows(ve, vo, 0), expand_rows(ve, vo, 1)]
+                # in-half shifts never cross the pair boundary (|shift| <=
+                # 32, source x' in [0,7] of the same half), so the shared
+                # roll expansion works on pair-packed 128-lane arrays too
+                return [_expand_rows_roll(ve, vo, 0, lane_x),
+                        _expand_rows_roll(ve, vo, 1, lane_x)]
             if expand_mode == "mm":
                 vq = (jnp.dot(ve, sae_ref[:],
                               preferred_element_type=jnp.float32)
@@ -676,29 +677,20 @@ def decode440_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     wqy = jnp.broadcast_to(wqy, (bsz, 64, 64))
     wqc = jnp.broadcast_to(wqc, (bsz, 64, 64))
     mode = _expand_mode()
-    sel_args, sel_specs = [], []
-    if mode != "roll":
-        s = _upsample_sel_matrices()
-        # pair-packed: block-diagonalize the vertical selection matrices
-        # per pair half, grouping output columns [qy=0 pair | qy=1 pair]
-        def bd(e0, e1):
-            z = np.zeros((128, 256), np.float32)
-            z[:64, 0:64] = e0
-            z[64:128, 64:128] = e0
-            z[:64, 128:192] = e1
-            z[64:128, 192:256] = e1
-            return z
-        sae = bd(s[0], s[2])
-        sao = bd(s[1], s[3])
-        mats = [sae, sao]
-        if mode == "mm3":
-            mats = [np.concatenate([m, m, m], axis=0) for m in mats]
-            sel_args = [jnp.asarray(m, dtype=jnp.bfloat16) for m in mats]
-        else:
-            sel_args = [jnp.asarray(m) for m in mats]
-        k_rows = mats[0].shape[0]
-        sel_specs = [pl.BlockSpec((k_rows, 256), lambda b, i: (0, 0),
-                                  memory_space=pltpu.VMEM)] * 2
+    su = _upsample_sel_matrices()
+
+    # pair-packed: block-diagonalize the vertical selection matrices per
+    # pair half, grouping output columns [qy=0 pair | qy=1 pair]
+    def bd(e0, e1):
+        z = np.zeros((128, 256), np.float32)
+        z[:64, 0:64] = e0
+        z[64:128, 64:128] = e0
+        z[:64, 128:192] = e1
+        z[64:128, 192:256] = e1
+        return z
+
+    sel_args, sel_specs = _sel_staging(
+        mode, [bd(su[0], su[2]), bd(su[1], su[3])])
     cspec = pl.BlockSpec((1, t, bw2, 128), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM)
     espec = lambda m: pl.BlockSpec((1, 1, bw2, 128), m,

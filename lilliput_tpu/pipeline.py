@@ -186,9 +186,9 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                 # on v5e; LILLIPUT_BLOCK_TAIL=0 restores the packed tail)
                 blocks = K.decode_ycc_packed_blocks(*win, qt_y, qt_c, h2, v2)
                 if blocks is not None:
-                    bsz = blocks.shape[0]
-                    cbh_pad, cbw = blocks.shape[1], blocks.shape[3]
-                    blk = blocks.reshape(bsz, 2 * cbh_pad, 2 * cbw, 64)
+                    lead = blocks.shape[:-4]
+                    cbh_pad, cbw = blocks.shape[-4], blocks.shape[-2]
+                    blk = blocks.reshape(-1, 2 * cbh_pad, 2 * cbw, 64)
                     from .ops import pallas_kernels as PK
                     mw = R.area_matrix_embedded(
                         cbw * 16, left - x0, w, dst_w)
@@ -201,9 +201,11 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                             ch, 2 * cbh_pad, 2 * cbw)
                         out.append(jnp.clip(jnp.round(
                             R.resize_area_plane_mat(p, mw, mh)), 0, 255))
-                    return K.encode_from_bgr_planes(
+                    res = K.encode_from_bgr_planes(
                         out[0], out[1], out[2], enc_qt_y, enc_qt_c,
                         subsample=True)
+                    return tuple(r.reshape(lead + r.shape[1:])
+                                 for r in res)
             packed = K.decode_ycc_packed(*win, qt_y, qt_c, rh, rw, h2, v2)
             if packed is not None:
                 # fully planar u8 tail (default for 4:4:4; beats the
@@ -380,6 +382,11 @@ _GRAY_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale",
 fused_jpeg_fit_transcode_gray = jax.jit(
     _fused_jpeg_fit_gray_impl, static_argnames=_GRAY_STATICS)
 
+#: serving variant: luma coefficients donated (see _fused_jpeg_fit_donating)
+_fused_jpeg_fit_gray_donating = jax.jit(
+    _fused_jpeg_fit_gray_impl, static_argnames=_GRAY_STATICS,
+    donate_argnums=(0,))
+
 
 _YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale", "window")
 
@@ -436,6 +443,17 @@ class JpegTranscodePipeline:
             self.chroma_mode = chroma_mode = "rgb"
         self.geom = geometry_of(info)
         self.orientation = int(J.exif_orientation(sample))
+        g = self.geom
+        if dct_scale != 1 and self.orientation != 1:
+            # reduced decode is an upright-only serving fast path: the
+            # orient fallback decodes full-resolution pixels, which the
+            # truncated kxk coefficients cannot reconstruct
+            raise DecodingFailedError(
+                "dct_scale>1 requires upright (orientation 1) sources")
+        if self.chroma_mode == "direct" and not self._direct_ok():
+            raise DecodingFailedError(
+                "chroma_mode='direct' needs 4:2:0, upright orientation, "
+                "AREA method, and even output dims")
         # host-side decode window (orientation-1 Fit): coefficients outside
         # the MCU-aligned crop window never leave the host — decode_entropy
         # slices each image's arrays and the device fns get window=(x0, y0,
@@ -445,7 +463,7 @@ class JpegTranscodePipeline:
         if self.orientation == 1:
             blocks = g.blocks if self.ncomp == 3 else (g.blocks[0],
                                                        g.blocks[0])
-            luma_rows = ybh + (ybh % 2) if self.ncomp == 3 else ybh
+            luma_rows = ybh + (ybh % 2) if (self.ncomp == 3 and g.v2) else ybh
             self._window = mcu_decode_window(
                 g.width, g.height, dst_w, dst_h, g.h2, g.v2, blocks,
                 luma_rows)
@@ -457,6 +475,14 @@ class JpegTranscodePipeline:
         self.enc_qt_y_np, self.enc_qt_c_np = eql, eqc
         self.enc_qt_y = jnp.asarray(eql)
         self.enc_qt_c = jnp.asarray(eqc)
+
+    def _direct_ok(self) -> bool:
+        """chroma_mode='direct' preconditions (shared by this class, the
+        sharded subclass and MultiGeometryPipeline's eligibility check)."""
+        g = self.geom
+        return (g.h2 and g.v2 and self.orientation == 1
+                and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
+                and self.method == R.AREA)
 
     # -- host entropy stages --------------------------------------------------
 
@@ -510,7 +536,10 @@ class JpegTranscodePipeline:
         # HBM round trip over the coefficient stack
         ybh, ybw = g.blocks[0]
         gray = self.ncomp == 1
-        ypad = 0 if gray else ybh % 2
+        # the MCU-row pad only serves the vertically-subsampled megakernels
+        # (2 luma block rows per chroma row); 4:2:2/4:4:4 must keep the
+        # true row count or the kernel shape guards would decline them
+        ypad = ybh % 2 if (not gray and g.v2) else 0
         win = self._window
         if win is None:
             ys = np.zeros((b, ybh + ypad, ybw, 64), np.int16)
@@ -675,16 +704,16 @@ class JpegTranscodePipeline:
         g = self.geom
         if self.ncomp == 1:
             qty = cbs  # (ys, qty) calling convention
-            return fused_jpeg_fit_transcode_gray(
+            gfn = (_fused_jpeg_fit_gray_donating if donate
+                   else fused_jpeg_fit_transcode_gray)
+            return gfn(
                 jnp.asarray(ys), jnp.asarray(qty), self.enc_qt_y,
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 dct_scale=self.dct_scale, orientation=self.orientation,
                 window=self.window_static)
         if self.chroma_mode == "direct":
-            if not (g.h2 and g.v2 and self.orientation == 1
-                    and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
-                    and self.method == R.AREA):
+            if not self._direct_ok():
                 raise DecodingFailedError(
                     "chroma_mode='direct' needs 4:2:0, upright orientation, "
                     "AREA method, and even output dims")
@@ -771,7 +800,8 @@ class MultiGeometryPipeline:
             mode = (self.chroma_mode
                     if (self.chroma_mode == "direct" and info2.h2 and info2.v2
                         and int(J.exif_orientation(buf)) == 1
-                        and self.dst_w % 2 == 0 and self.dst_h % 2 == 0)
+                        and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
+                        and self.method == R.AREA)
                     else "rgb")
             pipe = JpegTranscodePipeline(
                 buf, self.dst_w, self.dst_h, quality=self.quality,

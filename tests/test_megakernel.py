@@ -50,6 +50,25 @@ def test_megakernel_matches_split_path(h, w, sub):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("mode", ["mm", "mm3", "roll"])
+@pytest.mark.parametrize("sub", ["420", "422", "440"])
+def test_expand_modes_bit_identical(sub, mode, monkeypatch):
+    """All three upsample-expansion strategies (HIGHEST selection matmuls,
+    3x-bf16 _sel_dot_exact, VPU lane rolls) must match the split path."""
+    monkeypatch.setenv("LILLIPUT_EXPAND", mode)
+    rng = np.random.default_rng(17)
+    h, w = 43 + {"mm": 0, "mm3": 8, "roll": 16}[mode], 53
+    yc, cb, cr = _coefs(rng, h, w, sub)
+    qy, qc = scaled_qtables(80)
+    fh, fv = _sub_factors(sub)
+    args = (jnp.asarray(yc), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(qy), jnp.asarray(qc))
+    ref = K.decode_ycc_420(*args, h, w, fh == 2, fv == 2)
+    got = K._decode_ycc_megakernel(*args, h, w, fh == 2, fv == 2,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_megakernel_per_image_qtables():
     """Serving path: each image dequantizes with its OWN tables."""
     rng = np.random.default_rng(7)

@@ -188,10 +188,10 @@ def test_ycc_direct_rejects_unsupported():
     import bench as B
     buf = B._ensure_fixture()
     from lilliput_tpu.errors import DecodingFailedError
-    pipe = JpegTranscodePipeline(buf, 255, 255, quality=85,
-                                 chroma_mode="direct")  # odd dims
     with pytest.raises(DecodingFailedError, match="direct"):
-        pipe.transcode([buf])
+        # odd dims: rejected at construction (fail fast, not mid-batch)
+        JpegTranscodePipeline(buf, 255, 255, quality=85,
+                              chroma_mode="direct")
 
 
 def test_multigeometry_direct_mode_fallback():
@@ -330,6 +330,53 @@ def test_grayscale_dct_scale_truncation():
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
     assert psnr >= 34.0, f"gray dct_scale=2 vs full: {psnr:.1f} dB"
+
+
+def test_direct_mode_preconditions_fail_fast():
+    """Ineligible direct-mode pipelines raise at construction (upright /
+    4:2:0 / even dims / AREA), for the sharded subclass too — silent
+    un-rotated output is not acceptable."""
+    from lilliput_tpu.errors import DecodingFailedError
+    oriented = _with_orientation(_jpeg(320, 200, seed=6), 6)
+    with pytest.raises(DecodingFailedError, match="direct"):
+        JpegTranscodePipeline(oriented, 64, 64, chroma_mode="direct")
+    with pytest.raises(DecodingFailedError, match="orientation"):
+        JpegTranscodePipeline(oriented, 64, 64, chroma_mode="direct",
+                              dct_scale=2)
+    with pytest.raises(DecodingFailedError, match="direct"):
+        JpegTranscodePipeline(_jpeg(320, 200, seed=6), 63, 64,
+                              chroma_mode="direct")
+    from lilliput_tpu.parallel import ShardedJpegPipeline
+    from lilliput_tpu.parallel.mesh import make_mesh
+    with pytest.raises(DecodingFailedError, match="direct"):
+        ShardedJpegPipeline(oriented, 64, 64, chroma_mode="direct",
+                            mesh=make_mesh(8))
+
+
+def test_fused_unbatched_lead_shape():
+    """fused_jpeg_fit_transcode with no leading batch dim returns unbatched
+    coefficient arrays (the block tail must restore leading dims)."""
+    from lilliput_tpu.pipeline import fused_jpeg_fit_transcode
+    import jax
+    buf = _jpeg(128, 96, seed=8)
+    pipe = JpegTranscodePipeline(buf, 32, 32, quality=85)
+    ys, cbs, crs, qty, qtc = pipe.decode_entropy([buf])
+    g = pipe.geom
+    out = fused_jpeg_fit_transcode(
+        jnp.asarray(ys[0]), jnp.asarray(cbs[0]), jnp.asarray(crs[0]),
+        jnp.asarray(qty[0]), jnp.asarray(qtc[0]),
+        pipe.enc_qt_y, pipe.enc_qt_c,
+        src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+        dst_w=32, dst_h=32, window=pipe.window_static)
+    assert out[0].ndim == 3       # (bh, bw, 64), no spurious batch dim
+    batched = fused_jpeg_fit_transcode(
+        jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+        jnp.asarray(qty), jnp.asarray(qtc),
+        pipe.enc_qt_y, pipe.enc_qt_c,
+        src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+        dst_w=32, dst_h=32, window=pipe.window_static)
+    for a, b in zip(out, batched):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b[0]))
 
 
 def test_multi_geometry_mixes_gray_and_color():
