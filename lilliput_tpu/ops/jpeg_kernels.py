@@ -366,15 +366,15 @@ def decode_ycc_packed(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
     return packed[:, :out_h, :out_w].reshape(lead + (out_h, out_w))
 
 
-def decode_ycc_packed_blocks(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
-                             h2: bool, v2: bool, interpret: bool = False):
-    """Megakernel decode to packed-BGRA int32 still in BLOCK-VECTOR space:
-    (B, cbh_pad, 2, cbw, 128), where plane[row, col] lives at
-    [row // 16, (row // 8) % 2, col // 16, (col // 8 % 2) * 64 +
-    (row % 8) * 8 + col % 8]. Returns None when the subsampling shape is
-    not 4:2:0. The serving tail extracts u8 channels from this form (one
-    elementwise pass) BEFORE the block->plane relayout, so the transpose
-    moves 1 B/px/channel instead of 4."""
+def decode_ycc_u8_plane_blocks(y_coefs, cb_coefs, cr_coefs, qt_luma,
+                               qt_chroma, h2: bool, v2: bool,
+                               interpret: bool = False):
+    """Megakernel decode to three u8 channel arrays (b, g, r) still in
+    BLOCK-VECTOR space: each lead + (cbh_pad, 2, cbw, 128), where
+    plane[row, col] lives at [row // 16, (row // 8) % 2, col // 16,
+    (col // 8 % 2) * 64 + (row % 8) * 8 + col % 8]. Returns None when the
+    subsampling shape is not 4:2:0. The serving tail relayouts each
+    channel directly (1 B/px through the transpose, no extraction pass)."""
     if not (h2 and v2):
         return None
     lead = y_coefs.shape[:-3]
@@ -390,9 +390,9 @@ def decode_ycc_packed_blocks(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
         return w_base[None] * q[:, :, None]
 
     from . import pallas_kernels as PK
-    blocks = PK._decode420_call(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
-                                interpret)
-    return blocks.reshape(lead + blocks.shape[1:])
+    planes = PK._decode420_call(yc, cb, cr, fold(qt_luma), fold(qt_chroma),
+                                interpret, out_planes=True)
+    return tuple(p.reshape(lead + p.shape[1:]) for p in planes)
 
 
 def packed_to_planes(packed: jax.Array):

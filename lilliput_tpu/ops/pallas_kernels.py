@@ -260,7 +260,8 @@ def _sel_staging(mode: str, mats):
 
 
 def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
-                           expand_mode: str = "mm3"):
+                           expand_mode: str = "mm3",
+                           out_planes: bool = False):
     """Builds the 4:2:0 megakernel body for a tile of t_rows MCU rows.
 
     Per grid step (image b, row-tile i) everything happens in block-vector
@@ -269,19 +270,25 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
     lane-roll neighbor taps, exact upsample EXPANSION (see _expand_mode —
     each output lane receives exactly one filtered value, so every mode
     stays bit-identical to the split XLA path), elementwise color + u8
-    quantization, packed-BGRA int32 store. No transposes and no
-    lane-crossing shape casts (Mosaic cannot lower those)."""
+    quantization. No transposes and no lane-crossing shape casts (Mosaic
+    cannot lower those).
+
+    out_planes=False packs BGRA into one int32 ref (general decode);
+    out_planes=True writes three u8 refs (B, G, R) still in block-vector
+    space — the serving tail relayouts 1 B/px/channel with no separate
+    channel-extraction pass."""
     n = t_rows * cbw
 
     def kernel(*refs):
         if expand_mode == "roll":
             (y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
-             wy_ref, wc_ref, out_ref) = refs
+             wy_ref, wc_ref) = refs[:9]
+            outs = refs[9:]
             sae_ref = sao_ref = she_ref = sho_ref = None
         else:
             (y_ref, cbp_ref, cbc_ref, cbn_ref, crp_ref, crc_ref, crn_ref,
-             wy_ref, wc_ref, sae_ref, sao_ref, she_ref, sho_ref,
-             out_ref) = refs
+             wy_ref, wc_ref, sae_ref, sao_ref, she_ref, sho_ref) = refs[:13]
+            outs = refs[13:]
         i = pl.program_id(1)
         wc = wc_ref[0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (n, 64), 1)
@@ -370,7 +377,17 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
             rr = y + 1.402 * crv
             gg = y - 0.344136286 * cbv - 0.714136286 * crv
             bb = y + 1.772 * cbv
-            out_ref[0, t, qy] = _pack_bgra(bb, gg, rr)
+            if out_planes:
+                def u8(v):
+                    # Mosaic lacks a direct f32->u8 cast; round to int32
+                    # first (same values as _pack_bgra's channel bytes)
+                    return jnp.clip(jnp.round(v), 0.0, 255.0).astype(
+                        jnp.int32).astype(jnp.uint8)
+                outs[0][0, t, qy] = u8(bb)
+                outs[1][0, t, qy] = u8(gg)
+                outs[2][0, t, qy] = u8(rr)
+            else:
+                outs[0][0, t, qy] = _pack_bgra(bb, gg, rr)
 
     return kernel
 
@@ -393,9 +410,11 @@ def _block_diag_pair(w: jax.Array) -> jax.Array:
 
 
 def _decode420_call(yc: jax.Array, cb: jax.Array, cr: jax.Array,
-                    wqy: jax.Array, wqc: jax.Array, interpret: bool):
-    """Shared 4:2:0 megakernel dispatch; returns packed-BGRA int32 output
-    still in block-vector space: (B, cbh_pad, 2, cbw, 128)."""
+                    wqy: jax.Array, wqc: jax.Array, interpret: bool,
+                    out_planes: bool = False):
+    """Shared 4:2:0 megakernel dispatch; block-vector-space output
+    (B, cbh_pad, 2, cbw, 128): packed-BGRA int32, or a (b, g, r) tuple of
+    u8 arrays when out_planes."""
     bsz, cbh, cbw = cb.shape[0], cb.shape[1], cb.shape[2]
     t = _tile_rows(cbh)
     cbh_pad = -(-cbh // t) * t
@@ -427,10 +446,19 @@ def _decode420_call(yc: jax.Array, cb: jax.Array, cr: jax.Array,
         k_rows = mats[0].shape[0]
         sel_specs = [pl.BlockSpec((k_rows, 128), lambda b, i: (0, 0),
                                   memory_space=pltpu.VMEM)] * 4
+    out_spec = pl.BlockSpec((1, t, 2, cbw, 128),
+                            lambda b, i: (b, i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_sh = (bsz, cbh_pad, 2, cbw, 128)
+    if out_planes:
+        out_shapes = [jax.ShapeDtypeStruct(out_sh, jnp.uint8)] * 3
+        out_specs = [out_spec] * 3
+    else:
+        out_shapes = jax.ShapeDtypeStruct(out_sh, jnp.int32)
+        out_specs = out_spec
     return pl.pallas_call(
-        _dec420_kernel_factory(t, cbw, cbh, mode),
-        out_shape=jax.ShapeDtypeStruct((bsz, cbh_pad, 2, cbw, 128),
-                                       jnp.int32),
+        _dec420_kernel_factory(t, cbw, cbh, mode, out_planes=out_planes),
+        out_shape=out_shapes,
         grid=(bsz, cbh_pad // t),
         in_specs=[
             pl.BlockSpec((1, 2 * t, cbw, 128), lambda b, i: (b, i, 0, 0),
@@ -442,9 +470,7 @@ def _decode420_call(yc: jax.Array, cb: jax.Array, cr: jax.Array,
             pl.BlockSpec((1, 64, 64), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + sel_specs,
-        out_specs=pl.BlockSpec((1, t, 2, cbw, 128),
-                               lambda b, i: (b, i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -177,28 +177,28 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                 not in ("0", "false", "off")):
             if (h2 and v2 and os.environ.get("LILLIPUT_BLOCK_TAIL", "1")
                     not in ("0", "false", "off")):
-                # u8-block tail (default): extract u8 channels while the
-                # pixels are still in block-vector space (one elementwise
-                # pass over the packed int32), relayout each channel as u8
-                # (1 B/px through the transpose instead of 4), and fold the
-                # pixel crop into the resize matrices so no crop slice pass
-                # exists at all (measured: rgb parity 3.9k -> 4.4k imgs/s
-                # on v5e; LILLIPUT_BLOCK_TAIL=0 restores the packed tail)
-                blocks = K.decode_ycc_packed_blocks(*win, qt_y, qt_c, h2, v2)
-                if blocks is not None:
-                    lead = blocks.shape[:-4]
-                    cbh_pad, cbw = blocks.shape[-4], blocks.shape[-2]
-                    blk = blocks.reshape(-1, 2 * cbh_pad, 2 * cbw, 64)
+                # u8-block tail (default): the megakernel writes the three
+                # channels as u8 planes still in block-vector space (no
+                # extraction pass, 1 B/px/channel through the relayout
+                # transpose) and the pixel crop folds into the resize
+                # matrices so no crop slice pass exists at all (measured:
+                # rgb parity 3.9k -> 4.9k imgs/s on v5e;
+                # LILLIPUT_BLOCK_TAIL=0 restores the packed tail)
+                planes = K.decode_ycc_u8_plane_blocks(*win, qt_y, qt_c,
+                                                      h2, v2)
+                if planes is not None:
+                    lead = planes[0].shape[:-4]
+                    cbh_pad, cbw = planes[0].shape[-4], planes[0].shape[-2]
                     from .ops import pallas_kernels as PK
                     mw = R.area_matrix_embedded(
                         cbw * 16, left - x0, w, dst_w)
                     mh = R.area_matrix_embedded(
                         cbh_pad * 16, top - y0, h, dst_h)
                     out = []
-                    for sh in (0, 8, 16):
-                        ch = ((blk >> sh) & 255).astype(jnp.uint8)
+                    for pb in planes:
+                        blk = pb.reshape(-1, 2 * cbh_pad, 2 * cbw, 64)
                         p = PK._blocks_to_plane_xla(
-                            ch, 2 * cbh_pad, 2 * cbw)
+                            blk, 2 * cbh_pad, 2 * cbw)
                         out.append(jnp.clip(jnp.round(
                             R.resize_area_plane_mat(p, mw, mh)), 0, 255))
                     res = K.encode_from_bgr_planes(

@@ -151,10 +151,10 @@ def test_planar_encode_matches_channel_encode():
 
 
 def test_block_tail_pieces_match_planar_tail():
-    """The u8-block serving tail: decode_ycc_packed_blocks' block-vector
-    layout must reconstruct the exact u8 channels, and the crop-embedded
-    resize matrices (area_matrix_embedded) must equal crop-then-resize
-    exactly (identical taps, identical contraction)."""
+    """The u8-block serving tail: decode_ycc_u8_plane_blocks' block-vector
+    channel planes must reconstruct the exact u8 pixels, and the
+    crop-embedded resize matrices (area_matrix_embedded) must equal
+    crop-then-resize exactly (identical taps, identical contraction)."""
     from lilliput_tpu.ops import pallas_kernels as PK
     from lilliput_tpu.ops import resize as R
     rng = np.random.default_rng(14)
@@ -164,24 +164,24 @@ def test_block_tail_pieces_match_planar_tail():
     args = (jnp.asarray(yc), jnp.asarray(cb), jnp.asarray(cr),
             jnp.asarray(qy), jnp.asarray(qc))
     bgr = K._decode_ycc_megakernel(*args, h, w, True, True, interpret=True)
-    blocks = K.decode_ycc_packed_blocks(*args, True, True, interpret=True)
-    assert blocks is not None
-    b2, rb, two, cbw, lanes = blocks.shape
+    planes = K.decode_ycc_u8_plane_blocks(*args, True, True, interpret=True)
+    assert planes is not None and len(planes) == 3
+    b2, rb, two, cbw, lanes = planes[0].shape
     assert (two, lanes) == (2, 128)
+    assert planes[0].dtype == jnp.uint8
 
-    # 1. u8 channels extracted in block space reconstruct the exact pixels
-    blk = np.asarray(blocks).reshape(b2, 2 * rb, 2 * cbw, 64)
-    for c, sh in ((0, 0), (1, 8), (2, 16)):
-        ch = ((blk >> sh) & 255).astype(np.uint8)
+    # 1. u8 channel block planes reconstruct the exact pixels
+    for c in range(3):
+        blk = np.asarray(planes[c]).reshape(b2, 2 * rb, 2 * cbw, 64)
         plane = np.asarray(PK._blocks_to_plane_xla(
-            jnp.asarray(ch), 2 * rb, 2 * cbw))
+            jnp.asarray(blk), 2 * rb, 2 * cbw))
         np.testing.assert_array_equal(plane[:, :h, :w],
                                       np.asarray(bgr[..., c]))
 
     # 2. crop folded into the axis matrices == crop-then-resize (exact)
     top, left, ch_, cw_ = 3, 5, 96, 144
     dst_w, dst_h = 40, 24
-    blk0 = ((blk >> 0) & 255).astype(np.uint8)
+    blk0 = np.asarray(planes[0]).reshape(b2, 2 * rb, 2 * cbw, 64)
     full = np.asarray(PK._blocks_to_plane_xla(
         jnp.asarray(blk0), 2 * rb, 2 * cbw))
     mw = R.area_matrix_embedded(cbw * 16, left, cw_, dst_w)
