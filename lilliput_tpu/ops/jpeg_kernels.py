@@ -188,20 +188,22 @@ def dequant_idct_u8(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
     before the block->plane relayout is value-identical to rounding the
     f32 plane — but the relayout transpose then moves 2 B/px instead of 4.
     Used by the serving path where the plane feeds a resize contraction
-    (the matmul upcasts bf16 exactly)."""
+    (the matmul upcasts bf16 exactly).
+
+    Always the XLA einsum form, on every backend: the Pallas pair-packed
+    kernel measured 3.6x SLOWER than XLA's batched (N,64)x(64,64) matmul on
+    v5e (6.5 vs 1.8 ms/batch-128 at the 1080p serving shape — the pad/vmap
+    staging around the kernel dominates), and this path carries only the
+    serving modes' +-1 contract, not the megakernel bit-identity gate (that
+    gate runs through dequant_idct, which keeps the Pallas dispatch)."""
     lead = coefs.shape[:-3]
     bh, bw = coefs.shape[-3], coefs.shape[-2]
     w_base = jnp.asarray(idct_kron_matrix())
     if qtable.ndim == 1:
         w = w_base * qtable.astype(jnp.float32)[:, None]
-        flat = coefs.reshape(-1, 64)
-        if _use_pallas():
-            from . import pallas_kernels as PK
-            p = PK.dequant_idct_blocks_u8(flat, w)
-        else:
-            p = jnp.dot(flat.astype(jnp.float32), w,
-                        preferred_element_type=jnp.float32) + 128.0
-            p = jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.bfloat16)
+        p = jnp.dot(coefs.reshape(-1, 64).astype(jnp.float32), w,
+                    preferred_element_type=jnp.float32) + 128.0
+        p = jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.bfloat16)
     else:
         if lead != qtable.shape[:-1]:
             raise ValueError(
@@ -209,14 +211,10 @@ def dequant_idct_u8(coefs: jax.Array, qtable: jax.Array) -> jax.Array:
                 f"coefficient leading dims {lead}")
         b = int(np.prod(lead))
         wq = w_base[None] * qtable.astype(jnp.float32).reshape(b, 64)[:, :, None]
-        flat = coefs.reshape(b, -1, 64)
-        if _use_pallas():
-            from . import pallas_kernels as PK
-            p = jax.vmap(PK.dequant_idct_blocks_u8)(flat, wq)
-        else:
-            p = jnp.einsum("bnk,bkj->bnj", flat.astype(jnp.float32), wq,
-                           preferred_element_type=jnp.float32) + 128.0
-            p = jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.bfloat16)
+        p = jnp.einsum("bnk,bkj->bnj",
+                       coefs.reshape(b, -1, 64).astype(jnp.float32), wq,
+                       preferred_element_type=jnp.float32) + 128.0
+        p = jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.bfloat16)
     p = p.reshape(lead + (bh, bw, 8, 8))
     p = jnp.moveaxis(p, -2, -3)
     return p.reshape(lead + (bh * 8, bw * 8))

@@ -38,14 +38,6 @@ def _idct_kernel(coef_ref, w_ref, out_ref):
     out_ref[:] = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32) + 128.0
 
 
-def _idct_u8_kernel(coef_ref, w_ref, out_ref):
-    x = coef_ref[:].astype(jnp.float32)
-    p = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32) + 128.0
-    # u8 quantization in the epilogue, stored as bf16 (integers 0..255 are
-    # exact in bf16): the block->plane relayout then moves 2 B/px not 4
-    out_ref[:] = jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.bfloat16)
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dequant_idct_blocks(coefs_flat: jax.Array, wq: jax.Array,
                         interpret: bool = False) -> jax.Array:
@@ -69,35 +61,6 @@ def dequant_idct_blocks(coefs_flat: jax.Array, wq: jax.Array,
         _idct_kernel,
         out_shape=jax.ShapeDtypeStruct((padded_pairs, 128), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x, w2)
-    return out.reshape(padded_pairs * 2, 64)[:n]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dequant_idct_blocks_u8(coefs_flat: jax.Array, wq: jax.Array,
-                           interpret: bool = False) -> jax.Array:
-    """dequant_idct_blocks with the u8 quantization fused into the kernel
-    epilogue; returns (N, 64) bf16 holding exact u8 values."""
-    n = coefs_flat.shape[0]
-    w2 = jnp.zeros((128, 128), jnp.float32)
-    w2 = w2.at[:64, :64].set(wq).at[64:, 64:].set(wq)
-    pair_rows = (n + 1) // 2
-    padded_pairs = (pair_rows + BLOCK_ROWS - 1) // BLOCK_ROWS * BLOCK_ROWS
-    pad_blocks = padded_pairs * 2 - n
-    x = jnp.pad(coefs_flat, ((0, pad_blocks), (0, 0))).reshape(padded_pairs, 128)
-    out = pl.pallas_call(
-        _idct_u8_kernel,
-        out_shape=jax.ShapeDtypeStruct((padded_pairs, 128), jnp.bfloat16),
-        grid=(padded_pairs // BLOCK_ROWS,),
         in_specs=[
             pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

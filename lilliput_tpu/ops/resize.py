@@ -283,11 +283,75 @@ def area_axis_matrix_scaled(src: int, dst: int, scale: float,
     return m.astype(np.float32)
 
 
+def _mm3_enabled() -> bool:
+    """3-pass exact-split contraction gate: LILLIPUT_RESIZE_MM3 overrides,
+    else on-TPU only (on CPU the f32 einsum IS a true f32 dot and faster)."""
+    import os
+    flag = os.environ.get("LILLIPUT_RESIZE_MM3")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _mat3_stack(mat: np.ndarray):
+    """EXACT 3-term bf16 decomposition of an f32 matrix, stacked along the
+    dst axis: (3*dst, src) with hi+mid+lo == mat elementwise (an f32 has 24
+    significand bits = three disjoint 8-bit bf16 slices). Returns None when
+    the split is not exact (subnormal/overflow corner)."""
+    import ml_dtypes
+    m = np.ascontiguousarray(mat, dtype=np.float32)
+    hi = m.astype(ml_dtypes.bfloat16).astype(np.float32)
+    mid = (m - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = (m - hi - mid).astype(ml_dtypes.bfloat16).astype(np.float32)
+    if not np.array_equal(hi + mid + lo, m):
+        return None
+    return np.concatenate([hi, mid, lo], axis=0)
+
+
+def _mm3_w_contract(s: jax.Array, slab: np.ndarray) -> jax.Array:
+    """(..., h, K) plane holding EXACT u8 values x (g, K) f32 slab -> f32,
+    in 3 native-bf16 MXU passes instead of HIGHEST's 6: the operand is
+    bit-exact in bf16 (integers 0..255), the slab splits exactly into three
+    bf16 terms (_mat3_stack), and every partial product is exact in the f32
+    accumulator — the only difference vs the f32 einsum is summation order,
+    which the serving tail's +-1 contract already covers (the HIGHEST
+    emulation reassociates too)."""
+    m3 = _mat3_stack(slab)
+    if m3 is None:
+        return jnp.einsum("...hw,Ww->...hW", s.astype(jnp.float32),
+                          jnp.asarray(slab),
+                          preferred_element_type=jnp.float32)
+    g = slab.shape[0]
+    p3 = jnp.einsum("...hw,Ww->...hW", s.astype(jnp.bfloat16),
+                    jnp.asarray(m3, dtype=jnp.bfloat16),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=jnp.float32)
+    return p3[..., :g] + p3[..., g:2 * g] + p3[..., 2 * g:]
+
+
 def resize_area_plane_mat(plane: jax.Array, mat_w: np.ndarray,
                           mat_h: np.ndarray) -> jax.Array:
-    """Contract a (..., H, W) f32 plane with explicit per-axis AREA
-    matrices (banded when profitable)."""
-    out = _banded_plane_contract(plane.astype(jnp.float32), mat_w, axis=-1)
+    """Contract a (..., H, W) plane holding EXACT u8 values (u8/bf16/f32
+    storage) with explicit per-axis AREA matrices (banded when profitable).
+
+    The W (first) contraction reads the integral-valued operand, so on TPU
+    it runs as 3 exact-split bf16 MXU passes (_mm3_w_contract) instead of
+    the 6-pass HIGHEST emulation; the H pass input is a general f32
+    intermediate and stays at HIGHEST."""
+    if _mm3_enabled():
+        groups = _banded_groups(mat_w)
+        if groups is None:
+            out = _mm3_w_contract(plane, mat_w)
+        else:
+            out = jnp.concatenate(
+                [_mm3_w_contract(jax.lax.slice_in_dim(plane, lo, hi, axis=-1),
+                                 slab) for lo, hi, slab in groups], axis=-1)
+    else:
+        out = _banded_plane_contract(plane.astype(jnp.float32), mat_w,
+                                     axis=-1)
     return _banded_plane_contract(out, mat_h, axis=-2)
 
 

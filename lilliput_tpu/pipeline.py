@@ -282,7 +282,7 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
     s = dct_scale
     if s == 1:
-        # u8 quantization happens in the IDCT kernel epilogue (block
+        # u8 quantization happens in the IDCT einsum epilogue (block
         # space, bf16 — 2 B/px through the relayout transpose instead of
         # 4) and the crop folds into the resize matrices, so neither a
         # crop slice nor a separate u8 pass exists

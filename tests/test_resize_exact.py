@@ -11,6 +11,7 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 import importlib
 R = importlib.import_module("lilliput_tpu.ops.resize")  # noqa: E402
@@ -135,3 +136,38 @@ def test_area_mxu_within_1(case):
     exact = _run(img, dw, dh, "area")
     fast = np.asarray(jax.jit(R.resize_area_mxu, static_argnums=(1, 2))(img, dw, dh))
     assert np.abs(exact.astype(int) - fast.astype(int)).max() <= 1
+
+
+def test_mat3_stack_exact_split():
+    # the 3-term bf16 decomposition must reconstruct every f32 AREA matrix
+    # coefficient EXACTLY (24 significand bits = three disjoint 8-bit slices)
+    for src, dst in [(1120, 256), (1088, 256), (544, 128), (97, 31),
+                     (256, 256), (33, 100)]:
+        m = R._area_axis_matrix(src, dst)
+        m3 = R._mat3_stack(m)
+        assert m3 is not None
+        hi, mid, lo = m3[:dst], m3[dst:2 * dst], m3[2 * dst:]
+        np.testing.assert_array_equal(hi + mid + lo, m)
+
+
+@pytest.mark.parametrize("case", [(1120, 1088, 256, 256),
+                                  (560, 544, 128, 128),
+                                  (97, 83, 40, 24)], ids=str)
+def test_mm3_plane_contract_matches_f32(case, monkeypatch):
+    # the exact-split 3-pass contraction (TPU serving fast path, forced on
+    # here) vs the f32 HIGHEST einsum: all partial products are exact, so
+    # only summation order differs — pre-round drift stays far inside the
+    # serving tail's +-1 contract, and rounded outputs differ by at most 1
+    sw, sh, dw, dh = case
+    rng = np.random.default_rng(sw * 7 + dh)
+    plane = rng.integers(0, 256, (2, sh, sw)).astype(np.float32)
+    mw = R._area_axis_matrix(sw, dw)
+    mh = R._area_axis_matrix(sh, dh)
+    monkeypatch.setenv("LILLIPUT_RESIZE_MM3", "1")
+    fast = np.asarray(R.resize_area_plane_mat(jnp.asarray(plane), mw, mh))
+    monkeypatch.setenv("LILLIPUT_RESIZE_MM3", "0")
+    ref = np.asarray(R.resize_area_plane_mat(jnp.asarray(plane), mw, mh))
+    assert np.abs(fast - ref).max() < 1e-2
+    r_fast = np.clip(np.round(fast), 0, 255)
+    r_ref = np.clip(np.round(ref), 0, 255)
+    assert np.abs(r_fast - r_ref).max() <= 1
