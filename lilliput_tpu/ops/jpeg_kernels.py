@@ -224,7 +224,11 @@ def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
     """(..., H8, W8) f32 (0..255) -> (..., H8/8, W8/8, 64) int16 quantized.
 
     Forward transform + quantization divide fold into one (N,64)x(64,64)
-    matmul (W_f = W^T with 1/q folded into the output columns)."""
+    matmul (W_f = W^T with 1/q folded into the output columns).
+
+    Always the XLA dot form: the Pallas pair-packed kernel measured 1.6x
+    slower on v5e (1.65 vs 1.03 ms/batch-128 at the serving encode shapes)
+    with bit-identical quantized coefficients."""
     wf = jnp.asarray(idct_kron_matrix()).T / qtable.astype(jnp.float32)[None, :]
     lead = plane.shape[:-2]
     h, w = plane.shape[-2], plane.shape[-1]
@@ -232,12 +236,8 @@ def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
     p = plane.reshape(lead + (bh, 8, bw, 8))
     p = jnp.moveaxis(p, -3, -2)  # (…, bh, bw, 8, 8)
     flat = p.reshape(-1, 64)
-    if _use_pallas():
-        from . import pallas_kernels as PK
-        q = PK.fdct_quant_blocks(flat, wf).astype(jnp.int16)
-    else:
-        k = jnp.dot(flat - 128.0, wf, preferred_element_type=jnp.float32)
-        q = jnp.clip(jnp.round(k), -2047, 2047).astype(jnp.int16)
+    k = jnp.dot(flat - 128.0, wf, preferred_element_type=jnp.float32)
+    q = jnp.clip(jnp.round(k), -2047, 2047).astype(jnp.int16)
     return q.reshape(lead + (bh, bw, 64))
 
 

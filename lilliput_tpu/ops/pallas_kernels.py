@@ -2,11 +2,14 @@
 
 Two tiers of kernels:
 
-* dequant_idct_blocks / fdct_quant_blocks — the (N,64)x(64,64) MXU matmul
-  form of JPEG's 2D 8x8 DCT (see jpeg_kernels.idct_kron_matrix). Packing TWO
-  blocks per row and block-diagonalizing the transform to (128,128) fills
-  the MXU's native tile exactly; dequantization rides in the matrix rows and
-  the +128 level shift in the epilogue.
+* dequant_idct_blocks — the (N,64)x(64,64) MXU matmul form of JPEG's 2D 8x8
+  IDCT (see jpeg_kernels.idct_kron_matrix). Packing TWO blocks per row and
+  block-diagonalizing the transform to (128,128) fills the MXU's native
+  tile exactly; dequantization rides in the matrix rows and the +128 level
+  shift in the epilogue. This is the arithmetic the megakernel bit-identity
+  gate compares against; the serving-only u8/fdct variants use plain XLA
+  dots instead (measured 1.6-3.6x faster than their Pallas forms on v5e —
+  Mosaic matmul staging loses to XLA's batched dot at these shapes).
 
 * decode420_packed / decode444_packed — the decode MEGAKERNEL: one grid step
   per (image, MCU row) runs dequant + IDCT + block->plane relayout + chroma
@@ -774,36 +777,3 @@ def decode444_packed(yc: jax.Array, cb: jax.Array, cr: jax.Array,
     return _blocks_to_plane_xla(blk, bh_pad, bw_pad)
 
 
-def _fdct_kernel(px_ref, w_ref, out_ref):
-    x = px_ref[:] - 128.0
-    k = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.clip(jnp.round(k), -2047, 2047)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fdct_quant_blocks(px_flat: jax.Array, wf: jax.Array,
-                      interpret: bool = False) -> jax.Array:
-    """(N, 64) f32 pixels + (64, 64) quant-folded fDCT matrix ->
-    (N, 64) f32 quantized coefficients (caller casts to int16)."""
-    n = px_flat.shape[0]
-    w2 = jnp.zeros((128, 128), jnp.float32)
-    w2 = w2.at[:64, :64].set(wf).at[64:, 64:].set(wf)
-    pair_rows = (n + 1) // 2
-    padded_pairs = (pair_rows + BLOCK_ROWS - 1) // BLOCK_ROWS * BLOCK_ROWS
-    pad_blocks = padded_pairs * 2 - n
-    x = jnp.pad(px_flat, ((0, pad_blocks), (0, 0))).reshape(padded_pairs, 128)
-    out = pl.pallas_call(
-        _fdct_kernel,
-        out_shape=jax.ShapeDtypeStruct((padded_pairs, 128), jnp.float32),
-        grid=(padded_pairs // BLOCK_ROWS,),
-        in_specs=[
-            pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x, w2)
-    return out.reshape(padded_pairs * 2, 64)[:n]

@@ -1,4 +1,11 @@
-"""Pallas kernel parity: interpret-mode Pallas vs the XLA reference path."""
+"""Pallas kernel parity: interpret-mode Pallas vs the XLA reference path.
+
+Only dequant_idct_blocks remains a Pallas kernel at this tier: it is the
+arithmetic the decode-megakernel bit-identity gate runs through
+(jpeg_kernels.dequant_idct). The u8/fdct variants moved to XLA dots after
+measuring the Pallas forms 1.6-3.6x slower on v5e (see
+jpeg_kernels.dequant_idct_u8 / fdct_quant docstrings).
+"""
 import numpy as np
 import pytest
 
@@ -21,23 +28,15 @@ def test_dequant_idct_pallas_matches_xla(n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
-@pytest.mark.parametrize("n", [4, 513])
-def test_fdct_quant_pallas_matches_xla(n):
-    px = jnp.asarray(RNG.integers(0, 256, (n, 64)).astype(np.float32))
-    q = RNG.integers(1, 64, 64).astype(np.uint16)
-    wf = jnp.asarray(K.idct_kron_matrix()).T / jnp.asarray(q, jnp.float32)[None, :]
-    ref = jnp.clip(jnp.round(jnp.dot(px - 128.0, wf)), -2047, 2047)
-    out = PK.fdct_quant_blocks(px, wf, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
-
-
 def test_roundtrip_through_kron_transform():
-    """IDCT(fDCT(x)) ~ x with quant table of ones."""
-    px = jnp.asarray(RNG.integers(0, 256, (64, 64)).astype(np.float32))
-    ones = np.ones(64, np.uint16)
-    wf = jnp.asarray(K.idct_kron_matrix()).T / 1.0
-    w = jnp.asarray(K.idct_kron_matrix()) * 1.0
-    k = PK.fdct_quant_blocks(px, wf, interpret=True)
-    back = PK.dequant_idct_blocks(k.astype(jnp.int16), w, interpret=True)
-    assert np.abs(np.asarray(back) - np.asarray(px)).max() <= 2.0
-    del ones
+    """dequant_idct_blocks(fdct_quant(x)) ~ x with a quant table of ones."""
+    px = RNG.integers(0, 256, (8, 64, 64)).astype(np.float32)
+    ones = np.ones(64, np.float32)
+    k = K.fdct_quant(jnp.asarray(px), jnp.asarray(ones))
+    w = jnp.asarray(K.idct_kron_matrix())
+    flat = k.reshape(-1, 64).astype(jnp.int16)
+    back = PK.dequant_idct_blocks(flat, w, interpret=True)
+    bh = px.shape[-2] // 8
+    back = np.asarray(back).reshape(px.shape[0], bh, bh, 8, 8)
+    back = np.moveaxis(back, -2, -3).reshape(px.shape)
+    assert np.abs(back - px).max() <= 2.0
