@@ -332,7 +332,8 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
         cru = upsample2x2(crc_ref, crp_ref, crn_ref)
         # luma IDCT + color per block-pair row: the small per-row matmuls
         # interleave with the VPU color/pack work (measured faster than one
-        # whole-tile (2n,128)x(128,128) contraction)
+        # whole-tile (2n,128)x(128,128) contraction — re-confirmed with the
+        # u8-plane epilogue: 16.6 vs 17.9 ms/batch-128)
         wy2 = wy_ref[0]
         for r in range(2 * t_rows):
             t, qy = r // 2, r % 2

@@ -477,3 +477,32 @@ def test_dct_scale4_transcode_quality():
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
     assert psnr >= 28.0, f"dct_scale=4 vs full: {psnr:.1f} dB"
+
+
+def test_mm3_resize_wiring_within_1(monkeypatch):
+    """The TPU exact-split resize path (LILLIPUT_RESIZE_MM3, forced on here)
+    through the FULL fused pipeline — rgb parity, direct, and dct_scale
+    modes — stays within the +-1 contract of the default contraction."""
+    buf = _jpeg(640, 360, seed=21, q=90)
+
+    def outs(env):
+        # the fused entry points are module-level jits whose traces bake in
+        # the env-gated resize path — clear them so each setting retraces
+        import lilliput_tpu.pipeline as P
+        for f in (P.fused_jpeg_fit_transcode, P.fused_jpeg_fit_transcode_ycc,
+                  P._fused_jpeg_fit_donating):
+            f.clear_cache()
+        monkeypatch.setenv("LILLIPUT_RESIZE_MM3", env)
+        rgb = JpegTranscodePipeline(buf, 64, 64, quality=85).transcode([buf])[0]
+        direct = JpegTranscodePipeline(
+            buf, 64, 64, quality=85, chroma_mode="direct").transcode([buf])[0]
+        scaled = JpegTranscodePipeline(
+            buf, 64, 64, quality=85, chroma_mode="direct",
+            dct_scale=2).transcode([buf])[0]
+        return [cv2.imdecode(np.frombuffer(o, np.uint8), cv2.IMREAD_COLOR)
+                for o in (rgb, direct, scaled)]
+
+    on = outs("1")
+    off = outs("0")
+    for a, b in zip(on, off):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
