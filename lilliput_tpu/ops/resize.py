@@ -284,16 +284,15 @@ def area_axis_matrix_scaled(src: int, dst: int, scale: float,
 
 
 def _mm3_enabled() -> bool:
-    """3-pass exact-split contraction gate: LILLIPUT_RESIZE_MM3 overrides,
-    else on-TPU only (on CPU the f32 einsum IS a true f32 dot and faster)."""
+    """Exact-split bf16 contraction gate (LILLIPUT_RESIZE_MM3=1 to enable).
+
+    DEFAULT OFF — measured a wash on v5e: the 2x MXU-pass reduction is
+    eaten by XLA materializing the 3-term partial products before the
+    summing slice-adds (full bench A/B: rgb 5200 vs 5125, direct 16.4k vs
+    15.8k imgs/s, inside run noise). Kept as an env-gated, property-tested
+    path for re-evaluation on compilers that fuse the reduction."""
     import os
-    flag = os.environ.get("LILLIPUT_RESIZE_MM3")
-    if flag is not None:
-        return flag not in ("0", "false", "off")
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return os.environ.get("LILLIPUT_RESIZE_MM3") in ("1", "true", "on")
 
 
 def _mat3_stack(mat: np.ndarray):
@@ -337,10 +336,9 @@ def resize_area_plane_mat(plane: jax.Array, mat_w: np.ndarray,
     """Contract a (..., H, W) plane holding EXACT u8 values (u8/bf16/f32
     storage) with explicit per-axis AREA matrices (banded when profitable).
 
-    The W (first) contraction reads the integral-valued operand, so on TPU
-    it runs as 3 exact-split bf16 MXU passes (_mm3_w_contract) instead of
-    the 6-pass HIGHEST emulation; the H pass input is a general f32
-    intermediate and stays at HIGHEST."""
+    With LILLIPUT_RESIZE_MM3=1 the W (first) contraction runs as exact-
+    split bf16 passes (_mm3_w_contract — off by default, see _mm3_enabled);
+    the H pass input is a general f32 intermediate and stays at HIGHEST."""
     if _mm3_enabled():
         groups = _banded_groups(mat_w)
         if groups is None:
