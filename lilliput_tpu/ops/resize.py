@@ -340,6 +340,14 @@ def resize_area_plane_mat(plane: jax.Array, mat_w: np.ndarray,
     split bf16 passes (_mm3_w_contract — off by default, see _mm3_enabled);
     the H pass input is a general f32 intermediate and stays at HIGHEST."""
     if _mm3_enabled():
+        # fail fast on operands whose bf16 cast could be lossy: only u8 and
+        # bf16 storage PROVE the exact-u8-values precondition; an arbitrary
+        # f32 plane would silently truncate in the cast (callers with
+        # integral f32 planes cast to uint8 first)
+        if plane.dtype not in (jnp.uint8, jnp.bfloat16):
+            raise TypeError(
+                "mm3 resize path needs a uint8/bfloat16 plane (exact-u8 "
+                f"values), got {plane.dtype}")
         groups = _banded_groups(mat_w)
         if groups is None:
             out = _mm3_w_contract(plane, mat_w)

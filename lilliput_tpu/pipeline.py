@@ -297,7 +297,8 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
         # half resolution straight from the top-left 4x4 coefficients —
         # a quarter of the decode work before a smaller final resample.
         y = jnp.clip(jnp.round(
-            K.dequant_idct_scaled(ywin, qt_y, 8 // s)), 0, 255)
+            K.dequant_idct_scaled(ywin, qt_y, 8 // s)),
+            0, 255).astype(jnp.uint8)
         ym_w = R.area_axis_matrix_scaled(y.shape[-1], dst_w,
                                          w / s / dst_w, tx / s)
         ym_h = R.area_axis_matrix_scaled(y.shape[-2], dst_h,
@@ -335,7 +336,7 @@ def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
     """Grayscale Fit transcode: luma coefficients -> quantized luma encode
     coefficients (1-component JPEG in and out, like the reference's
     Transform over grayscale sources). Same structure as the color paths:
-    u8 quantization in the IDCT kernel epilogue, crop folded into the
+    u8 quantization in the IDCT einsum epilogue, crop folded into the
     resize matrices, optional DCT-domain reduced decode."""
     s = dct_scale
     if orientation == 1:
@@ -355,7 +356,8 @@ def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
                 R.resize_area_plane_mat(y8, mwl, mhl)), 0, 255)
         else:
             y = jnp.clip(jnp.round(
-                K.dequant_idct_scaled(ywin, qt_y, 8 // s)), 0, 255)
+                K.dequant_idct_scaled(ywin, qt_y, 8 // s)),
+                0, 255).astype(jnp.uint8)
             ym_w = R.area_axis_matrix_scaled(y.shape[-1], dst_w,
                                              w / s / dst_w, tx / s)
             ym_h = R.area_axis_matrix_scaled(y.shape[-2], dst_h,

@@ -479,10 +479,14 @@ def test_dct_scale4_transcode_quality():
     assert psnr >= 28.0, f"dct_scale=4 vs full: {psnr:.1f} dB"
 
 
-def test_mm3_resize_wiring_within_1(monkeypatch):
-    """The TPU exact-split resize path (LILLIPUT_RESIZE_MM3, forced on here)
-    through the FULL fused pipeline — rgb parity, direct, and dct_scale
-    modes — stays within the +-1 contract of the default contraction."""
+def test_mm3_resize_wiring_close(monkeypatch):
+    """The exact-split resize path (LILLIPUT_RESIZE_MM3, forced on here)
+    through the fused pipeline modes that run it on CPU — direct and
+    dct_scale (the rgb block tail is megakernel-gated, TPU-only; its resize
+    call is the same resize_area_plane_mat covered by the unit tests).
+    The pre-encode contract is +-1 px; JPEG quantization can amplify a
+    1-level pixel flip within one 8x8 block after decode, so gate on PSNR
+    of the decoded outputs rather than a max-diff."""
     buf = _jpeg(640, 360, seed=21, q=90)
 
     def outs(env):
@@ -493,16 +497,17 @@ def test_mm3_resize_wiring_within_1(monkeypatch):
                   P._fused_jpeg_fit_donating):
             f.clear_cache()
         monkeypatch.setenv("LILLIPUT_RESIZE_MM3", env)
-        rgb = JpegTranscodePipeline(buf, 64, 64, quality=85).transcode([buf])[0]
         direct = JpegTranscodePipeline(
             buf, 64, 64, quality=85, chroma_mode="direct").transcode([buf])[0]
         scaled = JpegTranscodePipeline(
             buf, 64, 64, quality=85, chroma_mode="direct",
             dct_scale=2).transcode([buf])[0]
         return [cv2.imdecode(np.frombuffer(o, np.uint8), cv2.IMREAD_COLOR)
-                for o in (rgb, direct, scaled)]
+                for o in (direct, scaled)]
 
     on = outs("1")
     off = outs("0")
     for a, b in zip(on, off):
-        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+        mse = ((a.astype(np.float64) - b) ** 2).mean()
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        assert psnr >= 55.0

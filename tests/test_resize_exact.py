@@ -160,11 +160,15 @@ def test_mm3_plane_contract_matches_f32(case, monkeypatch):
     # serving tail's +-1 contract, and rounded outputs differ by at most 1
     sw, sh, dw, dh = case
     rng = np.random.default_rng(sw * 7 + dh)
-    plane = rng.integers(0, 256, (2, sh, sw)).astype(np.float32)
+    plane = rng.integers(0, 256, (2, sh, sw)).astype(np.uint8)
     mw = R._area_axis_matrix(sw, dw)
     mh = R._area_axis_matrix(sh, dh)
     monkeypatch.setenv("LILLIPUT_RESIZE_MM3", "1")
     fast = np.asarray(R.resize_area_plane_mat(jnp.asarray(plane), mw, mh))
+    with pytest.raises(TypeError):
+        # lossy-cast guard: arbitrary f32 operands are rejected on this path
+        R.resize_area_plane_mat(jnp.asarray(plane, jnp.float32) + 0.25,
+                                mw, mh)
     monkeypatch.setenv("LILLIPUT_RESIZE_MM3", "0")
     ref = np.asarray(R.resize_area_plane_mat(jnp.asarray(plane), mw, mh))
     assert np.abs(fast - ref).max() < 1e-2
