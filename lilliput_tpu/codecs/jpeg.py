@@ -150,6 +150,52 @@ def has_adobe_marker(buf: bytes) -> bool:
     return False
 
 
+_ICC_MARKER_PREFIX = b"ICC_PROFILE\x00"
+_ICC_MAX_BYTES = 1 << 20  # same hardening cap as codecs/icc.py
+
+
+def read_icc(buf: bytes) -> bytes:
+    """Assemble a JPEG's ICC profile from its APP2 marker segments (pure
+    header byte walk — no entropy decode). Mirrors libjpeg's
+    jpeg_read_icc_profile chunk reassembly (seq 1..count, consistent count,
+    no duplicates) with the 1 MB hardening cap; the reference extracts ICC
+    the same way through libjpeg's saved APP2 markers
+    (/root/reference/opencv.cpp:247-291). Returns b"" when absent or
+    malformed. Used by the serving pipeline to carry the source profile
+    into the transcoded output without touching the shim."""
+    n = len(buf)
+    if n < 4 or buf[0:2] != b"\xff\xd8":
+        return b""
+    i = 2
+    chunks = {}
+    count = 0
+    while i + 4 <= n:
+        if buf[i] != 0xFF:
+            break
+        marker = buf[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: header segments are over
+            break
+        seglen = int.from_bytes(buf[i + 2:i + 4], "big")
+        if seglen < 2 or i + 2 + seglen > n:
+            break
+        if marker == 0xE2:
+            p = buf[i + 4:i + 2 + seglen]
+            if p[:12] == _ICC_MARKER_PREFIX and len(p) >= 14:
+                seq, cnt = p[12], p[13]
+                if count == 0:
+                    count = cnt
+                if cnt == count and 1 <= seq <= count and seq not in chunks:
+                    chunks[seq] = p[14:]
+        i += 2 + seglen
+    if not count or len(chunks) != count:
+        return b""
+    out = b"".join(chunks[s] for s in range(1, count + 1))
+    return out if 0 < len(out) <= _ICC_MAX_BYTES else b""
+
+
 def jpeg_content_length(buf: bytes) -> int:
     """Length up to and including EOI; trailing bytes beyond are unwanted
     (acropalypse-type leak surface, see reference opencv.go:502-557).

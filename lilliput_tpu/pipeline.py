@@ -639,12 +639,17 @@ class JpegTranscodePipeline:
 
     def encode_entropy(self, yq: np.ndarray, cbq: Optional[np.ndarray] = None,
                        crq: Optional[np.ndarray] = None,
-                       workers: Optional[int] = None) -> List[bytes]:
+                       workers: Optional[int] = None,
+                       iccs: Optional[Sequence[bytes]] = None) -> List[bytes]:
         """Huffman-encode device-quantized coefficients (host, threaded).
 
         Color pipelines take (yq, cbq, crq); grayscale just (yq,). Like
         decode_entropy, the shim releases the GIL so encode scales across
-        host cores; each worker owns its output buffer."""
+        host cores; each worker owns its output buffer.
+
+        iccs: optional per-image ICC profiles to embed (the transcode paths
+        pass codecs.jpeg.read_icc of each source so color profiles survive
+        the serving transcode, like the reference's Transform)."""
         w, h = self.dst_w, self.dst_h
         yb = ((h + 7) // 8, (w + 7) // 8)
         cbb = ((h + 15) // 16, (w + 15) // 16)
@@ -657,6 +662,8 @@ class JpegTranscodePipeline:
         qp = ctypes.POINTER(ctypes.c_uint16)
         opt = 1 if self.optimize_coding else 0
         cap = w * h * 4 + (1 << 20)
+        if iccs is not None:
+            cap += max((len(p or b"") for p in iccs), default=0) + (1 << 12)
 
         def one(i: int, out_buf=None):
             if out_buf is None:
@@ -670,11 +677,17 @@ class JpegTranscodePipeline:
                 ptrs = (_i16p * 3)(y.ctypes.data_as(_i16p),
                                    cbx.ctypes.data_as(_i16p),
                                    crx.ctypes.data_as(_i16p))
+            icc = iccs[i] if iccs is not None else b""
+            icc_arr = (np.frombuffer(icc, np.uint8) if icc
+                       else None)
             n = self._lib.lp_jpeg_encode_coefs(
                 w, h, nc, hs, vs, ptrs,
                 self.enc_qt_y_np.ctypes.data_as(qp),
                 self.enc_qt_c_np.ctypes.data_as(qp),
-                0, opt, 0, None, 0,
+                0, opt, 0,
+                (icc_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                 if icc_arr is not None else None),
+                len(icc),
                 out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 out_buf.size)
             if n < 0:
@@ -742,10 +755,13 @@ class JpegTranscodePipeline:
         from .utils import StageTimer, metrics
         with StageTimer("entropy_decode"):
             coefs = self.decode_entropy(bufs)
+        # color profiles survive the transcode (reference Transform parity):
+        # a cheap APP2 header walk per source, attached on encode
+        iccs = [J.read_icc(b) for b in bufs]
         with StageTimer("device"):
             dev = [np.asarray(a) for a in self.device_step(*coefs)]
         with StageTimer("entropy_encode"):
-            out = self.encode_entropy(*dev)
+            out = self.encode_entropy(*dev, iccs=iccs)
         metrics.incr("images_transcoded", len(bufs))
         return out
 
@@ -753,15 +769,20 @@ class JpegTranscodePipeline:
         """Double-buffered: host entropy for batch i+1 overlaps device batch i
         (JAX dispatch is asynchronous; np.asarray blocks on completion)."""
         results = []
-        pending = None  # (device arrays,)
+        pending = None  # (device arrays, per-image ICC profiles)
         for bufs in batches:
             coefs = self.decode_entropy(bufs)
+            iccs = [J.read_icc(b) for b in bufs]
             dev = self.device_step(*coefs)
             if pending is not None:
-                results.append(self.encode_entropy(*[np.asarray(a) for a in pending]))
-            pending = dev
+                pdev, piccs = pending
+                results.append(self.encode_entropy(
+                    *[np.asarray(a) for a in pdev], iccs=piccs))
+            pending = (dev, iccs)
         if pending is not None:
-            results.append(self.encode_entropy(*[np.asarray(a) for a in pending]))
+            pdev, piccs = pending
+            results.append(self.encode_entropy(
+                *[np.asarray(a) for a in pdev], iccs=piccs))
         return results
 
 

@@ -511,3 +511,55 @@ def test_mm3_resize_wiring_close(monkeypatch):
         mse = ((a.astype(np.float64) - b) ** 2).mean()
         psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
         assert psnr >= 55.0
+
+
+def _jpeg_with_icc(w, h, icc, seed=3):
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    im = Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8))
+    bio = io.BytesIO()
+    im.save(bio, format="JPEG", quality=90, subsampling=2, icc_profile=icc)
+    return bio.getvalue()
+
+
+def test_serving_preserves_icc_profile():
+    """Color profiles survive the fused serving transcode (the reference's
+    Transform keeps the source ICC on JPEG->JPEG; the streaming path here
+    already did — the serving encode attaches the same APP2 payload)."""
+    from lilliput_tpu.codecs import jpeg as J
+    icc = open("lilliput_tpu/icc_profiles/rec2020_profile.icc", "rb").read()
+    buf = _jpeg_with_icc(160, 120, icc)
+    assert J.read_icc(buf) == icc
+    for mode in ("rgb", "direct"):
+        pipe = JpegTranscodePipeline(buf, 64, 64, quality=85,
+                                     chroma_mode=mode)
+        out = pipe.transcode([buf])[0]
+        assert J.read_icc(out) == icc, mode
+    # pipelined path carries per-batch profiles too
+    pipe = JpegTranscodePipeline(buf, 64, 64, quality=85)
+    res = pipe.transcode_pipelined([[buf], [buf]])
+    assert all(J.read_icc(r[0]) == icc for r in res)
+
+
+def test_serving_icc_multichunk_and_absent():
+    """>64 KB profiles span multiple APP2 chunks both ways (PIL splits on
+    write, read_icc reassembles; libjpeg re-chunks on our encode); sources
+    without a profile stay profile-free."""
+    from lilliput_tpu.codecs import jpeg as J
+    base = open("lilliput_tpu/icc_profiles/srgb_profile.icc", "rb").read()
+    big = base + bytes(150_000)  # forces multi-chunk APP2
+    buf = _jpeg_with_icc(96, 96, big, seed=4)
+    assert J.read_icc(buf) == big
+    out = JpegTranscodePipeline(buf, 48, 48, quality=85).transcode([buf])[0]
+    assert J.read_icc(out) == big
+    # PIL agrees on the reassembled payload of our own encode
+    import io
+    from PIL import Image
+    assert Image.open(io.BytesIO(out)).info.get("icc_profile") == big
+
+    plain = _jpeg(200, 150, seed=5)
+    assert J.read_icc(plain) == b""
+    out2 = JpegTranscodePipeline(plain, 64, 64, quality=85).transcode(
+        [plain])[0]
+    assert J.read_icc(out2) == b""
