@@ -59,6 +59,7 @@ def main() -> int:
         kind = "multi-geometry"
     dt = time.time() - t0
 
+    os.makedirs(args.outdir, exist_ok=True)
     for path, out in zip(args.inputs, outs):
         dst = os.path.join(
             args.outdir,

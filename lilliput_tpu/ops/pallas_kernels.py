@@ -269,7 +269,18 @@ def _dec420_kernel_factory(t_rows: int, cbw: int, cbh_true: int,
                            preferred_element_type=jnp.float32) + 128.0
 
         def upsample2x2(cur_ref, prev_ref, next_ref):
-            cp = idct(cur_ref[0].reshape(n, 64))
+            # per-row slices CONCATENATED along sublanes instead of a
+            # (t, cbw, 64) -> (n, 64) ref reshape: that shape cast fails
+            # Mosaic's layout inference at small geometries (e.g. 100x76:
+            # "(5,7,64)->(35,64) unsupported shape cast") while the same
+            # kernel compiles at 1080p — tpu.concatenate lowers at every
+            # shape tested
+            if t_rows == 1:
+                raw = cur_ref[0, 0]
+            else:
+                raw = jnp.concatenate(
+                    [cur_ref[0, r] for r in range(t_rows)], axis=0)
+            cp = idct(raw)
             pp8 = _roll(idct(prev_ref[0, 0]), 8, 1)
             nn8 = _roll(idct(next_ref[0, 0]), -8, 1)
             # pixel-row +-1 neighbors: lane roll by 8 shifts x inside the
@@ -484,7 +495,12 @@ def _dec422_kernel_factory(t_rows: int, cbw: int, expand_mode: str):
         row_j = sub % cbw
 
         def upsample_h(cur_ref):
-            v = jnp.dot(cur_ref[0].reshape(n, 64).astype(jnp.float32), wc,
+            # row-slice concat, NOT a (t, cbw, 64)->(n, 64) ref reshape:
+            # Mosaic rejects that shape cast at small geometries (see the
+            # 4:2:0 kernel's upsample2x2)
+            raw = (cur_ref[0, 0] if t_rows == 1 else jnp.concatenate(
+                [cur_ref[0, r] for r in range(t_rows)], axis=0))
+            v = jnp.dot(raw.astype(jnp.float32), wc,
                         preferred_element_type=jnp.float32) + 128.0
             vl = _roll(v, 1, 0)
             vr = _roll(v, -1, 0)
@@ -596,7 +612,11 @@ def _dec440_kernel_factory(t_rows: int, bw2: int, cbh_true: int,
                            preferred_element_type=jnp.float32) + 128.0
 
         def upsample_v(cur_ref, prev_ref, next_ref):
-            cp = idct(cur_ref[0].reshape(n, 128))
+            # row-slice concat, NOT a ref reshape (Mosaic shape-cast limit
+            # at small geometries — see the 4:2:0 kernel's upsample2x2)
+            raw = (cur_ref[0, 0] if t_rows == 1 else jnp.concatenate(
+                [cur_ref[0, r] for r in range(t_rows)], axis=0))
+            cp = idct(raw)
             # within-half x=7 -> x=0 / x=0 -> x=7 rolls (72 == -56 mod 128)
             pp8 = _roll(idct(prev_ref[0, 0]), 72, 1)
             nn8 = _roll(idct(next_ref[0, 0]), 56, 1)
@@ -723,7 +743,11 @@ def _dec444_kernel_factory(t_rows: int, bw2: int):
 
     def kernel(y_ref, cb_ref, cr_ref, wy_ref, wc_ref, out_ref):
         def plane(ref, w):
-            f = ref[0].reshape(n, 128).astype(jnp.float32)
+            # row-slice concat, NOT a ref reshape (Mosaic shape-cast limit
+            # at small geometries — see the 4:2:0 kernel's upsample2x2)
+            raw = (ref[0, 0] if t_rows == 1 else jnp.concatenate(
+                [ref[0, r] for r in range(t_rows)], axis=0))
+            f = raw.astype(jnp.float32)
             return jnp.dot(f, w, preferred_element_type=jnp.float32) + 128.0
 
         y = plane(y_ref, wy_ref[0])
@@ -734,7 +758,11 @@ def _dec444_kernel_factory(t_rows: int, bw2: int):
         rr = y + 1.402 * cr
         gg = y - 0.344136286 * cb - 0.714136286 * cr
         bb = y + 1.772 * cb
-        out_ref[0] = _pack_bgra(bb, gg, rr).reshape(t_rows, bw2, 128)
+        packed = _pack_bgra(bb, gg, rr)
+        # per-row stores instead of a (n, 128) -> (t, bw2, 128) value
+        # reshape (the sublane-SPLIT cast has the same Mosaic limit)
+        for r in range(t_rows):
+            out_ref[0, r] = packed[r * bw2:(r + 1) * bw2]
 
     return kernel
 
