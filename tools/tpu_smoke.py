@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Real-chip smoke of every device path (compile + run, small fixtures).
+
+The CPU suite exercises Pallas kernels in interpret mode only, and Mosaic's
+layout rules differ by SHAPE (a ref reshape compiled at 1080p but failed at
+100x76 — see CLAUDE.md). This drives each device-touching surface on the
+attached TPU with small/odd fixtures so lowering breaks surface before a
+user hits them. One JSON line per surface; nonzero exit on any failure.
+
+    python tools/tpu_smoke.py            # needs the TPU attached
+"""
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TD = "/root/reference/testdata"
+DATA = "/root/reference/data"
+
+
+def main() -> int:
+    import numpy as np
+
+    results = []
+    failures = 0
+
+    def run(name, fn):
+        nonlocal failures
+        t0 = time.time()
+        try:
+            detail = fn() or {}
+            results.append({"surface": name, "ok": True,
+                            "s": round(time.time() - t0, 1), **detail})
+        except Exception as e:
+            failures += 1
+            traceback.print_exc()
+            results.append({"surface": name, "ok": False,
+                            "error": f"{type(e).__name__}: {e}"})
+        print(json.dumps(results[-1]), flush=True)
+
+    # --- JPEG serving pipeline, odd small + grayscale ----------------------
+    def jpeg_serving():
+        import cv2
+        from lilliput_tpu.pipeline import JpegTranscodePipeline
+        rng = np.random.default_rng(0)
+        img = cv2.resize(rng.integers(0, 256, (10, 10, 3), np.uint8),
+                         (100, 76), interpolation=cv2.INTER_CUBIC)
+        ok, b = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 88])
+        buf = b.tobytes()
+        out = JpegTranscodePipeline(buf, 64, 64).transcode([buf])[0]
+        assert out[:2] == b"\xff\xd8"
+        gray = cv2.imencode(".jpg", img[..., 0])[1].tobytes()
+        outg = JpegTranscodePipeline(gray, 48, 48).transcode([gray])[0]
+        assert outg[:2] == b"\xff\xd8"
+        return {}
+
+    # --- animated GIF batch path (device compositing + quantizer) ----------
+    def gif_batch():
+        from lilliput_tpu import transcode_gif
+        buf = open(f"{TD}/party-discord.gif", "rb").read()
+        out = transcode_gif(buf, 14, 9)
+        assert out[:6] in (b"GIF87a", b"GIF89a")
+        return {"bytes": len(out)}
+
+    # --- animated WebP batch path ------------------------------------------
+    def webp_batch():
+        from lilliput_tpu import transcode_webp
+        buf = open(f"{TD}/party-discord.webp", "rb").read()
+        out = transcode_webp(buf, 20, 13)
+        assert out[:4] == b"RIFF" and out[8:12] == b"WEBP"
+        return {"bytes": len(out)}
+
+    # --- thumbhash (device DCT matmuls) ------------------------------------
+    def thumbhash():
+        import base64
+        from lilliput_tpu import ImageOps, ImageOptions, new_decoder
+        buf = open(f"{DATA}/sunrise.jpg", "rb").read()
+        out = ImageOps(1024).transform(new_decoder(buf), ImageOptions(
+            file_type=".thumbhash", width=100, height=100))
+        assert (base64.b64encode(out).decode()
+                == "1QcSHQRnh493V4dIh4eXh1h4kJUI")
+        return {}
+
+    # --- video first frame (device YUV->BGR + resize) ----------------------
+    def video_frame():
+        from lilliput_tpu import ImageOps, ImageOptions, new_decoder
+        from lilliput_tpu.framebuffer import JPEG_QUALITY
+        buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+        from lilliput_tpu import ResizeMethod
+        out = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+            file_type=".jpeg", width=160, height=90,
+            resize_method=ResizeMethod.RESIZE,
+            encode_timeout=600.0, encode_options={JPEG_QUALITY: 85},
+            disable_animated_output=True))
+        assert out[:2] == b"\xff\xd8"
+        return {}
+
+    # --- exact resize paths (gather form) on TPU ---------------------------
+    def resize_exact_paths():
+        import jax
+        from lilliput_tpu.ops import resize as R
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (37, 53, 3), np.uint8)
+        for method in (R.AREA, R.LINEAR, R.CUBIC):
+            out = np.asarray(jax.jit(
+                R.resize, static_argnums=(1, 2, 3))(img, 24, 17, method))
+            assert out.shape == (17, 24, 3), method
+        return {}
+
+    # --- blend / orient device ops -----------------------------------------
+    def blend_orient():
+        import jax.numpy as jnp
+        from lilliput_tpu.ops import blend as B
+        from lilliput_tpu.ops import orient as O
+        rng = np.random.default_rng(2)
+        canvas = jnp.asarray(rng.integers(0, 256, (31, 29, 4), np.uint8))
+        frame = jnp.asarray(rng.integers(0, 256, (13, 11, 4), np.uint8))
+        out = np.asarray(B.copy_to_region_with_alpha(canvas, frame,
+                                                     3, 5, 11, 13))
+        assert out.shape == canvas.shape
+        for o in range(1, 9):
+            np.asarray(O.orient(canvas, o))
+        return {}
+
+    run("jpeg_serving_small+gray", jpeg_serving)
+    run("gif_batch_anim", gif_batch)
+    run("webp_batch_anim", webp_batch)
+    run("thumbhash_golden", thumbhash)
+    run("video_first_frame", video_frame)
+    run("resize_exact_paths", resize_exact_paths)
+    run("blend_orient", blend_orient)
+
+    print(json.dumps({"surfaces": len(results), "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
