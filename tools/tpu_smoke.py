@@ -126,6 +126,40 @@ def main() -> int:
             np.asarray(O.orient(canvas, o))
         return {}
 
+    # --- AVIF decode + device tone-map/resize ------------------------------
+    def avif_frame():
+        from lilliput_tpu import ImageOps, ImageOptions, new_decoder
+        from lilliput_tpu.framebuffer import JPEG_QUALITY
+        from lilliput_tpu.imageops import ResizeMethod
+        buf = open(f"{TD}/paris_icc_exif_xmp.avif", "rb").read()
+        out = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+            file_type=".jpeg", width=120, height=80,
+            resize_method=ResizeMethod.FIT, encode_timeout=600.0,
+            encode_options={JPEG_QUALITY: 85},
+            disable_animated_output=True))
+        assert out[:2] == b"\xff\xd8"
+        return {}
+
+    # --- PNG decode (device post) + encode ---------------------------------
+    def png_roundtrip():
+        from lilliput_tpu import ImageOps, ImageOptions, new_decoder
+        from lilliput_tpu.imageops import ResizeMethod
+        buf = open(f"{DATA}/firefox-16bit.png", "rb").read()
+        out = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+            file_type=".png", width=40, height=30,
+            resize_method=ResizeMethod.FIT, encode_timeout=600.0))
+        assert out[:8] == b"\x89PNG\r\n\x1a\n"
+        return {}
+
+    # --- keyframe spritesheet (batched device resize + thumbhashes) --------
+    def sprite():
+        from lilliput_tpu import spritesheet
+        buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
+        sheet, ts, hashes = spritesheet(buf, 64, 36, max_tiles=4,
+                                        with_thumbhashes=True)
+        assert sheet.ndim == 3 and len(ts) >= 1 and len(hashes) == len(ts)
+        return {"tiles": len(ts)}
+
     run("jpeg_serving_small+gray", jpeg_serving)
     run("gif_batch_anim", gif_batch)
     run("webp_batch_anim", webp_batch)
@@ -133,6 +167,9 @@ def main() -> int:
     run("video_first_frame", video_frame)
     run("resize_exact_paths", resize_exact_paths)
     run("blend_orient", blend_orient)
+    run("avif_tone_map", avif_frame)
+    run("png_16bit_roundtrip", png_roundtrip)
+    run("spritesheet", sprite)
 
     print(json.dumps({"surfaces": len(results), "failures": failures}))
     return 1 if failures else 0
