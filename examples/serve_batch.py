@@ -28,6 +28,8 @@ def main() -> int:
     ap.add_argument("-mode", choices=("rgb", "direct"), default="rgb")
     ap.add_argument("-dct-scale", type=int, choices=(1, 2, 4), default=1,
                     help="reduced decode (2=half, 4=quarter; needs -mode direct)")
+    ap.add_argument("-format", choices=("jpeg", "webp", "png"),
+                    default="jpeg", help="output container")
     ap.add_argument("-sharded", action="store_true")
     ap.add_argument("-outdir", default=".")
     ap.add_argument("-device", default=None,
@@ -45,7 +47,8 @@ def main() -> int:
         mesh = make_mesh()
         pipe = ShardedJpegPipeline(bufs[0], args.width, args.height,
                                    quality=args.quality, mesh=mesh,
-                                   chroma_mode=args.mode)
+                                   chroma_mode=args.mode,
+                                   output_format="." + args.format)
         with mesh:
             outs = pipe.transcode(bufs)
         kind = f"sharded over {mesh.devices.size} device(s)"
@@ -54,7 +57,8 @@ def main() -> int:
         pipe = MultiGeometryPipeline(args.width, args.height,
                                      quality=args.quality,
                                      chroma_mode=args.mode,
-                                     dct_scale=args.dct_scale)
+                                     dct_scale=args.dct_scale,
+                                     output_format="." + args.format)
         outs = pipe.transcode(bufs)
         kind = "multi-geometry"
     dt = time.time() - t0
@@ -63,7 +67,8 @@ def main() -> int:
     for path, out in zip(args.inputs, outs):
         dst = os.path.join(
             args.outdir,
-            os.path.splitext(os.path.basename(path))[0] + ".out.jpg")
+            os.path.splitext(os.path.basename(path))[0]
+            + ".out." + args.format)
         open(dst, "wb").write(out)
         print(f"{path} -> {dst} ({len(out)} bytes)")
     print(f"{len(bufs)} image(s) in {dt * 1e3:.1f} ms "

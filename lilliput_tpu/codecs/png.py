@@ -414,34 +414,42 @@ class PngEncoder(Encoder):
             raise DecodingFailedError("PNG encoder cannot flush without a frame")
         opts = opts or {}
         level = int(opts.get(PNG_COMPRESSION, 6))
-        level = min(max(level, 0), 9)
-        arr = fb.to_numpy()
-        h, w, c = arr.shape
-        if c == 3:
-            rgb = arr[:, :, ::-1]
-            color_type = 2
-        elif c == 4:
-            rgb = arr[:, :, [2, 1, 0, 3]]
-            color_type = 6
-        else:
-            rgb = arr[:, :, 0:1]
-            color_type = 0
-        ch = rgb.shape[2]
-        raw = np.ascontiguousarray(rgb).reshape(h, w * ch)
-        stride = w * ch
-        filtered = np.empty(h * (stride + 1), np.uint8)
-        self._lib.lp_png_filter(_u8ptr(np.ascontiguousarray(raw)), _u8ptr(filtered),
-                                h, stride, ch)
-        comp = zlib.compress(filtered.tobytes(), level)
+        return encode_png_pixels(fb.to_numpy(), level, self._icc)
 
-        def chunk(ctype: bytes, data: bytes) -> bytes:
-            body = ctype + data
-            return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
 
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-        out = [PNG_MAGIC, chunk(b"IHDR", ihdr)]
-        if self._icc:
-            out.append(chunk(b"iCCP", b"ICC Profile\x00\x00" + zlib.compress(self._icc, 9)))
-        out.append(chunk(b"IDAT", comp))
-        out.append(chunk(b"IEND", b""))
-        return b"".join(out)
+def encode_png_pixels(arr: np.ndarray, level: int = 6,
+                      icc: Optional[bytes] = None) -> bytes:
+    """Encode (H, W, 1|3|4) BGR(A)/gray u8 pixels to PNG (host: C++ Paeth
+    filter + zlib deflate). The numpy-level body of PngEncoder.encode,
+    shared with the serving pipeline's still-output path."""
+    lib = binding.load()
+    level = min(max(int(level), 0), 9)
+    h, w, c = arr.shape
+    if c == 3:
+        rgb = arr[:, :, ::-1]
+        color_type = 2
+    elif c == 4:
+        rgb = arr[:, :, [2, 1, 0, 3]]
+        color_type = 6
+    else:
+        rgb = arr[:, :, 0:1]
+        color_type = 0
+    ch = rgb.shape[2]
+    raw = np.ascontiguousarray(rgb).reshape(h, w * ch)
+    stride = w * ch
+    filtered = np.empty(h * (stride + 1), np.uint8)
+    lib.lp_png_filter(_u8ptr(np.ascontiguousarray(raw)), _u8ptr(filtered),
+                      h, stride, ch)
+    comp = zlib.compress(filtered.tobytes(), level)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = [PNG_MAGIC, chunk(b"IHDR", ihdr)]
+    if icc:
+        out.append(chunk(b"iCCP", b"ICC Profile\x00\x00" + zlib.compress(icc, 9)))
+    out.append(chunk(b"IDAT", comp))
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)

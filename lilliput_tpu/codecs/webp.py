@@ -112,6 +112,34 @@ class WebpDecoder(Decoder):
             self._h = None
 
 
+def encode_webp_pixels(px: np.ndarray, opts: Optional[Dict[int, int]] = None,
+                       icc: Optional[bytes] = None) -> bytes:
+    """One-shot still-WebP encode of (H, W, 3|4) BGR(A) u8 pixels — the
+    numpy-level encode used by the serving pipeline's webp output (same
+    shim calls as WebpEncoder, without a Framebuffer)."""
+    lib = binding.load()
+    icc_arr = (np.frombuffer(icc, np.uint8) if icc
+               else np.zeros(0, np.uint8))
+    h = lib.lp_webp_enc_new(_u8(icc_arr) if icc_arr.size else None,
+                            icc_arr.size, ctypes.c_uint32(0), 0)
+    if not h:
+        raise DecodingFailedError("webp encoder init failed")
+    try:
+        o = WebpEncoder._opts_array(opts or {})
+        op = o.ctypes.data_as(_i32p) if o.size else None
+        hgt, wdt, ch = px.shape
+        px = np.ascontiguousarray(px)
+        if lib.lp_webp_enc_add(h, _u8(px), wdt, hgt, ch, 0, op, o.size):
+            raise DecodingFailedError("webp frame add failed")
+        out = np.empty(wdt * hgt * 4 + (1 << 20) + icc_arr.size, np.uint8)
+        n = lib.lp_webp_enc_flush(h, op, o.size, _u8(out), out.size)
+        if n < 0:
+            raise DecodingFailedError(f"webp flush failed ({n})")
+        return out[:n].tobytes()
+    finally:
+        lib.lp_webp_enc_free(h)
+
+
 class WebpEncoder(Encoder):
     def __init__(self, decoded_by: Optional[Decoder] = None,
                  icc_override: Optional[bytes] = None):

@@ -42,6 +42,7 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         self._batch_sharding = NamedSharding(self.mesh, P("dp"))
         self._repl = NamedSharding(self.mesh, P())
         g = self.geom
+        emit = "coefs" if self.output_format == ".jpeg" else "pixels"
         if self.ncomp == 1:
             from ..pipeline import fused_jpeg_fit_transcode_gray
 
@@ -50,14 +51,14 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
                     yc, qy, eqy, src_w=g.width, src_h=g.height,
                     dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
                     orientation=self.orientation,
-                    window=self.window_static)
+                    window=self.window_static, emit=emit)
         elif self.chroma_mode == "direct":
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
                 return fused_jpeg_fit_transcode_ycc(
                     yc, cb, cr, qy, qc, eqy, eqc,
                     src_w=g.width, src_h=g.height,
                     dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
-                    window=self.window_static)
+                    window=self.window_static, emit=emit)
         else:
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
                 return fused_jpeg_fit_transcode(
@@ -65,7 +66,7 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
                     src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
                     dst_w=dst_w, dst_h=dst_h, method=self.method,
                     orientation=self.orientation,
-                    window=self.window_static)
+                    window=self.window_static, emit=emit)
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
 
     def device_step(self, ys, cbs=None, crs=None, qty=None, qtc=None,
@@ -90,7 +91,8 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
             eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
             out = self._step(*args, eqy, eqc)
         if pad:
-            out = tuple(o[:-pad] for o in out)
+            out = (out[:-pad] if not isinstance(out, tuple)
+                   else tuple(o[:-pad] for o in out))
         return out
 
 

@@ -114,11 +114,24 @@ def mcu_decode_window(src_w: int, src_h: int, dst_w: int, dst_h: int,
             slice(cby0, cby1), slice(cbx0, cbx1))
 
 
+def _pack_pixels(bpl, gpl, rpl):
+    """Three (..., H, W) channel planes (exact u8 values, any numeric
+    storage) -> packed BGRA int32 — the serving pixel-output form (bitcast
+    to u8 gives interleaved B,G,R,255 for the host webp/png encoders)."""
+    from .ops import pallas_kernels as PK
+    return PK._pack_bgra(bpl.astype(jnp.float32), gpl.astype(jnp.float32),
+                         rpl.astype(jnp.float32))
+
+
 def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                          src_w: int, src_h: int, h2: bool, v2: bool,
                          dst_w: int, dst_h: int, method: str = R.AREA,
-                         orientation: int = 1, window=None):
-    """(B, bh, bw, 64) coefficient batches -> quantized encode coefficients.
+                         orientation: int = 1, window=None,
+                         emit: str = "coefs"):
+    """(B, bh, bw, 64) coefficient batches -> quantized encode coefficients
+    (emit='coefs', the JPEG-output serving path) or packed BGRA int32
+    pixels at the destination size (emit='pixels', feeding the host
+    webp/png still encoders).
 
     Pipeline: decode to BGR u8, EXIF orientation normalization, center-crop,
     INTER_AREA resize, encode at 4:2:0. Output is within +-1 u8 of the
@@ -201,6 +214,9 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                             blk, 2 * cbh_pad, 2 * cbw)
                         out.append(jnp.clip(jnp.round(
                             R.resize_area_plane_mat(p, mw, mh)), 0, 255))
+                    if emit == "pixels":
+                        px = _pack_pixels(out[0], out[1], out[2])
+                        return px.reshape(lead + px.shape[1:])
                     res = K.encode_from_bgr_planes(
                         out[0], out[1], out[2], enc_qt_y, enc_qt_c,
                         subsample=True)
@@ -220,6 +236,8 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                 out = [jnp.clip(jnp.round(
                     R.resize_area_mxu_plane(p, dst_w, dst_h)), 0, 255)
                     for p in planes]
+                if emit == "pixels":
+                    return _pack_pixels(out[0], out[1], out[2])
                 return K.encode_from_bgr_planes(
                     out[0], out[1], out[2], enc_qt_y, enc_qt_c,
                     subsample=True)
@@ -236,13 +254,16 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
         resized = R.resize_area_mxu(cropped, dst_w, dst_h)
     else:
         resized = R.resize(cropped, dst_w, dst_h, method)
+    if emit == "pixels":
+        return _pack_pixels(resized[..., 0], resized[..., 1],
+                            resized[..., 2])
     return K.encode_from_bgr(resized, enc_qt_y, enc_qt_c, subsample=True)
 
 
 def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                              src_w: int, src_h: int,
                              dst_w: int, dst_h: int, dct_scale: int = 1,
-                             window=None):
+                             window=None, emit: str = "coefs"):
     """YCbCr-direct Fit transcode (chroma_mode='direct').
 
     Planes never leave YCbCr: luma crops+resizes directly to the output
@@ -322,6 +343,15 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
     cbr = chroma(cb)
     crr = chroma(cr)
+    if emit == "pixels":
+        # still output: upsample the once-resampled chroma to the output
+        # grid (same triangle filter as 4:2:0 decode) and color-convert at
+        # dst res — the direct mode's quality class, in BGRA pixels
+        cbu = K.upsample_chroma(cbr, 2, 2, dst_h, dst_w) - 128.0
+        cru = K.upsample_chroma(crr, 2, 2, dst_h, dst_w) - 128.0
+        return _pack_pixels(yr + 1.772 * cbu,
+                            yr - 0.344136286 * cbu - 0.714136286 * cru,
+                            yr + 1.402 * cru)
     mcu = 16
     ph = (dst_h + mcu - 1) // mcu * mcu
     pw = (dst_w + mcu - 1) // mcu * mcu
@@ -332,7 +362,8 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
 def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
                               dst_w: int, dst_h: int, dct_scale: int = 1,
-                              orientation: int = 1, window=None):
+                              orientation: int = 1, window=None,
+                              emit: str = "coefs"):
     """Grayscale Fit transcode: luma coefficients -> quantized luma encode
     coefficients (1-component JPEG in and out, like the reference's
     Transform over grayscale sources). Same structure as the color paths:
@@ -373,13 +404,15 @@ def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
         cropped = gray[..., top:top + h, left:left + w, :]
         yr = R.resize(cropped, dst_w, dst_h, R.AREA)[..., 0].astype(
             jnp.float32)
+    if emit == "pixels":
+        return _pack_pixels(yr, yr, yr)
     ph = (dst_h + 7) // 8 * 8
     pw = (dst_w + 7) // 8 * 8
     return (K.fdct_quant(K._pad_to(yr, ph, pw), enc_qt_y),)
 
 
 _GRAY_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale",
-                 "orientation", "window")
+                 "orientation", "window", "emit")
 
 fused_jpeg_fit_transcode_gray = jax.jit(
     _fused_jpeg_fit_gray_impl, static_argnames=_GRAY_STATICS)
@@ -390,14 +423,15 @@ _fused_jpeg_fit_gray_donating = jax.jit(
     donate_argnums=(0,))
 
 
-_YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale", "window")
+_YCC_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale", "window",
+                "emit")
 
 fused_jpeg_fit_transcode_ycc = jax.jit(
     _fused_jpeg_fit_ycc_impl, static_argnames=_YCC_STATICS)
 
 
 _FUSED_STATICS = ("src_w", "src_h", "h2", "v2", "dst_w", "dst_h", "method",
-                  "orientation", "window")
+                  "orientation", "window", "emit")
 
 #: public variant: inputs stay live (reusable for benchmarking/sharding)
 fused_jpeg_fit_transcode = jax.jit(
@@ -411,21 +445,34 @@ _fused_jpeg_fit_donating = jax.jit(
 
 
 class JpegTranscodePipeline:
-    """Batched JPEG->JPEG Fit transcoder for a fixed source geometry.
+    """Batched JPEG Fit transcoder for a fixed source geometry.
 
     Usage:
         pipe = JpegTranscodePipeline(sample_jpeg_bytes, 256, 256, quality=85)
         outs = pipe.transcode(list_of_jpeg_bytes)   # same geometry as sample
+
+    output_format selects the encode side: ".jpeg" (default — device
+    re-encodes to quantized coefficients, host Huffman) or ".webp"/".png"
+    (device emits packed BGRA pixels at the destination size; threaded
+    host still-encoders produce the container). Source ICC profiles are
+    carried into every output format.
     """
 
     def __init__(self, sample: bytes, dst_w: int, dst_h: int,
                  quality: int = 85, method: str = R.AREA,
                  optimize_coding: bool = False, chroma_mode: str = "rgb",
-                 dct_scale: int = 1):
+                 dct_scale: int = 1, output_format: str = ".jpeg",
+                 encode_options: Optional[dict] = None):
         self._lib = binding.load()
         self.dst_w, self.dst_h = dst_w, dst_h
         self.method = method
         self.optimize_coding = optimize_coding
+        fmt = {".jpg": ".jpeg"}.get(output_format, output_format)
+        if fmt not in (".jpeg", ".webp", ".png"):
+            raise ValueError(
+                "output_format must be .jpeg, .webp or .png")
+        self.output_format = fmt
+        self.encode_options = dict(encode_options or {})
         if chroma_mode not in ("rgb", "direct"):
             raise ValueError("chroma_mode must be 'rgb' or 'direct'")
         if dct_scale not in (1, 2, 4):
@@ -473,6 +520,7 @@ class JpegTranscodePipeline:
             self._window = None
         #: static (x0, y0, rw, rh) for the device fns (None = full arrays)
         self.window_static = self._window[:4] if self._window else None
+        self.quality = quality
         eql, eqc = J.scaled_qtables(quality)
         self.enc_qt_y_np, self.enc_qt_c_np = eql, eqc
         self.enc_qt_y = jnp.asarray(eql)
@@ -705,6 +753,51 @@ class JpegTranscodePipeline:
                 list(ex.map(one, range(b)))
         return outs  # type: ignore[return-value]
 
+    def encode_pixels(self, packed: np.ndarray,
+                      iccs: Optional[Sequence[bytes]] = None,
+                      workers: Optional[int] = None) -> List[bytes]:
+        """Host still-encode stage for webp/png outputs.
+
+        packed: (B, dst_h, dst_w) int32 BGRA from device_step (little-
+        endian byte 0 = B). Threaded like encode_entropy (libwebp and
+        zlib release the GIL); alpha is dropped (decode output is opaque)."""
+        from .codecs.png import encode_png_pixels
+        from .codecs.webp import encode_webp_pixels
+        from .framebuffer import PNG_COMPRESSION, WEBP_QUALITY
+        b = packed.shape[0]
+        bgra = packed.view(np.uint8).reshape(b, self.dst_h, self.dst_w, 4)
+        outs: List[Optional[bytes]] = [None] * b
+        fmt = self.output_format
+
+        def one(i: int):
+            icc = (iccs[i] if iccs is not None else b"") or None
+            px = np.ascontiguousarray(bgra[i][:, :, :3])
+            if fmt == ".webp":
+                o = dict(self.encode_options)
+                o.setdefault(WEBP_QUALITY, int(self.quality))
+                outs[i] = encode_webp_pixels(px, o, icc)
+            else:
+                level = int(self.encode_options.get(PNG_COMPRESSION, 6))
+                outs[i] = encode_png_pixels(px, level, icc)
+
+        n_workers = (workers if workers is not None
+                     else min(8, os.cpu_count() or 1))
+        if n_workers <= 1 or b <= 1:
+            for i in range(b):
+                one(i)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, range(b)))
+        return outs  # type: ignore[return-value]
+
+    def _encode_outputs(self, arrs: Sequence[np.ndarray],
+                        iccs: Optional[Sequence[bytes]]) -> List[bytes]:
+        """Dispatch the host encode stage by output format."""
+        if self.output_format == ".jpeg":
+            return self.encode_entropy(*arrs, iccs=iccs)
+        return self.encode_pixels(arrs[0], iccs=iccs)
+
     # -- device stage ----------------------------------------------------------
 
     def device_step(self, ys, cbs=None, crs=None, qty=None, qtc=None,
@@ -715,8 +808,12 @@ class JpegTranscodePipeline:
         — i.e. device_step(*decode_entropy(bufs)) works for both.
         donate=True (serving default) hands the coefficient buffers to XLA
         for reuse; pass donate=False when the caller keeps device-resident
-        inputs alive across calls (e.g. bench loops)."""
+        inputs alive across calls (e.g. bench loops).
+
+        JPEG output returns quantized coefficient arrays; webp/png output
+        returns one packed-BGRA int32 array at the destination size."""
         g = self.geom
+        emit = "coefs" if self.output_format == ".jpeg" else "pixels"
         if self.ncomp == 1:
             qty = cbs  # (ys, qty) calling convention
             gfn = (_fused_jpeg_fit_gray_donating if donate
@@ -726,7 +823,7 @@ class JpegTranscodePipeline:
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 dct_scale=self.dct_scale, orientation=self.orientation,
-                window=self.window_static)
+                window=self.window_static, emit=emit)
         if self.chroma_mode == "direct":
             if not self._direct_ok():
                 raise DecodingFailedError(
@@ -738,7 +835,8 @@ class JpegTranscodePipeline:
                 self.enc_qt_y, self.enc_qt_c,
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
-                dct_scale=self.dct_scale, window=self.window_static)
+                dct_scale=self.dct_scale, window=self.window_static,
+                emit=emit)
         fn = _fused_jpeg_fit_donating if donate else fused_jpeg_fit_transcode
         return fn(
             jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
@@ -747,7 +845,7 @@ class JpegTranscodePipeline:
             src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
             dst_w=self.dst_w, dst_h=self.dst_h,
             method=self.method, orientation=self.orientation,
-            window=self.window_static)
+            window=self.window_static, emit=emit)
 
     # -- end to end --------------------------------------------------------------
 
@@ -759,9 +857,11 @@ class JpegTranscodePipeline:
         # a cheap APP2 header walk per source, attached on encode
         iccs = [J.read_icc(b) for b in bufs]
         with StageTimer("device"):
-            dev = [np.asarray(a) for a in self.device_step(*coefs)]
-        with StageTimer("entropy_encode"):
-            out = self.encode_entropy(*dev, iccs=iccs)
+            dev = self.device_step(*coefs)
+            arrs = [np.asarray(a)
+                    for a in (dev if isinstance(dev, tuple) else (dev,))]
+        with StageTimer("encode"):
+            out = self._encode_outputs(arrs, iccs)
         metrics.incr("images_transcoded", len(bufs))
         return out
 
@@ -774,15 +874,17 @@ class JpegTranscodePipeline:
             coefs = self.decode_entropy(bufs)
             iccs = [J.read_icc(b) for b in bufs]
             dev = self.device_step(*coefs)
+            if not isinstance(dev, tuple):
+                dev = (dev,)
             if pending is not None:
                 pdev, piccs = pending
-                results.append(self.encode_entropy(
-                    *[np.asarray(a) for a in pdev], iccs=piccs))
+                results.append(self._encode_outputs(
+                    [np.asarray(a) for a in pdev], piccs))
             pending = (dev, iccs)
         if pending is not None:
             pdev, piccs = pending
-            results.append(self.encode_entropy(
-                *[np.asarray(a) for a in pdev], iccs=piccs))
+            results.append(self._encode_outputs(
+                [np.asarray(a) for a in pdev], piccs))
         return results
 
 
@@ -800,13 +902,17 @@ class MultiGeometryPipeline:
 
     def __init__(self, dst_w: int, dst_h: int, quality: int = 85,
                  method: str = R.AREA, max_geometries: int = 64,
-                 chroma_mode: str = "rgb", dct_scale: int = 1):
+                 chroma_mode: str = "rgb", dct_scale: int = 1,
+                 output_format: str = ".jpeg",
+                 encode_options: Optional[dict] = None):
         self.dst_w, self.dst_h = dst_w, dst_h
         self.quality = quality
         self.method = method
         self.max_geometries = max_geometries
         self.chroma_mode = chroma_mode
         self.dct_scale = dct_scale
+        self.output_format = output_format
+        self.encode_options = encode_options
         # (JpegGeometry, orientation) -> JpegTranscodePipeline, LRU order
         self._pipes: "OrderedDict[Tuple[JpegGeometry, int], JpegTranscodePipeline]" = OrderedDict()
 
@@ -829,7 +935,9 @@ class MultiGeometryPipeline:
             pipe = JpegTranscodePipeline(
                 buf, self.dst_w, self.dst_h, quality=self.quality,
                 method=self.method, chroma_mode=mode,
-                dct_scale=self.dct_scale if mode == "direct" else 1)
+                dct_scale=self.dct_scale if mode == "direct" else 1,
+                output_format=self.output_format,
+                encode_options=self.encode_options)
         else:
             self._pipes.pop(key)
         self._pipes[key] = pipe  # most-recently-used position

@@ -98,3 +98,22 @@ def test_sharded_direct_mode_matches_single():
     with mesh:
         got = sharded.transcode([buf] * 3)
     assert got == single.transcode([buf] * 3)
+
+
+def test_sharded_webp_output_matches_single():
+    """Sharded pixel-output (webp) path: bytes identical to single-device,
+    uneven batch included."""
+    import bench as B
+    from lilliput_tpu.parallel import ShardedJpegPipeline
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    buf = B._ensure_fixture()
+    bufs = [buf] * 3
+    mesh = make_mesh(8)
+    sharded = ShardedJpegPipeline(buf, 64, 64, quality=80, mesh=mesh,
+                                  output_format=".webp")
+    single = JpegTranscodePipeline(buf, 64, 64, quality=80,
+                                   output_format=".webp")
+    with mesh:
+        got = sharded.transcode(bufs)
+    assert got == single.transcode(bufs)

@@ -563,3 +563,91 @@ def test_serving_icc_multichunk_and_absent():
     out2 = JpegTranscodePipeline(plain, 64, 64, quality=85).transcode(
         [plain])[0]
     assert J.read_icc(out2) == b""
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b) ** 2).mean()
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def test_serving_webp_output_matches_streaming():
+    """output_format='.webp': device emits packed BGRA pixels and the host
+    webp encoder produces the container — decoded output must sit within a
+    tight PSNR of the streaming ImageOps .webp path (same pixels +-1 in,
+    same libwebp encode settings)."""
+    import io
+    from PIL import Image
+    from lilliput_tpu.framebuffer import WEBP_QUALITY
+    buf = _jpeg(320, 200, seed=31)
+    pipe = JpegTranscodePipeline(buf, 64, 64, quality=85,
+                                 output_format=".webp")
+    fused = pipe.transcode([buf])[0]
+    assert fused[:4] == b"RIFF" and fused[8:12] == b"WEBP"
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".webp", width=64, height=64,
+        resize_method=ResizeMethod.FIT, encode_timeout=600.0,
+        encode_options={WEBP_QUALITY: 85}))
+    a = np.asarray(Image.open(io.BytesIO(fused)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(streaming)).convert("RGB"))
+    assert a.shape == b.shape == (64, 64, 3)
+    assert _psnr(a, b) >= 40.0
+
+
+def test_serving_png_output_lossless_vs_streaming():
+    """output_format='.png' is lossless past the device resize, so decoded
+    pixels must match the streaming .png path within the +-1 fused
+    contract exactly."""
+    import io
+    from PIL import Image
+    buf = _jpeg(320, 200, seed=32)
+    fused = JpegTranscodePipeline(buf, 64, 64,
+                                  output_format=".png").transcode([buf])[0]
+    assert fused[:8] == b"\x89PNG\r\n\x1a\n"
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".png", width=64, height=64,
+        resize_method=ResizeMethod.FIT, encode_timeout=600.0))
+    a = np.asarray(Image.open(io.BytesIO(fused)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(streaming)).convert("RGB"))
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_serving_still_outputs_carry_icc_and_gray_and_direct():
+    import io
+    from PIL import Image
+    icc = open("lilliput_tpu/icc_profiles/rec709_profile.icc", "rb").read()
+    buf = _jpeg_with_icc(160, 120, icc, seed=33)
+    for fmt in (".webp", ".png"):
+        out = JpegTranscodePipeline(buf, 48, 48,
+                                    output_format=fmt).transcode([buf])[0]
+        got = Image.open(io.BytesIO(out)).info.get("icc_profile")
+        assert got == icc, fmt
+    # grayscale source -> webp still
+    gray = cv2.imencode(".jpg", cv2.imdecode(
+        np.frombuffer(_jpeg(160, 120, seed=34), np.uint8),
+        cv2.IMREAD_GRAYSCALE))[1].tobytes()
+    outg = JpegTranscodePipeline(gray, 40, 40,
+                                 output_format=".webp").transcode([gray])[0]
+    img = np.asarray(Image.open(io.BytesIO(outg)).convert("RGB"))
+    assert img.shape == (40, 40, 3)
+    # grays stay neutral (b == g == r after lossy round trip, within 2)
+    assert np.abs(img[..., 0].astype(int) - img[..., 1].astype(int)).max() <= 2
+    # direct mode pixels -> webp: close to the rgb-mode webp output
+    buf2 = _jpeg(320, 200, seed=35)
+    a = JpegTranscodePipeline(buf2, 64, 64, chroma_mode="direct",
+                              output_format=".webp").transcode([buf2])[0]
+    b = JpegTranscodePipeline(buf2, 64, 64,
+                              output_format=".webp").transcode([buf2])[0]
+    ia = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"))
+    ib = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    assert _psnr(ia, ib) >= 33.0
+
+
+def test_multi_geometry_webp_output():
+    import io
+    from PIL import Image
+    bufs = [_jpeg(320, 200, 41), _jpeg(200, 320, 42)]
+    mp = MultiGeometryPipeline(32, 32, quality=85, output_format=".webp")
+    outs = mp.transcode(bufs)
+    for o in outs:
+        assert np.asarray(Image.open(io.BytesIO(o)).convert(
+            "RGB")).shape == (32, 32, 3)
