@@ -172,6 +172,11 @@ def read_icc(buf: bytes) -> bytes:
     while i + 4 <= n:
         if buf[i] != 0xFF:
             break
+        # skip 0xFF fill bytes (legal padding before any marker, T.81 B.1.1.2)
+        while i + 2 <= n and buf[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = buf[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2

@@ -42,7 +42,7 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         self._batch_sharding = NamedSharding(self.mesh, P("dp"))
         self._repl = NamedSharding(self.mesh, P())
         g = self.geom
-        emit = "coefs" if self.output_format == ".jpeg" else "pixels"
+        emit = self._emit
         if self.ncomp == 1:
             from ..pipeline import fused_jpeg_fit_transcode_gray
 
@@ -90,9 +90,10 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
             eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
             eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
             out = self._step(*args, eqy, eqc)
+        if not isinstance(out, tuple):
+            out = (out,)   # pixel mode: the fused fn returns a bare array
         if pad:
-            out = (out[:-pad] if not isinstance(out, tuple)
-                   else tuple(o[:-pad] for o in out))
+            out = tuple(o[:-pad] for o in out)
         return out
 
 

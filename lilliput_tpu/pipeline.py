@@ -526,6 +526,12 @@ class JpegTranscodePipeline:
         self.enc_qt_y = jnp.asarray(eql)
         self.enc_qt_c = jnp.asarray(eqc)
 
+    @property
+    def _emit(self) -> str:
+        """Device-step output mode derived from output_format (shared with
+        the sharded subclass so the two cannot drift)."""
+        return "coefs" if self.output_format == ".jpeg" else "pixels"
+
     def _direct_ok(self) -> bool:
         """chroma_mode='direct' preconditions (shared by this class, the
         sharded subclass and MultiGeometryPipeline's eligibility check)."""
@@ -725,7 +731,7 @@ class JpegTranscodePipeline:
                 ptrs = (_i16p * 3)(y.ctypes.data_as(_i16p),
                                    cbx.ctypes.data_as(_i16p),
                                    crx.ctypes.data_as(_i16p))
-            icc = iccs[i] if iccs is not None else b""
+            icc = (iccs[i] if iccs is not None else b"") or b""
             icc_arr = (np.frombuffer(icc, np.uint8) if icc
                        else None)
             n = self._lib.lp_jpeg_encode_coefs(
@@ -771,12 +777,16 @@ class JpegTranscodePipeline:
 
         def one(i: int):
             icc = (iccs[i] if iccs is not None else b"") or None
-            px = np.ascontiguousarray(bgra[i][:, :, :3])
             if fmt == ".webp":
+                px = np.ascontiguousarray(bgra[i][:, :, :3])
                 o = dict(self.encode_options)
                 o.setdefault(WEBP_QUALITY, int(self.quality))
                 outs[i] = encode_webp_pixels(px, o, icc)
             else:
+                # grayscale sources encode as 1-channel (color_type 0) PNG
+                # like the streaming path, not a 3x-larger RGB triplet
+                ch = 1 if self.ncomp == 1 else 3
+                px = np.ascontiguousarray(bgra[i][:, :, :ch])
                 level = int(self.encode_options.get(PNG_COMPRESSION, 6))
                 outs[i] = encode_png_pixels(px, level, icc)
 
@@ -810,26 +820,27 @@ class JpegTranscodePipeline:
         for reuse; pass donate=False when the caller keeps device-resident
         inputs alive across calls (e.g. bench loops).
 
-        JPEG output returns quantized coefficient arrays; webp/png output
-        returns one packed-BGRA int32 array at the destination size."""
+        Always returns a tuple: quantized coefficient arrays for JPEG
+        output, or a 1-tuple holding the packed-BGRA int32 pixel array at
+        the destination size for webp/png output."""
         g = self.geom
-        emit = "coefs" if self.output_format == ".jpeg" else "pixels"
+        emit = self._emit
         if self.ncomp == 1:
             qty = cbs  # (ys, qty) calling convention
             gfn = (_fused_jpeg_fit_gray_donating if donate
                    else fused_jpeg_fit_transcode_gray)
-            return gfn(
+            out = gfn(
                 jnp.asarray(ys), jnp.asarray(qty), self.enc_qt_y,
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 dct_scale=self.dct_scale, orientation=self.orientation,
                 window=self.window_static, emit=emit)
-        if self.chroma_mode == "direct":
+        elif self.chroma_mode == "direct":
             if not self._direct_ok():
                 raise DecodingFailedError(
                     "chroma_mode='direct' needs 4:2:0, upright orientation, "
                     "AREA method, and even output dims")
-            return fused_jpeg_fit_transcode_ycc(
+            out = fused_jpeg_fit_transcode_ycc(
                 jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
                 jnp.asarray(qty), jnp.asarray(qtc),
                 self.enc_qt_y, self.enc_qt_c,
@@ -837,15 +848,18 @@ class JpegTranscodePipeline:
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 dct_scale=self.dct_scale, window=self.window_static,
                 emit=emit)
-        fn = _fused_jpeg_fit_donating if donate else fused_jpeg_fit_transcode
-        return fn(
-            jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
-            jnp.asarray(qty), jnp.asarray(qtc),
-            self.enc_qt_y, self.enc_qt_c,
-            src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
-            dst_w=self.dst_w, dst_h=self.dst_h,
-            method=self.method, orientation=self.orientation,
-            window=self.window_static, emit=emit)
+        else:
+            fn = (_fused_jpeg_fit_donating if donate
+                  else fused_jpeg_fit_transcode)
+            out = fn(
+                jnp.asarray(ys), jnp.asarray(cbs), jnp.asarray(crs),
+                jnp.asarray(qty), jnp.asarray(qtc),
+                self.enc_qt_y, self.enc_qt_c,
+                src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
+                dst_w=self.dst_w, dst_h=self.dst_h,
+                method=self.method, orientation=self.orientation,
+                window=self.window_static, emit=emit)
+        return out if isinstance(out, tuple) else (out,)
 
     # -- end to end --------------------------------------------------------------
 
@@ -857,9 +871,7 @@ class JpegTranscodePipeline:
         # a cheap APP2 header walk per source, attached on encode
         iccs = [J.read_icc(b) for b in bufs]
         with StageTimer("device"):
-            dev = self.device_step(*coefs)
-            arrs = [np.asarray(a)
-                    for a in (dev if isinstance(dev, tuple) else (dev,))]
+            arrs = [np.asarray(a) for a in self.device_step(*coefs)]
         with StageTimer("encode"):
             out = self._encode_outputs(arrs, iccs)
         metrics.incr("images_transcoded", len(bufs))
@@ -874,8 +886,6 @@ class JpegTranscodePipeline:
             coefs = self.decode_entropy(bufs)
             iccs = [J.read_icc(b) for b in bufs]
             dev = self.device_step(*coefs)
-            if not isinstance(dev, tuple):
-                dev = (dev,)
             if pending is not None:
                 pdev, piccs = pending
                 results.append(self._encode_outputs(
@@ -911,8 +921,12 @@ class MultiGeometryPipeline:
         self.max_geometries = max_geometries
         self.chroma_mode = chroma_mode
         self.dct_scale = dct_scale
-        self.output_format = output_format
-        self.encode_options = encode_options
+        fmt = {".jpg": ".jpeg"}.get(output_format, output_format)
+        if fmt not in (".jpeg", ".webp", ".png"):
+            # fail at construction, not on the first request
+            raise ValueError("output_format must be .jpeg, .webp or .png")
+        self.output_format = fmt
+        self.encode_options = dict(encode_options or {})
         # (JpegGeometry, orientation) -> JpegTranscodePipeline, LRU order
         self._pipes: "OrderedDict[Tuple[JpegGeometry, int], JpegTranscodePipeline]" = OrderedDict()
 

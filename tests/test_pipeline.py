@@ -651,3 +651,15 @@ def test_multi_geometry_webp_output():
     for o in outs:
         assert np.asarray(Image.open(io.BytesIO(o)).convert(
             "RGB")).shape == (32, 32, 3)
+
+
+def test_read_icc_skips_fill_bytes():
+    """0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2);
+    the APP2 walk must skip them, not mis-read a segment length."""
+    from lilliput_tpu.codecs import jpeg as J
+    icc = open("lilliput_tpu/icc_profiles/srgb_profile.icc", "rb").read()
+    buf = _jpeg_with_icc(64, 48, icc, seed=51)
+    idx = buf.find(b"\xff\xe2")
+    assert idx > 0
+    padded = buf[:idx] + b"\xff\xff\xff" + buf[idx:]
+    assert J.read_icc(padded) == icc
