@@ -56,6 +56,23 @@ def main() -> int:
         gray = cv2.imencode(".jpg", img[..., 0])[1].tobytes()
         outg = JpegTranscodePipeline(gray, 48, 48).transcode([gray])[0]
         assert outg[:2] == b"\xff\xd8"
+        # 4:2:2 / 4:4:4 sources route through the packed megakernel tails
+        import io
+        from PIL import Image
+        for subs in (1, 0):
+            bio = io.BytesIO()
+            Image.fromarray(img[..., ::-1]).save(
+                bio, format="JPEG", quality=88, subsampling=subs)
+            b422 = bio.getvalue()
+            o = JpegTranscodePipeline(b422, 48, 48).transcode([b422])[0]
+            assert o[:2] == b"\xff\xd8", subs
+        # still outputs (pixel-emit device step + host webp/png encode)
+        outw = JpegTranscodePipeline(buf, 64, 64,
+                                     output_format=".webp").transcode([buf])[0]
+        assert outw[:4] == b"RIFF"
+        outp = JpegTranscodePipeline(buf, 64, 64,
+                                     output_format=".png").transcode([buf])[0]
+        assert outp[:8] == b"\x89PNG\r\n\x1a\n"
         return {}
 
     # --- animated GIF batch path (device compositing + quantizer) ----------
