@@ -76,3 +76,17 @@ def test_giant_dims_rejected():
            + struct.pack("<IiiHHIIiiII", 40, 1 << 30, 1 << 30, 1, 24, 0,
                          0, 0, 0, 0, 0))
     _poke(hdr + b"\x00" * 8)
+
+
+def test_read_icc_total_on_garbage():
+    """read_icc is a total function: malformed/truncated/random input
+    returns b'' rather than raising."""
+    import numpy as np
+    from lilliput_tpu.codecs.jpeg import read_icc
+    rng = np.random.default_rng(0)
+    for case in (b"", b"\xff", b"\xff\xd8", b"\xff\xd8\xff",
+                 b"\xff\xd8\xff\xe2\x00\x02",
+                 b"\xff\xd8\xff\xe2\x00\x10ICC_PROFILE\x00\x05\x01x",
+                 bytes(rng.integers(0, 256, 512, dtype=np.uint8)),
+                 b"\xff\xd8" + b"\xff" * 64):
+        assert read_icc(case) == b""
