@@ -663,3 +663,15 @@ def test_read_icc_skips_fill_bytes():
     assert idx > 0
     padded = buf[:idx] + b"\xff\xff\xff" + buf[idx:]
     assert J.read_icc(padded) == icc
+
+
+def test_pipelined_webp_output():
+    """transcode_pipelined with a still output format: same bytes as the
+    unpipelined path, batch order preserved."""
+    buf = _jpeg(160, 120, seed=61)
+    pipe = JpegTranscodePipeline(buf, 32, 32, output_format=".webp")
+    res = pipe.transcode_pipelined([[buf], [buf, buf]])
+    assert [len(r) for r in res] == [1, 2]
+    flat = [o for batch in res for o in batch]
+    assert all(o[:4] == b"RIFF" for o in flat)
+    assert flat[0] == pipe.transcode([buf])[0]
