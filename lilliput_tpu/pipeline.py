@@ -486,6 +486,13 @@ class JpegTranscodePipeline:
         if info.num_components not in (1, 3):
             raise DecodingFailedError(
                 "pipeline expects color or grayscale JPEGs")
+        if info.num_components == 3:
+            # same gate as JpegDecoder.decode_to: only 1x/2x chroma factors
+            # (4:1:1 etc. would silently map onto the wrong geometry)
+            hf = info.comp_h_samp[0] // info.comp_h_samp[1]
+            vf = info.comp_v_samp[0] // info.comp_v_samp[1]
+            if hf not in (1, 2) or vf not in (1, 2):
+                raise DecodingFailedError("unsupported chroma subsampling")
         self.ncomp = int(info.num_components)
         if self.ncomp == 1 and chroma_mode == "direct":
             # grayscale has no chroma; the luma-only path is the only mode

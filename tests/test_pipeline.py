@@ -675,3 +675,46 @@ def test_pipelined_webp_output():
     flat = [o for batch in res for o in batch]
     assert all(o[:4] == b"RIFF" for o in flat)
     assert flat[0] == pipe.transcode([buf])[0]
+
+
+def test_serving_rejects_exotic_subsampling():
+    """4:1:1 sources must raise the decoder's typed error, not produce a
+    broken geometry (the 4x horizontal factor is outside the 1x/2x device
+    decode paths, same gate as JpegDecoder.decode_to)."""
+    import ctypes
+    from lilliput_tpu import binding
+    from lilliput_tpu.codecs import jpeg as J
+    from lilliput_tpu.errors import DecodingFailedError
+    from lilliput_tpu.ops import jpeg_kernels as K
+
+    lib = binding.load()
+    _i16 = ctypes.POINTER(ctypes.c_int16)
+    qt = np.asarray(J.scaled_qtables(88)[0])
+    rng = np.random.default_rng(3)
+    w, h = 128, 64
+
+    def quant(p):
+        ph = (p.shape[0] + 7) // 8 * 8
+        pw = (p.shape[1] + 7) // 8 * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge")
+        return np.asarray(K.fdct_quant(
+            jnp.asarray(pp), jnp.asarray(qt))).astype(np.int16)
+
+    yq = quant(rng.integers(0, 256, (h, w)).astype(np.float32))
+    cbq = quant(rng.integers(0, 256, (h, w // 4)).astype(np.float32))
+    crq = quant(rng.integers(0, 256, (h, w // 4)).astype(np.float32))
+    hs = (ctypes.c_int32 * 3)(4, 1, 1)
+    vs = (ctypes.c_int32 * 3)(1, 1, 1)
+    ptrs = (_i16 * 3)(*[np.ascontiguousarray(a).ctypes.data_as(_i16)
+                        for a in (yq, cbq, crq)])
+    qp = ctypes.POINTER(ctypes.c_uint16)
+    out = np.empty(1 << 20, np.uint8)
+    n = lib.lp_jpeg_encode_coefs(
+        w, h, 3, hs, vs, ptrs, qt.ctypes.data_as(qp), qt.ctypes.data_as(qp),
+        0, 0, 0, None, 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+    assert n > 0
+    buf = out[:n].tobytes()
+    with pytest.raises(DecodingFailedError, match="subsampling"):
+        JpegTranscodePipeline(buf, 32, 32)
