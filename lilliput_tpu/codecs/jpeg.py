@@ -333,11 +333,13 @@ class JpegDecoder(Decoder):
             h2, v2 = hy // hc == 2, vy // vc == 2
             if hy // hc not in (1, 2) or vy // vc not in (1, 2):
                 raise DecodingFailedError("unsupported chroma subsampling")
+            tcb, tcr = info.comp_quant_tbl[1], info.comp_quant_tbl[2]
             px = K.decode_ycc_420(
                 self._coefs[0], self._coefs[1], self._coefs[2],
                 self._qtables[info.comp_quant_tbl[0]],
-                self._qtables[info.comp_quant_tbl[1]],
-                h, w, h2, v2)
+                self._qtables[tcb],
+                h, w, h2, v2,
+                qt_chroma2=(None if tcr == tcb else self._qtables[tcr]))
         elif info.num_components == 4:
             # CMYK (JCS_CMYK=4) / YCCK (JCS_YCCK=5); requires uniform sampling
             if len({(info.comp_h_samp[i], info.comp_v_samp[i]) for i in range(4)}) != 1:

@@ -419,16 +419,23 @@ def _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "h2", "v2"))
 def decode_ycc_420(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
-                   out_h: int, out_w: int, h2: bool, v2: bool):
-    """Full color JPEG decode from coefficients (any of 444/422/420/440)."""
-    if _use_megakernel():
+                   out_h: int, out_w: int, h2: bool, v2: bool,
+                   qt_chroma2=None):
+    """Full color JPEG decode from coefficients (any of 444/422/420/440).
+
+    qt_chroma2: Cr's own quant table for the (legal, rare) JPEGs whose two
+    chroma components use DIFFERENT tables — libjpeg decodes those
+    per-component and so must we. The megakernels carry one chroma matrix,
+    so such images take the split path."""
+    if qt_chroma2 is None and _use_megakernel():
         out = _decode_ycc_megakernel(y_coefs, cb_coefs, cr_coefs,
                                      qt_luma, qt_chroma, out_h, out_w, h2, v2)
         if out is not None:
             return out
     y = dequant_idct(y_coefs, qt_luma)[..., :out_h, :out_w]
     cb = dequant_idct(cb_coefs, qt_chroma)
-    cr = dequant_idct(cr_coefs, qt_chroma)
+    cr = dequant_idct(cr_coefs,
+                      qt_chroma if qt_chroma2 is None else qt_chroma2)
     hf = 2 if h2 else 1
     vf = 2 if v2 else 1
     cb = upsample_chroma(cb, hf, vf, out_h, out_w)

@@ -493,6 +493,13 @@ class JpegTranscodePipeline:
             vf = info.comp_v_samp[0] // info.comp_v_samp[1]
             if hf not in (1, 2) or vf not in (1, 2):
                 raise DecodingFailedError("unsupported chroma subsampling")
+            if info.comp_quant_tbl[2] != info.comp_quant_tbl[1]:
+                # the batched device fns carry ONE chroma table per image;
+                # distinct Cb/Cr tables (legal, rare) route through the
+                # streaming path, which dequantizes per component
+                raise DecodingFailedError(
+                    "distinct Cb/Cr quant tables: use the streaming "
+                    "ImageOps path for this source")
         self.ncomp = int(info.num_components)
         if self.ncomp == 1 and chroma_mode == "direct":
             # grayscale has no chroma; the luma-only path is the only mode
@@ -572,6 +579,11 @@ class JpegTranscodePipeline:
             raise DecodingFailedError(
                 f"geometry mismatch: pipeline compiled for {self.geom}, "
                 f"got {geometry_of(info)}")
+        if (info.num_components == 3
+                and info.comp_quant_tbl[2] != info.comp_quant_tbl[1]):
+            raise DecodingFailedError(
+                "distinct Cb/Cr quant tables: use the streaming ImageOps "
+                "path for this source")
         o = int(J.exif_orientation(buf))
         if o != self.orientation:
             raise DecodingFailedError(

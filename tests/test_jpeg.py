@@ -224,3 +224,91 @@ def test_restart_parallel_falls_back_without_dri(monkeypatch):
     d = JpegDecoder(buf)
     d._decode_coefs_cached()
     assert len(d._coefs) == 3
+
+
+def _with_distinct_cr_table(buf: bytes) -> bytes:
+    """Rewrite a baseline JPEG so Cr uses its OWN quant table (id 2, values
+    = table 1 doubled) — legal JPEG that libjpeg decodes per component."""
+    data = bytearray(buf)
+    # find the DQT holding table id 1 and copy it as id 2 with doubled values
+    i = 2
+    tbl1 = None
+    insert_at = None
+    sof_at = None
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            break
+        marker = data[i + 1]
+        if marker == 0xDA:
+            break
+        seglen = int.from_bytes(data[i + 2:i + 4], "big")
+        if marker == 0xDB:
+            # may hold several tables back to back
+            j = i + 4
+            end = i + 2 + seglen
+            while j < end:
+                prec_id = data[j]
+                nvals = 64 * (2 if (prec_id >> 4) else 1)
+                if (prec_id & 0x0F) == 1 and (prec_id >> 4) == 0:
+                    tbl1 = bytes(data[j + 1:j + 1 + 64])
+                j += 1 + nvals
+            insert_at = i + 2 + seglen
+        if marker == 0xC0:
+            sof_at = i
+        i += 2 + seglen
+    assert tbl1 is not None and sof_at is not None
+    # halved values keep the decoded Cr samples IN RANGE (a scaled-up
+    # table would push samples out of [0,255], where libjpeg's per-stage
+    # range-limiting diverges from our single final clip)
+    halved = bytes(max(1, v // 2) for v in tbl1)
+    dqt2 = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x02" + halved
+    # SOF0: len(2) prec(1) h(2) w(2) ncomp(1) then (id, samp, Tq) per comp;
+    # Cr is component index 2 -> its Tq byte
+    ncomp = data[sof_at + 9]
+    assert ncomp == 3
+    tq_off = sof_at + 10 + 2 * 3 + 2  # third component's Tq byte
+    assert data[tq_off] == 1
+    sof_shift = len(dqt2) if insert_at <= sof_at else 0
+    out = bytes(data[:insert_at]) + dqt2 + bytes(data[insert_at:])
+    out = bytearray(out)
+    out[tq_off + sof_shift] = 2
+    return bytes(out)
+
+
+def test_distinct_chroma_quant_tables_decode_per_component():
+    """Cb and Cr with DIFFERENT quant tables (legal, rare): the decoder
+    must dequantize each component with its own table like libjpeg; the
+    batched serving pipeline rejects such sources with a typed error."""
+    import io
+    from PIL import Image
+    from lilliput_tpu.codecs.jpeg import JpegDecoder
+    from lilliput_tpu.errors import DecodingFailedError
+    from lilliput_tpu.framebuffer import Framebuffer
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    rng = np.random.default_rng(5)
+    img = cv2.resize(rng.integers(0, 256, (10, 10, 3), np.uint8),
+                     (96, 64), interpolation=cv2.INTER_CUBIC)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 85])
+    buf = _with_distinct_cr_table(enc.tobytes())
+
+    ref = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))[..., ::-1]
+    d = JpegDecoder(buf)
+    fb = Framebuffer(4096)
+    d.decode_to(fb)
+    got = fb.to_numpy()[..., :3]
+    # same per-component dequant as libjpeg; small IDCT/upsample rounding
+    # differences are the usual decoder tolerance
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 2 and (diff > 1).mean() < 0.05
+    # sanity that the crafted file really exercises distinct tables: a
+    # same-table decode (doubled table ignored) would be far off
+    fb2 = Framebuffer(4096)
+    d2 = JpegDecoder(buf)
+    d2._info.comp_quant_tbl[2] = d2._info.comp_quant_tbl[1]
+    d2.decode_to(fb2)
+    wrong = fb2.to_numpy()[..., :3]
+    assert np.abs(wrong.astype(int) - ref.astype(int)).max() > 10
+
+    with pytest.raises(DecodingFailedError, match="quant tables"):
+        JpegTranscodePipeline(buf, 32, 32)
