@@ -87,11 +87,32 @@ def _u8ptr(arr: np.ndarray):
 # host-side byte walkers (mirroring the reference's pure-Go JPEG walkers)
 # ---------------------------------------------------------------------------
 
+def supported_subsampling(info) -> bool:
+    """True when a 3-component JPEG's chroma layout maps onto the device
+    decode paths: INTEGER 1x/2x luma:chroma factors on both axes and
+    IDENTICAL Cb/Cr sampling. Legal-but-exotic layouts (4:1:1, 3:2
+    ratios, Cb != Cr sampling) must be rejected, not mis-decoded — the
+    device fns derive one (h2, v2) pair from component 1."""
+    hy, vy = info.comp_h_samp[0], info.comp_v_samp[0]
+    for c in (1, 2):
+        hc, vc = info.comp_h_samp[c], info.comp_v_samp[c]
+        if hc <= 0 or vc <= 0 or hy % hc or vy % vc:
+            return False
+        if hy // hc not in (1, 2) or vy // vc not in (1, 2):
+            return False
+    return (info.comp_h_samp[1] == info.comp_h_samp[2]
+            and info.comp_v_samp[1] == info.comp_v_samp[2])
+
+
 def exif_orientation(buf: bytes) -> ImageOrientation:
     """Extract EXIF orientation from the APP1 segment (host-side parse)."""
     i = 2  # skip SOI
     n = len(buf)
     while i + 4 <= n and buf[i] == 0xFF:
+        while i + 2 <= n and buf[i + 1] == 0xFF:  # 0xFF fill bytes (T.81)
+            i += 1
+        if i + 4 > n:
+            break
         marker = buf[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -137,6 +158,10 @@ def has_adobe_marker(buf: bytes) -> bool:
     i = 2
     n = len(buf)
     while i + 4 <= n and buf[i] == 0xFF:
+        while i + 2 <= n and buf[i + 1] == 0xFF:  # 0xFF fill bytes (T.81)
+            i += 1
+        if i + 4 > n:
+            break
         marker = buf[i + 1]
         if marker == 0xDA:
             return False
@@ -215,6 +240,8 @@ def jpeg_content_length(buf: bytes) -> int:
         if not in_scan:
             if buf[i] != 0xFF:
                 return n  # malformed; keep everything
+            while i + 2 < n and buf[i + 1] == 0xFF:  # 0xFF fill bytes
+                i += 1
             marker = buf[i + 1]
             if marker == 0xD9:
                 return i + 2
@@ -328,11 +355,11 @@ class JpegDecoder(Decoder):
         if info.num_components == 1:
             px = K.decode_gray(self._coefs[0], self._qtables[info.comp_quant_tbl[0]], h, w)
         elif info.num_components == 3:
+            if not supported_subsampling(info):
+                raise DecodingFailedError("unsupported chroma subsampling")
             hy, vy = info.comp_h_samp[0], info.comp_v_samp[0]
             hc, vc = info.comp_h_samp[1], info.comp_v_samp[1]
             h2, v2 = hy // hc == 2, vy // vc == 2
-            if hy // hc not in (1, 2) or vy // vc not in (1, 2):
-                raise DecodingFailedError("unsupported chroma subsampling")
             tcb, tcr = info.comp_quant_tbl[1], info.comp_quant_tbl[2]
             px = K.decode_ycc_420(
                 self._coefs[0], self._coefs[1], self._coefs[2],

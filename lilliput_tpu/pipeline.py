@@ -114,6 +114,14 @@ def mcu_decode_window(src_w: int, src_h: int, dst_w: int, dst_h: int,
             slice(cby0, cby1), slice(cbx0, cbx1))
 
 
+def _normalize_output_format(output_format: str) -> str:
+    """Shared output-format validation for the serving frontends."""
+    fmt = {".jpg": ".jpeg"}.get(output_format, output_format)
+    if fmt not in (".jpeg", ".webp", ".png"):
+        raise ValueError("output_format must be .jpeg, .webp or .png")
+    return fmt
+
+
 def _pack_pixels(bpl, gpl, rpl):
     """Three (..., H, W) channel planes (exact u8 values, any numeric
     storage) -> packed BGRA int32 — the serving pixel-output form (bitcast
@@ -467,11 +475,7 @@ class JpegTranscodePipeline:
         self.dst_w, self.dst_h = dst_w, dst_h
         self.method = method
         self.optimize_coding = optimize_coding
-        fmt = {".jpg": ".jpeg"}.get(output_format, output_format)
-        if fmt not in (".jpeg", ".webp", ".png"):
-            raise ValueError(
-                "output_format must be .jpeg, .webp or .png")
-        self.output_format = fmt
+        self.output_format = _normalize_output_format(output_format)
         self.encode_options = dict(encode_options or {})
         if chroma_mode not in ("rgb", "direct"):
             raise ValueError("chroma_mode must be 'rgb' or 'direct'")
@@ -487,11 +491,11 @@ class JpegTranscodePipeline:
             raise DecodingFailedError(
                 "pipeline expects color or grayscale JPEGs")
         if info.num_components == 3:
-            # same gate as JpegDecoder.decode_to: only 1x/2x chroma factors
-            # (4:1:1 etc. would silently map onto the wrong geometry)
-            hf = info.comp_h_samp[0] // info.comp_h_samp[1]
-            vf = info.comp_v_samp[0] // info.comp_v_samp[1]
-            if hf not in (1, 2) or vf not in (1, 2):
+            # same gate as JpegDecoder.decode_to (J.supported_subsampling):
+            # integer 1x/2x factors and Cb == Cr sampling — 4:1:1, 3:2
+            # ratios or mixed per-chroma sampling would silently map onto
+            # the wrong geometry
+            if not J.supported_subsampling(info):
                 raise DecodingFailedError("unsupported chroma subsampling")
             if info.comp_quant_tbl[2] != info.comp_quant_tbl[1]:
                 # the batched device fns carry ONE chroma table per image;
@@ -844,6 +848,11 @@ class JpegTranscodePipeline:
         the destination size for webp/png output."""
         g = self.geom
         emit = self._emit
+        # donation only helps when an output can alias a donated input;
+        # pixel outputs (int32) can never reuse the int16 coefficient
+        # buffers, so skip the donating variants (avoids per-shape XLA
+        # "donated buffers were not usable" warnings in serving logs)
+        donate = donate and emit == "coefs"
         if self.ncomp == 1:
             qty = cbs  # (ys, qty) calling convention
             gfn = (_fused_jpeg_fit_gray_donating if donate
@@ -940,11 +949,8 @@ class MultiGeometryPipeline:
         self.max_geometries = max_geometries
         self.chroma_mode = chroma_mode
         self.dct_scale = dct_scale
-        fmt = {".jpg": ".jpeg"}.get(output_format, output_format)
-        if fmt not in (".jpeg", ".webp", ".png"):
-            # fail at construction, not on the first request
-            raise ValueError("output_format must be .jpeg, .webp or .png")
-        self.output_format = fmt
+        # fail at construction, not on the first request
+        self.output_format = _normalize_output_format(output_format)
         self.encode_options = dict(encode_options or {})
         # (JpegGeometry, orientation) -> JpegTranscodePipeline, LRU order
         self._pipes: "OrderedDict[Tuple[JpegGeometry, int], JpegTranscodePipeline]" = OrderedDict()
@@ -954,10 +960,6 @@ class MultiGeometryPipeline:
         key = (geometry_of(info), int(J.exif_orientation(buf)))
         pipe = self._pipes.get(key)
         if pipe is None:
-            if len(self._pipes) >= self.max_geometries:
-                # LRU eviction: a hot geometry must not lose its compiled
-                # program to an early arrival (round-1 VERDICT weak #5)
-                self._pipes.popitem(last=False)
             info2 = geometry_of(info)
             mode = (self.chroma_mode
                     if (self.chroma_mode == "direct" and info2.h2 and info2.v2
@@ -965,12 +967,19 @@ class MultiGeometryPipeline:
                         and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
                         and self.method == R.AREA)
                     else "rgb")
+            # construct BEFORE evicting: a rejected source (exotic
+            # subsampling, distinct chroma tables) must not cost a hot
+            # geometry its compiled program
             pipe = JpegTranscodePipeline(
                 buf, self.dst_w, self.dst_h, quality=self.quality,
                 method=self.method, chroma_mode=mode,
                 dct_scale=self.dct_scale if mode == "direct" else 1,
                 output_format=self.output_format,
                 encode_options=self.encode_options)
+            if len(self._pipes) >= self.max_geometries:
+                # LRU eviction: a hot geometry must not lose its compiled
+                # program to an early arrival (round-1 VERDICT weak #5)
+                self._pipes.popitem(last=False)
         else:
             self._pipes.pop(key)
         self._pipes[key] = pipe  # most-recently-used position

@@ -228,7 +228,7 @@ def test_restart_parallel_falls_back_without_dri(monkeypatch):
 
 def _with_distinct_cr_table(buf: bytes) -> bytes:
     """Rewrite a baseline JPEG so Cr uses its OWN quant table (id 2, values
-    = table 1 doubled) — legal JPEG that libjpeg decodes per component."""
+    = table 1 halved) — legal JPEG that libjpeg decodes per component."""
     data = bytearray(buf)
     # find the DQT holding table id 1 and copy it as id 2 with doubled values
     i = 2
@@ -312,3 +312,69 @@ def test_distinct_chroma_quant_tables_decode_per_component():
 
     with pytest.raises(DecodingFailedError, match="quant tables"):
         JpegTranscodePipeline(buf, 32, 32)
+
+
+def test_mixed_chroma_sampling_rejected():
+    """Y=2x2, Cb=1x1, Cr=2x2 is legal JPEG (PIL decodes it) but the device
+    decode derives ONE (h2, v2) pair from Cb — such files must raise, not
+    silently upsample the full-res Cr plane (review-confirmed corruption)."""
+    import ctypes
+    from lilliput_tpu import binding
+    from lilliput_tpu.codecs.jpeg import JpegDecoder
+    from lilliput_tpu.codecs import jpeg as J
+    from lilliput_tpu.errors import DecodingFailedError
+    from lilliput_tpu.ops import jpeg_kernels as K
+    import jax.numpy as jnp
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    lib = binding.load()
+    _i16 = ctypes.POINTER(ctypes.c_int16)
+    qt = np.asarray(J.scaled_qtables(88)[0])
+    rng = np.random.default_rng(8)
+    w, h = 64, 32
+
+    def quant(p):
+        ph = (p.shape[0] + 7) // 8 * 8
+        pw = (p.shape[1] + 7) // 8 * 8
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                    mode="edge")
+        return np.asarray(K.fdct_quant(
+            jnp.asarray(pp), jnp.asarray(qt))).astype(np.int16)
+
+    yq = quant(rng.integers(0, 256, (h, w)).astype(np.float32))
+    cbq = quant(rng.integers(0, 256, (h // 2, w // 2)).astype(np.float32))
+    crq = quant(rng.integers(0, 256, (h, w)).astype(np.float32))
+    hs = (ctypes.c_int32 * 3)(2, 1, 2)
+    vs = (ctypes.c_int32 * 3)(2, 1, 2)
+    ptrs = (_i16 * 3)(*[np.ascontiguousarray(a).ctypes.data_as(_i16)
+                        for a in (yq, cbq, crq)])
+    qp = ctypes.POINTER(ctypes.c_uint16)
+    out = np.empty(1 << 20, np.uint8)
+    n = lib.lp_jpeg_encode_coefs(
+        w, h, 3, hs, vs, ptrs, qt.ctypes.data_as(qp), qt.ctypes.data_as(qp),
+        0, 0, 0, None, 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+    assert n > 0
+    buf = out[:n].tobytes()
+
+    from lilliput_tpu.framebuffer import Framebuffer
+    with pytest.raises(DecodingFailedError, match="subsampling"):
+        JpegDecoder(buf).decode_to(Framebuffer(4096))
+    with pytest.raises(DecodingFailedError, match="subsampling"):
+        JpegTranscodePipeline(buf, 32, 32)
+
+
+def test_exif_orientation_survives_fill_bytes():
+    """0xFF fill bytes before the APP1 marker must not desync the EXIF
+    walk (same T.81 padding tolerance as read_icc)."""
+    from lilliput_tpu.codecs.jpeg import (exif_orientation,
+                                          jpeg_content_length)
+    tiff = (b"II*\x00\x08\x00\x00\x00"
+            b"\x01\x00"
+            b"\x12\x01\x03\x00\x01\x00\x00\x00\x06\x00\x00\x00"
+            b"\x00\x00\x00\x00")
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    buf = b"\xff\xd8" + b"\xff\xff\xff" + seg + b"\xff\xd9"
+    assert int(exif_orientation(buf)) == 6
+    assert jpeg_content_length(buf) == len(buf)
