@@ -217,8 +217,13 @@ def read_icc(buf: bytes) -> bytes:
                 seq, cnt = p[12], p[13]
                 if count == 0:
                     count = cnt
-                if cnt == count and 1 <= seq <= count and seq not in chunks:
-                    chunks[seq] = p[14:]
+                # all-or-nothing like libjpeg's jpeg_read_icc_profile (which
+                # the reference uses via opencv.cpp:247-291): a duplicate
+                # seq number or a chunk whose count byte disagrees with the
+                # first chunk's marks the whole profile malformed
+                if cnt != count or not 1 <= seq <= count or seq in chunks:
+                    return b""
+                chunks[seq] = p[14:]
         i += 2 + seglen
     if not count or len(chunks) != count:
         return b""

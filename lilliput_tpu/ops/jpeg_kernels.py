@@ -375,6 +375,16 @@ def decode_ycc_u8_plane_blocks(y_coefs, cb_coefs, cr_coefs, qt_luma,
     channel directly (1 B/px through the transpose, no extraction pass)."""
     if not (h2 and v2):
         return None
+    # same chroma/luma shape-consistency gate as decode_ycc_packed: a raw
+    # fused-fn caller (window=None path) passing off-spec '4:2:0' arrays
+    # must fall through to the packed/split paths, not get zero-padded
+    # (gray) blocks or a trace-time pad error
+    ysh = y_coefs.shape[-3:-1]
+    csh = cb_coefs.shape[-3:-1]
+    if csh != cr_coefs.shape[-3:-1]:
+        return None
+    if csh != (-(-ysh[0] // 2), -(-ysh[1] // 2)):
+        return None
     lead = y_coefs.shape[:-3]
     b = int(np.prod(lead)) if lead else 1
     yc = y_coefs.reshape((b,) + y_coefs.shape[-3:])

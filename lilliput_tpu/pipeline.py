@@ -588,6 +588,14 @@ class JpegTranscodePipeline:
             raise DecodingFailedError(
                 "distinct Cb/Cr quant tables: use the streaming ImageOps "
                 "path for this source")
+        if info.num_components == 3 and not J.supported_subsampling(info):
+            # geometry_of block-count equality can coincide for tiny images
+            # (<=16px axes) whose Cb/Cr sampling differs from the compile
+            # sample — re-check the sampling factors per request so such a
+            # buffer fails loudly instead of mis-decoding one chroma plane
+            raise DecodingFailedError(
+                "unsupported chroma subsampling: use the streaming "
+                "ImageOps path for this source")
         o = int(J.exif_orientation(buf))
         if o != self.orientation:
             raise DecodingFailedError(

@@ -118,6 +118,27 @@ def test_megakernel_declines_shape_mismatch():
     assert got is None
 
 
+def test_plane_blocks_declines_shape_mismatch():
+    """decode_ycc_u8_plane_blocks mirrors decode_ycc_packed's shape gate:
+    off-spec '4:2:0' arrays (full-res chroma, or Cb != Cr shapes) return
+    None so _fused_jpeg_fit_impl falls through to the packed/split paths
+    instead of producing zero-padded blocks or a trace-time pad error."""
+    rng = np.random.default_rng(2)
+    yc = jnp.asarray(rng.integers(-100, 100, (1, 4, 4, 64)).astype(np.int16))
+    full = jnp.asarray(rng.integers(-100, 100, (1, 4, 4, 64)).astype(np.int16))
+    half = jnp.asarray(rng.integers(-100, 100, (1, 2, 2, 64)).astype(np.int16))
+    qy, qc = (jnp.asarray(q) for q in scaled_qtables(85))
+    # claims 4:2:0 but chroma is full-res
+    assert K.decode_ycc_u8_plane_blocks(yc, full, full, qy, qc,
+                                        True, True) is None
+    # Cb and Cr shapes disagree
+    assert K.decode_ycc_u8_plane_blocks(yc, half, full, qy, qc,
+                                        True, True) is None
+    # well-formed 4:2:0 still dispatches
+    assert K.decode_ycc_u8_plane_blocks(yc, half, half, qy, qc, True, True,
+                                        interpret=True) is not None
+
+
 def test_planar_resize_matches_channel_resize():
     """resize_area_mxu_plane on separate planes must match resize_area_mxu
     on the stacked image within the +-1 contract (and exactly on CPU)."""

@@ -653,6 +653,92 @@ def test_multi_geometry_webp_output():
             "RGB")).shape == (32, 32, 3)
 
 
+def _app2_icc_chunk(seq: int, cnt: int, payload: bytes) -> bytes:
+    body = b"ICC_PROFILE\x00" + bytes([seq, cnt]) + payload
+    return b"\xff\xe2" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def test_read_icc_all_or_nothing():
+    """read_icc matches libjpeg's jpeg_read_icc_profile strictness (the
+    codepath the reference uses, opencv.cpp:247-291): a duplicate sequence
+    number or a chunk whose count byte disagrees with the first chunk's
+    invalidates the WHOLE profile — no best-effort assembly of a profile
+    the reference would drop."""
+    from lilliput_tpu.codecs.jpeg import read_icc
+    good = (b"\xff\xd8" + _app2_icc_chunk(1, 2, b"AB")
+            + _app2_icc_chunk(2, 2, b"CD") + b"\xff\xd9")
+    assert read_icc(good) == b"ABCD"
+    # duplicate seq even though both seqs are eventually present
+    dup = (b"\xff\xd8" + _app2_icc_chunk(1, 2, b"AB")
+           + _app2_icc_chunk(2, 2, b"CD")
+           + _app2_icc_chunk(1, 2, b"XX") + b"\xff\xd9")
+    assert read_icc(dup) == b""
+    # inconsistent count byte mid-stream, followed by a 'correcting' chunk
+    bad_count = (b"\xff\xd8" + _app2_icc_chunk(1, 2, b"AB")
+                 + _app2_icc_chunk(2, 3, b"ZZ")
+                 + _app2_icc_chunk(2, 2, b"CD") + b"\xff\xd9")
+    assert read_icc(bad_count) == b""
+
+
+def test_validate_header_rechecks_subsampling():
+    """A tiny 4:1:1 JPEG can have IDENTICAL geometry_of() to a 4:4:4
+    sample (all-(1,1) block counts, h2=v2=False at <=8px axes) while its
+    chroma needs 4x horizontal upsampling — _validate_header must re-check
+    supported_subsampling per request, not rely on geometry equality."""
+    import ctypes
+    import jax.numpy as jnp
+    from lilliput_tpu import binding
+    from lilliput_tpu.codecs import jpeg as J
+    from lilliput_tpu.errors import DecodingFailedError
+    from lilliput_tpu.ops import jpeg_kernels as K
+    from lilliput_tpu.pipeline import geometry_of
+
+    lib = binding.load()
+    _i16 = ctypes.POINTER(ctypes.c_int16)
+    qt = np.asarray(J.scaled_qtables(88)[0])
+    rng = np.random.default_rng(21)
+
+    def quant(p):
+        return np.asarray(K.fdct_quant(
+            jnp.asarray(p), jnp.asarray(qt))).astype(np.int16)
+
+    # one 8x8 block per component: luma at 8x8, chroma 2px wide edge-padded
+    yq = quant(rng.integers(0, 256, (8, 8)).astype(np.float32))
+    cpl = np.pad(rng.integers(0, 256, (8, 2)).astype(np.float32),
+                 ((0, 0), (0, 6)), mode="edge")
+    cbq, crq = quant(cpl), quant(cpl)
+    hs = (ctypes.c_int32 * 3)(4, 1, 1)
+    vs = (ctypes.c_int32 * 3)(1, 1, 1)
+    ptrs = (_i16 * 3)(*[np.ascontiguousarray(a).ctypes.data_as(_i16)
+                        for a in (yq, cbq, crq)])
+    qp = ctypes.POINTER(ctypes.c_uint16)
+    out = np.empty(1 << 20, np.uint8)
+    n = lib.lp_jpeg_encode_coefs(
+        8, 8, 3, hs, vs, ptrs, qt.ctypes.data_as(qp), qt.ctypes.data_as(qp),
+        0, 0, 0, None, 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+    assert n > 0
+    bad = out[:n].tobytes()
+
+    import io
+    from PIL import Image
+    bio = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (8, 8, 3), np.uint8)).save(
+        bio, format="JPEG", quality=88, subsampling=0)  # 4:4:4
+    sample = bio.getvalue()
+    pipe = JpegTranscodePipeline(sample, 8, 8, quality=85)
+    # the collision is real: geometry (incl. h2/v2 flags) matches exactly
+    info = pipe._validate_header(sample)
+    binfo = J._JpegInfo()
+    arr = np.frombuffer(bad, np.uint8)
+    assert lib.lp_jpeg_get_info(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size,
+        ctypes.byref(binfo)) == 0
+    assert geometry_of(binfo) == geometry_of(info) == pipe.geom
+    with pytest.raises(DecodingFailedError, match="subsampling"):
+        pipe._validate_header(bad)
+
+
 def test_read_icc_skips_fill_bytes():
     """0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2);
     the APP2 walk must skip them, not mis-read a segment length."""
