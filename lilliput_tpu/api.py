@@ -41,6 +41,14 @@ def is_jpeg(buf: bytes) -> bool:
     return len(buf) >= 3 and buf[0] == 0xFF and buf[1] == 0xD8 and buf[2] == 0xFF
 
 
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"   # JP2 container signature box
+_J2K_SOC = b"\xff\x4f\xff\x51"                 # raw codestream SOC+SIZ
+
+
+def is_jpeg2000(buf: bytes) -> bool:
+    return buf.startswith(_JP2_SIG) or buf.startswith(_J2K_SOC)
+
+
 def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:
     """Sniff magic bytes and return the right Decoder (lilliput.go:129-164)."""
     if len(buf) == 0:
@@ -69,6 +77,29 @@ def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:
         # OpenCV-fallthrough format (netpbm via grfmt_pxm)
         from .codecs.pnm import PnmDecoder
         return PnmDecoder(buf)
+    from .codecs.sunras import is_sunras
+    if is_sunras(buf):
+        # OpenCV-fallthrough format (Sun Raster via grfmt_sunras)
+        from .codecs.sunras import SunRasDecoder
+        return SunRasDecoder(buf)
+    from .codecs.hdr import is_hdr
+    if is_hdr(buf):
+        # OpenCV-fallthrough format (Radiance HDR via grfmt_hdr)
+        from .codecs.hdr import HdrDecoder
+        return HdrDecoder(buf)
+    from .codecs.pfm import is_pfm
+    if is_pfm(buf):
+        # OpenCV-fallthrough format (PFM via grfmt_pfm)
+        from .codecs.pfm import PfmDecoder
+        return PfmDecoder(buf)
+    if is_jpeg2000(buf):
+        # the reference compiles OpenJPEG into its OpenCV
+        # (deps/build-deps-linux.sh:289), so .jp2 decodes there; this
+        # framework does not carry a J2K decoder — fail with a specific
+        # typed error instead of the generic unrecognized-format one
+        raise InvalidImageError(
+            "JPEG 2000 is not supported by lilliput-tpu (the reference "
+            "decodes it via OpenCV's OpenJPEG build)")
     # fall through to the video/audio probe (ffmpeg shim)
     from .codecs.video import VideoDecoder
     try:
@@ -107,4 +138,13 @@ def new_encoder(ext: str, decoded_by: Optional[Decoder] = None,
     if e in (".pbm", ".pgm", ".ppm", ".pnm"):
         from .codecs.pnm import PnmEncoder
         return PnmEncoder(decoded_by, icc_override=icc_override, subtype=e)
+    if e in (".sr", ".ras"):
+        from .codecs.sunras import SunRasEncoder
+        return SunRasEncoder(decoded_by, icc_override=icc_override)
+    if e == ".hdr":
+        from .codecs.hdr import HdrEncoder
+        return HdrEncoder(decoded_by, icc_override=icc_override)
+    if e == ".pfm":
+        from .codecs.pfm import PfmEncoder
+        return PfmEncoder(decoded_by, icc_override=icc_override)
     raise InvalidImageError(f"unsupported output type {ext!r}")

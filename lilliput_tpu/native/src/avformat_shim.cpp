@@ -25,6 +25,7 @@ extern "C" {
 }
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <new>
 #include <vector>
@@ -211,14 +212,24 @@ void lp_av_get_info(void* h, lp_av_info* out) {
         out->color_primaries = par->color_primaries;
         out->pix_fmt = par->format;
         out->frame_count_estimate = static_cast<int32_t>(st->nb_frames);
-        size_t sd_size = 0;
-        const uint8_t* sd = av_stream_get_side_data(
-            st, AV_PKT_DATA_DISPLAYMATRIX, &sd_size);
-        if (sd && sd_size >= 9 * 4) {
-            double theta = av_display_rotation_get(
-                reinterpret_cast<const int32_t*>(sd));
-            // av_display_rotation_get returns counterclockwise; negate
-            out->orientation = rotation_to_orientation(-theta);
+        // the legacy per-stream "rotate" dictionary tag (old MOV files)
+        // takes precedence over the display matrix, matching the
+        // reference's order (avcodec.cpp:428-431): tag value is clockwise
+        // degrees, used directly
+        AVDictionaryEntry* rot_tag =
+            av_dict_get(st->metadata, "rotate", nullptr, 0);
+        if (rot_tag && rot_tag->value && rot_tag->value[0]) {
+            out->orientation = rotation_to_orientation(atoi(rot_tag->value));
+        } else {
+            size_t sd_size = 0;
+            const uint8_t* sd = av_stream_get_side_data(
+                st, AV_PKT_DATA_DISPLAYMATRIX, &sd_size);
+            if (sd && sd_size >= 9 * 4) {
+                double theta = av_display_rotation_get(
+                    reinterpret_cast<const int32_t*>(sd));
+                // av_display_rotation_get returns counterclockwise; negate
+                out->orientation = rotation_to_orientation(-theta);
+            }
         }
     }
 }

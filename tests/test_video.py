@@ -176,6 +176,24 @@ def test_webm_vp8_decode_and_transform():
     assert out[:2] == b"\xff\xd8"
 
 
+def test_rotate_metadata_tag_fallback():
+    """Old files carry orientation only as a per-stream 'rotate' metadata
+    tag (no display-matrix side data); the reference checks the tag FIRST
+    (avcodec.cpp:428-431) and so must the shim. Hand-muxed Matroska
+    track-targeted ROTATE tags are the ffmpeg-7 way to exercise that path
+    (its mov demuxer always synthesizes a display matrix)."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        from make_webm_fixture import make_webm_bytes
+    finally:
+        sys.path.pop(0)
+    for deg, orient in ((90, 6), (180, 3), (270, 8), (None, 1)):
+        buf = make_webm_bytes(rotate=deg)
+        hd = new_decoder(buf).header()
+        assert hd.orientation == orient, (deg, hd.orientation)
+
+
 def test_webm_output_rejected():
     from lilliput_tpu import new_encoder
     with pytest.raises(InvalidImageError):

@@ -54,7 +54,15 @@ def vp8_frame_from_webp(webp: bytes) -> bytes:
     raise ValueError("no lossy VP8 chunk in webp")
 
 
-def mux_webm(frames, width: int, height: int, frame_ms: int = 100) -> bytes:
+def mux_webm(frames, width: int, height: int, frame_ms: int = 100,
+             rotate: int | None = None) -> bytes:
+    """rotate: clockwise degrees muxed as a track-targeted Matroska
+    SimpleTag ROTATE — ffmpeg's matroska demuxer attaches it to the
+    stream's metadata dict, where the legacy 'rotate' lookup (matched
+    case-insensitively, reference avcodec.cpp:428-431) finds it. This is
+    the only way to exercise the dictionary-tag orientation path with
+    ffmpeg 7, whose mov demuxer always synthesizes display-matrix side
+    data instead."""
     ebml = elem(0x1A45DFA3, b"".join([
         uint_elem(0x4286, 1), uint_elem(0x42F7, 1), uint_elem(0x42F2, 4),
         uint_elem(0x42F3, 8), str_elem(0x4282, "webm"),
@@ -68,12 +76,39 @@ def mux_webm(frames, width: int, height: int, frame_ms: int = 100) -> bytes:
         uint_elem(0xD7, 1), uint_elem(0x73C5, 1), uint_elem(0x83, 1),
         str_elem(0x86, "V_VP8"), video]))
     tracks = elem(0x1654AE6B, track)
+    tags = b""
+    if rotate is not None:
+        simple = elem(0x67C8, str_elem(0x45A3, "ROTATE")
+                      + str_elem(0x4487, str(rotate)))
+        targets = elem(0x63C0, uint_elem(0x63C5, 1))  # TagTrackUID = 1
+        tags = elem(0x1254C367, elem(0x7373, targets + simple))
     clusters = b""
     for i, f in enumerate(frames):
         block = elem(0xA3, vint(1) + struct.pack(">h", 0) + b"\x80" + f)
         clusters += elem(0x1F43B675, uint_elem(0xE7, i * frame_ms) + block)
-    segment = elem(0x18538067, info + tracks + clusters)
+    segment = elem(0x18538067, info + tracks + tags + clusters)
     return ebml + segment
+
+
+def make_webm_bytes(rotate: int | None = None, n_frames: int = 2) -> bytes:
+    """In-memory fixture builder for tests (same frames as main())."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    w, h = 64, 48
+    frames = []
+    for i in range(n_frames):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        img[:, :, 1] = (i * 32) % 256
+        img[:, :, 2] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        bio = io.BytesIO()
+        Image.fromarray(img).save(bio, format="WEBP", lossless=False,
+                                  quality=80)
+        frames.append(vp8_frame_from_webp(bio.getvalue()))
+    return mux_webm(frames, w, h, rotate=rotate)
 
 
 def main(out_path: str) -> None:
