@@ -12,8 +12,11 @@ Bit-exactness contract (validated in tests/test_resize_exact.py against cv2):
   exact coordinate rules: coordinates narrowed to float32 before cvFloor,
   x-axis edge coefficients clamped, y-axis fractions kept with row indices
   clipped at the gather).
-* INTER_CUBIC — <=1 ulp (pure float32 separable; residual differences are
-  cv2 SIMD summation order on a tiny fraction of pixels).
+* INTER_CUBIC (8U) — bit-exact vs OpenCV's PORTABLE scalar fixed-point
+  kernel (Q11 coefficients, int32 accumulation, FixedPtCast rounding); ±1
+  vs any particular cv2 binary, whose SIMD/IPP kernels are build-dependent
+  and disagree with each other (see _cubic_u8's docstring). Float inputs
+  use the float32 separable path (<=1 ulp of cv2).
 
 All entry points accept arbitrary leading batch dims: ``(..., H, W, C)``.
 uint8 images use the integer/float paths above; floating images use float32
@@ -109,8 +112,36 @@ def _cubic(img, dst_w: int, dst_h: int):
 
 
 def _cubic_u8(img, dst_w: int, dst_h: int):
-    out = _cubic(img, dst_w, dst_h)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    """OpenCV's PORTABLE scalar fixed-point 8U cubic, implemented exactly.
+
+    Q11 coefficients both passes (resize_tables.cubic_tables_q11), int32
+    accumulation with two's-complement wrap (matching C), and the final
+    ``FixedPtCast<int,uchar,22>``: ``(acc + (1<<21)) >> 22`` saturated.
+
+    Why this target and not "whatever cv2 outputs": a single cv::resize
+    call mixes THREE arithmetics along one row — IPP's polyphase kernel
+    (when enabled), the universal-intrinsics float kernel over the SIMD
+    body (itself different between SSE/AVX2/NEON builds: FMA contraction),
+    and this scalar kernel on the last width%lanes elements. Only the
+    scalar kernel is build-independent, so it is the one well-defined
+    "OpenCV INTER_CUBIC" — and the reference's own x86 (IPP/AVX) vs arm64
+    (NEON) builds already disagree with each other at the same ±1 level.
+    tests/test_resize_exact.py pins: bit-equality with this kernel's
+    numpy mirror, bit-equality with cv2 on the scalar-tail region (the
+    only region where cv2 provably runs it), and ±1 globally vs cv2.
+    """
+    src_h, src_w = img.shape[-3], img.shape[-2]
+    xi, xq = T.cubic_tables_q11(src_w, dst_w)
+    yi, yq = T.cubic_tables_q11(src_h, dst_h)
+    s = img.astype(jnp.int32)
+    h = _take_w(s, jnp.asarray(xi[:, 0])) * jnp.asarray(xq[:, 0])[:, None]
+    for k in range(1, 4):
+        h = h + _take_w(s, jnp.asarray(xi[:, k])) * jnp.asarray(xq[:, k])[:, None]
+    acc = _take_h(h, jnp.asarray(yi[:, 0])) * jnp.asarray(yq[:, 0])[:, None, None]
+    for k in range(1, 4):
+        acc = acc + _take_h(h, jnp.asarray(yi[:, k])) * jnp.asarray(yq[:, k])[:, None, None]
+    out = (acc + (1 << 21)) >> 22
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,33 @@ def cubic_tables(src: int, dst: int):
 
 
 @functools.lru_cache(maxsize=4096)
+def cubic_tables_q11(src: int, dst: int):
+    """Per-output 4-tap (idx[dst,4] int32, q[dst,4] int32) fixed-point Q11
+    bicubic tables — OpenCV's 8U path: the source coordinate is narrowed to
+    float32 BEFORE cvFloor (same rule as _linear_coords), the float32
+    coefficients are quantized with ``saturate_cast<short>(cbuf*2048)``
+    (cvRound = half-to-even). These feed the portable scalar fixed-point
+    kernel in resize._cubic_u8."""
+    one = np.float32(1)
+    A = CUBIC_A
+    scale = np.float64(src) / dst
+    idx = np.empty((dst, 4), np.int32)
+    q = np.empty((dst, 4), np.int32)
+    for dx in range(dst):
+        fx = np.float32((dx + 0.5) * scale - 0.5)
+        s = int(np.floor(fx))
+        x = np.float32(fx - np.float32(s))
+        c0 = ((A * (x + one) - np.float32(5) * A) * (x + one) + np.float32(8) * A) * (x + one) - np.float32(4) * A
+        c1 = ((A + np.float32(2)) * x - (A + np.float32(3))) * x * x + one
+        c2 = ((A + np.float32(2)) * (one - x) - (A + np.float32(3))) * (one - x) * (one - x) + one
+        c3 = one - c0 - c1 - c2
+        for k, c in enumerate((c0, c1, c2, c3)):
+            idx[dx, k] = min(max(s - 1 + k, 0), src - 1)
+            q[dx, k] = _rint32(c * np.float32(INTER_RESIZE_COEF_SCALE))
+    return idx, q
+
+
+@functools.lru_cache(maxsize=4096)
 def area_tables(src: int, dst: int):
     """Decimation tables for fractional INTER_AREA downscale.
 
