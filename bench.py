@@ -321,6 +321,26 @@ def main():
     # a host-attached chip is far above both).
     e2e_bound = min(host_pipeline_ips, device_ips)
 
+    # --- multi-process host-entropy scaling curve (VERDICT r2 #2) ---------
+    # measured, not asserted: fork-pool aggregate rates at P=1/2/4 workers,
+    # parallel efficiency, and the projected core count where the host
+    # pipeline crosses each mode's device rate (BENCH_HOST_SCALING=0 skips)
+    host_scaling = None
+    if os.environ.get("BENCH_HOST_SCALING", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import host_scaling as HS
+            HS._PIPE = pipe
+            HS._COEFS = tuple(out_np)
+            host_scaling = HS.measure(buf, per_proc=16,
+                                      proc_counts=(1, 2, 4),
+                                      ship_probe=False)
+            host_scaling["crossover_cores"] = HS.crossover_cores(
+                host_scaling, {"rgb_parity": rgb_ips, "ycc_direct": ycc_ips})
+        except Exception as e:  # never fail the bench on the host probe
+            host_scaling = {"error": repr(e)}
+
     # --- optional measured e2e through the tunnel (off by default) --------
     e2e_ips = None
     if e2e_batches > 0:
@@ -372,6 +392,7 @@ def main():
                          "stages are per-image independent and scale with "
                          "cores — this harness host has host_cores core(s)"),
             "e2e_images_per_sec_via_tunnel": e2e_ips,
+            "host_scaling": host_scaling,
             "backend": _backend_name(),
         },
     }

