@@ -24,6 +24,25 @@ import jax as _jax
 # traces; compute is nowhere near the bottleneck (HBM bandwidth is).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Serving cold-start: wire JAX's persistent compilation cache by default so
+# a restarted serving process re-loads every previously compiled
+# (geometry, orientation) program instead of paying the multi-second XLA
+# compile on the request path (the reference preallocates everything up
+# front — ops.go:62-94 — this is the compiled-program analog). Respects an
+# explicit JAX_COMPILATION_CACHE_DIR; LILLIPUT_COMPILE_CACHE=0 disables,
+# any other value overrides the directory.
+import os as _os
+
+_cache = _os.environ.get("LILLIPUT_COMPILE_CACHE", "")
+if _cache != "0" and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _dir = _cache or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "lilliput_tpu", "jax")
+    try:
+        _os.makedirs(_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _dir)
+    except OSError:
+        pass  # read-only home: run without a persistent cache
+
 from .api import new_decoder, new_encoder  # noqa: F401
 from .errors import (BufTooSmallError, DecodingFailedError,  # noqa: F401
                      EncodeTimeoutError, FrameBufNoPixelsError,

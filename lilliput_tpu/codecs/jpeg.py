@@ -47,6 +47,44 @@ STD_CHROMA_QTABLE = np.array([
 
 _MAX_COMPONENTS = 4
 
+_SAMP = {"420": ([2, 1, 1], [2, 1, 1]), "422": ([2, 1, 1], [1, 1, 1]),
+         "440": ([1, 1, 1], [2, 1, 1]), "444": ([1, 1, 1], [1, 1, 1])}
+
+
+def synthetic_jpeg(w: int, h: int, subsampling: str = "420",
+                   gray: bool = False, quality: int = 85) -> bytes:
+    """Zero-coefficient JPEG of an EXACT geometry — a warm-up/probe input
+    for MultiGeometryPipeline.warm(): geometry (dims + sampling factors +
+    quant tables) matches what a real capture at that size would produce,
+    entropy data is all-zero blocks (encodes in microseconds)."""
+    if subsampling not in _SAMP:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    lib = binding.load()
+    qt_l, qt_c = scaled_qtables(quality)
+    h_samp, v_samp = ([1], [1]) if gray else _SAMP[subsampling]
+    max_h, max_v = max(h_samp), max(v_samp)
+    comps = []
+    for i in range(len(h_samp)):
+        bw = (w * h_samp[i] + 8 * max_h - 1) // (8 * max_h)
+        bh = (h * v_samp[i] + 8 * max_v - 1) // (8 * max_v)
+        comps.append(np.zeros((bh, bw, 64), np.int16))
+    nc = len(comps)
+    ptrs = (ctypes.POINTER(ctypes.c_int16) * nc)()
+    for i, c in enumerate(comps):
+        ptrs[i] = c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+    hs = (ctypes.c_int32 * nc)(*h_samp)
+    vs = (ctypes.c_int32 * nc)(*v_samp)
+    out = np.empty(w * h + (1 << 20), np.uint8)
+    q = ctypes.POINTER(ctypes.c_uint16)
+    n = lib.lp_jpeg_encode_coefs(
+        w, h, nc, hs, vs, ptrs,
+        qt_l.ctypes.data_as(q), qt_c.ctypes.data_as(q),
+        0, 0, 0, None, 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+    if n <= 0:
+        raise DecodingFailedError(f"synthetic JPEG encode failed ({n})")
+    return out[:n].tobytes()
+
 
 class _JpegInfo(ctypes.Structure):
     _fields_ = [

@@ -964,10 +964,12 @@ class MultiGeometryPipeline:
         self._pipes: "OrderedDict[Tuple[JpegGeometry, int], JpegTranscodePipeline]" = OrderedDict()
 
     def _pipe_for(self, buf: bytes) -> "JpegTranscodePipeline":
+        from .utils.metrics import metrics
         info = J.JpegDecoder(buf)._info
         key = (geometry_of(info), int(J.exif_orientation(buf)))
         pipe = self._pipes.get(key)
         if pipe is None:
+            metrics.incr("serving.geometry_compiles")
             info2 = geometry_of(info)
             mode = (self.chroma_mode
                     if (self.chroma_mode == "direct" and info2.h2 and info2.v2
@@ -986,12 +988,55 @@ class MultiGeometryPipeline:
                 encode_options=self.encode_options)
             if len(self._pipes) >= self.max_geometries:
                 # LRU eviction: a hot geometry must not lose its compiled
-                # program to an early arrival (round-1 VERDICT weak #5)
+                # program to an early arrival (round-1 VERDICT weak #5);
+                # surfaced in metrics so an undersized max_geometries is
+                # visible in production instead of silent recompiles
                 self._pipes.popitem(last=False)
+                metrics.incr("serving.geometry_evictions")
         else:
             self._pipes.pop(key)
+            metrics.incr("serving.geometry_hits")
         self._pipes[key] = pipe  # most-recently-used position
         return pipe
+
+    def stats(self) -> dict:
+        """Serving-cache observability: current size + the process-global
+        compile/hit/eviction counters (utils.metrics registry)."""
+        from .utils.metrics import metrics
+        snap = metrics.snapshot()["counters"]
+        return {
+            "geometries_cached": len(self._pipes),
+            "max_geometries": self.max_geometries,
+            "compiles": int(snap.get("serving.geometry_compiles", 0)),
+            "hits": int(snap.get("serving.geometry_hits", 0)),
+            "evictions": int(snap.get("serving.geometry_evictions", 0)),
+        }
+
+    def warm(self, specs) -> dict:
+        """Pre-compile pipelines for an expected geometry set BEFORE
+        traffic arrives (reference analog: NewImageOps preallocates all
+        buffers up front, ops.go:62-94). Each spec is either a sample
+        JPEG (bytes) or a tuple (width, height[, subsampling[, gray]])
+        with subsampling in {'420','422','440','444'} (default '420') —
+        tuples warm via a synthesized zero-coefficient JPEG of that exact
+        geometry. Combined with the persistent compilation cache wired in
+        lilliput_tpu.__init__, a RESTARTED process re-warms the same set
+        without compiling any new XLA program (gated in
+        tests/test_pipeline.py::test_warm_persistent_cache_cold_start).
+
+        Returns {"warmed": n, "compiled_new": n_new, "seconds": s}."""
+        import time as _time
+        t0 = _time.time()
+        before = len(self._pipes)
+        n = 0
+        for spec in specs:
+            buf = spec if isinstance(spec, (bytes, bytearray)) else \
+                J.synthetic_jpeg(*spec)
+            pipe = self._pipe_for(bytes(buf))
+            pipe.transcode([bytes(buf)])  # forces the XLA compile now
+            n += 1
+        return {"warmed": n, "compiled_new": len(self._pipes) - before,
+                "seconds": round(_time.time() - t0, 3)}
 
     def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
         """Group by geometry, batch each group, restore input order."""

@@ -804,3 +804,89 @@ def test_serving_rejects_exotic_subsampling():
     buf = out[:n].tobytes()
     with pytest.raises(DecodingFailedError, match="subsampling"):
         JpegTranscodePipeline(buf, 32, 32)
+
+
+def test_synthetic_jpeg_geometries():
+    """synthetic_jpeg produces decodable JPEGs of the EXACT requested
+    geometry (the warm() probe input)."""
+    from PIL import Image
+    import io
+    from lilliput_tpu.codecs.jpeg import synthetic_jpeg, JpegDecoder
+    for (w, h, sub) in [(320, 200, "420"), (97, 61, "422"),
+                        (64, 48, "440"), (33, 47, "444")]:
+        buf = synthetic_jpeg(w, h, sub)
+        hd = JpegDecoder(buf).header()
+        assert (hd.width, hd.height) == (w, h)
+        im = Image.open(io.BytesIO(buf))
+        assert im.size == (w, h)
+    g = synthetic_jpeg(50, 40, gray=True)
+    assert JpegDecoder(g).header().channels == 1
+
+
+def test_warm_and_eviction_metrics():
+    """warm() pre-compiles the expected geometry set; the LRU surfaces
+    compiles/hits/evictions through the metrics registry (round-2 VERDICT
+    next-step #7)."""
+    from lilliput_tpu.utils.metrics import metrics
+    metrics.reset()
+    mp = MultiGeometryPipeline(32, 32, quality=85, max_geometries=2)
+    rep = mp.warm([(120, 90), (100, 76, "422")])
+    assert rep == {"warmed": 2, "compiled_new": 2, "seconds": rep["seconds"]}
+    st = mp.stats()
+    assert st["geometries_cached"] == 2 and st["compiles"] == 2
+    # warmed geometry served without a new pipeline
+    mp.transcode([_jpeg(120, 90, seed=9)])
+    assert mp.stats()["hits"] >= 1
+    assert mp.stats()["compiles"] == 2
+    # a third geometry evicts the LRU entry (max_geometries=2)
+    mp.transcode([_jpeg(320, 200, seed=9)])
+    st = mp.stats()
+    assert st["evictions"] == 1 and st["geometries_cached"] == 2
+
+
+_COLD_START_CHILD = r"""
+import json, os, sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")  # site plugin forces axon
+import lilliput_tpu  # wires the persistent cache from LILLIPUT_COMPILE_CACHE
+from lilliput_tpu import MultiGeometryPipeline
+t0 = time.time()
+mp = MultiGeometryPipeline(32, 32, quality=85)
+rep = mp.warm([(120, 90), (100, 76, "422")])
+print(json.dumps({"warm": rep, "total_s": round(time.time() - t0, 2),
+                  "cache_dir": jax.config.jax_compilation_cache_dir}))
+"""
+
+
+def test_warm_persistent_cache_cold_start(tmp_path):
+    """The round-2 VERDICT #7 acceptance gate: with the persistent compile
+    cache wired by default, a SECOND process warming the same geometry set
+    compiles zero new XLA programs (cache-dir file set unchanged)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    cache = tmp_path / "compile_cache"
+    env = dict(os.environ)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env["LILLIPUT_COMPILE_CACHE"] = str(cache)
+    # CPU compiles of tiny geometries can be under jax's 1s persistence
+    # threshold; a serving TPU compile never is
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+
+    def run():
+        r = subprocess.run([sys.executable, "-c", _COLD_START_CHILD],
+                           capture_output=True, text=True, env=env,
+                           cwd="/root/repo", timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    rep1 = run()
+    assert rep1["cache_dir"] == str(cache)
+    files1 = sorted(p.name for p in cache.rglob("*") if p.is_file())
+    assert files1, "first run persisted no compiled programs"
+    rep2 = run()
+    files2 = sorted(p.name for p in cache.rglob("*") if p.is_file())
+    assert files2 == files1, (
+        f"second process compiled new programs: {set(files2) - set(files1)}")
+    assert rep2["warm"]["warmed"] == 2
