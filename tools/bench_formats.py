@@ -84,6 +84,49 @@ def bench_png_levels():
                       "encode": enc}))
 
 
+def bench_avif_configs():
+    """AVIF encoder quality/speed sweep (the reference's encode options,
+    avif.cpp:614-776 — AVIF_QUALITY/AVIF_SPEED; example defaults q85
+    speed10 in examples/main.go:14-19): still + animated inputs, reports
+    ms/op, bytes/op, psnr_db/op like the WebP harness."""
+    import io
+
+    from PIL import Image
+
+    from lilliput_tpu.framebuffer import AVIF_QUALITY, AVIF_SPEED
+    still = open(f"{TD}/colors_sdr_srgb.avif", "rb").read()
+    anim = open(f"{TD}/colors-animated-8bpc-alpha-exif-xmp.avif", "rb").read()
+    first = np.array(Image.open(io.BytesIO(still)).convert("RGB"))
+    configs = ([{"name": f"q{q}_s6", AVIF_QUALITY: q, AVIF_SPEED: 6}
+                for q in (50, 60, 85, 95)]
+               + [{"name": f"q85_s{s}", AVIF_QUALITY: 85, AVIF_SPEED: s}
+                  for s in (8, 10)])
+    results = []
+    for cfg in configs:
+        name = cfg.pop("name")
+        t0 = time.perf_counter()
+        out = ImageOps(8192).transform(new_decoder(still), ImageOptions(
+            file_type=".avif", resize_method=ResizeMethod.NO_RESIZE,
+            encode_timeout=600.0, encode_options=cfg))
+        dt = time.perf_counter() - t0
+        back = np.array(Image.open(io.BytesIO(out)).convert("RGB"))
+        p = psnr(back, first) if back.shape == first.shape else 0.0
+        results.append({"config": name, "ms_per_op": round(dt * 1000, 1),
+                        "bytes": len(out), "psnr_db": round(float(p), 2)})
+    # animated: bytes + wall only (per-frame PSNR covered by tests)
+    t0 = time.perf_counter()
+    out = ImageOps(8192).transform(new_decoder(anim), ImageOptions(
+        file_type=".avif", resize_method=ResizeMethod.NO_RESIZE,
+        encode_timeout=600.0,
+        encode_options={AVIF_QUALITY: 85, AVIF_SPEED: 8}))
+    results.append({"config": "animated_q85_s8",
+                    "ms_per_op": round((time.perf_counter() - t0) * 1000, 1),
+                    "bytes": len(out),
+                    "frames": getattr(Image.open(io.BytesIO(out)),
+                                      "n_frames", 1)})
+    print(json.dumps({"harness": "avif_encode_configs", "results": results}))
+
+
 def bench_decoder_create():
     buf = open(f"{TD}/big_buck_bunny_480p_10s_std.mp4", "rb").read()
     t0 = time.perf_counter()
@@ -105,3 +148,4 @@ if __name__ == "__main__":
     bench_png_levels()
     bench_decoder_create()
     bench_webp_configs()
+    bench_avif_configs()
