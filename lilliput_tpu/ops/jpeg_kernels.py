@@ -114,10 +114,34 @@ def dequant_idct_scaled(coefs: jax.Array, qtable: jax.Array,
     return p.reshape(lead + (bh * k, bw * k))
 
 
+_force_split_depth = 0
+
+
+class force_split_decode:
+    """Context manager forcing the pure-XLA split decode path while a fused
+    fn is being TRACED. Multi-device (GSPMD-sharded) steps use this: a
+    pallas_call carries no partitioning rules, so the megakernel cannot be
+    sharded across chips — the split path is fully partitionable and
+    measures within ~4% of it (ROADMAP session-3 notes). Re-entrant; only
+    affects traces started inside the context."""
+
+    def __enter__(self):
+        global _force_split_depth
+        _force_split_depth += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _force_split_depth
+        _force_split_depth -= 1
+        return False
+
+
 def _use_pallas() -> bool:
-    """Pallas kernels on TPU by default; XLA path elsewhere or when
-    LILLIPUT_PALLAS=0."""
+    """Pallas kernels on TPU by default; XLA path elsewhere, when
+    LILLIPUT_PALLAS=0, or inside force_split_decode (sharded steps)."""
     import os
+    if _force_split_depth:
+        return False
     flag = os.environ.get("LILLIPUT_PALLAS")
     if flag is not None:
         return flag not in ("0", "false", "off")
@@ -129,8 +153,11 @@ def _use_pallas() -> bool:
 
 def _use_megakernel() -> bool:
     """Fused decode megakernel gate: LILLIPUT_MEGAKERNEL overrides, else
-    follows the Pallas gate (on-TPU default)."""
+    follows the Pallas gate (on-TPU default). force_split_decode (multi-
+    device sharded steps) wins over everything."""
     import os
+    if _force_split_depth:
+        return False
     flag = os.environ.get("LILLIPUT_MEGAKERNEL")
     if flag is not None:
         return flag not in ("0", "false", "off")

@@ -28,7 +28,21 @@ from .mesh import make_mesh
 
 
 class ShardedJpegPipeline(JpegTranscodePipeline):
-    """JpegTranscodePipeline whose device step shards the batch over 'dp'.
+    """JpegTranscodePipeline whose device step shards the batch over 'dp'
+    and, when the mesh carries an 'sp' axis > 1, the BLOCK-ROW axis of
+    every coefficient plane over 'sp' (spatial sharding — the big-image
+    path: one 8K image's decode+resize spreads across sp chips, XLA
+    inserting the halo collectives for the cross-row resize taps on ICI).
+
+    Exactness tiers (mirrors the fused-vs-streaming contract): dp-only
+    meshes are BYTE-IDENTICAL to the single-chip pipeline (gated in
+    tests/test_parallel.py); sp>1 re-associates the f32 resize partial
+    sums at shard boundaries and carries the documented ±1-u8 tier
+    (tests/test_parallel.py::test_sp_sharded_4k_pipeline).
+
+    Multi-device steps trace the pure-XLA split decode path
+    (force_split_decode): a pallas_call has no GSPMD partitioning rules,
+    and the split path measures within ~4% of the megakernel (ROADMAP).
 
     The batch is padded up to a multiple of the dp size by repeating the
     final image (its outputs are dropped), so any request count works.
@@ -39,7 +53,11 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         super().__init__(sample, dst_w, dst_h, quality=quality, **kw)
         self.mesh = mesh if mesh is not None else make_mesh()
         self._dp = self.mesh.shape["dp"]
+        self._sp = self.mesh.shape.get("sp", 1)
+        self._multi = self.mesh.devices.size > 1
         self._batch_sharding = NamedSharding(self.mesh, P("dp"))
+        self._coef_sharding = (NamedSharding(self.mesh, P("dp", "sp"))
+                               if self._sp > 1 else self._batch_sharding)
         self._repl = NamedSharding(self.mesh, P())
         g = self.geom
         emit = self._emit
@@ -77,19 +95,38 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         def p(a):
             return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
 
+        from ..ops import jpeg_kernels as K
+        import contextlib
+        split = K.force_split_decode() if self._multi else \
+            contextlib.nullcontext()
+
+        def put_coef(a):
+            # spatial sharding per plane: block rows must divide sp
+            # (luma always does — decode_entropy MCU-pads its rows); an
+            # odd-row chroma plane stays dp-only, still correct, the halo
+            # work simply concentrates on the luma 2/3 of the FLOPs
+            if self._sp > 1 and a.shape[1] % self._sp == 0:
+                return jax.device_put(a, self._coef_sharding)
+            return jax.device_put(a, self._batch_sharding)
+
         if self.ncomp == 1:
             qty = cbs  # (ys, qty) calling convention
             batch = (p(ys), p(qty)) if pad else (ys, qty)
-            args = [jax.device_put(a, self._batch_sharding) for a in batch]
+            args = [put_coef(batch[0]),
+                    jax.device_put(batch[1], self._batch_sharding)]
             eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
-            out = self._step(*args, eqy)
+            with split:
+                out = self._step(*args, eqy)
         else:
             batch = ((p(ys), p(cbs), p(crs), p(qty), p(qtc)) if pad
                      else (ys, cbs, crs, qty, qtc))
-            args = [jax.device_put(a, self._batch_sharding) for a in batch]
+            args = ([put_coef(a) for a in batch[:3]]
+                    + [jax.device_put(a, self._batch_sharding)
+                       for a in batch[3:]])
             eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
             eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
-            out = self._step(*args, eqy, eqc)
+            with split:
+                out = self._step(*args, eqy, eqc)
         if not isinstance(out, tuple):
             out = (out,)   # pixel mode: the fused fn returns a bare array
         if pad:
