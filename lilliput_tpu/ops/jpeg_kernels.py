@@ -289,6 +289,81 @@ def _upsample2x_axis(x: jax.Array, axis: int, out_len: int) -> jax.Array:
     return jnp.moveaxis(out, -1, axis)
 
 
+@functools.lru_cache(maxsize=1024)
+def _upsample2x_matrix(src: int, out_len: int):
+    """(out_len, src) triangle-filter 2x upsample matrix (libjpeg 'fancy'
+    upsample weights: out[2i] = .75*x[i] + .25*x[i-1], out[2i+1] =
+    .75*x[i] + .25*x[i+1], edges replicated). Banded (2 taps/row) so the
+    upsample runs as a slab MXU contraction instead of concat/stack
+    relayout passes — same weights, f32-summation-order tier (±1 u8 after
+    the color round on boundary values)."""
+    m = np.zeros((out_len, src), np.float32)
+    for o in range(out_len):
+        i = min(o // 2, src - 1)  # clamp = edge replication past 2*src
+        j = i - 1 if o % 2 == 0 else i + 1
+        j = min(max(j, 0), src - 1)
+        m[o, i] += np.float32(0.75)
+        m[o, j] += np.float32(0.25)
+    return m
+
+
+def decode_ycc_planes_mxu(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
+                          out_h: int, out_w: int, h2: bool, v2: bool):
+    """4:2:0 decode to (b, g, r) u8 RASTER planes with every dense stage on
+    the MXU: dequant+IDCT einsums (raster epilogue), triangle chroma
+    upsample as banded 2-tap matrix contractions, then the fused
+    color+round elementwise tail. Returns None unless h2 and v2.
+
+    Round-3 EXPERIMENT (LILLIPUT_MXU_DECODE=1; default off): once outputs
+    are honestly materialized it measures SLOWER than the block-vector
+    megakernel (18.8 vs 16.6 ms/batch-128 decode on v5e — the full-res
+    relayout/materialization cost dominates every representation; see
+    ROADMAP round-3 notes + tools/profile_stages.py). Kept env-gated for
+    re-evaluation on future compilers. Exactness: the W pass is exact
+    (power-of-2 scaling commutes with f32 rounding, so 0.75x+0.25l ==
+    (3x+l)*0.25 bit-for-bit); the H pass rounds to UNCLIPPED int16, a
+    ±0.5 chroma deviation whose color image is at most 1.772*0.5 = 0.886
+    < 1 — a GUARANTEED ≤1-u8 bound vs the bit-identical megakernel/split
+    pair even on adversarial coefficients (gated in
+    tests/test_megakernel.py::test_mxu_planes_within_1)."""
+    if not (h2 and v2):
+        return None
+    yf = dequant_idct(y_coefs, qt_luma)[..., :out_h, :out_w]
+    cbf = dequant_idct(cb_coefs, qt_chroma)
+    crf = dequant_idct(cr_coefs, qt_chroma)
+    ch, cw = cbf.shape[-2], cbf.shape[-1]
+    from . import resize as R
+    mh = _upsample2x_matrix(ch, out_h)
+    mw = _upsample2x_matrix(cw, out_w)
+
+    def up(p):
+        # W pass stays f32 at HALF height; the H pass's epilogue rounds to
+        # int16 WITHOUT clipping (fuses into the dot), so full-res f32
+        # chroma never hits HBM — 2 B/px instead of 4 on the decode's
+        # dominant traffic. The ±0.5 chroma round gives a channel
+        # deviation of at most 1.772*0.5 = 0.886 < 1 after color, i.e. a
+        # GUARANTEED ≤1-u8 decode bound vs the bit-identical
+        # megakernel/split pair (no clipping: out-of-range chroma keeps
+        # its excursion exactly like the f32 path).
+        p = R._banded_plane_contract(p, mw, axis=-1)
+        p = R._banded_plane_contract(p, mh, axis=-2)
+        return jnp.round(p).astype(jnp.int16)
+
+    cbu = up(cbf)
+    cru = up(crf)
+    cbc = cbu.astype(jnp.float32) - 128.0
+    crc = cru.astype(jnp.float32) - 128.0
+    r = yf + 1.402 * crc
+    g = yf - 0.344136286 * cbc - 0.714136286 * crc
+    b = yf + 1.772 * cbc
+    q = [jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
+         for p in (b, g, r)]
+    # materialize the u8 planes once before the banded resize's many slab
+    # slices downstream (measured neutral on v5e, kept as insurance
+    # against slab-consumer rematerialization at other geometries)
+    return tuple(jax.lax.optimization_barrier(q))
+
+
 def upsample_chroma(plane: jax.Array, h_factor: int, v_factor: int,
                     out_h: int, out_w: int) -> jax.Array:
     """Upsample a chroma plane by integer factors (1 or 2 per axis)."""

@@ -193,6 +193,30 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
             win = (yc[..., yby0:yby1, ybx0:ybx1, :],
                    cb[..., cby0:cby1, cbx0:cbx1, :],
                    cr[..., cby0:cby1, cbx0:cbx1, :])
+        if (method == R.AREA and h2 and v2
+                and os.environ.get("LILLIPUT_MXU_DECODE", "0")
+                not in ("0", "false", "off")):
+            # round-3 raster MXU decode experiment (LILLIPUT_MXU_DECODE=1):
+            # dequant+IDCT einsums + banded matmul triangle upsample +
+            # fused color/round. MEASURED SLOWER than the megakernel once
+            # honestly materialized (18.8 vs 16.6 ms/batch-128 decode on
+            # v5e — see ROADMAP round-3 notes and tools/profile_stages.py);
+            # kept env-gated with its guaranteed-≤1 tier (vs the
+            # bit-identical megakernel/split pair) for re-evaluation on
+            # future compilers. Default stays the megakernel.
+            planes = K.decode_ycc_planes_mxu(*win, qt_y, qt_c, rh, rw,
+                                             h2, v2)
+            if planes is not None:
+                mw = R.area_matrix_embedded(rw, left - x0, w, dst_w)
+                mh = R.area_matrix_embedded(rh, top - y0, h, dst_h)
+                out = [jnp.clip(jnp.round(
+                    R.resize_area_plane_mat(p, mw, mh)), 0, 255)
+                    for p in planes]
+                if emit == "pixels":
+                    return _pack_pixels(out[0], out[1], out[2])
+                return K.encode_from_bgr_planes(
+                    out[0], out[1], out[2], enc_qt_y, enc_qt_c,
+                    subsample=True)
         if (method == R.AREA and K._use_megakernel()
                 and os.environ.get("LILLIPUT_PLANAR_TAIL", "1")
                 not in ("0", "false", "off")):

@@ -233,3 +233,37 @@ def test_decode_ycc_packed_matches_bgr():
                                   np.asarray(gp).astype(np.uint8))
     np.testing.assert_array_equal(np.asarray(bgr[..., 2]),
                                   np.asarray(rp).astype(np.uint8))
+
+
+def test_mxu_planes_within_1():
+    """decode_ycc_planes_mxu (the env-gated raster MXU decode experiment)
+    carries a GUARANTEED ≤1-u8 bound vs the bit-identical split path: the
+    matmul triangle upsample's W pass is bit-exact (power-of-2 scaling
+    commutes with f32 rounding) and the H pass's unclipped int16 round is
+    a ±0.5 chroma deviation bounded by 1.772*0.5 < 1 after color —
+    asserted here on adversarial random coefficients."""
+    from lilliput_tpu.codecs.jpeg import scaled_qtables as sq
+    worst = 0
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        for (ybh, ybw) in [(18, 24), (17, 13), (4, 4)]:
+            cbh, cbw = -(-ybh // 2), -(-ybw // 2)
+            rh, rw = ybh * 8, ybw * 8
+            yc = jnp.asarray(rng.integers(
+                -400, 400, (2, ybh, ybw, 64)).astype(np.int16))
+            cb = jnp.asarray(rng.integers(
+                -400, 400, (2, cbh, cbw, 64)).astype(np.int16))
+            cr = jnp.asarray(rng.integers(
+                -400, 400, (2, cbh, cbw, 64)).astype(np.int16))
+            qy, qc = (jnp.asarray(np.asarray(q)) for q in sq(85))
+            ref = np.asarray(K.decode_ycc_420(yc, cb, cr, qy, qc, rh, rw,
+                                              True, True))
+            out = K.decode_ycc_planes_mxu(yc, cb, cr, qy, qc, rh, rw,
+                                          True, True)
+            got = np.stack([np.asarray(p) for p in out], axis=-1)
+            worst = max(worst, int(np.abs(
+                got.astype(int) - ref[..., :3].astype(int)).max()))
+    assert worst <= 1, worst
+    # declines non-4:2:0
+    assert K.decode_ycc_planes_mxu(yc, cb, cr, qy, qc, 32, 32,
+                                   True, False) is None
