@@ -327,15 +327,22 @@ def main():
     # pipeline crosses each mode's device rate (BENCH_HOST_SCALING=0 skips)
     host_scaling = None
     if os.environ.get("BENCH_HOST_SCALING", "1") != "0":
+        # fresh CPU-pinned subprocess: fork()ing THIS process (live TPU
+        # tunnel client, XLA thread pools) can deadlock; the probe builds
+        # its own fixture/pipeline pre-fork on CPU
         try:
+            import subprocess
+            env = dict(os.environ, HS_PER_PROC="12", HS_PROCS="1,2,4",
+                       HS_SHIP="0")
+            r = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "tools", "host_scaling.py")],
+                capture_output=True, text=True, timeout=240, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            host_scaling = json.loads(r.stdout.strip().splitlines()[-1])
             sys.path.insert(0, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "tools"))
             import host_scaling as HS
-            HS._PIPE = pipe
-            HS._COEFS = tuple(out_np)
-            host_scaling = HS.measure(buf, per_proc=16,
-                                      proc_counts=(1, 2, 4),
-                                      ship_probe=False)
             host_scaling["crossover_cores"] = HS.crossover_cores(
                 host_scaling, {"rgb_parity": rgb_ips, "ycc_direct": ycc_ips})
         except Exception as e:  # never fail the bench on the host probe

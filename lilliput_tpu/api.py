@@ -94,12 +94,11 @@ def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:
         return PfmDecoder(buf)
     if is_jpeg2000(buf):
         # the reference compiles OpenJPEG into its OpenCV
-        # (deps/build-deps-linux.sh:289), so .jp2 decodes there; this
-        # framework does not carry a J2K decoder — fail with a specific
-        # typed error instead of the generic unrecognized-format one
-        raise InvalidImageError(
-            "JPEG 2000 is not supported by lilliput-tpu (the reference "
-            "decodes it via OpenCV's OpenJPEG build)")
+        # (deps/build-deps-linux.sh:289); codecs/jp2.py is this
+        # framework's own baseline decoder. Unsupported J2K features
+        # raise typed, specific InvalidImageErrors from within.
+        from .codecs.jp2 import Jp2Decoder
+        return Jp2Decoder(buf)
     # fall through to the video/audio probe (ffmpeg shim)
     from .codecs.video import VideoDecoder
     try:
@@ -138,6 +137,9 @@ def new_encoder(ext: str, decoded_by: Optional[Decoder] = None,
     if e in (".pbm", ".pgm", ".ppm", ".pnm"):
         from .codecs.pnm import PnmEncoder
         return PnmEncoder(decoded_by, icc_override=icc_override, subtype=e)
+    if e in (".jp2", ".j2k"):
+        from .codecs.jp2 import Jp2Encoder
+        return Jp2Encoder(decoded_by, icc_override=icc_override)
     if e in (".sr", ".ras"):
         from .codecs.sunras import SunRasEncoder
         return SunRasEncoder(decoded_by, icc_override=icc_override)

@@ -1,0 +1,844 @@
+"""JPEG 2000 decoder (JP2 container + J2K codestream), ISO/IEC 15444-1.
+
+Closes the last reference-capability gap: the reference compiles
+OpenJPEG into its OpenCV (deps/build-deps-linux.sh:289) so `.jp2` inputs
+decode through cv::ImageDecoder (/root/reference/opencv.cpp:93-102).
+This is an original baseline implementation, written from the spec:
+
+* host: box walk, marker segments (SIZ/COD/COC/QCD/QCC/SOT), Tier-2
+  packet parsing (tag trees, bit-stuffed headers, LRCP/RLCP/RPCL
+  progressions), and the EBCOT Tier-1 codeblock decode (MQ arithmetic
+  coder — C++ port in native/src/jp2_t1.cpp with the pure-Python
+  reference in jp2_t1.py, cross-checked in tests)
+* device-friendly tail: inverse 5/3 (reversible, integer lifting) and
+  9/7 (irreversible, float lifting) wavelet synthesis, inverse
+  RCT/ICT, DC level shift (ops/wavelet.py runs the dense stages with
+  jax.numpy)
+
+Exactness: lossless (5/3 reversible) decodes BIT-EXACTLY vs OpenJPEG
+(PIL and this env's cv2 both wrap it — cv2 IS the reference's decode
+path); lossy (9/7) is PSNR-gated vs OpenJPEG in tests/test_jp2.py.
+
+Supported profile (typed errors otherwise): any tiling, components at
+full resolution (XRsiz=YRsiz=1), bit depths <= 16 unsigned/signed, all
+five progression orders (PCRL/CPRL in the whole-tile-precinct form every
+common encoder emits), multiple layers and tile-parts, precincts,
+RCT/ICT on or off, default codeblock style. Not supported: coding-style
+bypass/termall/vsc modes, ROI shifts, PPM/PPT packed headers,
+subsampled components — none of which the OpenJPEG encoder emits by
+default.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import DecodingFailedError, InvalidImageError
+from ..framebuffer import Framebuffer, ImageHeader, ImageOrientation
+from ..interfaces import Decoder
+
+JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+J2K_SOC = b"\xff\x4f\xff\x51"
+
+_MAX_DIM = 1 << 20
+_MAX_COMPS = 4
+
+
+def is_jp2(buf: bytes) -> bool:
+    return buf.startswith(JP2_SIG) or buf.startswith(J2K_SOC)
+
+
+# ---------------------------------------------------------------------------
+# Tier-2 helpers
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """Packet-header bit reader with 0xFF bit-stuffing (B.10.1)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.d):
+                raise DecodingFailedError("JPEG 2000 packet header truncated")
+            b = self.d[self.pos]
+            self.pos += 1
+            self.nbits = 7 if self.last == 0xFF else 8
+            self.last = b
+            self.bits = b & ((1 << self.nbits) - 1)
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """Flush to byte boundary (incl. the stuffed bit after 0xFF)."""
+        self.nbits = 0
+        if self.last == 0xFF:
+            # the next byte is a stuffing byte slot: consume it only if
+            # it is the stuffed 0 (spec: an 0xFF is always followed by a
+            # byte whose MSB is 0 inside headers)
+            if self.pos < len(self.d) and self.d[self.pos] == 0x00 \
+                    and False:
+                self.pos += 1
+        self.last = 0
+        return self.pos
+
+
+class _TagTree:
+    def __init__(self, w: int, h: int):
+        self.levels = []
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        self.value = [np.zeros((h_, w_), np.int32)
+                      for (w_, h_) in self.levels]
+        self.low = [np.zeros((h_, w_), np.int32)
+                    for (w_, h_) in self.levels]
+        self.known = [np.zeros((h_, w_), np.uint8)
+                      for (w_, h_) in self.levels]
+
+    def decode(self, br: _BitReader, x: int, y: int, threshold: int) -> bool:
+        """True when value(x, y) < threshold (decoding bits as needed)."""
+        stack = []
+        xx, yy = x, y
+        for lv in range(len(self.levels)):
+            stack.append((lv, xx, yy))
+            xx, yy = xx // 2, yy // 2
+        low = 0
+        for lv, xx, yy in reversed(stack):
+            if self.low[lv][yy, xx] < low:
+                self.low[lv][yy, xx] = low
+            while (not self.known[lv][yy, xx]
+                   and self.low[lv][yy, xx] < threshold):
+                if br.bit():
+                    self.known[lv][yy, xx] = 1
+                    self.value[lv][yy, xx] = self.low[lv][yy, xx]
+                else:
+                    self.low[lv][yy, xx] += 1
+            if self.known[lv][yy, xx]:
+                low = self.value[lv][yy, xx]
+            else:
+                low = self.low[lv][yy, xx]
+                return False  # value >= threshold (still unknown)
+        return self.value[0][y, x] < threshold
+
+    def get(self, x: int, y: int) -> int:
+        return int(self.value[0][y, x])
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# codestream structures
+# ---------------------------------------------------------------------------
+
+class _Siz:
+    pass
+
+
+class _Cod:
+    pass
+
+
+class _Qcd:
+    pass
+
+
+class _CodeBlock:
+    __slots__ = ("x0", "y0", "x1", "y1", "included", "zero_planes",
+                 "lblock", "numpasses", "data", "band")
+
+    def __init__(self, x0, y0, x1, y1, band):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.included = False
+        self.zero_planes = 0
+        self.lblock = 3
+        self.numpasses = 0
+        self.data = b""
+        self.band = band
+
+
+class _Band:
+    __slots__ = ("orient", "x0", "y0", "x1", "y1", "cblks", "_pw",
+                 "eps", "mu", "gain")
+
+    def __init__(self):
+        self.cblks = []
+
+
+class _Precinct:
+    __slots__ = ("bands_cblks", "incl_tt", "zp_tt")
+
+
+def _parse_siz(seg: bytes) -> _Siz:
+    s = _Siz()
+    if len(seg) < 39:
+        raise InvalidImageError("JPEG 2000: truncated SIZ")
+    (s.rsiz, s.xsiz, s.ysiz, s.xosiz, s.yosiz, s.xtsiz, s.ytsiz,
+     s.xtosiz, s.ytosiz, s.csiz) = struct.unpack(">HIIIIIIIIH", seg[:36])
+    if len(seg) < 36 + 3 * s.csiz:
+        raise InvalidImageError("JPEG 2000: truncated SIZ components")
+    if s.xtsiz == 0 or s.ytsiz == 0:
+        raise InvalidImageError("JPEG 2000: zero tile size")
+    if (s.xosiz >= s.xsiz or s.yosiz >= s.ysiz
+            or s.xtosiz > s.xosiz or s.ytosiz > s.yosiz):
+        raise InvalidImageError("JPEG 2000: invalid grid offsets")
+    if not (0 < s.xsiz <= _MAX_DIM and 0 < s.ysiz <= _MAX_DIM):
+        raise InvalidImageError("JPEG 2000: invalid image size")
+    if not 1 <= s.csiz <= _MAX_COMPS:
+        raise InvalidImageError(
+            f"JPEG 2000: {s.csiz} components unsupported")
+    s.comps = []
+    for c in range(s.csiz):
+        ssiz, xr, yr = struct.unpack(">BBB", seg[36 + 3 * c:39 + 3 * c])
+        depth = (ssiz & 0x7F) + 1
+        signed = bool(ssiz & 0x80)
+        if depth > 16:
+            raise InvalidImageError("JPEG 2000: >16-bit components")
+        if xr != 1 or yr != 1:
+            raise InvalidImageError(
+                "JPEG 2000: subsampled components unsupported")
+        s.comps.append((depth, signed, xr, yr))
+    return s
+
+
+def _parse_cod(seg: bytes) -> _Cod:
+    c = _Cod()
+    if len(seg) < 10:
+        raise InvalidImageError("JPEG 2000: truncated COD")
+    c.scod = seg[0]
+    c.prog = seg[1]
+    c.layers = struct.unpack(">H", seg[2:4])[0]
+    c.mct = seg[4]
+    c.levels = seg[5]
+    c.cbw = (seg[6] & 0x0F) + 2
+    c.cbh = (seg[7] & 0x0F) + 2
+    c.cblk_style = seg[8]
+    c.transform = seg[9]  # 0 = 9/7 irreversible, 1 = 5/3 reversible
+    if c.prog > 4:
+        raise InvalidImageError(
+            f"JPEG 2000: invalid progression order {c.prog}")
+    if c.cblk_style & 0x3F:
+        raise InvalidImageError(
+            "JPEG 2000: non-default codeblock style unsupported")
+    if c.layers < 1:
+        raise InvalidImageError("JPEG 2000: zero layers")
+    c.precw = [15] * (c.levels + 1)
+    c.prech = [15] * (c.levels + 1)
+    if c.scod & 1:  # user precincts
+        for r in range(c.levels + 1):
+            pp = seg[10 + r]
+            c.precw[r] = pp & 0x0F
+            c.prech[r] = pp >> 4
+    return c
+
+
+def _parse_qcd(seg: bytes, levels: int) -> _Qcd:
+    q = _Qcd()
+    if len(seg) < 2:
+        raise InvalidImageError("JPEG 2000: truncated QCD")
+    sqcd = seg[0]
+    q.style = sqcd & 0x1F
+    q.guard = sqcd >> 5
+    body = seg[1:]
+    nb = 3 * levels + 1
+    q.eps = []
+    q.mu = []
+    if q.style == 0:        # no quantization (reversible)
+        if len(body) < nb:
+            raise InvalidImageError("JPEG 2000: truncated QCD exponents")
+        for i in range(nb):
+            q.eps.append(body[i] >> 3)
+            q.mu.append(0)
+    elif q.style == 1:      # scalar derived: one value, derive others
+        if len(body) < 2:
+            raise InvalidImageError("JPEG 2000: truncated QCD")
+        v = struct.unpack(">H", body[0:2])[0]
+        e0, m0 = v >> 11, v & 0x7FF
+        for i in range(nb):
+            # band i at decomposition level: derived exponents
+            if i == 0:
+                lvl = levels
+            else:
+                lvl = levels - (i - 1) // 3
+            q.eps.append(e0 - levels + lvl)
+            q.mu.append(m0)
+    else:                   # scalar expounded
+        if len(body) < 2 * nb:
+            raise InvalidImageError("JPEG 2000: truncated QCD exponents")
+        for i in range(nb):
+            v = struct.unpack(">H", body[2 * i:2 * i + 2])[0]
+            q.eps.append(v >> 11)
+            q.mu.append(v & 0x7FF)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# decoder core
+# ---------------------------------------------------------------------------
+
+class Jp2Image:
+    """Parsed codestream + tier-2 state; decode() produces component
+    planes."""
+
+    def __init__(self, buf: bytes):
+        cs, self.meta = _extract_codestream(buf)
+        self._parse_codestream(cs)
+
+    def _parse_codestream(self, cs: bytes) -> None:
+        if cs[:2] != b"\xff\x4f":
+            raise InvalidImageError("JPEG 2000: missing SOC")
+        i = 2
+        self.siz: Optional[_Siz] = None
+        self.cod: Optional[_Cod] = None
+        self.coc: Dict[int, _Cod] = {}
+        self.qcd: Optional[_Qcd] = None
+        self.qcc: Dict[int, _Qcd] = {}
+        self.tile_parts: Dict[int, List[bytes]] = {}
+        n = len(cs)
+        while i + 4 <= n:
+            marker = cs[i:i + 2]
+            if marker == b"\xff\xd9":  # EOC
+                break
+            ln = struct.unpack(">H", cs[i + 2:i + 4])[0]
+            seg = cs[i + 4:i + 2 + ln]
+            if marker == b"\xff\x51":
+                self.siz = _parse_siz(seg)
+            elif marker == b"\xff\x52":
+                self.cod = _parse_cod(seg)
+            elif marker == b"\xff\x53":  # COC
+                if self.cod is None:
+                    raise InvalidImageError("JPEG 2000: COC before COD")
+                # minimal: component index then SPcoc mirrors COD SPcod
+                ci = seg[0] if (self.siz and self.siz.csiz < 257) else \
+                    struct.unpack(">H", seg[0:2])[0]
+                raise InvalidImageError(
+                    "JPEG 2000: per-component coding styles (COC) "
+                    f"unsupported (component {ci})")
+            elif marker == b"\xff\x5c":
+                if self.cod is None:
+                    raise InvalidImageError("JPEG 2000: QCD before COD")
+                self.qcd = _parse_qcd(seg, self.cod.levels)
+            elif marker == b"\xff\x5d":  # QCC
+                if self.cod is None or self.siz is None:
+                    raise InvalidImageError("JPEG 2000: QCC before COD")
+                off = 1 if self.siz.csiz < 257 else 2
+                ci = seg[0] if off == 1 else struct.unpack(">H", seg[:2])[0]
+                self.qcc[ci] = _parse_qcd(seg[off:], self.cod.levels)
+            elif marker in (b"\xff\x60", b"\xff\x61"):  # PPM/PPT
+                raise InvalidImageError(
+                    "JPEG 2000: packed packet headers unsupported")
+            elif marker == b"\xff\x5e":  # RGN
+                raise InvalidImageError("JPEG 2000: ROI unsupported")
+            elif marker == b"\xff\x90":  # SOT
+                if len(seg) < 8:
+                    raise InvalidImageError("JPEG 2000: truncated SOT")
+                isot, psot, tpsot, tnsot = struct.unpack(
+                    ">HIBB", seg[:8])
+                # find SOD
+                j = i + 2 + ln
+                if cs[j:j + 2] != b"\xff\x93":
+                    raise InvalidImageError("JPEG 2000: SOT without SOD")
+                end = i + psot if psot else n
+                self.tile_parts.setdefault(isot, []).append(cs[j + 2:end])
+                i = end
+                continue
+            i += 2 + ln
+        if self.siz is None or self.cod is None or self.qcd is None:
+            raise InvalidImageError("JPEG 2000: missing SIZ/COD/QCD")
+
+    # -- geometry -----------------------------------------------------------
+
+    def _tile_grid(self):
+        s = self.siz
+        ntx = _ceil_div(s.xsiz - s.xtosiz, s.xtsiz)
+        nty = _ceil_div(s.ysiz - s.ytosiz, s.ytsiz)
+        return ntx, nty
+
+    def decode(self) -> List[np.ndarray]:
+        """Decode all tiles; returns per-component planes (ysiz-yosiz,
+        xsiz-xosiz) int32 (pre level-shift, post wavelet + MCT)."""
+        from . import jp2_t1
+        from ..ops import wavelet as W
+        s, cod, qcd = self.siz, self.cod, self.qcd
+        ntx, nty = self._tile_grid()
+        H, Wd = s.ysiz - s.yosiz, s.xsiz - s.xosiz
+        planes = [np.zeros((H, Wd), np.int64) for _ in range(s.csiz)]
+        for t in range(ntx * nty):
+            data = b"".join(self.tile_parts.get(t, []))
+            tx = t % ntx
+            ty = t // ntx
+            tx0 = max(s.xtosiz + tx * s.xtsiz, s.xosiz)
+            ty0 = max(s.ytosiz + ty * s.ytsiz, s.yosiz)
+            tx1 = min(s.xtosiz + (tx + 1) * s.xtsiz, s.xsiz)
+            ty1 = min(s.ytosiz + (ty + 1) * s.ytsiz, s.ysiz)
+            if tx0 >= tx1 or ty0 >= ty1:
+                continue
+            comps = self._decode_tile(data, tx0, ty0, tx1, ty1,
+                                      jp2_t1, W)
+            for c in range(s.csiz):
+                planes[c][ty0 - s.yosiz:ty1 - s.yosiz,
+                          tx0 - s.xosiz:tx1 - s.xosiz] = comps[c]
+        # inverse multi-component transform
+        if cod.mct and s.csiz >= 3:
+            if cod.transform == 1:
+                planes[0], planes[1], planes[2] = W.inverse_rct(
+                    planes[0], planes[1], planes[2])
+            else:
+                planes[0], planes[1], planes[2] = W.inverse_ict(
+                    planes[0], planes[1], planes[2])
+        return planes
+
+    # -- per-tile -----------------------------------------------------------
+
+    def _qcd_for(self, c: int) -> _Qcd:
+        return self.qcc.get(c, self.qcd)
+
+    def _band_geometry(self, tcx0, tcy0, tcx1, tcy1, levels):
+        """Per resolution r: (res rect, [(orient, band rect), ...])."""
+        out = []
+        for r in range(levels + 1):
+            nb = levels - r
+            trx0, try0 = _ceil_div(tcx0, 1 << nb), _ceil_div(tcy0, 1 << nb)
+            trx1, try1 = _ceil_div(tcx1, 1 << nb), _ceil_div(tcy1, 1 << nb)
+            if r == 0:
+                bands = [(0, trx0, try0, trx1, try1)]
+            else:
+                nb2 = levels - r + 1
+                bands = []
+                for orient, (xo, yo) in ((1, (1, 0)), (2, (0, 1)),
+                                         (3, (1, 1))):
+                    bx0 = _ceil_div(tcx0 - (1 << (nb2 - 1)) * xo, 1 << nb2)
+                    by0 = _ceil_div(tcy0 - (1 << (nb2 - 1)) * yo, 1 << nb2)
+                    bx1 = _ceil_div(tcx1 - (1 << (nb2 - 1)) * xo, 1 << nb2)
+                    by1 = _ceil_div(tcy1 - (1 << (nb2 - 1)) * yo, 1 << nb2)
+                    bands.append((orient, bx0, by0, bx1, by1))
+            out.append(((trx0, try0, trx1, try1), bands))
+        return out
+
+    def _decode_tile(self, data, tx0, ty0, tx1, ty1, t1mod, W):
+        s, cod = self.siz, self.cod
+        levels = cod.levels
+        ncomp = s.csiz
+        # build band/precinct/codeblock structures per component
+        comps = []
+        for c in range(ncomp):
+            geo = self._band_geometry(tx0, ty0, tx1, ty1, levels)
+            q = self._qcd_for(c)
+            res_list = []
+            for r, (rrect, bands) in enumerate(geo):
+                trx0, try0, trx1, try1 = rrect
+                ppx, ppy = cod.precw[r], cod.prech[r]
+                # precinct grid on the resolution
+                if trx1 > trx0:
+                    npw = _ceil_div(trx1, 1 << ppx) - (trx0 >> ppx)
+                    nph = _ceil_div(try1, 1 << ppy) - (try0 >> ppy)
+                else:
+                    npw = nph = 0
+                # codeblock size in band coordinates
+                cbw_exp = min(cod.cbw, ppx - 1 if r else ppx)
+                cbh_exp = min(cod.cbh, ppy - 1 if r else ppy)
+                band_objs = []
+                for bi, (orient, bx0, by0, bx1, by1) in enumerate(bands):
+                    b = _Band()
+                    b.orient = orient
+                    b.x0, b.y0, b.x1, b.y1 = bx0, by0, bx1, by1
+                    if r == 0:
+                        qi = 0
+                        b.gain = 0
+                    else:
+                        qi = 3 * (r - 1) + bi + 1
+                        b.gain = (0, 1, 1, 2)[orient]
+                    b.eps = q.eps[qi]
+                    b.mu = q.mu[qi]
+                    band_objs.append(b)
+                res_list.append({
+                    "rect": rrect, "bands": band_objs,
+                    "npw": npw, "nph": nph, "ppx": ppx, "ppy": ppy,
+                    "cbw_exp": cbw_exp, "cbh_exp": cbh_exp,
+                    "precincts": {},
+                })
+            comps.append(res_list)
+
+        # Tier-2: iterate packets in progression order
+        br = _BitReader(data, 0)
+        order = []
+        nprec = lambda res: res["npw"] * res["nph"]
+        if cod.prog == 0:    # LRCP
+            for l in range(cod.layers):
+                for r in range(levels + 1):
+                    for c in range(ncomp):
+                        for p in range(nprec(comps[c][r])):
+                            order.append((l, r, c, p))
+        elif cod.prog == 1:  # RLCP
+            for r in range(levels + 1):
+                for l in range(cod.layers):
+                    for c in range(ncomp):
+                        for p in range(nprec(comps[c][r])):
+                            order.append((l, r, c, p))
+        elif cod.prog == 2:  # RPCL (precinct-major over position; with
+            for r in range(levels + 1):  # whole-tile precincts this
+                for p in range(max(nprec(comps[c][r])              # order
+                                   for c in range(ncomp))):  # matches spec
+                    for c in range(ncomp):
+                        if p < nprec(comps[c][r]):
+                            for l in range(cod.layers):
+                                order.append((l, r, c, p))
+        else:                # PCRL / CPRL: positional orders — supported
+            # for the whole-tile-precinct case (what encoders emit by
+            # default), where every (r, c) has exactly one precinct and
+            # the position loop degenerates
+            if any(nprec(comps[c][r]) > 1 for c in range(ncomp)
+                   for r in range(levels + 1)):
+                raise InvalidImageError(
+                    "JPEG 2000: PCRL/CPRL with multiple precincts "
+                    "unsupported")
+            if cod.prog == 3:  # PCRL
+                for c in range(ncomp):
+                    for r in range(levels + 1):
+                        for l in range(cod.layers):
+                            order.append((l, r, c, 0))
+            else:              # CPRL
+                for c in range(ncomp):
+                    for r in range(levels + 1):
+                        for l in range(cod.layers):
+                            order.append((l, r, c, 0))
+        for (l, r, c, p) in order:
+            br = self._read_packet(br, comps[c][r], l, p, cod)
+
+        # Tier-1 + dequant + wavelet per component
+        out = []
+        reversible = cod.transform == 1
+        q = None
+        for c in range(ncomp):
+            depth = s.comps[c][0]
+            qc = self._qcd_for(c)
+            res_list = comps[c]
+            # decode codeblocks into band arrays per resolution
+            ll = None
+            for r, res in enumerate(res_list):
+                band_arrays = []
+                for b in res["bands"]:
+                    arr = np.zeros((b.y1 - b.y0, b.x1 - b.x0), np.int64)
+                    mb = qc.guard + b.eps - 1
+                    for cb in b.cblks:
+                        if not cb.numpasses or not cb.data:
+                            continue
+                        coef = t1mod.decode_codeblock(
+                            cb.data, cb.x1 - cb.x0, cb.y1 - cb.y0,
+                            (0, 1, 0, 2)[b.orient], cb.zero_planes,
+                            cb.numpasses, mb)
+                        arr[cb.y0 - b.y0:cb.y1 - b.y0,
+                            cb.x0 - b.x0:cb.x1 - b.x0] = coef
+                    if not reversible:
+                        rb = depth + b.gain
+                        delta = 2.0 ** (rb - b.eps) * (1.0 + b.mu / 2048.0)
+                        mags = np.abs(arr).astype(np.float64)
+                        fa = np.where(
+                            arr != 0,
+                            np.sign(arr) * (mags + 0.5) * delta, 0.0)
+                        band_arrays.append(fa)
+                    else:
+                        band_arrays.append(arr)
+                rrect = res["rect"]
+                if r == 0:
+                    ll = band_arrays[0]
+                    prev_rect = rrect
+                else:
+                    ll = W.inverse_dwt_level(
+                        ll, band_arrays[0], band_arrays[1], band_arrays[2],
+                        prev_rect, rrect, reversible)
+                    prev_rect = rrect
+            if not reversible:
+                ll = np.rint(np.asarray(ll, np.float64))
+            out.append(np.asarray(ll, np.int64))
+        return out
+
+    def _read_packet(self, br: _BitReader, res, layer: int, p: int, cod):
+        """Parse one packet header + collect codeblock data."""
+        prec = res["precincts"].get(p)
+        if prec is None:
+            prec = self._init_precinct(res, p, cod)
+            res["precincts"][p] = prec
+        # empty-packet bit
+        if not br.bit():
+            br.align()
+            return br
+        body = []
+        for bi, (band, cblks) in enumerate(prec.bands_cblks):
+            itt, ztt = prec.incl_tt[bi], prec.zp_tt[bi]
+            for ci, cb in enumerate(cblks):
+                gx = ci % band._pw
+                gy = ci // band._pw
+                if not cb.included:
+                    inc = itt.decode(br, gx, gy, layer + 1)
+                else:
+                    inc = br.bit()
+                if not inc:
+                    continue
+                if not cb.included:
+                    # zero bitplanes: decode until known
+                    thr = 1
+                    while not ztt.decode(br, gx, gy, thr):
+                        thr += 1
+                    cb.zero_planes = ztt.get(gx, gy)
+                    cb.included = True
+                    cb.lblock = 3
+                # number of passes
+                if not br.bit():
+                    np_ = 1
+                elif not br.bit():
+                    np_ = 2
+                else:
+                    v = br.read(2)
+                    if v < 3:
+                        np_ = 3 + v
+                    else:
+                        v = br.read(5)
+                        if v < 31:
+                            np_ = 6 + v
+                        else:
+                            np_ = 37 + br.read(7)
+                # Lblock update
+                while br.bit():
+                    cb.lblock += 1
+                nbits = cb.lblock + int(math.floor(math.log2(np_)))
+                seg_len = br.read(nbits)
+                body.append((cb, np_, seg_len))
+        pos = br.align()
+        d = br.d
+        for cb, np_, seg_len in body:
+            if pos + seg_len > len(d):
+                raise DecodingFailedError("JPEG 2000 packet body truncated")
+            cb.data += d[pos:pos + seg_len]
+            cb.numpasses += np_
+            pos += seg_len
+        return _BitReader(d, pos)
+
+    def _init_precinct(self, res, p: int, cod):
+        prec = _Precinct()
+        prec.bands_cblks = []
+        prec.incl_tt = []
+        prec.zp_tt = []
+        trx0, try0, trx1, try1 = res["rect"]
+        ppx, ppy = res["ppx"], res["ppy"]
+        px = p % res["npw"]
+        py = p // res["npw"]
+        r0 = 1 if len(res["bands"]) == 3 else 0  # band-coord halving
+        # precinct rect on the RESOLUTION grid
+        prx0 = max(((trx0 >> ppx) + px) << ppx, trx0)
+        pry0 = max(((try0 >> ppy) + py) << ppy, try0)
+        prx1 = min(((trx0 >> ppx) + px + 1) << ppx, trx1)
+        pry1 = min(((try0 >> ppy) + py + 1) << ppy, try1)
+        for band in res["bands"]:
+            # precinct rect mapped into band coordinates
+            if r0:
+                bpx0, bpy0 = _ceil_div(prx0, 2), _ceil_div(pry0, 2)
+                bpx1, bpy1 = _ceil_div(prx1, 2), _ceil_div(pry1, 2)
+            else:
+                bpx0, bpy0, bpx1, bpy1 = prx0, pry0, prx1, pry1
+            bpx0, bpy0 = max(bpx0, band.x0), max(bpy0, band.y0)
+            bpx1, bpy1 = min(bpx1, band.x1), min(bpy1, band.y1)
+            cbw = 1 << res["cbw_exp"]
+            cbh = 1 << res["cbh_exp"]
+            cblks = []
+            if bpx1 > bpx0 and bpy1 > bpy0:
+                cgx0 = bpx0 // cbw
+                cgx1 = _ceil_div(bpx1, cbw)
+                cgy0 = bpy0 // cbh
+                cgy1 = _ceil_div(bpy1, cbh)
+            else:
+                cgx0 = cgx1 = cgy0 = cgy1 = 0
+            pw = max(cgx1 - cgx0, 0)
+            ph = max(cgy1 - cgy0, 0)
+            band._pw = pw
+            for gy in range(cgy0, cgy1):
+                for gx in range(cgx0, cgx1):
+                    cb = _CodeBlock(max(gx * cbw, bpx0),
+                                    max(gy * cbh, bpy0),
+                                    min((gx + 1) * cbw, bpx1),
+                                    min((gy + 1) * cbh, bpy1),
+                                    band.orient)
+                    cblks.append(cb)
+                    band.cblks.append(cb)
+            prec.bands_cblks.append((band, cblks))
+            prec.incl_tt.append(_TagTree(max(pw, 1), max(ph, 1)))
+            prec.zp_tt.append(_TagTree(max(pw, 1), max(ph, 1)))
+        return prec
+
+
+def _extract_codestream(buf: bytes) -> Tuple[bytes, dict]:
+    if buf.startswith(J2K_SOC):
+        return buf, {}
+    if not buf.startswith(JP2_SIG):
+        raise InvalidImageError("not a JPEG 2000 file")
+    i = 0
+    meta: dict = {}
+    n = len(buf)
+    while i + 8 <= n:
+        ln = struct.unpack(">I", buf[i:i + 4])[0]
+        typ = buf[i + 4:i + 8]
+        off = 8
+        if ln == 1:
+            ln = struct.unpack(">Q", buf[i + 8:i + 16])[0]
+            off = 16
+        if ln == 0:
+            ln = n - i
+        if typ == b"jp2h":
+            j = i + off
+            end = min(i + ln, n)
+            while j + 8 <= end:
+                sl = struct.unpack(">I", buf[j:j + 4])[0]
+                st = buf[j + 4:j + 8]
+                if st == b"ihdr" and sl >= 22:
+                    h, w, nc, bpc = struct.unpack(
+                        ">IIHB", buf[j + 8:j + 19])
+                    meta["ihdr"] = (w, h, nc, bpc)
+                if st == b"colr" and sl >= 15 and buf[j + 8] == 1:
+                    meta["colorspace"] = struct.unpack(
+                        ">I", buf[j + 11:j + 15])[0]
+                j += max(sl, 8)
+        elif typ == b"jp2c":
+            return buf[i + off:i + ln if ln > 1 else n], meta
+        i += max(ln, 8)
+    raise InvalidImageError("JPEG 2000: no codestream box")
+
+
+# ---------------------------------------------------------------------------
+# public Decoder
+# ---------------------------------------------------------------------------
+
+class Jp2Decoder(Decoder):
+    def __init__(self, buf: bytes):
+        self._img = Jp2Image(buf)
+        self._buf = buf
+        self._decoded = False
+        s = self._img.siz
+        self._w = s.xsiz - s.xosiz
+        self._h = s.ysiz - s.yosiz
+        self._nc = s.csiz
+
+    def header(self) -> ImageHeader:
+        return ImageHeader(width=self._w, height=self._h,
+                           channels=self._nc,
+                           orientation=ImageOrientation.TOP_LEFT,
+                           num_frames=1, content_length=len(self._buf))
+
+    def description(self) -> str:
+        return "JP2"
+
+    def icc(self) -> bytes:
+        return b""
+
+    def decode_to(self, fb: Framebuffer) -> None:
+        if self._decoded:
+            raise EOFError()
+        import jax.numpy as jnp
+        s = self._img.siz
+        planes = self._img.decode()
+        chans = []
+        for c, pl in enumerate(planes):
+            depth, signed, _, _ = s.comps[c]
+            if not signed:
+                pl = pl + (1 << (depth - 1))  # DC level shift
+            lim = (1 << depth) - 1
+            pl = np.clip(pl, 0, lim)
+            if depth > 8:   # scale like OpenCV's 16->8 convention
+                pl = pl >> (depth - 8)
+            chans.append(pl.astype(np.uint8))
+        if self._nc >= 3:
+            px = np.stack([chans[2], chans[1], chans[0]]
+                          + ([chans[3]] if self._nc == 4 else []), axis=-1)
+        else:
+            px = chans[0][..., None]
+        fb.array = jnp.asarray(px)
+        fb.duration = 0.0
+        fb.x_offset = fb.y_offset = 0
+        self._decoded = True
+
+    def duration(self) -> float:
+        return 0.0
+
+    def loop_count(self) -> int:
+        return 0
+
+    def background_color(self):
+        return 0
+
+    def skip_frame(self) -> None:
+        raise NotImplementedError
+
+    def is_streamable(self) -> bool:
+        return False
+
+    def has_subtitles(self) -> bool:
+        return False
+
+    def video_codec(self) -> str:
+        return ""
+
+    def audio_codec(self) -> str:
+        return ""
+
+    def close(self) -> None:
+        pass
+
+
+class Jp2Encoder:
+    """JP2 encoder via PIL's OpenJPEG binding (the reference encodes
+    .jp2 through cv::ImageEncoder's OpenJPEG writer — same library).
+    Lossless 5/3 by default; JPEG2000_RATE (encode option key 1000) sets
+    an irreversible 9/7 rate target in 1/1000ths like OpenCV's
+    IMWRITE_JPEG2000_COMPRESSION_X1000."""
+
+    def __init__(self, decoded_by=None, icc_override=None):
+        del decoded_by, icc_override
+        self._flushed = False
+
+    def encode(self, fb, opts):
+        import io
+
+        from PIL import Image
+        if fb is None:
+            raise DecodingFailedError(
+                "JP2 encoder cannot flush without a frame")
+        arr = fb.to_numpy()
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        if arr.ndim == 3:
+            arr = arr[:, :, [2, 1, 0, 3]] if arr.shape[2] == 4 \
+                else arr[:, :, ::-1]
+        im = Image.fromarray(np.ascontiguousarray(arr))
+        bio = io.BytesIO()
+        rate = int(opts.get(JPEG2000_RATE, 0)) if opts else 0
+        if rate > 0:
+            im.save(bio, format="JPEG2000", irreversible=True,
+                    quality_mode="rates",
+                    quality_layers=[max(rate / 1000.0, 1.0)])
+        else:
+            im.save(bio, format="JPEG2000")
+        return bio.getvalue()
+
+    def close(self):
+        pass
+
+
+JPEG2000_RATE = 1000  # encode-option key (OpenCV X1000 analog)

@@ -1,0 +1,360 @@
+"""JPEG 2000 Tier-1 (EBCOT) codeblock decoder — reference implementation.
+
+MQ arithmetic decoder + the three coding passes (significance
+propagation, magnitude refinement, cleanup) per ISO/IEC 15444-1 Annexes
+C/D. This pure-Python form is the correctness oracle; the serving path
+dispatches to the C++ port in native/src/jp2_t1.cpp (same algorithm,
+cross-checked in tests/test_jp2.py) because per-bit Python is ~100x
+slower. Host-side by design: EBCOT is irreducibly serial entropy
+(SURVEY.md architecture stance), while the inverse wavelet runs on
+device (ops/wavelet.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Annex C, Table C-2: (Qe, NMPS, NLPS, SWITCH)
+MQ_STATES = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+# context indices (OpenJPEG numbering): 0..8 zero coding, 9..13 sign
+# coding, 14..16 magnitude refinement, 17 run-length (UNI... here:
+# RL=17, UNI=18)
+N_CTX = 19
+CTX_UNI = 18
+CTX_RL = 17
+CTX_MR = 14  # 14,15,16
+CTX_SC = 9   # 9..13
+
+
+class MQDecoder:
+    """Annex C software-conventions MQ decoder (matches OpenJPEG)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.bp = 0
+        b0 = data[0] if self.n else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c <<= 7
+        self.ct -= 7
+        self.a = 0x8000
+        # ctx state: (index, mps)
+        self.ctx = [(0, 0)] * N_CTX
+        self.ctx[CTX_UNI] = (46, 0)
+        self.ctx[CTX_RL] = (3, 0)
+        self.ctx[0] = (4, 0)
+
+    def _bytein(self):
+        d, n = self.data, self.n
+        bp = self.bp
+        if bp < n and d[bp] == 0xFF:
+            if bp + 1 >= n or d[bp + 1] > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += d[bp + 1] << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            nxt = d[bp + 1] if bp + 1 < n else 0xFF
+            self.c += nxt << 8
+            self.ct = 8
+
+    def decode(self, cx: int) -> int:
+        idx, mps = self.ctx[cx]
+        qe, nmps, nlps, sw = MQ_STATES[idx]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = mps
+                self.ctx[cx] = (nmps, mps)
+            else:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                self.ctx[cx] = (nlps, mps)
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                self.ctx[cx] = (nlps, mps)
+            else:
+                d = mps
+                self.ctx[cx] = (nmps, mps)
+        # renormalize
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+# zero-coding context tables (OpenJPEG lut_ctxno_zc equivalents),
+# computed from the spec rules per band orientation
+def _zc_context(band: int, h: int, v: int, d: int) -> int:
+    # band: 0=LL/LH-style (use h), 1=HL (swap h/v), 2=HH
+    if band == 1:
+        h, v = v, h
+    if band != 2:
+        if h == 2:
+            return 8
+        if h == 1:
+            if v >= 1:
+                return 7
+            return 6 if d >= 1 else 5
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return min(d, 2)
+    # HH
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if h + v >= 1 else 6
+    if d == 1:
+        if h + v >= 2:
+            return 5
+        return 4 if h + v == 1 else 3
+    if h + v >= 2:
+        return 2
+    return h + v  # 0 or 1
+
+
+def _sc_context(h0, h1, v0, v1):
+    """Sign-coding: returns (context 9..13, xorbit) from neighbor
+    significance/sign (each in {-1, 0, +1})."""
+    hc = min(max(h0 + h1, -1), 1)
+    vc = min(max(v0 + v1, -1), 1)
+    if hc == 1:
+        if vc == 1:
+            return 13, 0
+        if vc == 0:
+            return 12, 0
+        return 11, 0
+    if hc == 0:
+        if vc == 1:
+            return 10, 0
+        if vc == 0:
+            return 9, 0
+        return 10, 1
+    if vc == 1:
+        return 11, 1
+    if vc == 0:
+        return 12, 1
+    return 13, 1
+
+
+_C_READY = None
+
+
+def _native():
+    """C++ T1 entry (native/src/jp2_t1.cpp), or None. LILLIPUT_JP2_T1=py
+    forces the pure-Python reference path (used by the cross-check
+    tests)."""
+    global _C_READY
+    import os
+    if os.environ.get("LILLIPUT_JP2_T1") == "py":
+        return None
+    if _C_READY is None:
+        import ctypes as c
+
+        from .. import binding
+        u8p = c.POINTER(c.c_uint8)
+        i32p = c.POINTER(c.c_int32)
+        binding.register_signature(
+            "lp_jp2_t1_decode",
+            [u8p, c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+             c.c_int32, c.c_int32, i32p], c.c_int)
+        try:
+            lib = binding.load()
+            _C_READY = lib if hasattr(lib, "lp_jp2_t1_decode") else False
+        except Exception:
+            _C_READY = False
+    return _C_READY or None
+
+
+def decode_codeblock(data: bytes, w: int, h: int, band: int,
+                     missing_bitplanes: int, numpasses: int,
+                     mb: int) -> np.ndarray:
+    lib = _native()
+    if lib is not None:
+        import ctypes as c
+        arr = np.frombuffer(data, np.uint8) if data else \
+            np.zeros(1, np.uint8)
+        out = np.empty((h, w), np.int32)
+        rc = lib.lp_jp2_t1_decode(
+            arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(data),
+            w, h, band, missing_bitplanes, numpasses, mb,
+            out.ctypes.data_as(c.POINTER(c.c_int32)))
+        if rc == 0:
+            return out
+        # fall through to the Python reference on bad params
+    return _decode_codeblock_py(data, w, h, band, missing_bitplanes,
+                                numpasses, mb)
+
+
+def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
+                         missing_bitplanes: int, numpasses: int,
+                         mb: int) -> np.ndarray:
+    """Decode one codeblock to signed integer coefficients (h, w) int32.
+
+    band: 0 LL/LH, 1 HL, 2 HH (context orientation). mb: max magnitude
+    bitplanes for the subband (guard bits + exponent - 1);
+    missing_bitplanes: from the zero-bitplane tag tree. Default codeblock
+    style only (no bypass/reset/termall/vsc/segsym) — what OpenJPEG and
+    the PIL encoder emit by default."""
+    mag = np.zeros((h, w), np.int32)
+    sig = np.zeros((h, w), np.uint8)    # significant
+    sgn = np.zeros((h, w), np.int8)     # sign: +1 / -1 once significant
+    vis = np.zeros((h, w), np.uint8)    # coded in current bitplane
+    mq = MQDecoder(data)
+    nb = mb - missing_bitplanes  # number of bitplanes actually coded
+    if nb <= 0 or numpasses <= 0:
+        return mag
+
+    def neigh_sig(x, y):
+        hn = ((sig[y, x - 1] if x > 0 else 0)
+              + (sig[y, x + 1] if x + 1 < w else 0))
+        vn = ((sig[y - 1, x] if y > 0 else 0)
+              + (sig[y + 1, x] if y + 1 < h else 0))
+        dn = ((sig[y - 1, x - 1] if x > 0 and y > 0 else 0)
+              + (sig[y - 1, x + 1] if x + 1 < w and y > 0 else 0)
+              + (sig[y + 1, x - 1] if x > 0 and y + 1 < h else 0)
+              + (sig[y + 1, x + 1] if x + 1 < w and y + 1 < h else 0))
+        return hn, vn, dn
+
+    def decode_sign(x, y):
+        def sv(xx, yy):
+            if 0 <= xx < w and 0 <= yy < h and sig[yy, xx]:
+                return int(sgn[yy, xx])
+            return 0
+        cx, xorbit = _sc_context(sv(x - 1, y), sv(x + 1, y),
+                                 sv(x, y - 1), sv(x, y + 1))
+        bit = mq.decode(cx) ^ xorbit
+        sgn[y, x] = -1 if bit else 1
+
+    def spp(p):
+        bit = 1 << p
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if sig[y, x]:
+                        continue
+                    hn, vn, dn = neigh_sig(x, y)
+                    if hn + vn + dn == 0:
+                        continue
+                    vis[y, x] = 1
+                    if mq.decode(_zc_context(band, hn, vn, dn)):
+                        sig[y, x] = 1
+                        mag[y, x] |= bit
+                        decode_sign(x, y)
+
+    def mrp(p, first_ref):
+        # OpenJPEG context rule: refinement ctx 14 (no sig neighbors) /
+        # 15 (some) on the FIRST refinement of a sample, 16 afterwards
+        bit = 1 << p
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if not sig[y, x] or vis[y, x]:
+                        continue
+                    if first_ref[y, x]:
+                        hn, vn, dn = neigh_sig(x, y)
+                        cx = 15 if hn + vn + dn else 14
+                        first_ref[y, x] = 0
+                    else:
+                        cx = 16
+                    if mq.decode(cx):
+                        mag[y, x] |= bit
+                    vis[y, x] = 1
+
+    def cleanup(p):
+        bit = 1 << p
+        for y0 in range(0, h, 4):
+            x = 0
+            while x < w:
+                y = y0
+                # run-length mode: whole 4-column unvisited & insignificant
+                # with no significant neighbors
+                if (y0 + 4 <= h):
+                    runlen_ok = True
+                    for yy in range(y0, y0 + 4):
+                        if sig[yy, x] or vis[yy, x]:
+                            runlen_ok = False
+                            break
+                        hn, vn, dn = neigh_sig(x, yy)
+                        if hn + vn + dn:
+                            runlen_ok = False
+                            break
+                    if runlen_ok:
+                        if not mq.decode(CTX_RL):
+                            x += 1
+                            continue
+                        r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
+                        y = y0 + r
+                        # first significant sample of the run
+                        sig[y, x] = 1
+                        mag[y, x] |= bit
+                        decode_sign(x, y)
+                        y += 1
+                for yy in range(y, min(y0 + 4, h)):
+                    if sig[yy, x] or vis[yy, x]:
+                        vis[yy, x] = 0
+                        continue
+                    hn, vn, dn = neigh_sig(x, yy)
+                    if mq.decode(_zc_context(band, hn, vn, dn)):
+                        sig[yy, x] = 1
+                        mag[yy, x] |= bit
+                        decode_sign(x, yy)
+                x += 1
+        vis[:] = 0
+
+    first_ref = np.ones((h, w), np.uint8)
+    # first pass (MSB plane) is cleanup; then [SPP, MRP, CP] per plane
+    cleanup(nb - 1)
+    passno = 1
+    seq = []
+    for pp in range(nb - 2, -1, -1):
+        seq += [("spp", pp), ("mrp", pp), ("cp", pp)]
+    for kind, plane in seq:
+        if passno >= numpasses:
+            break
+        if kind == "spp":
+            spp(plane)
+        elif kind == "mrp":
+            mrp(plane, first_ref)
+        else:
+            cleanup(plane)
+        passno += 1
+    return mag * np.where(sgn < 0, -1, 1).astype(np.int32)

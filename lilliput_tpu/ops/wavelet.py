@@ -1,0 +1,159 @@
+"""Inverse discrete wavelet transforms + multi-component transforms for
+JPEG 2000 (ISO/IEC 15444-1 Annex F/G).
+
+The dense synthesis stages of the JP2 decode: 5/3 reversible integer
+lifting, 9/7 irreversible float lifting, and the inverse RCT/ICT — all
+vectorized (whole-axis shifted-index ops, no per-sample loops). They
+take and return numpy: the T1/T2 host stages feed them tile-by-tile and
+JP2 is a fallthrough format with no serving pipeline, so host numpy
+beats paying an XLA dispatch per lifting step at these sizes; the
+formulation is deliberately index-shift based so it ports to jnp
+unchanged if a batched JP2 path ever materializes.
+
+Citations: reference decodes JP2 through OpenCV's OpenJPEG build
+(/root/reference/deps/build-deps-linux.sh:289, opencv.cpp:93-102).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# CDF 9/7 lifting constants (Table F.4)
+ALPHA = -1.586134342059924
+BETA = -0.052980118572961
+GAMMA = 0.882911075530934
+DELTA = 0.443506852043971
+KK = 1.230174104914001
+
+
+def _sym_ext_idx(i: np.ndarray, n: int) -> np.ndarray:
+    """Symmetric (whole-point) extension indices for a length-n signal."""
+    if n == 1:
+        return np.zeros_like(i)
+    period = 2 * (n - 1)
+    j = np.abs(i) % period
+    return np.where(j >= n, period - j, j)
+
+
+def _sr_1d_53(y, axis: int, i0: int, i1: int):
+    """Reversible 1D synthesis (F.3.8.2) on interleaved Y covering
+    absolute indices [i0, i1); integer lifting, numpy only."""
+    n = i1 - i0
+    if n == 1:
+        return y // 2 if (i0 & 1) else y
+    y = np.moveaxis(y, axis, -1)
+    idx_abs = np.arange(i0, i1)
+
+    def at(j_abs):
+        # symmetric extension in ABSOLUTE index space over [i0, i1)
+        rel = _sym_ext_idx(j_abs - i0, n)
+        return y[..., rel]
+
+    # X(2n) = Y(2n) - floor((Y(2n-1) + Y(2n+1) + 2) / 4)
+    even_abs = idx_abs[(idx_abs % 2) == 0]
+    x = y.astype(np.int64).copy()
+    lo_upd = at(even_abs - 1).astype(np.int64) \
+        + at(even_abs + 1).astype(np.int64)
+    x[..., even_abs - i0] = y[..., even_abs - i0] - ((lo_upd + 2) >> 2)
+    # X(2n+1) = Y(2n+1) + floor((X(2n) + X(2n+2)) / 2)
+    odd_abs = idx_abs[(idx_abs % 2) == 1]
+
+    def at_x(j_abs):
+        rel = _sym_ext_idx(j_abs - i0, n)
+        return x[..., rel]
+
+    hi_upd = at_x(odd_abs - 1) + at_x(odd_abs + 1)
+    x[..., odd_abs - i0] = y[..., odd_abs - i0] + (hi_upd >> 1)
+    return np.moveaxis(x, -1, axis)
+
+
+def _sr_1d_97(y, axis: int, i0: int, i1: int):
+    """Irreversible 1D synthesis (F.4.8.2): scale + 4 lifting steps."""
+    n = i1 - i0
+    y = np.moveaxis(np.asarray(y, np.float64), axis, -1)
+    if n == 1:
+        out = y * (1.0 if (i0 & 1) == 0 else 1.0)
+        return np.moveaxis(out, -1, axis)
+    idx_abs = np.arange(i0, i1)
+    even_m = (idx_abs % 2) == 0
+    x = y.copy()
+    x[..., even_m] *= KK
+    x[..., ~even_m] *= 1.0 / KK
+
+    def lift(target_parity, coef):
+        tgt = idx_abs[(idx_abs % 2) == target_parity]
+        rel_m = _sym_ext_idx(tgt - 1 - i0, n)
+        rel_p = _sym_ext_idx(tgt + 1 - i0, n)
+        x[..., tgt - i0] += coef * (x[..., rel_m] + x[..., rel_p])
+
+    # STEP3/4/5/6 of F.4.8.2.1 (synthesis reverses analysis order)
+    lift(0, -DELTA)
+    lift(1, -GAMMA)
+    lift(0, -BETA)
+    lift(1, -ALPHA)
+    return np.moveaxis(x, -1, axis)
+
+
+def inverse_dwt_level(ll, hl, lh, hh, ll_rect, out_rect, reversible: bool):
+    """One 2D_SR level: (LL of res r-1, HL, LH, HH of level) -> LL of
+    res r. ll_rect/out_rect are (x0, y0, x1, y1) in resolution
+    coordinates (out) — the parity of out_rect's origin controls the
+    lifting phase (F.3.2)."""
+    x0, y0, x1, y1 = out_rect
+    w, h = x1 - x0, y1 - y0
+    dtype = np.int64 if reversible else np.float64
+    Y = np.zeros((h, w), dtype)
+    # 2D_INTERLEAVE (F.3.3): LL at (even, even) absolute coords
+    xs = np.arange(x0, x1)
+    ys = np.arange(y0, y1)
+    ex = (xs % 2) == 0
+    ey = (ys % 2) == 0
+    # subband index ranges
+    lx = (xs[ex] - (x0 + (x0 & 1))) // 2
+    # lowpass x index m for absolute 2m: m - ceil(x0/2)
+    mx = xs[ex] // 2 - ((x0 + 1) // 2)
+    hx = xs[~ex] // 2 - (x0 // 2)
+    my = ys[ey] // 2 - ((y0 + 1) // 2)
+    hy = ys[~ey] // 2 - (y0 // 2)
+    del lx
+    iy_e = np.nonzero(ey)[0][:, None]
+    iy_o = np.nonzero(~ey)[0][:, None]
+    ix_e = np.nonzero(ex)[0][None, :]
+    ix_o = np.nonzero(~ex)[0][None, :]
+    if ll.size:
+        Y[iy_e, ix_e] = np.asarray(ll, dtype)[my[:, None], mx[None, :]] \
+            if my.size and mx.size else 0
+    if hl.size and my.size and hx.size:
+        Y[iy_e, ix_o] = np.asarray(hl, dtype)[my[:, None], hx[None, :]]
+    if lh.size and hy.size and mx.size:
+        Y[iy_o, ix_e] = np.asarray(lh, dtype)[hy[:, None], mx[None, :]]
+    if hh.size and hy.size and hx.size:
+        Y[iy_o, ix_o] = np.asarray(hh, dtype)[hy[:, None], hx[None, :]]
+    sr = _sr_1d_53 if reversible else _sr_1d_97
+    # HOR_SR then VER_SR (F.3.5/F.3.6/F.3.7)
+    Y = sr(Y, -1, x0, x1)
+    Y = sr(Y, -2, y0, y1)
+    return Y
+
+
+def inverse_rct(y, u, v):
+    """Inverse reversible color transform (G.2): int arithmetic."""
+    y = np.asarray(y, np.int64)
+    u = np.asarray(u, np.int64)
+    v = np.asarray(v, np.int64)
+    g = y - ((u + v) >> 2)
+    r = v + g
+    b = u + g
+    return r, g, b
+
+
+def inverse_ict(y, cb, cr):
+    """Inverse irreversible color transform (G.3): BT.601 floats."""
+    y = np.asarray(y, np.float64)
+    cb = np.asarray(cb, np.float64)
+    cr = np.asarray(cr, np.float64)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return (np.rint(r).astype(np.int64), np.rint(g).astype(np.int64),
+            np.rint(b).astype(np.int64))

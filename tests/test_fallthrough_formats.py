@@ -241,9 +241,12 @@ def test_pfm_saturation():
     np.testing.assert_array_equal(_decode(buf), [[0, 0, 1, 255]])
 
 
-# -- JPEG 2000 stance ---------------------------------------------------------
+# -- JPEG 2000 ----------------------------------------------------------------
+# real decoding lives in codecs/jp2.py + tests/test_jp2.py (round 3); the
+# dispatch contract here: JP2/J2K magic routes to the decoder, and garbage
+# with valid magic still fails with a typed, format-specific error
 
-def test_jpeg2000_typed_error():
+def test_jpeg2000_garbage_typed_error():
     jp2 = b"\x00\x00\x00\x0cjP  \r\n\x87\n" + b"\x00" * 64
     with pytest.raises(InvalidImageError, match="JPEG 2000"):
         new_decoder(jp2)

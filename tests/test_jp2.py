@@ -1,0 +1,182 @@
+"""JPEG 2000 decoder tests — the last reference-capability gap closed.
+
+Oracles: PIL's OpenJPEG binding (encoder + decoder) and cv2's OpenJPEG
+decoder — cv2 IS the reference's decode path (the reference compiles
+OpenJPEG into OpenCV, deps/build-deps-linux.sh:289 -> opencv.cpp:93-102).
+Lossless (5/3 reversible) must be BIT-EXACT; lossy (9/7) is PSNR-gated
+(and in practice bit-exact without MCT). The C++ Tier-1
+(native/src/jp2_t1.cpp) is cross-checked against the pure-Python
+reference (codecs/jp2_t1.py)."""
+
+import io
+
+import numpy as np
+import pytest
+
+PIL_Image = pytest.importorskip("PIL.Image")
+from PIL import features  # noqa: E402
+
+if not features.check("jpg_2000"):
+    pytest.skip("PIL lacks JPEG 2000", allow_module_level=True)
+
+from lilliput_tpu import (ImageOps, ImageOptions, ResizeMethod,  # noqa: E402
+                          new_decoder, new_encoder)
+from lilliput_tpu.errors import InvalidImageError  # noqa: E402
+from lilliput_tpu.framebuffer import Framebuffer  # noqa: E402
+
+
+def _enc(img, **kw):
+    bio = io.BytesIO()
+    PIL_Image.fromarray(img).save(bio, format="JPEG2000", **kw)
+    return bio.getvalue()
+
+
+def _dec(b):
+    d = new_decoder(b)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    return fb.to_numpy()
+
+
+def _pil(b):
+    return np.array(PIL_Image.open(io.BytesIO(b)))
+
+
+def _psnr(a, b):
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize("wh", [(64, 64), (63, 61), (17, 13), (200, 3),
+                                (1, 1), (5, 257)], ids=str)
+def test_lossless_rgb_bit_exact(wh):
+    w, h = wh
+    img = np.random.default_rng(hash(wh) % 2**32).integers(
+        0, 256, (h, w, 3), np.uint8)
+    b = _enc(img)
+    got = _dec(b)[:, :, :3]
+    np.testing.assert_array_equal(got, _pil(b)[:, :, ::-1])
+
+
+def test_lossless_matches_cv2_reference_path():
+    import cv2
+    img = np.random.default_rng(2).integers(0, 256, (70, 66, 3), np.uint8)
+    b = _enc(img)
+    ref = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(_dec(b)[:, :, :3], ref)  # BGR, bit-exact
+
+
+def test_gray_alpha_mct_tiles_raw():
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (50, 70), np.uint8)
+    b = _enc(g)
+    np.testing.assert_array_equal(_dec(b)[:, :, 0], _pil(b))
+    rgba = rng.integers(0, 256, (40, 44, 4), np.uint8)
+    b = _enc(rgba)
+    np.testing.assert_array_equal(_dec(b), _pil(b)[:, :, [2, 1, 0, 3]])
+    img = rng.integers(0, 256, (40, 40, 3), np.uint8)
+    b = _enc(img, mct=1)  # reversible color transform
+    np.testing.assert_array_equal(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1])
+    b = _enc(rng.integers(0, 256, (100, 90, 3), np.uint8),
+             tile_size=(32, 32))
+    np.testing.assert_array_equal(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1])
+    b = _enc(img, no_jp2=True)  # raw codestream (.j2k)
+    assert b[:4] == b"\xff\x4f\xff\x51"
+    np.testing.assert_array_equal(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1])
+
+
+@pytest.mark.parametrize("prog", ["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"])
+def test_progression_orders(prog):
+    img = np.random.default_rng(4).integers(0, 256, (70, 66, 3), np.uint8)
+    b = _enc(img, progression=prog)
+    np.testing.assert_array_equal(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1])
+
+
+def test_lossy_97():
+    rng = np.random.default_rng(5)
+    base = (np.mgrid[0:80, 0:96][0] * 3 % 256).astype(np.uint8)
+    img = np.stack([base, base, 255 - base], -1)
+    b = _enc(img, irreversible=True, quality_mode="rates",
+             quality_layers=[10])
+    got = _dec(b)[:, :, :3]
+    ref = _pil(b)[:, :, ::-1]
+    assert _psnr(got, ref) >= 50  # in practice bit-exact without MCT
+    b = _enc(img, irreversible=True, mct=1, quality_mode="rates",
+             quality_layers=[10])
+    assert _psnr(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1]) >= 45
+    # multiple layers
+    b = _enc(img, quality_mode="rates", quality_layers=[40, 10, 1])
+    np.testing.assert_array_equal(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1])
+
+
+def test_precincts():
+    img = np.random.default_rng(6).integers(0, 256, (70, 66, 3), np.uint8)
+    b = _enc(img, precinct_size=(64, 64))
+    np.testing.assert_array_equal(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1])
+
+
+def test_cpp_t1_matches_python_reference(monkeypatch):
+    img = np.random.default_rng(7).integers(0, 256, (120, 100, 3), np.uint8)
+    b = _enc(img, irreversible=True, quality_mode="rates",
+             quality_layers=[8])
+    fast = _dec(b)
+    monkeypatch.setenv("LILLIPUT_JP2_T1", "py")
+    slow = _dec(b)
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_transform_jp2_to_jpeg_and_back():
+    # end-to-end through the reference Transform loop, both directions
+    img = np.random.default_rng(8).integers(0, 256, (60, 80, 3), np.uint8)
+    b = _enc(img)
+    out = ImageOps(8192).transform(new_decoder(b), ImageOptions(
+        file_type=".jpeg", width=40, height=30,
+        resize_method=ResizeMethod.FIT, encode_timeout=300.0))
+    assert out[:2] == b"\xff\xd8"
+    # encode: any decoded frame -> .jp2 (PIL/OpenJPEG writer), lossless
+    fb = Framebuffer.from_array(img)
+    jp2 = new_encoder(".jp2").encode(fb, {})
+    assert jp2.startswith(b"\x00\x00\x00\x0cjP")
+    np.testing.assert_array_equal(_dec(jp2)[:, :, :3], img)
+
+
+def test_header_and_metadata():
+    img = np.random.default_rng(9).integers(0, 256, (33, 47, 3), np.uint8)
+    d = new_decoder(_enc(img))
+    h = d.header()
+    assert (h.width, h.height, h.channels) == (47, 33, 3)
+    assert d.description() == "JP2"
+    assert d.duration() == 0.0
+    fb = Framebuffer()
+    d.decode_to(fb)
+    with pytest.raises(EOFError):
+        d.decode_to(fb)
+
+
+def test_malformed_typed_errors():
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    with pytest.raises(InvalidImageError):
+        new_decoder(sig + b"\x00" * 64)  # no codestream box
+    with pytest.raises(InvalidImageError):
+        new_decoder(b"\xff\x4f\xff\x51" + b"\x00" * 64)  # garbage SIZ
+    # truncated real file fails loudly, not silently
+    img = np.random.default_rng(10).integers(0, 256, (40, 40, 3), np.uint8)
+    b = _enc(img)
+    with pytest.raises(Exception):
+        _dec(b[:len(b) // 2])
+
+
+def test_fuzz_total():
+    """Decoder construction/decode is total over mutated input: typed
+    errors or clean decode, never a crash/hang."""
+    img = np.random.default_rng(11).integers(0, 256, (32, 32, 3), np.uint8)
+    b = bytearray(_enc(img))
+    rng = np.random.default_rng(12)
+    for _ in range(60):
+        m = bytearray(b)
+        for _ in range(rng.integers(1, 6)):
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        try:
+            _dec(bytes(m))
+        except Exception:
+            pass

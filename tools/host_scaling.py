@@ -203,7 +203,11 @@ if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
     buf = _init_fixture()
-    out = measure(buf)
+    per_proc = int(os.environ.get("HS_PER_PROC", "24"))
+    procs = tuple(int(x) for x in
+                  os.environ.get("HS_PROCS", "1,2,4,8").split(","))
+    out = measure(buf, per_proc=per_proc, proc_counts=procs,
+                  ship_probe=os.environ.get("HS_SHIP", "1") != "0")
     out["crossover_cores_example"] = crossover_cores(
         out, {"rgb_parity_5.2k": 5265, "ycc_direct_16.7k": 16749})
     print(json.dumps(out))
