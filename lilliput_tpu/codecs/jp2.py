@@ -524,28 +524,52 @@ class Jp2Image:
         for (l, r, c, p) in order:
             br = self._read_packet(br, comps[c][r], l, p, cod)
 
-        # Tier-1 + dequant + wavelet per component
+        # Tier-1 (parallel across codeblocks: the C++ decoder releases
+        # the GIL through ctypes, so a thread pool scales EBCOT across
+        # host cores — the same concurrency model as the JPEG shim's
+        # entropy stages) + dequant + wavelet per component
+        t1_jobs = []
+        for c in range(ncomp):
+            qc = self._qcd_for(c)
+            for res in comps[c]:
+                for b in res["bands"]:
+                    mb = qc.guard + b.eps - 1
+                    for cb in b.cblks:
+                        if cb.numpasses and cb.data:
+                            t1_jobs.append((cb, b, mb))
+        results: Dict[int, np.ndarray] = {}
+
+        def one(job):
+            cb, b, mb = job
+            results[id(cb)] = t1mod.decode_codeblock(
+                cb.data, cb.x1 - cb.x0, cb.y1 - cb.y0,
+                (0, 1, 0, 2)[b.orient], cb.zero_planes, cb.numpasses, mb)
+
+        nw = min(len(t1_jobs), (__import__("os").cpu_count() or 1) * 2)
+        if nw > 1 and len(t1_jobs) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(nw) as ex:
+                list(ex.map(one, t1_jobs))
+        else:
+            for job in t1_jobs:
+                one(job)
+
         out = []
         reversible = cod.transform == 1
-        q = None
         for c in range(ncomp):
             depth = s.comps[c][0]
             qc = self._qcd_for(c)
             res_list = comps[c]
-            # decode codeblocks into band arrays per resolution
+            # assemble band arrays per resolution
             ll = None
             for r, res in enumerate(res_list):
                 band_arrays = []
                 for b in res["bands"]:
                     arr = np.zeros((b.y1 - b.y0, b.x1 - b.x0), np.int64)
-                    mb = qc.guard + b.eps - 1
                     for cb in b.cblks:
-                        if not cb.numpasses or not cb.data:
+                        coef = results.get(id(cb))
+                        if coef is None:
                             continue
-                        coef = t1mod.decode_codeblock(
-                            cb.data, cb.x1 - cb.x0, cb.y1 - cb.y0,
-                            (0, 1, 0, 2)[b.orient], cb.zero_planes,
-                            cb.numpasses, mb)
                         arr[cb.y0 - b.y0:cb.y1 - b.y0,
                             cb.x0 - b.x0:cb.x1 - b.x0] = coef
                     if not reversible:
