@@ -202,7 +202,40 @@ def main():
         return K.encode_from_bgr_planes(out[0], out[1], out[2], eqy, eqc,
                                         subsample=True)
 
+    from lilliput_tpu.pipeline import fused_jpeg_fit_transcode_ycc
+
+    def ycc_full(y, cbc, crc, qy, qc, eqy, eqc):
+        return fused_jpeg_fit_transcode_ycc(
+            y, cbc, crc, qy, qc, eqy, eqc, src_w=g.width, src_h=g.height,
+            dst_w=256, dst_h=256, window=win)
+
+    def ycc_luma_idct(y, cbc, crc, qy, qc, eqy, eqc):
+        return (K.dequant_idct_u8(y, qy),)
+
+    def ycc_luma_idct_resize(y, cbc, crc, qy, qc, eqy, eqc):
+        y8 = K.dequant_idct_u8(y, qy)
+        mwl = R.area_matrix_embedded(y8.shape[-1], left - x0, w, 256)
+        mhl = R.area_matrix_embedded(y8.shape[-2], top - y0, h, 256)
+        return (jnp.clip(jnp.round(
+            R.resize_area_plane_mat(y8, mwl, mhl)), 0, 255),)
+
+    def ycc_chroma_only(y, cbc, crc, qy, qc, eqy, eqc):
+        out = []
+        for pl in (cbc, crc):
+            p8 = K.dequant_idct_u8(pl, qc)
+            mat_w = R.area_axis_matrix_scaled(p8.shape[-1], 128,
+                                              w / 256, (left - x0) / 2)
+            mat_h = R.area_axis_matrix_scaled(p8.shape[-2], 128,
+                                              h / 256, (top - y0) / 2)
+            out.append(jnp.clip(jnp.round(
+                R.resize_area_plane_mat(p8, mat_w, mat_h)), 0, 255))
+        return tuple(out)
+
     stages = {
+        "ycc_full": (chained(ycc_full), args),
+        "ycc_luma_idct": (chained(ycc_luma_idct), args),
+        "ycc_luma_idct_resize": (chained(ycc_luma_idct_resize), args),
+        "ycc_chroma_only": (chained(ycc_chroma_only), args),
         "mxu_planes_i16": (chained(mxu_planes_i16), args),
         "mxu_decode_resize": (chained(mxu_decode_resize), args),
         "mxu_full": (chained(mxu_full), args),
