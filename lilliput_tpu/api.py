@@ -41,12 +41,10 @@ def is_jpeg(buf: bytes) -> bool:
     return len(buf) >= 3 and buf[0] == 0xFF and buf[1] == 0xD8 and buf[2] == 0xFF
 
 
-_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"   # JP2 container signature box
-_J2K_SOC = b"\xff\x4f\xff\x51"                 # raw codestream SOC+SIZ
-
-
 def is_jpeg2000(buf: bytes) -> bool:
-    return buf.startswith(_JP2_SIG) or buf.startswith(_J2K_SOC)
+    # single source of truth for the JP2/J2K magic: the codec module
+    from .codecs.jp2 import is_jp2
+    return is_jp2(buf)
 
 
 def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:

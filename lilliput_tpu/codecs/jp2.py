@@ -85,15 +85,12 @@ class _BitReader:
         return v
 
     def align(self) -> int:
-        """Flush to byte boundary (incl. the stuffed bit after 0xFF)."""
+        """Flush to byte boundary. When the final header byte was 0xFF,
+        the encoder emitted a stuffing byte after it (B.10.1) — consume
+        it too, like opj_bio_inalign does."""
         self.nbits = 0
         if self.last == 0xFF:
-            # the next byte is a stuffing byte slot: consume it only if
-            # it is the stuffed 0 (spec: an 0xFF is always followed by a
-            # byte whose MSB is 0 inside headers)
-            if self.pos < len(self.d) and self.d[self.pos] == 0x00 \
-                    and False:
-                self.pos += 1
+            self.pos += 1
         self.last = 0
         return self.pos
 
@@ -233,6 +230,13 @@ def _parse_cod(seg: bytes) -> _Cod:
     c.cbh = (seg[7] & 0x0F) + 2
     c.cblk_style = seg[8]
     c.transform = seg[9]  # 0 = 9/7 irreversible, 1 = 5/3 reversible
+    if c.scod & 0x06:
+        raise InvalidImageError(
+            "JPEG 2000: SOP/EPH markers unsupported")
+    if c.cbw > 12 or c.cbh > 12 or c.cbw + c.cbh > 12:
+        raise InvalidImageError(
+            "JPEG 2000: invalid codeblock exponents (xcb+ycb must be "
+            "<= 12, B.7)")
     if c.prog > 4:
         raise InvalidImageError(
             f"JPEG 2000: invalid progression order {c.prog}")
@@ -244,6 +248,8 @@ def _parse_cod(seg: bytes) -> _Cod:
     c.precw = [15] * (c.levels + 1)
     c.prech = [15] * (c.levels + 1)
     if c.scod & 1:  # user precincts
+        if len(seg) < 11 + c.levels:
+            raise InvalidImageError("JPEG 2000: truncated COD precincts")
         for r in range(c.levels + 1):
             pp = seg[10 + r]
             c.precw[r] = pp & 0x0F
@@ -325,11 +331,11 @@ class Jp2Image:
             elif marker == b"\xff\x52":
                 self.cod = _parse_cod(seg)
             elif marker == b"\xff\x53":  # COC
-                if self.cod is None:
-                    raise InvalidImageError("JPEG 2000: COC before COD")
+                if self.cod is None or not seg:
+                    raise InvalidImageError("JPEG 2000: bad COC placement")
                 # minimal: component index then SPcoc mirrors COD SPcod
                 ci = seg[0] if (self.siz and self.siz.csiz < 257) else \
-                    struct.unpack(">H", seg[0:2])[0]
+                    struct.unpack(">H", seg[0:2])[0] if len(seg) >= 2 else 0
                 raise InvalidImageError(
                     "JPEG 2000: per-component coding styles (COC) "
                     f"unsupported (component {ci})")
@@ -534,6 +540,13 @@ class Jp2Image:
             for res in comps[c]:
                 for b in res["bands"]:
                     mb = qc.guard + b.eps - 1
+                    if mb > 31:
+                        # no legitimate profile reaches this (precision
+                        # <=16 + band gain + guard bits); int32 magnitudes
+                        # cap the decodable range
+                        raise InvalidImageError(
+                            f"JPEG 2000: magnitude bitplanes exceed 31 "
+                            f"(Mb={mb})")
                     for cb in b.cblks:
                         if cb.numpasses and cb.data:
                             t1_jobs.append((cb, b, mb))
@@ -722,6 +735,8 @@ def _extract_codestream(buf: bytes) -> Tuple[bytes, dict]:
         typ = buf[i + 4:i + 8]
         off = 8
         if ln == 1:
+            if i + 16 > n:
+                raise InvalidImageError("JPEG 2000: truncated box header")
             ln = struct.unpack(">Q", buf[i + 8:i + 16])[0]
             off = 16
         if ln == 0:
@@ -762,7 +777,7 @@ class Jp2Decoder(Decoder):
 
     def header(self) -> ImageHeader:
         return ImageHeader(width=self._w, height=self._h,
-                           channels=self._nc,
+                           channels=4 if self._nc == 2 else self._nc,
                            orientation=ImageOrientation.TOP_LEFT,
                            num_frames=1, content_length=len(self._buf))
 
@@ -781,8 +796,10 @@ class Jp2Decoder(Decoder):
         chans = []
         for c, pl in enumerate(planes):
             depth, signed, _, _ = s.comps[c]
-            if not signed:
-                pl = pl + (1 << (depth - 1))  # DC level shift
+            # unsigned: undo the DC level shift; signed: same offset maps
+            # [-2^(d-1), 2^(d-1)) onto the unsigned range the way
+            # OpenCV's grfmt_jpeg2000 renders signed components
+            pl = pl + (1 << (depth - 1))
             lim = (1 << depth) - 1
             pl = np.clip(pl, 0, lim)
             if depth > 8:   # scale like OpenCV's 16->8 convention
@@ -791,6 +808,9 @@ class Jp2Decoder(Decoder):
         if self._nc >= 3:
             px = np.stack([chans[2], chans[1], chans[0]]
                           + ([chans[3]] if self._nc == 4 else []), axis=-1)
+        elif self._nc == 2:  # gray+alpha -> BGRA (the PNG decoder's form)
+            px = np.stack([chans[0], chans[0], chans[0], chans[1]],
+                          axis=-1)
         else:
             px = chans[0][..., None]
         fb.array = jnp.asarray(px)

@@ -217,9 +217,19 @@ def decode_codeblock(data: bytes, w: int, h: int, band: int,
             arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(data),
             w, h, band, missing_bitplanes, numpasses, mb,
             out.ctypes.data_as(c.POINTER(c.c_int32)))
-        if rc == 0:
-            return out
-        # fall through to the Python reference on bad params
+        if rc != 0:
+            # out-of-bounds geometry/bitplanes: fail loudly rather than
+            # silently crawling through the 100x-slower Python path (the
+            # caller validates Mb<=31 and xcb+ycb<=12 upstream, so this
+            # only trips on inputs outside the decodable profile)
+            from ..errors import DecodingFailedError
+            raise DecodingFailedError(
+                f"JPEG 2000: codeblock outside decodable profile ({rc})")
+        return out
+    if mb - missing_bitplanes > 31:
+        from ..errors import DecodingFailedError
+        raise DecodingFailedError(
+            "JPEG 2000: magnitude bitplanes exceed 31")
     return _decode_codeblock_py(data, w, h, band, missing_bitplanes,
                                 numpasses, mb)
 

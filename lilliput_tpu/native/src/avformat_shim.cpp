@@ -219,7 +219,15 @@ void lp_av_get_info(void* h, lp_av_info* out) {
         AVDictionaryEntry* rot_tag =
             av_dict_get(st->metadata, "rotate", nullptr, 0);
         if (rot_tag && rot_tag->value && rot_tag->value[0]) {
-            out->orientation = rotation_to_orientation(atoi(rot_tag->value));
+            // reference parity (avcodec.cpp:450-461): the tag value maps
+            // ONLY on exactly 90/180/270; anything else (negative,
+            // non-quadrant) stays upright — no normalization, no sectors
+            switch (atoi(rot_tag->value)) {
+                case 90: out->orientation = 6; break;
+                case 180: out->orientation = 3; break;
+                case 270: out->orientation = 8; break;
+                default: break;
+            }
         } else {
             size_t sd_size = 0;
             const uint8_t* sd = av_stream_get_side_data(

@@ -40,7 +40,11 @@ def _sr_1d_53(y, axis: int, i0: int, i1: int):
     absolute indices [i0, i1); integer lifting, numpy only."""
     n = i1 - i0
     if n == 1:
-        return y // 2 if (i0 & 1) else y
+        if i0 & 1:
+            # single odd-phase sample: OpenJPEG does S(0) /= 2 with C
+            # truncation toward zero (NOT floor) — matters for negatives
+            return np.trunc(np.asarray(y, np.float64) / 2).astype(np.int64)
+        return y
     y = np.moveaxis(y, axis, -1)
     idx_abs = np.arange(i0, i1)
 
@@ -72,7 +76,10 @@ def _sr_1d_97(y, axis: int, i0: int, i1: int):
     n = i1 - i0
     y = np.moveaxis(np.asarray(y, np.float64), axis, -1)
     if n == 1:
-        out = y * (1.0 if (i0 & 1) == 0 else 1.0)
+        # single-sample irreversible signal: even phase passes through,
+        # odd phase (a lone highpass coefficient) halves — the float
+        # analog of the reversible rule above
+        out = y if (i0 & 1) == 0 else y * 0.5
         return np.moveaxis(out, -1, axis)
     idx_abs = np.arange(i0, i1)
     even_m = (idx_abs % 2) == 0

@@ -1050,6 +1050,13 @@ class MultiGeometryPipeline:
 
         Returns {"warmed": n, "compiled_new": n_new, "seconds": s}."""
         import time as _time
+        specs = list(specs)
+        if len(specs) > self.max_geometries:
+            raise ValueError(
+                f"warm set of {len(specs)} geometries exceeds "
+                f"max_geometries={self.max_geometries}: earlier entries "
+                "would be LRU-evicted during warming — raise "
+                "max_geometries to cover the expected set")
         t0 = _time.time()
         before = len(self._pipes)
         n = 0

@@ -180,3 +180,57 @@ def test_fuzz_total():
             _dec(bytes(m))
         except Exception:
             pass
+
+
+def test_gray_alpha_expands_to_bgra():
+    """csiz=2 (gray+alpha) decodes like the PNG decoder's LA handling:
+    BGRA with the gray plane broadcast, header reports 4 channels."""
+    la = np.random.default_rng(13).integers(0, 256, (20, 24, 2), np.uint8)
+    bio = io.BytesIO()
+    PIL_Image.fromarray(la, mode="LA").save(bio, format="JPEG2000")
+    b = bio.getvalue()
+    d = new_decoder(b)
+    assert d.header().channels == 4
+    fb = Framebuffer()
+    d.decode_to(fb)
+    got = fb.to_numpy()
+    assert got.shape == (20, 24, 4)
+    ref = np.array(PIL_Image.open(io.BytesIO(b)).convert("LA"))
+    np.testing.assert_array_equal(got[:, :, 0], ref[:, :, 0])
+    np.testing.assert_array_equal(got[:, :, 1], ref[:, :, 0])
+    np.testing.assert_array_equal(got[:, :, 3], ref[:, :, 1])
+
+
+def _patch_marker(b: bytes, marker: bytes, offset: int, new: int) -> bytes:
+    i = b.find(marker)
+    assert i > 0
+    m = bytearray(b)
+    m[i + offset] = new
+    return bytes(m)
+
+
+def test_unsupported_profiles_typed():
+    img = np.random.default_rng(14).integers(0, 256, (32, 32, 3), np.uint8)
+    b = _enc(img)
+    # SOP/EPH flags in Scod (COD byte 0 after the length)
+    sop = _patch_marker(b, b"\xff\x52", 4, 0x06)
+    with pytest.raises(InvalidImageError, match="SOP/EPH"):
+        new_decoder(sop)
+    # oversized codeblock exponents (xcb+ycb > 12, B.7)
+    big = _patch_marker(b, b"\xff\x52", 10, 0x0F)
+    with pytest.raises(InvalidImageError, match="codeblock exponents"):
+        new_decoder(big)
+    # magnitude bitplanes beyond 31 (guard=7, exponent=31)
+    crazy = _patch_marker(b, b"\xff\x5c", 4, 0xE0)   # Sqcd: guard 7
+    crazy = _patch_marker(crazy, b"\xff\x5c", 5, 0xF8)  # eps 31
+    d = new_decoder(crazy)
+    fb = Framebuffer()
+    with pytest.raises(Exception, match="bitplanes"):
+        d.decode_to(fb)
+
+
+def test_warm_set_larger_than_lru_rejected():
+    from lilliput_tpu.pipeline import MultiGeometryPipeline
+    mp = MultiGeometryPipeline(32, 32, max_geometries=2)
+    with pytest.raises(ValueError, match="max_geometries"):
+        mp.warm([(64, 64), (80, 60), (100, 76)])

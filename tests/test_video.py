@@ -198,3 +198,17 @@ def test_webm_output_rejected():
     from lilliput_tpu import new_encoder
     with pytest.raises(InvalidImageError):
         new_encoder(".webm")
+
+
+def test_rotate_tag_nonquadrant_values_stay_upright():
+    """Reference parity (avcodec.cpp:450-461): the rotate tag maps ONLY
+    exactly 90/180/270; negative or non-quadrant values stay upright."""
+    import sys
+    sys.path.insert(0, "tools")
+    try:
+        from make_webm_fixture import make_webm_bytes
+    finally:
+        sys.path.pop(0)
+    for deg, orient in ((-90, 1), (45, 1), (360, 1), (91, 1)):
+        hd = new_decoder(make_webm_bytes(rotate=deg)).header()
+        assert hd.orientation == orient, (deg, hd.orientation)
