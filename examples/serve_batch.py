@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("-format", choices=("jpeg", "webp", "png"),
                     default="jpeg", help="output container")
     ap.add_argument("-sharded", action="store_true")
+    ap.add_argument("-warm", action="store_true",
+                    help="pre-compile the input geometries before timing "
+                         "(pairs with the default persistent compile cache)")
     ap.add_argument("-outdir", default=".")
     ap.add_argument("-device", default=None,
                     help="jax platform override (e.g. cpu)")
@@ -59,8 +62,20 @@ def main() -> int:
                                      chroma_mode=args.mode,
                                      dct_scale=args.dct_scale,
                                      output_format="." + args.format)
+        if args.warm:
+            # pre-compile off the request path (with the persistent
+            # compile cache a RESTARTED server re-warms without any
+            # XLA compile at all)
+            rep = pipe.warm([open(p, "rb").read() for p in args.inputs])
+            print(f"warmed {rep['warmed']} geometries "
+                  f"({rep['compiled_new']} new) in {rep['seconds']} s")
+            t0 = time.time()
         outs = pipe.transcode(bufs)
         kind = "multi-geometry"
+        stats = pipe.stats()
+        kind += (f", cache {stats['geometries_cached']}/"
+                 f"{stats['max_geometries']} "
+                 f"(hits {stats['hits']}, evictions {stats['evictions']})")
     dt = time.time() - t0
 
     os.makedirs(args.outdir, exist_ok=True)
