@@ -306,8 +306,13 @@ class Jp2Image:
     planes."""
 
     def __init__(self, buf: bytes):
-        cs, self.meta = _extract_codestream(buf)
-        self._parse_codestream(cs)
+        try:
+            cs, self.meta = _extract_codestream(buf)
+            self._parse_codestream(cs)
+        except (struct.error, IndexError) as e:
+            # residual short-read corners the explicit guards missed:
+            # still a malformed file, still a typed error (fuzz totality)
+            raise InvalidImageError(f"JPEG 2000: malformed marker ({e})")
 
     def _parse_codestream(self, cs: bytes) -> None:
         if cs[:2] != b"\xff\x4f":
@@ -382,6 +387,13 @@ class Jp2Image:
     def decode(self) -> List[np.ndarray]:
         """Decode all tiles; returns per-component planes (ysiz-yosiz,
         xsiz-xosiz) int32 (pre level-shift, post wavelet + MCT)."""
+        try:
+            return self._decode_impl()
+        except (struct.error, IndexError, ValueError) as e:
+            raise DecodingFailedError(
+                f"JPEG 2000: malformed codestream ({e})")
+
+    def _decode_impl(self) -> List[np.ndarray]:
         from . import jp2_t1
         from ..ops import wavelet as W
         s, cod, qcd = self.siz, self.cod, self.qcd
