@@ -87,12 +87,48 @@ def jpeg_restart_parallel(lib):
         assert np.array_equal(a, b)
 
 
+def jp2_t1_exercise(lib):
+    """EBCOT Tier-1 over real + hostile inputs (untrusted-codestream
+    memory safety for native/src/jp2_t1.cpp)."""
+    import io
+
+    from PIL import Image
+
+    from lilliput_tpu.codecs import jp2 as JP2  # registers the signature
+    from lilliput_tpu.codecs import jp2_t1 as T1
+    from lilliput_tpu.errors import LilliputError
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (96, 80, 3), np.uint8)
+    bio = io.BytesIO()
+    Image.fromarray(img).save(bio, format="JPEG2000")
+    b = bio.getvalue()
+    im = JP2.Jp2Image(b)
+    planes = im.decode()
+    assert planes[0].shape == (96, 80)
+    # hostile MQ streams straight into the C++ decoder: random bytes,
+    # all-0xFF (marker-stall path), empty, and wrong pass counts
+    assert T1._native() is not None, "C++ T1 must be exercised under ASan"
+    for data, np_ in ((rng.bytes(200), 60), (b"\xff" * 64, 30),
+                      (b"", 10), (rng.bytes(3), 100)):
+        T1.decode_codeblock(data, 64, 64, 2, 0, np_, 30)
+    # mutated codestreams end-to-end (typed errors, no native crashes)
+    for _ in range(40):
+        m = bytearray(b)
+        for _ in range(4):
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        try:
+            JP2.Jp2Image(bytes(m)).decode()
+        except (LilliputError, EOFError):
+            pass
+
+
 def main():
     lib = binding.load()
     gif_roundtrip(lib)
     png_filter_roundtrip(lib)
     jpeg_roundtrip(lib)
     jpeg_restart_parallel(lib)
+    jp2_t1_exercise(lib)
     print("asan smoke OK")
 
 
