@@ -169,17 +169,38 @@ class GifDecoder(Decoder):
             m.ext = b""
         return m
 
-    def decode_to(self, fb: Framebuffer) -> None:
-        m = self._next_frame_meta()
+    def _read_frame_raster(self, m):
+        """Decode the pending frame's raster and pre-scatter it to canvas
+        shape (max-dimension guard, clipping, 256-row BGRA LUT). Shared by
+        the streaming and batch paths so their clip/scatter/palette
+        semantics cannot drift."""
         maxd = _gif_max_frame_dimension
         if m.width > maxd or m.height > maxd:
             raise InvalidImageError("gif frame exceeds max dimension")
+        raw = np.empty(m.height * m.width, np.uint8)
+        if self._lib.lp_gif_frame_indices(self._h, _u8(raw)) != 0:
+            raise DecodingFailedError("gif raster decode failed")
+        raw = raw.reshape(m.height, m.width)
+        cw, ch = self._w, self._hgt
+        full_idx = np.zeros((ch, cw), np.uint8)
+        drawn = np.zeros((ch, cw), bool)
+        fl, ft, fw, fh = self._clip_rect(m.left, m.top, m.width, m.height)
+        if fw > 0 and fh > 0:
+            sx, sy = fl - m.left, ft - m.top
+            full_idx[ft:ft + fh, fl:fl + fw] = raw[sy:sy + fh, sx:sx + fw]
+            drawn[ft:ft + fh, fl:fl + fw] = True
+        lut = np.zeros((256, 4), np.uint8)
+        lut[:m.pal_count, 0] = m.palette[:m.pal_count, 2]  # B
+        lut[:m.pal_count, 1] = m.palette[:m.pal_count, 1]  # G
+        lut[:m.pal_count, 2] = m.palette[:m.pal_count, 0]  # R
+        lut[:m.pal_count, 3] = 255
+        return full_idx, drawn, lut, (fl, ft, fw, fh)
+
+    def decode_to(self, fb: Framebuffer) -> None:
+        m = self._next_frame_meta()
         if m.pal_count <= 0:
             raise DecodingFailedError("gif frame has no color map")
-        indices = np.empty(m.height * m.width, np.uint8)
-        if self._lib.lp_gif_frame_indices(self._h, _u8(indices)) != 0:
-            raise DecodingFailedError("gif raster decode failed")
-        indices = indices.reshape(m.height, m.width)
+        full_idx, drawn, lut256, (fl, ft, fw, fh) = self._read_frame_raster(m)
 
         cw, ch = self._w, self._hgt
         bg = self._anim_info()[3:7]  # r,g,b,a
@@ -195,29 +216,22 @@ class GifDecoder(Decoder):
                 mask = np.zeros((ch, cw), bool)
                 mask[pt:pt + ph, pl:pl + pw] = True
                 self._canvas = P.clear_rect_to(self._canvas, jnp.asarray(mask), bg_bgra)
-            elif self._prev_disposal == _GIF_DISPOSE_PREVIOUS and pw > 0 and ph > 0 \
-                    and self._prev_canvas is not None:
+            elif self._prev_disposal == _GIF_DISPOSE_PREVIOUS and pw > 0 and ph > 0:
                 mask = np.zeros((ch, cw), bool)
                 mask[pt:pt + ph, pl:pl + pw] = True
+                # giflib's prev_frame_bgra is zero-initialized and only saved
+                # from the second frame on (giflib.cpp:491-494), so a
+                # first-frame DISPOSE_PREVIOUS restores transparent black
+                saved = (self._prev_canvas if self._prev_canvas is not None
+                         else jnp.zeros_like(self._canvas))
                 self._canvas = P.restore_rect(self._canvas, jnp.asarray(mask),
-                                              self._prev_canvas)
+                                              saved)
             # save canvas AFTER disposal, BEFORE drawing (giflib.cpp:491-494)
             self._prev_canvas = self._canvas
 
-        # scatter frame indices into canvas-sized buffers (host, cheap)
-        full_idx = np.zeros((ch, cw), np.uint8)
-        drawn = np.zeros((ch, cw), bool)
-        fl, ft, fw, fh = self._clip_rect(m.left, m.top, m.width, m.height)
-        if fw > 0 and fh > 0:
-            sx, sy = fl - m.left, ft - m.top
-            full_idx[ft:ft + fh, fl:fl + fw] = indices[sy:sy + fh, sx:sx + fw]
-            drawn[ft:ft + fh, fl:fl + fw] = True
-
-        lut = np.zeros((max(m.pal_count, 1), 4), np.uint8)
-        lut[:m.pal_count, 0] = m.palette[:m.pal_count, 2]  # B
-        lut[:m.pal_count, 1] = m.palette[:m.pal_count, 1]  # G
-        lut[:m.pal_count, 2] = m.palette[:m.pal_count, 0]  # R
-        lut[:m.pal_count, 3] = 255
+        # composite_indexed_frame bounds-checks via lut row count
+        # (giflib.cpp:530-533), so slice the LUT to the effective palette
+        lut = lut256[:max(m.pal_count, 1)]
 
         have_trans = m.trans_idx >= 0
         self._canvas = P.composite_indexed_frame(
@@ -277,25 +291,7 @@ class GifDecoder(Decoder):
                 m = self._next_frame_meta()
             except EOFError:
                 break
-            maxd = _gif_max_frame_dimension
-            if m.width > maxd or m.height > maxd:
-                raise InvalidImageError("gif frame exceeds max dimension")
-            raw = np.empty(m.height * m.width, np.uint8)
-            if self._lib.lp_gif_frame_indices(self._h, _u8(raw)) != 0:
-                raise DecodingFailedError("gif raster decode failed")
-            raw = raw.reshape(m.height, m.width)
-            full_idx = np.zeros((ch, cw), np.uint8)
-            dmask = np.zeros((ch, cw), bool)
-            fl, ft, fw, fh = self._clip_rect(m.left, m.top, m.width, m.height)
-            if fw > 0 and fh > 0:
-                sx, sy = fl - m.left, ft - m.top
-                full_idx[ft:ft + fh, fl:fl + fw] = raw[sy:sy + fh, sx:sx + fw]
-                dmask[ft:ft + fh, fl:fl + fw] = True
-            lut = np.zeros((256, 4), np.uint8)
-            lut[:m.pal_count, 0] = m.palette[:m.pal_count, 2]
-            lut[:m.pal_count, 1] = m.palette[:m.pal_count, 1]
-            lut[:m.pal_count, 2] = m.palette[:m.pal_count, 0]
-            lut[:m.pal_count, 3] = 255
+            full_idx, dmask, lut, (fl, ft, fw, fh) = self._read_frame_raster(m)
             pm = np.zeros((ch, cw), bool)
             if prev_rect is not None:
                 pl, pt, pw, ph = self._clip_rect(*prev_rect)

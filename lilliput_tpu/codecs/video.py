@@ -214,9 +214,10 @@ class VideoDecoder(Decoder):
             y = np.empty((fh, fw), np.uint8)
             u = np.empty((ch, cw), np.uint8)
             v = np.empty((ch, cw), np.uint8)
-            self._lib.lp_av_frame_plane(self._h, 0, _u8(y), fw, fh)
-            self._lib.lp_av_frame_plane(self._h, 1, _u8(u), cw, ch)
-            self._lib.lp_av_frame_plane(self._h, 2, _u8(v), cw, ch)
+            if (self._lib.lp_av_frame_plane(self._h, 0, _u8(y), fw, fh) != 0
+                    or self._lib.lp_av_frame_plane(self._h, 1, _u8(u), cw, ch) != 0
+                    or self._lib.lp_av_frame_plane(self._h, 2, _u8(v), cw, ch) != 0):
+                raise DecodingFailedError("frame plane export failed")
             space = C.AVCOL_SPC.get(spc, "bt601")
             full = rng == 2 or fmt in _FULL_RANGE_FMTS
             bgr = C.yuv420_to_bgr(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
@@ -250,6 +251,14 @@ class VideoDecoder(Decoder):
         n = self._lib.lp_av_keyframes(self._h, out.ctypes.data_as(_i64p), cap)
         if n < 0:
             raise DecodingFailedError("no keyframe index")
+        if n > cap:
+            # the shim reports the true count; re-call with a buffer that
+            # holds the whole index instead of silently truncating it
+            cap = n
+            out = np.zeros(cap * 3, np.int64)
+            n = self._lib.lp_av_keyframes(self._h, out.ctypes.data_as(_i64p), cap)
+            if n < 0:
+                raise DecodingFailedError("no keyframe index")
         n = min(n, cap)
         return [(int(out[i * 3]), int(out[i * 3 + 1]), int(out[i * 3 + 2]))
                 for i in range(n)]  # (pts_us, byte_offset, byte_size)

@@ -27,6 +27,7 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 binding.register_signature("lp_webp_open", [_u8p, ctypes.c_size_t, _i32p], ctypes.c_void_p)
 binding.register_signature("lp_webp_icc", [ctypes.c_void_p, _u8p, ctypes.c_int32], ctypes.c_int)
 binding.register_signature("lp_webp_next_frame", [ctypes.c_void_p, _i32p], ctypes.c_int)
+binding.register_signature("lp_webp_total_duration", [ctypes.c_void_p], ctypes.c_int)
 binding.register_signature(
     "lp_webp_frame_pixels",
     [ctypes.c_void_p, _u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32], ctypes.c_int)
@@ -77,6 +78,11 @@ class WebpDecoder(Decoder):
 
     def loop_count(self) -> int:
         return self._loops
+
+    def duration(self) -> float:
+        """Total animation duration in seconds (reference webp.go:73-77:
+        sum of every frame's duration, 0 for still images)."""
+        return self._lib.lp_webp_total_duration(self._h) / 1000.0
 
     def background_color(self) -> int:
         return self._bg & 0xFFFFFFFF
@@ -164,7 +170,7 @@ class WebpEncoder(Encoder):
         if not self._h:
             raise DecodingFailedError("webp encoder init failed")
         self._flushed = False
-        self._dims = None
+        self._raw_bytes = 0  # sum of added frames' raw BGRA bytes (flush cap)
 
     @staticmethod
     def _opts_array(opts: Dict[int, int]) -> np.ndarray:
@@ -179,7 +185,10 @@ class WebpEncoder(Encoder):
         o = self._opts_array(opts)
         op = o.ctypes.data_as(_i32p) if o.size else None
         if fb is None:
-            cap = 64 << 20
+            # worst case is bounded by the raw frame bytes plus container
+            # overhead (encode_webp_pixels uses the same bound per frame);
+            # the 64 MiB floor keeps small animations on one allocation size
+            cap = max(64 << 20, self._raw_bytes + (1 << 20))
             out = np.empty(cap, np.uint8)
             n = self._lib.lp_webp_enc_flush(self._h, op, o.size, _u8(out), cap)
             if n < 0:
@@ -187,7 +196,7 @@ class WebpEncoder(Encoder):
             self._flushed = True
             return out[:n].tobytes()
         px = np.ascontiguousarray(fb.to_numpy())
-        self._dims = (fb.width, fb.height)
+        self._raw_bytes += fb.width * fb.height * 4
         rc = self._lib.lp_webp_enc_add(
             self._h, _u8(px), fb.width, fb.height, fb.channels,
             int(round(fb.duration * 1000)), op, o.size)

@@ -204,7 +204,11 @@ class LzwDecoder {
         }
         // drain remaining sub-blocks so the reader lands on the next record
         drain();
-        return true;
+        // premature end-of-information must FAIL, not succeed with an
+        // uninitialized output tail (the caller hands us an np.empty
+        // buffer — returning true here would composite heap bytes into
+        // served images; giflib's DGifGetLine errors identically)
+        return produced == n;
     }
 
   private:
@@ -614,7 +618,11 @@ done:
     // background color per extract_background_color (giflib.cpp:590-631)
     int32_t bg_r = 255, bg_g = 255, bg_b = 255, bg_a = 255;
     const bool valid_bg = d.global_count > 0 && d.bg_index >= 0 && d.bg_index < d.global_count;
-    if (found_gcb && first_trans != -1) {
+    // no-GCE quirk: the reference's zero-initialized GraphicsControlBlock has
+    // TransparentColor==0 != NO_TRANSPARENT_COLOR, so a GIF with no GCE at
+    // all reports a TRANSPARENT background (giflib.cpp:1327,1391-1401,597)
+    const bool have_transparency = found_gcb ? (first_trans != -1) : true;
+    if (have_transparency) {
         if (valid_bg) {
             bg_r = d.global_pal[d.bg_index * 3];
             bg_g = d.global_pal[d.bg_index * 3 + 1];

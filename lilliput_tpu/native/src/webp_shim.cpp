@@ -31,6 +31,7 @@ struct WebpDec {
     WebPIterator iter{};
     bool iter_valid = false;
     int channels = 4;
+    int total_duration_ms = 0;
 };
 
 // encode option keys (parity with the reference's public constants)
@@ -147,7 +148,23 @@ void* lp_webp_open(const uint8_t* buf, size_t len, int32_t* out8) {
         }
     }
     out8[7] = icc_len;
+    // total animation duration (reference webp.cpp:107-112 sums every
+    // frame's duration at open; still images sum to 0)
+    d->total_duration_ms = 0;
+    WebPIterator it;
+    if (WebPDemuxGetFrame(d->demux, 1, &it)) {
+        do {
+            d->total_duration_ms += it.duration;
+        } while (WebPDemuxNextFrame(&it));
+        WebPDemuxReleaseIterator(&it);
+    }
     return d;
+}
+
+// Total animation duration in ms (webp_decoder_get_total_duration parity,
+// reference webp.cpp:251-254).
+int lp_webp_total_duration(void* h) {
+    return static_cast<WebpDec*>(h)->total_duration_ms;
 }
 
 int lp_webp_icc(void* h, uint8_t* out, int32_t cap) {

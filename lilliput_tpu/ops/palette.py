@@ -212,17 +212,23 @@ def composite_animation(idx_frames: jax.Array, drawn_masks: jax.Array,
 
     Returns (N, H, W, 4) u8 composited frames.
     """
-    h, w = idx_frames.shape[1], idx_frames.shape[2]
+    n, h, w = idx_frames.shape[0], idx_frames.shape[1], idx_frames.shape[2]
     init_canvas = jnp.broadcast_to(bg_bgra.astype(jnp.uint8), (h, w, 4))
+    # giflib's prev_frame_bgra starts zeroed and is saved only from the
+    # second frame on (giflib.cpp:491-494): a first-frame DISPOSE_PREVIOUS
+    # therefore restores transparent black, not the background fill
+    zeros = jnp.zeros((h, w, 4), jnp.uint8)
+    is_first = jnp.arange(n) == 0
 
     def step(carry, x):
         canvas, prev_canvas = carry
-        idx, drawn, lut, count, trans, disp, prect = x
+        idx, drawn, lut, count, trans, disp, prect, first = x
         # dispose previous frame region (giflib.cpp:400-489)
         m = prect[..., None]
         canvas = jnp.where((disp == 2) & m, init_canvas, canvas)
         canvas = jnp.where((disp == 3) & m, prev_canvas, canvas)
-        new_prev = canvas  # saved post-disposal, pre-draw (giflib.cpp:491-494)
+        # saved post-disposal, pre-draw; giflib never saves before frame 1
+        new_prev = jnp.where(first, zeros, canvas)
         idx32 = idx.astype(jnp.int32)
         color = jnp.take(lut, idx32, axis=0, mode="clip")
         valid = drawn & (idx32 != trans) & (idx32 < count)
@@ -230,7 +236,7 @@ def composite_animation(idx_frames: jax.Array, drawn_masks: jax.Array,
         return (canvas, new_prev), canvas
 
     (_, _), frames = jax.lax.scan(
-        step, (init_canvas, init_canvas),
+        step, (init_canvas, zeros),
         (idx_frames, drawn_masks, luts, pal_counts, trans_idx,
-         prev_disposal, prev_rect_masks))
+         prev_disposal, prev_rect_masks, is_first))
     return frames

@@ -15,7 +15,7 @@ PIL_Image = pytest.importorskip("PIL.Image")
 
 from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod, new_decoder  # noqa: E402
 from lilliput_tpu.codecs.gif import GifDecoder, set_gif_max_frame_dimension  # noqa: E402
-from lilliput_tpu.errors import InvalidImageError  # noqa: E402
+from lilliput_tpu.errors import DecodingFailedError, InvalidImageError  # noqa: E402
 from lilliput_tpu.framebuffer import Framebuffer  # noqa: E402
 
 TD = "/root/reference/testdata"
@@ -118,6 +118,106 @@ def test_max_frame_dimension_guard():
             d.decode_to(fb)
     finally:
         set_gif_max_frame_dimension(10000)
+
+
+def _lzw_blob(indices, mcs=2):
+    """Minimal LZW image-data blob: a clear code before every literal keeps
+    the code width fixed at mcs+1 bits (valid per spec, trivial to pack)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = []
+    for v in indices:
+        codes += [clear, int(v)]
+    codes.append(end)
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += mcs + 1
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    blob = bytearray([mcs])
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        blob.append(len(chunk))
+        blob += chunk
+    blob.append(0)
+    return bytes(blob)
+
+
+_GCT4 = bytes([9, 8, 7,  255, 0, 0,  0, 255, 0,  0, 0, 255])  # 4-color GCT
+
+
+def _descriptor(left, top, w, h):
+    return b"\x2c" + bytes([left, 0, top, 0, w, 0, h, 0, 0])
+
+
+def test_first_frame_dispose_previous_restores_transparent():
+    """giflib's prev-frame buffer is zero-initialized and saved only from
+    the second frame on (giflib.cpp:491-494), so frame-1 DISPOSE_PREVIOUS
+    restores transparent black — in BOTH the streaming and batch paths."""
+    gce_disp3 = b"\x21\xf9\x04" + bytes([3 << 2, 0, 0, 0]) + b"\x00"
+    gce_disp0 = b"\x21\xf9\x04" + bytes([0, 0, 0, 0]) + b"\x00"
+    gif = (b"GIF89a" + b"\x04\x00\x04\x00" + bytes([0xF1, 0, 0]) + _GCT4
+           + gce_disp3 + _descriptor(0, 0, 4, 4) + _lzw_blob([1] * 16)
+           + gce_disp0 + _descriptor(1, 1, 2, 2) + _lzw_blob([2] * 4)
+           + b"\x3b")
+
+    # streaming path
+    d = GifDecoder(gif)
+    fb = Framebuffer()
+    frames = []
+    while True:
+        try:
+            d.decode_to(fb)
+        except EOFError:
+            break
+        frames.append(fb.to_numpy().copy())
+    assert len(frames) == 2
+    # frame 2: full canvas was disposed-to-previous => transparent black,
+    # except the freshly drawn 2x2 green rect at (1,1)
+    expect = np.zeros((4, 4, 4), np.uint8)
+    expect[1:3, 1:3] = [0, 255, 0, 255]  # BGRA of palette color 2
+    assert np.array_equal(frames[1], expect)
+
+    # batch path must match streaming byte-for-byte
+    batch, metas = GifDecoder(gif).decode_animation()
+    assert len(metas) == 2
+    assert np.array_equal(np.asarray(batch[0]), frames[0])
+    assert np.array_equal(np.asarray(batch[1]), frames[1])
+
+
+def test_no_gce_background_is_transparent():
+    """A GIF with no graphics-control extension reports a TRANSPARENT
+    background: the reference's zero-initialized GCB has
+    TransparentColor==0 != NO_TRANSPARENT_COLOR (giflib.cpp:1327,597-614)."""
+    gif = (b"GIF89a" + b"\x04\x00\x04\x00" + bytes([0xF1, 0, 0]) + _GCT4
+           + _descriptor(0, 0, 4, 4) + _lzw_blob([1] * 16) + b"\x3b")
+    d = GifDecoder(gif)
+    bg = d.background_color()
+    assert (bg >> 24) & 0xFF == 0          # alpha 0
+    assert bg & 0xFFFFFF == 0x090807       # palette[0] rgb preserved
+
+
+def test_premature_end_of_information_fails():
+    """An LZW stream that hits end-of-information before w*h pixels must
+    raise, not return an uninitialized raster tail (giflib's DGifGetLine
+    errors identically on short rasters)."""
+    # 4x4 frame, 4-color global palette, mcs=2. Code stream (3-bit,
+    # LSB-first): clear(4), literal 0, end(5) -> exactly 1 of 16 pixels.
+    gif = (b"GIF89a"
+           + b"\x04\x00\x04\x00" + bytes([0xF1, 0, 0])   # LSD: GCT of 4
+           + bytes(4 * 3)                                 # global palette
+           + b"\x2c" + b"\x00\x00\x00\x00\x04\x00\x04\x00\x00"  # descriptor
+           + bytes([0x02, 0x02, 0x44, 0x01, 0x00])        # mcs + LZW data
+           + b"\x3b")
+    d = GifDecoder(gif)
+    fb = Framebuffer()
+    with pytest.raises(DecodingFailedError):
+        d.decode_to(fb)
 
 
 def test_max_encode_frames():

@@ -35,6 +35,25 @@ def test_animated_header():
     assert d.video_codec() == "VP8"
 
 
+def test_total_duration():
+    """duration() is the sum of every frame's duration (reference
+    webp.go:73-77 / webp.cpp:107-112); 0 for still images."""
+    d = new_decoder(open(f"{TD}/party-discord.webp", "rb").read())
+    total = d.duration()
+    assert total > 0
+    fb = Framebuffer()
+    acc = 0.0
+    while True:
+        try:
+            d.decode_to(fb)
+        except EOFError:
+            break
+        acc += fb.duration
+    assert abs(total - acc) < 1e-9
+    still = new_decoder(open(f"{TD}/ferry_sunset.webp", "rb").read())
+    assert still.duration() == 0.0
+
+
 def test_frame_metadata():
     d = new_decoder(open(f"{TD}/party-discord.webp", "rb").read())
     fb = Framebuffer()
