@@ -74,6 +74,9 @@ class StillItems:
     alpha_data: Optional[bytes]
     alpha_av1c: Optional[bytes]
     clap: Optional[Tuple[int, int, int, int, int, int, int, int]]
+    # the PRIMARY item's colr payload when of nclx type ("nclx" + 7 bytes);
+    # ipma-scoped so an alpha item's colr can never be misattributed
+    nclx: Optional[bytes] = None
 
 
 def parse_still_items(buf: bytes) -> Optional[StillItems]:
@@ -214,12 +217,21 @@ def parse_still_items(buf: bytes) -> Optional[StillItems]:
         return None
     clap_raw = prop_of(primary_id, b"clap")
     clap = struct.unpack(">8i", clap_raw[:32]) if clap_raw and len(clap_raw) >= 32 else None
+    # an item may carry BOTH colr/prof (ICC) and colr/nclx — take the nclx one
+    nclx = None
+    for k in assoc.get(primary_id, []):
+        if 1 <= k <= len(props) and props[k - 1][0] == b"colr":
+            pl = props[k - 1][1]
+            if pl[:4] == b"nclx" and len(pl) >= 11:
+                nclx = pl
+                break
     return StillItems(
         color_data=color,
         color_av1c=prop_of(primary_id, b"av1C") or b"",
         alpha_data=item_data(alpha_id),
         alpha_av1c=prop_of(alpha_id, b"av1C") if alpha_id else None,
-        clap=clap)
+        clap=clap,
+        nclx=nclx)
 
 
 def parse_track_samples(buf: bytes) -> Optional[Tuple[List[bytes], bytes]]:

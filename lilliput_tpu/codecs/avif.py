@@ -41,6 +41,9 @@ except Exception:  # pragma: no cover
 CICP_TRANSFER_PQ = 16
 CICP_TRANSFER_HLG = 18
 
+# cap on per-frame timing entries expanded from stts (DoS hardening)
+_MAX_TIMING_SAMPLES = 1 << 16
+
 
 # ---------------------------------------------------------------------------
 # ISOBMFF helpers (host): timing + CICP
@@ -103,11 +106,20 @@ def parse_avis_timing(buf: bytes) -> Tuple[List[float], int]:
         if not stts:
             continue
         s0 = stts[0] + 4  # version/flags
+        if s0 + 4 > stts[1]:
+            continue
         (count,) = struct.unpack(">I", buf[s0:s0 + 4])
+        # entries must live inside the stts box (truncation guard), and the
+        # expanded list is capped: sample_count fields are attacker-
+        # controlled u32s that would otherwise size a multi-GB Python list
+        count = min(count, (stts[1] - s0 - 4) // 8)
         ds: List[float] = []
         for i in range(count):
             off = s0 + 4 + i * 8
             n, delta = struct.unpack(">II", buf[off:off + 8])
+            n = min(n, _MAX_TIMING_SAMPLES - len(ds))
+            if n <= 0:
+                break
             ds.extend([delta / timescale] * n)
         if len(ds) > len(durations):
             durations = ds
@@ -115,12 +127,32 @@ def parse_avis_timing(buf: bytes) -> Tuple[List[float], int]:
 
 
 def parse_cicp(buf: bytes) -> Optional[Tuple[int, int, int, int]]:
-    """(primaries, transfer, matrix, full_range) from the first colr/nclx box."""
-    idx = buf.find(b"colrnclx")
-    if idx == -1 or idx + 15 > len(buf):
+    """(primaries, transfer, matrix, full_range) of the image's colr/nclx.
+
+    Stills: the PRIMARY item's ipma-associated colr property (an alpha
+    item's colr or stray mdat bytes can never be picked up). Animated /
+    fallback: a search scoped to the moov (sample entry) or meta box —
+    never the whole buffer, which includes entropy-coded mdat payload."""
+    payload = None
+    try:
+        from . import av1_raw as _AR
+        si = _AR.parse_still_items(buf)
+        if si is not None:
+            payload = si.nclx
+    except Exception:
+        payload = None
+    if payload is None:
+        for path in ([b"moov"], [b"meta"]):
+            box = _find_box(buf, path)
+            if box:
+                idx = buf.find(b"colrnclx", box[0], box[1])
+                if idx != -1 and idx + 15 <= box[1]:
+                    payload = buf[idx + 4:idx + 15]
+                    break
+    if payload is None or len(payload) < 11:
         return None
-    p, t, m = struct.unpack(">HHH", buf[idx + 8:idx + 14])
-    fr = (buf[idx + 14] >> 7) & 1
+    p, t, m = struct.unpack(">HHH", payload[4:10])
+    fr = (payload[10] >> 7) & 1
     return (p, t, m, fr)
 
 
@@ -393,7 +425,12 @@ class AvifEncoder(Encoder):
         if fb is not None:
             self._opts = opts or {}
             arr = fb.to_numpy()
-            rgb = arr[:, :, [2, 1, 0, 3]] if arr.shape[2] == 4 else arr[:, :, ::-1]
+            if arr.shape[2] == 4:
+                rgb = arr[:, :, [2, 1, 0, 3]]
+            elif arr.shape[2] == 1:
+                rgb = arr[:, :, 0]  # 2-D -> PIL mode "L" (fromarray rejects (H,W,1))
+            else:
+                rgb = arr[:, :, ::-1]
             self._frames.append(np.ascontiguousarray(rgb))
             self._durations.append(max(int(round(fb.duration * 1000)), 0))
             return None

@@ -403,6 +403,19 @@ class JpegDecoder(Decoder):
             hy, vy = info.comp_h_samp[0], info.comp_v_samp[0]
             hc, vc = info.comp_h_samp[1], info.comp_v_samp[1]
             h2, v2 = hy // hc == 2, vy // vc == 2
+            if info.jpeg_color_space == 2:  # JCS_RGB: no YCbCr transform
+                fb.array = K.decode_rgb(
+                    self._coefs[0], self._coefs[1], self._coefs[2],
+                    *[self._qtables[info.comp_quant_tbl[i]] for i in range(3)],
+                    h, w, h2, v2)
+                fb.duration = 0.0
+                fb.x_offset = fb.y_offset = 0
+                self._decoded = True
+                return
+            if info.jpeg_color_space != 3:  # JCS_YCbCr — anything else is
+                raise DecodingFailedError(   # rejected, never mis-decoded
+                    f"unsupported 3-component JPEG colorspace "
+                    f"{info.jpeg_color_space}")
             tcb, tcr = info.comp_quant_tbl[1], info.comp_quant_tbl[2]
             px = K.decode_ycc_420(
                 self._coefs[0], self._coefs[1], self._coefs[2],

@@ -114,8 +114,16 @@ def _parse(buf: bytes) -> "_PngInfo":
                 raise InvalidImageError("bad IHDR")
             (info.width, info.height, info.bit_depth, info.color_type,
              _comp, _filt, info.interlace) = struct.unpack(">IIBBBBB", buf[off:off + 13])
+            if info.bit_depth not in _VALID_DEPTHS.get(info.color_type, ()):
+                raise InvalidImageError(
+                    f"invalid PNG color type/bit depth "
+                    f"{info.color_type}/{info.bit_depth}")
+            if info.interlace not in (0, 1):
+                raise InvalidImageError("invalid PNG interlace method")
             seen_ihdr = True
         elif ctype == b"PLTE":
+            if ln % 3 != 0 or ln == 0:
+                raise InvalidImageError("bad PLTE length")
             info.palette = np.frombuffer(buf[off:off + ln], np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
             info.trns = buf[off:off + ln]
@@ -124,7 +132,11 @@ def _parse(buf: bytes) -> "_PngInfo":
             z = data.find(b"\x00")
             if z != -1 and z + 2 <= len(data):
                 try:
-                    info.icc = zlib.decompress(data[z + 2:])
+                    # cap the inflated size (decompression-bomb guard; same
+                    # 1 MiB hardening cap as the JPEG/lcms2 ICC paths)
+                    d = zlib.decompressobj()
+                    icc = d.decompress(data[z + 2:], _ICC_MAX_BYTES + 1)
+                    info.icc = b"" if len(icc) > _ICC_MAX_BYTES else icc
                 except zlib.error:
                     info.icc = b""
         elif ctype == b"IDAT":
@@ -136,9 +148,11 @@ def _parse(buf: bytes) -> "_PngInfo":
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# spec-legal bit depths per color type (PNG spec 11.2.2)
+_VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
 
-def _bits_per_pixel(info) -> int:
-    return _CHANNELS[info.color_type] * info.bit_depth
+_ICC_MAX_BYTES = 1 << 20
 
 
 def _unfilter(lib, raw: np.ndarray, rows: int, stride: int, bpp: int) -> np.ndarray:
@@ -266,6 +280,8 @@ class PngDecoder(Decoder):
                 continue
             stride = (pw * ch * i.bit_depth + 7) // 8
             need = ph * (stride + 1)
+            if data.size - pos < need:
+                raise DecodingFailedError("truncated PNG data")
             sub = _unfilter(self._lib, data[pos:pos + need], ph, stride, bpp_bytes)
             pos += need
             samples = _unpack_bits(sub.reshape(ph, stride), i.bit_depth, pw, ch, keep16)
@@ -295,7 +311,9 @@ class PngDecoder(Decoder):
             pal = i.palette
             if i.trns is not None:
                 alpha = np.full(pal.shape[0], 255, np.uint8)
-                t = np.frombuffer(self._trns_bytes(), np.uint8)
+                # spec-illegal tRNS longer than the palette: extra entries
+                # have no pixel to apply to — clamp instead of broadcasting
+                t = np.frombuffer(self._trns_bytes(), np.uint8)[:pal.shape[0]]
                 alpha[:t.size] = t
                 lut = np.concatenate([pal[:, ::-1], alpha[:, None]], axis=1)  # BGRA
             else:
@@ -371,9 +389,12 @@ class PngDecoder(Decoder):
             data = np.frombuffer(zlib.decompress(b"".join(chunks)), np.uint8)
         except zlib.error as e:
             raise DecodingFailedError(f"APNG frame inflate failed: {e}") from e
+        # frames use the IHDR interlace method (APNG spec: frame data is
+        # encoded like the static image, Adam7 laid out over the frame rect)
         samples = self._reconstruct_samples(
             keep16=self._info.trns is not None and self._info.color_type in (0, 2),
-            data=data, width=meta["w"], height=meta["h"], interlace=0)
+            data=data, width=meta["w"], height=meta["h"],
+            interlace=self._info.interlace)
         fb.array = self._to_pixels(samples, meta["w"], meta["h"])
         den = meta["delay_den"] or 100
         fb.duration = meta["delay_num"] / den

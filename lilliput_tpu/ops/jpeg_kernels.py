@@ -555,6 +555,28 @@ def decode_ycc_420(y_coefs, cb_coefs, cr_coefs, qt_luma, qt_chroma,
     return ycbcr_to_bgr(y, cb, cr)
 
 
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "h2", "v2"))
+def decode_rgb(r_coefs, g_coefs, b_coefs, qt_r, qt_g, qt_b,
+               out_h: int, out_w: int, h2: bool, v2: bool):
+    """3-component JCS_RGB JPEG decode to BGR u8.
+
+    JPEGs whose compressed colorspace is RGB (Adobe APP14 transform=0 or
+    'R'/'G'/'B' component ids) store the planes without the YCbCr
+    transform — libjpeg's null_convert path, which the reference hits via
+    OpenCV's libjpeg decode. Dequant+IDCT per plane, upsample the
+    (rare) subsampled G/B planes like chroma, reorder to BGR — NO color
+    matrix."""
+    r = dequant_idct(r_coefs, qt_r)[..., :out_h, :out_w]
+    g = dequant_idct(g_coefs, qt_g)
+    b = dequant_idct(b_coefs, qt_b)
+    hf = 2 if h2 else 1
+    vf = 2 if v2 else 1
+    g = upsample_chroma(g, hf, vf, out_h, out_w)
+    b = upsample_chroma(b, hf, vf, out_h, out_w)
+    out = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "ycck", "inverted"))
 def decode_cmyk(c0, c1, c2, c3, qt0, qt1, qt2, qt3,
                 out_h: int, out_w: int, ycck: bool, inverted: bool):

@@ -521,6 +521,12 @@ class JpegTranscodePipeline:
             # the wrong geometry
             if not J.supported_subsampling(info):
                 raise DecodingFailedError("unsupported chroma subsampling")
+            if info.jpeg_color_space != 3:
+                # fused device steps bake in the YCbCr->BGR matrix; a
+                # JCS_RGB (Adobe transform=0) source decodes matrix-free
+                raise DecodingFailedError(
+                    "non-YCbCr 3-component JPEG (JCS_RGB): use the "
+                    "streaming ImageOps path for this source")
             if info.comp_quant_tbl[2] != info.comp_quant_tbl[1]:
                 # the batched device fns carry ONE chroma table per image;
                 # distinct Cb/Cr tables (legal, rare) route through the
@@ -612,6 +618,13 @@ class JpegTranscodePipeline:
             raise DecodingFailedError(
                 "distinct Cb/Cr quant tables: use the streaming ImageOps "
                 "path for this source")
+        if info.num_components == 3 and info.jpeg_color_space != 3:
+            # the fused device steps bake in the YCbCr->BGR matrix; a
+            # JCS_RGB (Adobe transform=0) source must take the streaming
+            # path, where decode_rgb skips the matrix
+            raise DecodingFailedError(
+                "non-YCbCr 3-component JPEG (JCS_RGB): use the streaming "
+                "ImageOps path for this source")
         if info.num_components == 3 and not J.supported_subsampling(info):
             # geometry_of block-count equality can coincide for tiny images
             # (<=16px axes) whose Cb/Cr sampling differs from the compile

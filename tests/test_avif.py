@@ -285,3 +285,66 @@ def test_set_avis_repetitions_fuzz_total():
     from lilliput_tpu.codecs import av1_raw as AR
     good = _set_avis_repetitions(real, 2)
     assert AR.parse_loop_count(good) == 2
+
+
+# ---------------------------------------------------------------------------
+# hardening regressions (adversarial-review findings)
+# ---------------------------------------------------------------------------
+
+def test_parse_cicp_ignores_mdat_bytes():
+    """parse_cicp must read the PRIMARY item's ipma-associated colr
+    property — 'colrnclx' appearing inside the entropy payload (mdat) or
+    on the alpha item must never flip the HDR detection (review finding:
+    a naive whole-buffer substring search did exactly that)."""
+    import struct
+    buf = open(f"{TD}/colors_sdr_srgb.avif", "rb").read()
+    base = parse_cicp(buf)
+    # append a hostile PQ 'colrnclx' in a trailing free box: transfer=16
+    # would previously flip _is_hdr on this SDR file (the old code
+    # substring-searched the WHOLE buffer, entropy payload included)
+    hostile = b"colrnclx" + struct.pack(">HHH", 9, 16, 9) + b"\x80"
+    evil = buf + struct.pack(">I", 8 + len(hostile)) + b"free" + hostile
+    assert parse_cicp(evil) == base
+    d = AvifDecoder(evil, tone_mapping_enabled=True)
+    assert not d._is_hdr
+
+
+def test_parse_avis_timing_bounded_on_hostile_stts():
+    """stts sample_count fields are attacker-controlled u32s: a crafted
+    count must not size a multi-GB Python list, and a truncated stts box
+    must not raise struct.error out of the constructor."""
+    import struct
+    from lilliput_tpu.codecs.avif import parse_avis_timing
+    buf = open(f"{TD}/colors-animated-8bpc-alpha-exif-xmp.avif", "rb").read()
+    stts = buf.find(b"stts")
+    assert stts > 0
+    # entry_count claims 2^31 entries; box ends long before that
+    evil = buf[:stts + 8] + struct.pack(">I", 1 << 31) + buf[stts + 12:]
+    durations, _ = parse_avis_timing(evil)  # must return promptly, bounded
+    assert len(durations) <= (1 << 16)
+    # one entry with sample_count 0xFFFFFFFF: expansion is capped
+    evil2 = (buf[:stts + 8] + struct.pack(">III", 1, 0xFFFFFFFF, 1)
+             + buf[stts + 20:])
+    durations2, _ = parse_avis_timing(evil2)
+    assert len(durations2) <= (1 << 16)
+    # truncating the file mid-stts must not raise an untyped error
+    parse_avis_timing(buf[:stts + 10])
+
+
+def test_gray_frame_encodes_to_avif():
+    """Grayscale sources route a 1-channel Framebuffer into AvifEncoder
+    (api.py dispatch); PIL rejects (H,W,1) arrays, so the encoder must
+    hand it a 2-D mode-'L' array (review finding: untyped TypeError)."""
+    import numpy as np
+    from lilliput_tpu.codecs.avif import AvifEncoder
+    fb = Framebuffer()
+    fb.array = np.tile(np.arange(64, dtype=np.uint8)[:, None, None] * 4,
+                       (1, 48, 1))
+    enc = AvifEncoder()
+    assert enc.encode(fb, {AVIF_QUALITY: 80, AVIF_SPEED: 10}) is None
+    out = enc.encode(None, {AVIF_QUALITY: 80, AVIF_SPEED: 10})
+    im = PIL_Image.open(io.BytesIO(out))
+    assert im.size == (48, 64)
+    back = np.asarray(im.convert("L"))
+    src = fb.to_numpy()[:, :, 0]
+    assert np.abs(back.astype(int) - src.astype(int)).mean() < 8

@@ -378,3 +378,35 @@ def test_exif_orientation_survives_fill_bytes():
     buf = b"\xff\xd8" + b"\xff\xff\xff" + seg + b"\xff\xd9"
     assert int(exif_orientation(buf)) == 6
     assert jpeg_content_length(buf) == len(buf)
+
+
+def test_rgb_colorspace_jpeg_decodes_without_ycc_matrix():
+    """3-component JPEGs stored as RGB (Adobe APP14 transform=0 /
+    JCS_RGB): libjpeg's null_convert path applies NO YCbCr matrix, and
+    the reference decodes them correctly through OpenCV's libjpeg
+    (opencv.cpp:93-102). Running them through the YCbCr kernel produced
+    garbage colors (review finding); the serving pipeline, whose fused
+    steps bake in the matrix, must reject them with a typed error."""
+    import io
+    from PIL import Image
+    from lilliput_tpu.errors import DecodingFailedError
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    rng = np.random.default_rng(11)
+    src = cv2.resize(rng.integers(0, 256, (12, 12, 3), np.uint8),
+                     (96, 64), interpolation=cv2.INTER_CUBIC)
+    b = io.BytesIO()
+    Image.fromarray(src[..., ::-1]).save(
+        b, "JPEG", keep_rgb=True, quality=95, subsampling=0)
+    buf = b.getvalue()
+    d = JpegDecoder(buf)
+    assert d._info.jpeg_color_space == 2  # fixture really is JCS_RGB
+    fb = Framebuffer()
+    d.decode_to(fb)
+    got = fb.to_numpy()[..., :3]
+    ref = np.asarray(Image.open(io.BytesIO(buf)))[..., ::-1]  # BGR
+    # per-plane IDCT only: float-vs-integer IDCT rounding is the only delta
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+    with pytest.raises(DecodingFailedError, match="JCS_RGB"):
+        JpegTranscodePipeline(buf, 32, 32)

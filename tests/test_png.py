@@ -74,6 +74,23 @@ def _synth_png(img: np.ndarray, interlace=0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_raw(img: np.ndarray) -> bytes:
+    """Filter-0 Adam7 raw stream for an 8-bit RGB(A) image (PIL and cv2
+    cannot WRITE interlaced PNGs, so tests build the stream by hand)."""
+    out = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + row.tobytes()
+    return out
+
+
 def test_interlaced_decode():
     img = np.random.default_rng(5).integers(0, 256, (13, 9, 3), np.uint8)
     ok, buf = cv2.imencode(".png", img[:, :, ::-1])
@@ -81,16 +98,27 @@ def test_interlaced_decode():
     fb = Framebuffer()
     plain.decode_to(fb)
     assert np.array_equal(fb.to_numpy(), img[:, :, ::-1][:, :, ::-1][:, :, ::-1])
-    # Adam7 via PIL if available
+    # hand-built Adam7 stream, oracled through PIL's interlaced reader
     PIL = pytest.importorskip("PIL.Image")
     import io
-    im = PIL.fromarray(img)
-    bio = io.BytesIO()
-    im.save(bio, format="PNG", interlace=True)
-    d = PngDecoder(bio.getvalue())
+    buf2 = _interlaced_png(img)
+    assert np.array_equal(np.asarray(PIL.open(io.BytesIO(buf2))), img)
+    d = PngDecoder(buf2)
     fb2 = Framebuffer()
     d.decode_to(fb2)
     assert np.array_equal(fb2.to_numpy(), img[:, :, ::-1])  # RGB->BGR
+
+
+def _interlaced_png(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    def chunk(t, d):
+        b = t + d
+        return struct.pack(">I", len(d)) + b + struct.pack(
+            ">I", zlib.crc32(b) & 0xFFFFFFFF)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(_adam7_raw(img)))
+            + chunk(b"IEND", b""))
 
 
 def test_apng_detection_synthetic():
@@ -142,3 +170,98 @@ def test_apng_animated_decode_and_transform():
     im.seek(2)
     px = np.array(im.convert("RGBA"))[0, 0]
     assert np.abs(px.astype(int) - np.array([120, 110, 120, 255])).max() <= 2
+
+
+# -- hardening regressions (adversarial-review findings) ---------------------
+
+def _chunk(t, d):
+    b = t + d
+    return struct.pack(">I", len(d)) + b + struct.pack(">I", zlib.crc32(b) & 0xFFFFFFFF)
+
+
+def _png(*chunks):
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks) + _chunk(b"IEND", b"")
+
+
+def test_truncated_interlaced_png_raises_typed_error():
+    """Adam7 passes must length-check the inflated stream before handing a
+    slice to the C++ unfilter — a short stream previously caused a heap
+    overread (review finding); now it raises like the sequential path."""
+    from lilliput_tpu.errors import DecodingFailedError
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 13, 8, 2, 0, 0, 1))
+    buf = _png(ihdr, _chunk(b"IDAT", zlib.compress(b"\x00" * 16)))
+    d = PngDecoder(buf)
+    with pytest.raises(DecodingFailedError, match="truncated"):
+        d.decode_to(Framebuffer())
+
+
+def test_iccp_decompression_bomb_dropped():
+    """An iCCP chunk inflating past 1 MiB is dropped (b"") without ever
+    materializing the payload (same cap as the JPEG/lcms2 ICC paths)."""
+    bomb = _chunk(b"iCCP", b"name\x00\x00" + zlib.compress(b"\x00" * (64 << 20), 9))
+    img = np.zeros((4, 4, 3), np.uint8)
+    base = _synth_png(img)
+    buf = base[:33] + bomb + base[33:]  # after IHDR (8 sig + 25 IHDR)
+    d = PngDecoder(buf)
+    assert d.icc() == b""
+    fb = Framebuffer()
+    d.decode_to(fb)
+    assert fb.to_numpy().shape == (4, 4, 3)
+
+
+def test_invalid_ihdr_combinations_raise_typed_error():
+    """Spec-illegal color-type/bit-depth pairs and unknown interlace
+    methods raise InvalidImageError instead of KeyError deep in decode."""
+    from lilliput_tpu.errors import InvalidImageError
+    cases = [(5, 8, 0),    # invalid color type
+             (2, 4, 0),    # truecolor at 4 bits
+             (3, 16, 0),   # palette at 16 bits
+             (2, 8, 7)]    # unknown interlace method
+    for ct, depth, il in cases:
+        ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, ct, 0, 0, il))
+        with pytest.raises(InvalidImageError):
+            PngDecoder(_png(ihdr, _chunk(b"IDAT", zlib.compress(b"\x00" * 64))))
+
+
+def test_trns_longer_than_palette_is_clamped():
+    """A tRNS chunk with more entries than the PLTE palette (spec-illegal,
+    attacker-constructible) decodes with the extra entries ignored instead
+    of raising a numpy broadcast ValueError."""
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))  # 2 entries
+    trns = _chunk(b"tRNS", bytes([10, 20, 30, 40, 50]))    # 5 entries
+    raw = b"\x00\x00\x01" + b"\x00\x01\x00"
+    buf = _png(ihdr, plte, trns, _chunk(b"IDAT", zlib.compress(raw)))
+    fb = Framebuffer()
+    PngDecoder(buf).decode_to(fb)
+    px = fb.to_numpy()
+    assert px.shape == (2, 2, 4)
+    assert px[0, 0, 3] == 10 and px[0, 1, 3] == 20  # first two tRNS applied
+
+
+def test_apng_interlaced_frames_decode():
+    """APNG frames of an interlaced PNG use the IHDR interlace method —
+    both the IDAT-backed first frame (fcTL before IDAT) and fdAT frames
+    (review finding: frames were always unfiltered as sequential rows)."""
+    vals = (37, 201)
+    payloads = []
+    for v in vals:
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) + v
+        payloads.append(zlib.compress(_adam7_raw(img)))
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1))
+    actl = _chunk(b"acTL", struct.pack(">II", 2, 0))
+
+    def fctl(seq):
+        return _chunk(b"fcTL", struct.pack(">IIIIIHHBB", seq, 8, 8, 0, 0,
+                                           1, 10, 0, 0))
+    buf = (b"\x89PNG\r\n\x1a\n" + ihdr + actl
+           + fctl(0) + _chunk(b"IDAT", payloads[0])
+           + fctl(1) + _chunk(b"fdAT", struct.pack(">I", 2) + payloads[1])
+           + _chunk(b"IEND", b""))
+    d = PngDecoder(buf)
+    for v in vals:
+        expect = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+                  + v)[:, :, ::-1]
+        fb = Framebuffer()
+        d.decode_to(fb)
+        assert np.array_equal(fb.to_numpy(), expect)
