@@ -13,6 +13,7 @@ with the PngCompression option (opencv.hpp:34).
 from __future__ import annotations
 
 import ctypes
+import os
 import struct
 import zlib
 from typing import Dict, Optional
@@ -37,10 +38,95 @@ binding.register_signature(
     [ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
      ctypes.c_int64, ctypes.c_int64, ctypes.c_int32],
     None)
+binding.register_signature("lp_zlib_fast_available", [], ctypes.c_int)
+binding.register_signature(
+    "lp_zlib_compress",
+    [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32],
+    ctypes.c_int64)
+binding.register_signature("lp_zlib_compress_bound", [ctypes.c_int64],
+                           ctypes.c_int64)
+binding.register_signature(
+    "lp_zlib_decompress",
+    [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64],
+    ctypes.c_int64)
 
 
 def _u8ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+# --- fast zlib streams (libdeflate, the reference's zlib-ng analog) --------
+#
+# The reference builds zlib-ng into libpng (deps/build-deps-linux.sh) because
+# host deflate dominates PNG encode; here the same role is played by
+# libdeflate behind the native shim, with Python zlib as the always-correct
+# fallback (and LILLIPUT_LIBDEFLATE=0 forcing it, for A/B and tests).
+
+_FAST_ZLIB: Optional[bool] = None
+
+
+def _fast_zlib(lib) -> bool:
+    global _FAST_ZLIB
+    if _FAST_ZLIB is None:
+        try:
+            _FAST_ZLIB = (os.environ.get("LILLIPUT_LIBDEFLATE", "1") != "0"
+                          and bool(lib.lp_zlib_fast_available()))
+        except AttributeError:
+            _FAST_ZLIB = False
+    return _FAST_ZLIB
+
+
+def _deflate(data: bytes, level: int, lib=None) -> bytes:
+    """Compress to a zlib-format stream (libdeflate fast path; zlib fallback
+    keeps level-0 stored streams and unavailable-shim behavior identical)."""
+    lib = lib if lib is not None else binding.load()
+    if _fast_zlib(lib) and len(data) > 0 and level > 0:
+        src = np.frombuffer(data, np.uint8)
+        cap = int(lib.lp_zlib_compress_bound(src.size))
+        if cap > 0:
+            out = np.empty(cap, np.uint8)
+            n = int(lib.lp_zlib_compress(_u8ptr(src), src.size,
+                                         _u8ptr(out), cap, level))
+            if n > 0:
+                return out[:n].tobytes()
+    return zlib.compress(data, level)
+
+
+def _inflate_exact(idat: bytes, expected: int, lib) -> Optional[np.ndarray]:
+    """Fast inflate when the decompressed size is exactly known (always true
+    for well-formed PNG). Returns None on any mismatch/corruption so the
+    caller falls back to Python zlib — edge-case semantics (trailing
+    garbage, overlong streams) stay byte-identical with the historical
+    path, and the known-size buffer doubles as a decompression-bomb cap."""
+    if not _fast_zlib(lib) or expected <= 0 or len(idat) == 0:
+        return None
+    src = np.frombuffer(idat, np.uint8)
+    out = np.empty(expected, np.uint8)
+    n = int(lib.lp_zlib_decompress(_u8ptr(src), src.size,
+                                   _u8ptr(out), expected))
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def _expected_raw_size(width: int, height: int, ch: int, bit_depth: int,
+                       interlace: int) -> int:
+    """Exact filtered-stream size: per-row filter byte + packed samples,
+    summed over Adam7 passes when interlaced."""
+    if interlace == 0:
+        stride = (width * ch * bit_depth + 7) // 8
+        return height * (stride + 1)
+    total = 0
+    for (x0, y0, dx, dy) in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * ch * bit_depth + 7) // 8
+        total += ph * (stride + 1)
+    return total
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +330,13 @@ class PngDecoder(Decoder):
         idat = b"".join(self._raw[off:off + ln]
                         for ctype, off, ln, _ in iter_chunks(self._raw)
                         if ctype == b"IDAT")
+        i = self._info
+        fast = _inflate_exact(
+            idat, _expected_raw_size(i.width, i.height,
+                                     _CHANNELS[i.color_type], i.bit_depth,
+                                     i.interlace), self._lib)
+        if fast is not None:
+            return fast
         try:
             return np.frombuffer(zlib.decompress(idat), np.uint8)
         except zlib.error as e:
@@ -385,10 +478,18 @@ class PngDecoder(Decoder):
         if self._frame_idx >= len(frames):
             raise EOFError()
         meta, chunks = frames[self._frame_idx]
-        try:
-            data = np.frombuffer(zlib.decompress(b"".join(chunks)), np.uint8)
-        except zlib.error as e:
-            raise DecodingFailedError(f"APNG frame inflate failed: {e}") from e
+        raw = b"".join(chunks)
+        i = self._info
+        data = _inflate_exact(
+            raw, _expected_raw_size(meta["w"], meta["h"],
+                                    _CHANNELS[i.color_type], i.bit_depth,
+                                    i.interlace), self._lib)
+        if data is None:
+            try:
+                data = np.frombuffer(zlib.decompress(raw), np.uint8)
+            except zlib.error as e:
+                raise DecodingFailedError(
+                    f"APNG frame inflate failed: {e}") from e
         # frames use the IHDR interlace method (APNG spec: frame data is
         # encoded like the static image, Adam7 laid out over the frame rect)
         samples = self._reconstruct_samples(
@@ -461,7 +562,7 @@ def encode_png_pixels(arr: np.ndarray, level: int = 6,
     filtered = np.empty(h * (stride + 1), np.uint8)
     lib.lp_png_filter(_u8ptr(np.ascontiguousarray(raw)), _u8ptr(filtered),
                       h, stride, ch)
-    comp = zlib.compress(filtered.tobytes(), level)
+    comp = _deflate(filtered.tobytes(), level, lib)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         body = ctype + data
@@ -470,7 +571,7 @@ def encode_png_pixels(arr: np.ndarray, level: int = 6,
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     out = [PNG_MAGIC, chunk(b"IHDR", ihdr)]
     if icc:
-        out.append(chunk(b"iCCP", b"ICC Profile\x00\x00" + zlib.compress(icc, 9)))
+        out.append(chunk(b"iCCP", b"ICC Profile\x00\x00" + _deflate(icc, 9, lib)))
     out.append(chunk(b"IDAT", comp))
     out.append(chunk(b"IEND", b""))
     return b"".join(out)

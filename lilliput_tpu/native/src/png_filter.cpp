@@ -11,7 +11,83 @@
 #include <cstdlib>
 #include <cstring>
 
+// Fast zlib-stream (de)compression via libdeflate when its header is present
+// (the Makefile gates -ldeflate the same way). This plays the role zlib-ng
+// plays in the reference (/root/reference/deps/build-deps-linux.sh builds
+// zlib-ng into libpng for exactly this host-deflate bottleneck); PNG sizes
+// are always known exactly on both sides, which is libdeflate's sweet spot.
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define LP_HAVE_LIBDEFLATE 1
+#endif
+
 extern "C" {
+
+// 1 when the fast deflate path is compiled in.
+int lp_zlib_fast_available(void) {
+#ifdef LP_HAVE_LIBDEFLATE
+    return 1;
+#else
+    return 0;
+#endif
+}
+
+// Compress `n` bytes into a zlib-format stream. Returns the compressed size,
+// or 0 if unavailable / the output does not fit in `out_cap` (caller falls
+// back to Python zlib). `level` is the zlib 0-9 scale.
+int64_t lp_zlib_compress(const uint8_t* in, int64_t n,
+                         uint8_t* out, int64_t out_cap, int32_t level) {
+#ifdef LP_HAVE_LIBDEFLATE
+    if (level < 0) level = 6;
+    if (level > 12) level = 12;
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) return 0;
+    size_t sz = libdeflate_zlib_compress(c, in, static_cast<size_t>(n),
+                                         out, static_cast<size_t>(out_cap));
+    libdeflate_free_compressor(c);
+    return static_cast<int64_t>(sz);
+#else
+    (void)in; (void)n; (void)out; (void)out_cap; (void)level;
+    return 0;
+#endif
+}
+
+// Upper bound for lp_zlib_compress output (0 if unavailable).
+int64_t lp_zlib_compress_bound(int64_t n) {
+#ifdef LP_HAVE_LIBDEFLATE
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(6);
+    if (!c) return 0;
+    size_t b = libdeflate_zlib_compress_bound(c, static_cast<size_t>(n));
+    libdeflate_free_compressor(c);
+    return static_cast<int64_t>(b);
+#else
+    (void)n;
+    return 0;
+#endif
+}
+
+// Decompress a zlib-format stream whose decompressed size is exactly known
+// (PNG: sum of per-pass (stride+1)*rows). Returns the number of bytes
+// written, or -1 on any mismatch/corruption/unavailability — the caller
+// falls back to Python zlib so edge-case semantics (trailing garbage,
+// nonstandard padding) stay byte-identical with the historical path.
+int64_t lp_zlib_decompress(const uint8_t* in, int64_t n,
+                           uint8_t* out, int64_t out_n) {
+#ifdef LP_HAVE_LIBDEFLATE
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) return -1;
+    size_t actual = 0;
+    enum libdeflate_result r = libdeflate_zlib_decompress(
+        d, in, static_cast<size_t>(n), out, static_cast<size_t>(out_n),
+        &actual);
+    libdeflate_free_decompressor(d);
+    if (r != LIBDEFLATE_SUCCESS) return -1;
+    return static_cast<int64_t>(actual);
+#else
+    (void)in; (void)n; (void)out; (void)out_n;
+    return -1;
+#endif
+}
 
 // In-place unfilter of `rows` rows of `stride` bytes each, where the input
 // layout is (filter_byte || row_bytes) per row, `bpp` = bytes per pixel

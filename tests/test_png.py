@@ -265,3 +265,46 @@ def test_apng_interlaced_frames_decode():
         fb = Framebuffer()
         d.decode_to(fb)
         assert np.array_equal(fb.to_numpy(), expect)
+
+
+def test_libdeflate_fast_path_equivalence(monkeypatch):
+    """The libdeflate fast zlib path (zlib-ng analog) must be pixel-
+    equivalent to the Python-zlib fallback in both directions, and its
+    streams must be plain zlib streams other tools can read."""
+    import lilliput_tpu.codecs.png as P
+    lib = P.binding.load()
+    if not P._fast_zlib(lib):
+        pytest.skip("libdeflate not compiled in")
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    fast = P.encode_png_pixels(img, 6)
+    monkeypatch.setattr(P, "_FAST_ZLIB", False)
+    slow = P.encode_png_pixels(img, 6)
+    # both decode (through the fallback inflate) to the same pixels
+    for buf in (fast, slow):
+        fb = Framebuffer()
+        PngDecoder(buf).decode_to(fb)
+        assert np.array_equal(fb.to_numpy()[:, :, :3], img)
+    # the fast stream is valid for vanilla zlib consumers (cv2)
+    import cv2
+    assert np.array_equal(
+        cv2.imdecode(np.frombuffer(fast, np.uint8), cv2.IMREAD_COLOR), img)
+    # fast-path inflate of a zlib-compressed stream matches too
+    monkeypatch.setattr(P, "_FAST_ZLIB", True)
+    fb = Framebuffer()
+    PngDecoder(slow).decode_to(fb)
+    assert np.array_equal(fb.to_numpy()[:, :, :3], img)
+
+
+def test_idat_trailing_garbage_falls_back_identically():
+    """A stream with bytes after the zlib end-of-stream must still decode
+    (Python-zlib fallback ignores trailing garbage, historical behavior)."""
+    import lilliput_tpu.codecs.png as P
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(16))
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0))
+    idat = _chunk(b"IDAT", zlib.compress(raw) + b"\x00garbage")
+    buf = b"\x89PNG\r\n\x1a\n" + ihdr + idat + _chunk(b"IEND", b"")
+    fb = Framebuffer()
+    PngDecoder(buf).decode_to(fb)
+    assert np.array_equal(fb.to_numpy(), img[:, :, ::-1])
