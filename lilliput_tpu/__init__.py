@@ -54,7 +54,7 @@ from .framebuffer import (AVIF_QUALITY, AVIF_SPEED, JPEG_PROGRESSIVE,  # noqa: F
 from .imageops import ImageOps, ImageOptions, ResizeMethod  # noqa: F401
 from .interfaces import Decoder, Encoder  # noqa: F401
 from .pipeline import (JpegTranscodePipeline, MultiGeometryPipeline,  # noqa: F401
-                       spritesheet, transcode_avif, transcode_gif,
-                       transcode_webp)
+                       StillTranscodePipeline, spritesheet,
+                       transcode_avif, transcode_gif, transcode_webp)
 
 __version__ = "0.1.0"

@@ -131,6 +131,16 @@ def _pack_pixels(bpl, gpl, rpl):
                          rpl.astype(jnp.float32))
 
 
+def _pack_pixels_a(bpl, gpl, rpl, apl):
+    """_pack_pixels with a real alpha plane (still-input serving: sources
+    with transparency keep it through webp/png outputs). Same round/clip
+    as _pack_bgra; the <<24 wraps to the int32 alpha byte."""
+    def u8(x):
+        return jnp.clip(jnp.round(x.astype(jnp.float32)), 0.0,
+                        255.0).astype(jnp.int32)
+    return (u8(bpl) | (u8(gpl) << 8) | (u8(rpl) << 16) | (u8(apl) << 24))
+
+
 def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                          src_w: int, src_h: int, h2: bool, v2: bool,
                          dst_w: int, dst_h: int, method: str = R.AREA,
@@ -443,6 +453,68 @@ def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
     return (K.fdct_quant(K._pad_to(yr, ph, pw), enc_qt_y),)
 
 
+def _fused_still_fit_impl(px, enc_qt_y, enc_qt_c, src_w: int, src_h: int,
+                          dst_w: int, dst_h: int, method: str = R.AREA,
+                          orientation: int = 1, emit: str = "coefs"):
+    """(B, H, W, C) u8 BGR(A)/gray still pixels -> quantized JPEG encode
+    coefficients (emit='coefs') or packed BGRA int32 pixels at the
+    destination size (emit='pixels').
+
+    The pixel-input counterpart of _fused_jpeg_fit_impl for non-JPEG
+    still sources (PNG/WebP/BMP/...): the host decodes each source to
+    pixels (entropy is the serial part), and orientation + center-crop +
+    resize + JPEG color encode fuse into ONE device program per batch —
+    where the reference crosses the cgo boundary per frame per op
+    (ops.go:302-374). Tail math mirrors the JPEG rgb path exactly, so the
+    output carries the same documented ±1-u8 tier vs the streaming
+    ImageOps path (matmul-form AREA resample reassociation).
+
+    C=1 sources produce 1-component (grayscale) JPEGs / gray still
+    outputs; C=4 sources keep their alpha through emit='pixels'.
+    """
+    if orientation != 1:
+        px = O.orient(px, orientation)
+    eff_w, eff_h = ((src_h, src_w) if O.swaps_dimensions(orientation)
+                    else (src_w, src_h))
+    left, top, w, h = fit_rect(eff_w, eff_h, dst_w, dst_h)
+    cropped = px[..., top:top + h, left:left + w, :]
+    if method == R.AREA:
+        resized = R.resize_area_mxu(cropped, dst_w, dst_h)
+    else:
+        resized = R.resize(cropped, dst_w, dst_h, method)
+    c = px.shape[-1]
+    if emit == "pixels":
+        if c == 1:
+            g = resized[..., 0]
+            return _pack_pixels(g, g, g)
+        if c == 4:
+            return _pack_pixels_a(resized[..., 0], resized[..., 1],
+                                  resized[..., 2], resized[..., 3])
+        return _pack_pixels(resized[..., 0], resized[..., 1],
+                            resized[..., 2])
+    if c == 1:
+        # 1-channel sources encode as grayscale JPEG, like the reference's
+        # OpenCV encoder over a 1-channel mat
+        yr = jnp.clip(jnp.round(resized[..., 0].astype(jnp.float32)),
+                      0, 255)
+        ph = (dst_h + 7) // 8 * 8
+        pw = (dst_w + 7) // 8 * 8
+        return (K.fdct_quant(K._pad_to(yr, ph, pw), enc_qt_y),)
+    return K.encode_from_bgr(resized, enc_qt_y, enc_qt_c, subsample=True)
+
+
+_STILL_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "method",
+                  "orientation", "emit")
+
+fused_still_fit_transcode = jax.jit(
+    _fused_still_fit_impl, static_argnames=_STILL_STATICS)
+
+#: serving variant: the pixel batch is donated (steady-state buffer reuse)
+_fused_still_fit_donating = jax.jit(
+    _fused_still_fit_impl, static_argnames=_STILL_STATICS,
+    donate_argnums=(0,))
+
+
 _GRAY_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale",
                  "orientation", "window", "emit")
 
@@ -476,7 +548,191 @@ _fused_jpeg_fit_donating = jax.jit(
     donate_argnums=(0, 1, 2))
 
 
-class JpegTranscodePipeline:
+class _ServingPipelineBase:
+    """Shared host-encode/orchestration stages of the serving pipelines.
+
+    Subclasses provide the host decode stage (`_host_decode`) and the
+    fused device stage (`device_step`) plus the attributes the encode
+    stages read: dst_w/dst_h, ncomp, quality, optimize_coding,
+    enc_qt_y_np/enc_qt_c_np, output_format, encode_options, _lib.
+    """
+
+    @property
+    def _emit(self) -> str:
+        """Device-step output mode derived from output_format (shared by
+        every subclass so they cannot drift)."""
+        return "coefs" if self.output_format == ".jpeg" else "pixels"
+
+    # -- abstract stages ------------------------------------------------------
+
+    def _host_decode(self, bufs: Sequence[bytes]):
+        """Host decode stage: returns (device_step args tuple, per-image
+        ICC profiles)."""
+        raise NotImplementedError
+
+    def device_step(self, *args, donate: bool = True):
+        raise NotImplementedError
+
+    # -- host encode stages ---------------------------------------------------
+
+    def _pixel_channels(self, fmt: str) -> int:
+        """Channel count the host still-encoders write for pixel outputs.
+        JPEG-source pipelines decode to opaque BGR (gray sources stay
+        1-channel in PNG); StillTranscodePipeline overrides to keep a
+        source alpha channel."""
+        if fmt == ".webp":
+            return 3
+        return 1 if self.ncomp == 1 else 3
+
+    def encode_entropy(self, yq: np.ndarray, cbq: Optional[np.ndarray] = None,
+                       crq: Optional[np.ndarray] = None,
+                       workers: Optional[int] = None,
+                       iccs: Optional[Sequence[bytes]] = None) -> List[bytes]:
+        """Huffman-encode device-quantized coefficients (host, threaded).
+
+        Color pipelines take (yq, cbq, crq); grayscale just (yq,). Like
+        the host decode stages, the shim releases the GIL so encode scales
+        across host cores; each worker owns its output buffer.
+
+        iccs: optional per-image ICC profiles to embed (the transcode paths
+        pass each source's profile so color profiles survive the serving
+        transcode, like the reference's Transform)."""
+        w, h = self.dst_w, self.dst_h
+        yb = ((h + 7) // 8, (w + 7) // 8)
+        cbb = ((h + 15) // 16, (w + 15) // 16)
+        gray = self.ncomp == 1
+        b = yq.shape[0]
+        outs: List[Optional[bytes]] = [None] * b
+        nc = 1 if gray else 3
+        hs = (ctypes.c_int32 * nc)(*([1] if gray else [2, 1, 1]))
+        vs = (ctypes.c_int32 * nc)(*([1] if gray else [2, 1, 1]))
+        qp = ctypes.POINTER(ctypes.c_uint16)
+        opt = 1 if self.optimize_coding else 0
+        cap = w * h * 4 + (1 << 20)
+        if iccs is not None:
+            cap += max((len(p or b"") for p in iccs), default=0) + (1 << 12)
+
+        def one(i: int, out_buf=None):
+            if out_buf is None:
+                out_buf = np.empty(cap, np.uint8)
+            y = np.ascontiguousarray(yq[i][:yb[0], :yb[1]])
+            if gray:
+                ptrs = (_i16p * 1)(y.ctypes.data_as(_i16p))
+            else:
+                cbx = np.ascontiguousarray(cbq[i][:cbb[0], :cbb[1]])
+                crx = np.ascontiguousarray(crq[i][:cbb[0], :cbb[1]])
+                ptrs = (_i16p * 3)(y.ctypes.data_as(_i16p),
+                                   cbx.ctypes.data_as(_i16p),
+                                   crx.ctypes.data_as(_i16p))
+            icc = (iccs[i] if iccs is not None else b"") or b""
+            icc_arr = (np.frombuffer(icc, np.uint8) if icc
+                       else None)
+            n = self._lib.lp_jpeg_encode_coefs(
+                w, h, nc, hs, vs, ptrs,
+                self.enc_qt_y_np.ctypes.data_as(qp),
+                self.enc_qt_c_np.ctypes.data_as(qp),
+                0, opt, 0,
+                (icc_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                 if icc_arr is not None else None),
+                len(icc),
+                out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                out_buf.size)
+            if n < 0:
+                raise DecodingFailedError(f"JPEG entropy encode failed ({n})")
+            outs[i] = out_buf[:n].tobytes()
+
+        n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
+        if n_workers <= 1 or b <= 1:
+            buf = np.empty(cap, np.uint8)
+            for i in range(b):
+                one(i, buf)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, range(b)))
+        return outs  # type: ignore[return-value]
+
+    def encode_pixels(self, packed: np.ndarray,
+                      iccs: Optional[Sequence[bytes]] = None,
+                      workers: Optional[int] = None) -> List[bytes]:
+        """Host still-encode stage for webp/png outputs.
+
+        packed: (B, dst_h, dst_w) int32 BGRA from device_step (little-
+        endian byte 0 = B). Threaded like encode_entropy (libwebp and
+        zlib release the GIL); _pixel_channels decides whether the alpha
+        byte is written or dropped."""
+        from .codecs.png import encode_png_pixels
+        from .codecs.webp import encode_webp_pixels
+        from .framebuffer import PNG_COMPRESSION, WEBP_QUALITY
+        b = packed.shape[0]
+        bgra = packed.view(np.uint8).reshape(b, self.dst_h, self.dst_w, 4)
+        outs: List[Optional[bytes]] = [None] * b
+        fmt = self.output_format
+        ch = self._pixel_channels(fmt)
+
+        def one(i: int):
+            icc = (iccs[i] if iccs is not None else b"") or None
+            px = np.ascontiguousarray(bgra[i][:, :, :ch])
+            if fmt == ".webp":
+                o = dict(self.encode_options)
+                o.setdefault(WEBP_QUALITY, int(self.quality))
+                outs[i] = encode_webp_pixels(px, o, icc)
+            else:
+                level = int(self.encode_options.get(PNG_COMPRESSION, 6))
+                outs[i] = encode_png_pixels(px, level, icc)
+
+        n_workers = (workers if workers is not None
+                     else min(8, os.cpu_count() or 1))
+        if n_workers <= 1 or b <= 1:
+            for i in range(b):
+                one(i)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, range(b)))
+        return outs  # type: ignore[return-value]
+
+    def _encode_outputs(self, arrs: Sequence[np.ndarray],
+                        iccs: Optional[Sequence[bytes]]) -> List[bytes]:
+        """Dispatch the host encode stage by output format."""
+        if self.output_format == ".jpeg":
+            return self.encode_entropy(*arrs, iccs=iccs)
+        return self.encode_pixels(arrs[0], iccs=iccs)
+
+    # -- end to end -----------------------------------------------------------
+
+    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
+        from .utils import StageTimer, metrics
+        with StageTimer("entropy_decode"):
+            args, iccs = self._host_decode(bufs)
+        with StageTimer("device"):
+            arrs = [np.asarray(a) for a in self.device_step(*args)]
+        with StageTimer("encode"):
+            out = self._encode_outputs(arrs, iccs)
+        metrics.incr("images_transcoded", len(bufs))
+        return out
+
+    def transcode_pipelined(self, batches: Sequence[Sequence[bytes]]) -> List[List[bytes]]:
+        """Double-buffered: host decode for batch i+1 overlaps device batch i
+        (JAX dispatch is asynchronous; np.asarray blocks on completion)."""
+        results = []
+        pending = None  # (device arrays, per-image ICC profiles)
+        for bufs in batches:
+            args, iccs = self._host_decode(bufs)
+            dev = self.device_step(*args)
+            if pending is not None:
+                pdev, piccs = pending
+                results.append(self._encode_outputs(
+                    [np.asarray(a) for a in pdev], piccs))
+            pending = (dev, iccs)
+        if pending is not None:
+            pdev, piccs = pending
+            results.append(self._encode_outputs(
+                [np.asarray(a) for a in pdev], piccs))
+        return results
+
+
+class JpegTranscodePipeline(_ServingPipelineBase):
     """Batched JPEG Fit transcoder for a fixed source geometry.
 
     Usage:
@@ -573,12 +829,6 @@ class JpegTranscodePipeline:
         self.enc_qt_y_np, self.enc_qt_c_np = eql, eqc
         self.enc_qt_y = jnp.asarray(eql)
         self.enc_qt_c = jnp.asarray(eqc)
-
-    @property
-    def _emit(self) -> str:
-        """Device-step output mode derived from output_format (shared with
-        the sharded subclass so the two cannot drift)."""
-        return "coefs" if self.output_format == ".jpeg" else "pixels"
 
     def _direct_ok(self) -> bool:
         """chroma_mode='direct' preconditions (shared by this class, the
@@ -759,123 +1009,6 @@ class JpegTranscodePipeline:
             return ys, qty
         return ys, cbs, crs, qty, qtc
 
-    def encode_entropy(self, yq: np.ndarray, cbq: Optional[np.ndarray] = None,
-                       crq: Optional[np.ndarray] = None,
-                       workers: Optional[int] = None,
-                       iccs: Optional[Sequence[bytes]] = None) -> List[bytes]:
-        """Huffman-encode device-quantized coefficients (host, threaded).
-
-        Color pipelines take (yq, cbq, crq); grayscale just (yq,). Like
-        decode_entropy, the shim releases the GIL so encode scales across
-        host cores; each worker owns its output buffer.
-
-        iccs: optional per-image ICC profiles to embed (the transcode paths
-        pass codecs.jpeg.read_icc of each source so color profiles survive
-        the serving transcode, like the reference's Transform)."""
-        w, h = self.dst_w, self.dst_h
-        yb = ((h + 7) // 8, (w + 7) // 8)
-        cbb = ((h + 15) // 16, (w + 15) // 16)
-        gray = self.ncomp == 1
-        b = yq.shape[0]
-        outs: List[Optional[bytes]] = [None] * b
-        nc = 1 if gray else 3
-        hs = (ctypes.c_int32 * nc)(*([1] if gray else [2, 1, 1]))
-        vs = (ctypes.c_int32 * nc)(*([1] if gray else [2, 1, 1]))
-        qp = ctypes.POINTER(ctypes.c_uint16)
-        opt = 1 if self.optimize_coding else 0
-        cap = w * h * 4 + (1 << 20)
-        if iccs is not None:
-            cap += max((len(p or b"") for p in iccs), default=0) + (1 << 12)
-
-        def one(i: int, out_buf=None):
-            if out_buf is None:
-                out_buf = np.empty(cap, np.uint8)
-            y = np.ascontiguousarray(yq[i][:yb[0], :yb[1]])
-            if gray:
-                ptrs = (_i16p * 1)(y.ctypes.data_as(_i16p))
-            else:
-                cbx = np.ascontiguousarray(cbq[i][:cbb[0], :cbb[1]])
-                crx = np.ascontiguousarray(crq[i][:cbb[0], :cbb[1]])
-                ptrs = (_i16p * 3)(y.ctypes.data_as(_i16p),
-                                   cbx.ctypes.data_as(_i16p),
-                                   crx.ctypes.data_as(_i16p))
-            icc = (iccs[i] if iccs is not None else b"") or b""
-            icc_arr = (np.frombuffer(icc, np.uint8) if icc
-                       else None)
-            n = self._lib.lp_jpeg_encode_coefs(
-                w, h, nc, hs, vs, ptrs,
-                self.enc_qt_y_np.ctypes.data_as(qp),
-                self.enc_qt_c_np.ctypes.data_as(qp),
-                0, opt, 0,
-                (icc_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-                 if icc_arr is not None else None),
-                len(icc),
-                out_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                out_buf.size)
-            if n < 0:
-                raise DecodingFailedError(f"JPEG entropy encode failed ({n})")
-            outs[i] = out_buf[:n].tobytes()
-
-        n_workers = workers if workers is not None else min(8, os.cpu_count() or 1)
-        if n_workers <= 1 or b <= 1:
-            buf = np.empty(cap, np.uint8)
-            for i in range(b):
-                one(i, buf)
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(n_workers) as ex:
-                list(ex.map(one, range(b)))
-        return outs  # type: ignore[return-value]
-
-    def encode_pixels(self, packed: np.ndarray,
-                      iccs: Optional[Sequence[bytes]] = None,
-                      workers: Optional[int] = None) -> List[bytes]:
-        """Host still-encode stage for webp/png outputs.
-
-        packed: (B, dst_h, dst_w) int32 BGRA from device_step (little-
-        endian byte 0 = B). Threaded like encode_entropy (libwebp and
-        zlib release the GIL); alpha is dropped (decode output is opaque)."""
-        from .codecs.png import encode_png_pixels
-        from .codecs.webp import encode_webp_pixels
-        from .framebuffer import PNG_COMPRESSION, WEBP_QUALITY
-        b = packed.shape[0]
-        bgra = packed.view(np.uint8).reshape(b, self.dst_h, self.dst_w, 4)
-        outs: List[Optional[bytes]] = [None] * b
-        fmt = self.output_format
-
-        def one(i: int):
-            icc = (iccs[i] if iccs is not None else b"") or None
-            if fmt == ".webp":
-                px = np.ascontiguousarray(bgra[i][:, :, :3])
-                o = dict(self.encode_options)
-                o.setdefault(WEBP_QUALITY, int(self.quality))
-                outs[i] = encode_webp_pixels(px, o, icc)
-            else:
-                # grayscale sources encode as 1-channel (color_type 0) PNG
-                # like the streaming path, not a 3x-larger RGB triplet
-                ch = 1 if self.ncomp == 1 else 3
-                px = np.ascontiguousarray(bgra[i][:, :, :ch])
-                level = int(self.encode_options.get(PNG_COMPRESSION, 6))
-                outs[i] = encode_png_pixels(px, level, icc)
-
-        n_workers = (workers if workers is not None
-                     else min(8, os.cpu_count() or 1))
-        if n_workers <= 1 or b <= 1:
-            for i in range(b):
-                one(i)
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(n_workers) as ex:
-                list(ex.map(one, range(b)))
-        return outs  # type: ignore[return-value]
-
-    def _encode_outputs(self, arrs: Sequence[np.ndarray],
-                        iccs: Optional[Sequence[bytes]]) -> List[bytes]:
-        """Dispatch the host encode stage by output format."""
-        if self.output_format == ".jpeg":
-            return self.encode_entropy(*arrs, iccs=iccs)
-        return self.encode_pixels(arrs[0], iccs=iccs)
-
     # -- device stage ----------------------------------------------------------
 
     def device_step(self, ys, cbs=None, crs=None, qty=None, qtc=None,
@@ -936,51 +1069,201 @@ class JpegTranscodePipeline:
 
     # -- end to end --------------------------------------------------------------
 
-    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
-        from .utils import StageTimer, metrics
-        with StageTimer("entropy_decode"):
-            coefs = self.decode_entropy(bufs)
-        # color profiles survive the transcode (reference Transform parity):
-        # a cheap APP2 header walk per source, attached on encode
+    def _host_decode(self, bufs: Sequence[bytes]):
+        """Host stage: entropy decode + ICC collection (a cheap APP2
+        header walk per source, so color profiles survive the transcode —
+        reference Transform parity)."""
+        coefs = self.decode_entropy(bufs)
         iccs = [J.read_icc(b) for b in bufs]
-        with StageTimer("device"):
-            arrs = [np.asarray(a) for a in self.device_step(*coefs)]
-        with StageTimer("encode"):
-            out = self._encode_outputs(arrs, iccs)
-        metrics.incr("images_transcoded", len(bufs))
-        return out
+        return coefs, iccs
 
-    def transcode_pipelined(self, batches: Sequence[Sequence[bytes]]) -> List[List[bytes]]:
-        """Double-buffered: host entropy for batch i+1 overlaps device batch i
-        (JAX dispatch is asynchronous; np.asarray blocks on completion)."""
-        results = []
-        pending = None  # (device arrays, per-image ICC profiles)
-        for bufs in batches:
-            coefs = self.decode_entropy(bufs)
-            iccs = [J.read_icc(b) for b in bufs]
-            dev = self.device_step(*coefs)
-            if pending is not None:
-                pdev, piccs = pending
-                results.append(self._encode_outputs(
-                    [np.asarray(a) for a in pdev], piccs))
-            pending = (dev, iccs)
-        if pending is not None:
-            pdev, piccs = pending
-            results.append(self._encode_outputs(
-                [np.asarray(a) for a in pdev], piccs))
-        return results
+
+def _host_cpu_device():
+    """Host CPU jax device for the still decode path's per-image pixel
+    conversions. They must not ride the accelerator per image: eager
+    per-op dispatch through a remote TPU costs ms-to-minutes per op, and
+    the conversions (palette LUT, 16->8, channel swizzles) are trivially
+    CPU-sized."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+class StillTranscodePipeline(_ServingPipelineBase):
+    """Batched Fit transcoder for same-geometry NON-JPEG still sources
+    (PNG/WebP/BMP/GIF/AVIF/... — anything new_decoder dispatches).
+
+    The JPEG serving pipelines work in the coefficient domain; every
+    other still format decodes to pixels on the HOST (the serial entropy
+    codecs, threaded across cores; the cheap per-image conversions pinned
+    to the host CPU backend), and the dense tail — EXIF orientation,
+    center-crop, INTER_AREA resize, JPEG color encode — fuses into ONE
+    device dispatch per batch (_fused_still_fit_impl). Output tier
+    matches the JPEG serving path: ±1 u8 vs the streaming ImageOps path
+    (matmul-form AREA resample reassociation).
+
+    Gray (1-channel) sources produce grayscale JPEG / 1-channel PNG
+    outputs; 4-channel sources keep alpha through .webp/.png outputs
+    (JPEG output drops it, like the reference's OpenCV encoder).
+    Animated sources transcode their FIRST frame — what the reference's
+    Transform emits for animated input with still output.
+
+    Usage:
+        pipe = StillTranscodePipeline(sample_png, 256, 256, quality=85)
+        outs = pipe.transcode(list_of_pngs)   # same geometry as sample
+    """
+
+    def __init__(self, sample: bytes, dst_w: int, dst_h: int,
+                 quality: int = 85, method: str = R.AREA,
+                 optimize_coding: bool = False,
+                 output_format: str = ".jpeg",
+                 encode_options: Optional[dict] = None):
+        from . import api as A
+        if A.is_jpeg(sample):
+            raise DecodingFailedError(
+                "JPEG sources: use JpegTranscodePipeline (the "
+                "coefficient-domain path) or MultiGeometryPipeline")
+        self._lib = binding.load()
+        self.dst_w, self.dst_h = dst_w, dst_h
+        self.method = method
+        self.quality = quality
+        self.optimize_coding = optimize_coding
+        self.output_format = _normalize_output_format(output_format)
+        self.encode_options = dict(encode_options or {})
+        d = A.new_decoder(sample)
+        self.kind = type(d).__name__
+        hdr = d.header()
+        self.src_w, self.src_h = int(hdr.width), int(hdr.height)
+        self.orientation = int(hdr.orientation)
+        arr = self._decode_array(d)
+        if arr.shape[:2] != (self.src_h, self.src_w):
+            # e.g. a video stream whose SAR display scaling changes the
+            # decoded size: the batched path needs header==pixels geometry
+            raise DecodingFailedError(
+                f"decoder output {arr.shape[1]}x{arr.shape[0]} does not "
+                f"match header geometry {self.src_w}x{self.src_h}: use "
+                "the streaming ImageOps path for this source")
+        self.channels = int(arr.shape[-1])
+        self.ncomp = 1 if self.channels == 1 else 3
+        eql, eqc = J.scaled_qtables(quality)
+        self.enc_qt_y_np, self.enc_qt_c_np = eql, eqc
+        self.enc_qt_y = jnp.asarray(eql)
+        self.enc_qt_c = jnp.asarray(eqc)
+
+    # -- host decode stage ----------------------------------------------------
+
+    @staticmethod
+    def _decode_array(d) -> np.ndarray:
+        """First-frame pixels as host u8 numpy, decoder jnp work pinned
+        to the CPU backend."""
+        import contextlib
+
+        from .framebuffer import Framebuffer
+        fb = Framebuffer()
+        cpu = _host_cpu_device()
+        ctx = (jax.default_device(cpu) if cpu is not None
+               else contextlib.nullcontext())
+        with ctx:
+            d.decode_to(fb)
+            arr = np.asarray(fb.array)
+        return arr
+
+    def _decode_one(self, buf: bytes):
+        """Decode + validate one source (untrusted-input stance: every
+        buffer is re-validated against the compiled signature before it
+        lands in the batch array)."""
+        from . import api as A
+        d = A.new_decoder(buf)
+        if type(d).__name__ != self.kind:
+            raise DecodingFailedError(
+                f"format mismatch: pipeline compiled for {self.kind} "
+                f"sources, got {type(d).__name__}")
+        hdr = d.header()
+        if (int(hdr.width), int(hdr.height)) != (self.src_w, self.src_h):
+            raise DecodingFailedError(
+                f"geometry mismatch: pipeline compiled for "
+                f"{self.src_w}x{self.src_h}, got {hdr.width}x{hdr.height}")
+        if int(hdr.orientation) != self.orientation:
+            raise DecodingFailedError(
+                f"EXIF orientation mismatch: pipeline expects "
+                f"{self.orientation}, got {int(hdr.orientation)}")
+        arr = self._decode_array(d)
+        if arr.shape != (self.src_h, self.src_w, self.channels):
+            raise DecodingFailedError(
+                f"decoded shape mismatch: pipeline compiled for "
+                f"{(self.src_h, self.src_w, self.channels)}, got "
+                f"{arr.shape} (same-size sources must share the channel "
+                "layout)")
+        return arr, (d.icc() or b"")
+
+    def decode_pixels(self, bufs: Sequence[bytes],
+                      workers: Optional[int] = None):
+        """Decode a batch into one (B, H, W, C) u8 array + per-image ICC
+        profiles. Threaded like decode_entropy: the entropy codecs
+        (zlib/libwebp/dav1d/...) release the GIL."""
+        b = len(bufs)
+        batch = np.empty((b, self.src_h, self.src_w, self.channels),
+                         np.uint8)
+        iccs: List[bytes] = [b""] * b
+
+        def one(i: int):
+            arr, icc = self._decode_one(bufs[i])
+            batch[i] = arr
+            iccs[i] = icc
+
+        n_workers = (workers if workers is not None
+                     else min(8, os.cpu_count() or 1))
+        if n_workers <= 1 or b <= 1:
+            for i in range(b):
+                one(i)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, range(b)))
+        return batch, iccs
+
+    def _host_decode(self, bufs: Sequence[bytes]):
+        batch, iccs = self.decode_pixels(bufs)
+        return (batch,), iccs
+
+    def _pixel_channels(self, fmt: str) -> int:
+        if self.channels == 4:
+            return 4                      # alpha survives still outputs
+        if self.channels == 1:
+            # gray stays 1-channel in PNG; libwebp takes 3/4-channel only
+            return 1 if fmt == ".png" else 3
+        return 3
+
+    # -- device stage ---------------------------------------------------------
+
+    def device_step(self, px, donate: bool = True):
+        """One fused dispatch over the pixel batch (async device arrays)."""
+        emit = self._emit
+        donate = donate and emit == "coefs"
+        fn = (_fused_still_fit_donating if donate
+              else fused_still_fit_transcode)
+        out = fn(jnp.asarray(px), self.enc_qt_y, self.enc_qt_c,
+                 src_w=self.src_w, src_h=self.src_h,
+                 dst_w=self.dst_w, dst_h=self.dst_h, method=self.method,
+                 orientation=self.orientation, emit=emit)
+        return out if isinstance(out, tuple) else (out,)
 
 
 class MultiGeometryPipeline:
-    """Serving front for mixed-geometry JPEG batches (SURVEY.md hard part #3).
+    """Serving front for mixed-geometry still batches (SURVEY.md hard
+    part #3) — JPEG and non-JPEG sources alike.
 
     Dynamic input shapes would force an XLA recompile per image; instead
-    requests are grouped by their exact coefficient geometry (dims +
-    subsampling) AND EXIF orientation, each group batching through a
-    per-(geometry, orientation) JpegTranscodePipeline whose compiled program
-    is cached (LRU). Steady-state traffic from a bounded set of source
-    resolutions (the common serving shape) compiles once per resolution and
-    then always dispatches batched.
+    requests are grouped by their exact signature — JPEGs by coefficient
+    geometry (dims + subsampling) and EXIF orientation, other still
+    formats (PNG/WebP/BMP/GIF/AVIF/...) by (format, dims, channels,
+    orientation) — each group batching through a per-signature
+    JpegTranscodePipeline (coefficient domain) or StillTranscodePipeline
+    (pixel domain) whose compiled program is cached (LRU). Steady-state
+    traffic from a bounded set of source resolutions (the common serving
+    shape) compiles once per resolution and then always dispatches
+    batched.
     """
 
     def __init__(self, dst_w: int, dst_h: int, quality: int = 85,
@@ -997,32 +1280,55 @@ class MultiGeometryPipeline:
         # fail at construction, not on the first request
         self.output_format = _normalize_output_format(output_format)
         self.encode_options = dict(encode_options or {})
-        # (JpegGeometry, orientation) -> JpegTranscodePipeline, LRU order
-        self._pipes: "OrderedDict[Tuple[JpegGeometry, int], JpegTranscodePipeline]" = OrderedDict()
+        # signature key -> serving pipeline, LRU order; JPEG keys are
+        # (JpegGeometry, orientation), still keys ("still", kind, w, h,
+        # channels, orientation)
+        self._pipes: "OrderedDict[Tuple, _ServingPipelineBase]" = OrderedDict()
 
-    def _pipe_for(self, buf: bytes) -> "JpegTranscodePipeline":
+    def _pipe_for(self, buf: bytes) -> "_ServingPipelineBase":
+        from . import api as A
         from .utils.metrics import metrics
-        info = J.JpegDecoder(buf)._info
-        key = (geometry_of(info), int(J.exif_orientation(buf)))
+        if A.is_jpeg(buf):
+            info = J.JpegDecoder(buf)._info
+            key = (geometry_of(info), int(J.exif_orientation(buf)))
+
+            def builder() -> "_ServingPipelineBase":
+                info2 = geometry_of(info)
+                mode = (self.chroma_mode
+                        if (self.chroma_mode == "direct"
+                            and info2.h2 and info2.v2
+                            and int(J.exif_orientation(buf)) == 1
+                            and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
+                            and self.method == R.AREA)
+                        else "rgb")
+                return JpegTranscodePipeline(
+                    buf, self.dst_w, self.dst_h, quality=self.quality,
+                    method=self.method, chroma_mode=mode,
+                    dct_scale=self.dct_scale if mode == "direct" else 1,
+                    output_format=self.output_format,
+                    encode_options=self.encode_options)
+        else:
+            # non-JPEG stills: pixel-domain pipelines keyed by (format,
+            # dims, channel layout, orientation) — a JPEG key is a
+            # (JpegGeometry, int) 2-tuple so the key spaces never collide
+            d = A.new_decoder(buf)
+            hdr = d.header()
+            key = ("still", type(d).__name__, int(hdr.width),
+                   int(hdr.height), int(hdr.channels),
+                   int(hdr.orientation))
+
+            def builder() -> "_ServingPipelineBase":
+                return StillTranscodePipeline(
+                    buf, self.dst_w, self.dst_h, quality=self.quality,
+                    method=self.method, output_format=self.output_format,
+                    encode_options=self.encode_options)
         pipe = self._pipes.get(key)
         if pipe is None:
             metrics.incr("serving.geometry_compiles")
-            info2 = geometry_of(info)
-            mode = (self.chroma_mode
-                    if (self.chroma_mode == "direct" and info2.h2 and info2.v2
-                        and int(J.exif_orientation(buf)) == 1
-                        and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
-                        and self.method == R.AREA)
-                    else "rgb")
             # construct BEFORE evicting: a rejected source (exotic
             # subsampling, distinct chroma tables) must not cost a hot
             # geometry its compiled program
-            pipe = JpegTranscodePipeline(
-                buf, self.dst_w, self.dst_h, quality=self.quality,
-                method=self.method, chroma_mode=mode,
-                dct_scale=self.dct_scale if mode == "direct" else 1,
-                output_format=self.output_format,
-                encode_options=self.encode_options)
+            pipe = builder()
             if len(self._pipes) >= self.max_geometries:
                 # LRU eviction: a hot geometry must not lose its compiled
                 # program to an early arrival (round-1 VERDICT weak #5);
