@@ -196,6 +196,51 @@ def main():
     device_ips = max(rgb_ips, ycc_ips)
     p50_batch = min(rgb_p50, ycc_p50)
 
+    # --- still-input serving device rate (StillTranscodePipeline step) ----
+    # 1080p BGR pixel batch -> fused orient+crop+AREA resize+JPEG encode
+    # (the non-JPEG-source serving path: PNG/WebP/... decode to pixels on
+    # the host, this is their one device dispatch). The pixel batch is
+    # synthesized ON device: 760 MB of u8 through the dev tunnel would
+    # measure the tunnel, not the chip.
+    still_ips = None
+    if os.environ.get("BENCH_STILL", "1") != "0":
+        try:
+            from lilliput_tpu.pipeline import fused_still_fit_transcode
+
+            @jax.jit
+            def _make_px(key):
+                return jax.random.bits(
+                    key, (batch, 1080, 1920, 3), dtype=jnp.uint8)
+
+            px_dev = _make_px(jax.random.key(0))
+            px_dev.block_until_ready()
+
+            @jax.jit
+            def chained_still(px, eqy, eqc):
+                acc = jnp.int32(0)
+                p = px
+                for _ in range(chain):
+                    o = fused_still_fit_transcode(
+                        p, eqy, eqc, src_w=1920, src_h=1080,
+                        dst_w=pipe.dst_w, dst_h=pipe.dst_h)
+                    s = sum(jnp.sum(v.astype(jnp.int32)) for v in o)
+                    acc = acc + s
+                    p = px + (s % 2).astype(jnp.uint8)  # serialize
+                return acc
+
+            sargs = (px_dev, pipe.enc_qt_y, pipe.enc_qt_c)
+            int(chained_still(*sargs))  # compile
+            stimes = []
+            for _ in range(max(iters // chain, 3)):
+                t1 = time.time()
+                int(chained_still(*sargs))
+                stimes.append(time.time() - t1)
+            stimes.sort()
+            still_ips = batch / max(
+                (stimes[len(stimes) // 2] - rtt) / chain, 1e-9)
+        except Exception:
+            still_ips = None
+
     # single-image device latency: the per-step time of a 16-deep data-
     # dependent chain of batch-1 transforms (a lone step is ~sub-ms, far
     # below the tunnel RTT's jitter, so it must be amortized to measure)
@@ -378,6 +423,8 @@ def main():
             "mode_rgb_parity_images_per_sec": round(rgb_ips, 2),
             "mode_ycc_direct_images_per_sec": round(ycc_ips, 2),
             "mode_ycc_dct_scale2_images_per_sec": round(scaled_ips, 2),
+            "still_input_device_images_per_sec": (
+                round(still_ips, 2) if still_ips else None),
             "pallas_megakernel_vs_xla_max_abs_diff": pallas_vs_xla,
             "tpu_vs_cpu_decode_max_abs_diff": tpu_vs_cpu,
             "small_geometry_compile_ok": small_ok,

@@ -22,8 +22,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..pipeline import (JpegTranscodePipeline, fused_jpeg_fit_transcode,
-                        fused_jpeg_fit_transcode_ycc)
+from ..pipeline import (JpegTranscodePipeline, StillTranscodePipeline,
+                        fused_jpeg_fit_transcode,
+                        fused_jpeg_fit_transcode_ycc,
+                        fused_still_fit_transcode)
 from .mesh import make_mesh
 
 
@@ -127,6 +129,63 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
             eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
             with split:
                 out = self._step(*args, eqy, eqc)
+        if not isinstance(out, tuple):
+            out = (out,)   # pixel mode: the fused fn returns a bare array
+        if pad:
+            out = tuple(o[:-pad] for o in out)
+        return out
+
+
+class ShardedStillPipeline(StillTranscodePipeline):
+    """StillTranscodePipeline (non-JPEG still sources) whose device step
+    shards the pixel batch over 'dp' and, when the mesh carries an 'sp'
+    axis > 1 that divides the image height, each image's ROW axis over
+    'sp' — the big-image path for pixel-domain sources (an 8K PNG's
+    resize spreads across sp chips, XLA inserting the halo collectives
+    for the cross-row AREA taps on ICI).
+
+    Exactness mirrors ShardedJpegPipeline: dp-only meshes are
+    BYTE-IDENTICAL to the single-chip pipeline (requests never split);
+    sp>1 re-associates the f32 resize partial sums at shard boundaries
+    and carries the documented ±1-u8 tier.
+
+    The batch pads up to a multiple of dp by repeating the final image
+    (its outputs are dropped), so any request count works.
+    """
+
+    def __init__(self, sample: bytes, dst_w: int, dst_h: int,
+                 quality: int = 85, mesh: Optional[Mesh] = None, **kw):
+        super().__init__(sample, dst_w, dst_h, quality=quality, **kw)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._dp = self.mesh.shape["dp"]
+        self._sp = self.mesh.shape.get("sp", 1)
+        self._batch_sharding = NamedSharding(self.mesh, P("dp"))
+        self._px_sharding = (NamedSharding(self.mesh, P("dp", "sp"))
+                             if self._sp > 1 else self._batch_sharding)
+        self._repl = NamedSharding(self.mesh, P())
+
+        def fn(px, eqy, eqc):
+            return fused_still_fit_transcode(
+                px, eqy, eqc, src_w=self.src_w, src_h=self.src_h,
+                dst_w=dst_w, dst_h=dst_h, method=self.method,
+                orientation=self.orientation, emit=self._emit)
+
+        self._step = jax.jit(fn, out_shardings=self._batch_sharding)
+
+    def device_step(self, px, donate: bool = True):
+        del donate  # sharded placement governs buffers
+        pad = (-len(px)) % self._dp
+        if pad:
+            px = np.concatenate([px, np.repeat(px[-1:], pad, axis=0)])
+        # spatial sharding needs the row axis to divide sp; otherwise the
+        # batch stays dp-only (still correct, just unsharded rows)
+        sharding = (self._px_sharding
+                    if self._sp > 1 and px.shape[1] % self._sp == 0
+                    else self._batch_sharding)
+        px_d = jax.device_put(np.ascontiguousarray(px), sharding)
+        eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
+        eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
+        out = self._step(px_d, eqy, eqc)
         if not isinstance(out, tuple):
             out = (out,)   # pixel mode: the fused fn returns a bare array
         if pad:

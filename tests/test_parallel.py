@@ -172,3 +172,56 @@ def test_sp_sharded_grayscale():
     r = cv2.imdecode(np.frombuffer(ref, np.uint8), cv2.IMREAD_GRAYSCALE)
     assert a.shape == r.shape == (128, 128)
     assert np.abs(a.astype(int) - r.astype(int)).max() <= 2
+
+
+def test_sharded_still_pipeline_matches_single():
+    """ShardedStillPipeline (non-JPEG pixel-domain serving) over a dp-only
+    mesh must produce bytes identical to the single-device
+    StillTranscodePipeline, including the uneven-batch pad path."""
+    import io
+
+    from PIL import Image
+
+    from lilliput_tpu.parallel import ShardedStillPipeline
+    from lilliput_tpu.pipeline import StillTranscodePipeline
+
+    arr = RNG.integers(0, 256, (96, 128, 3), np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "PNG")
+    png = b.getvalue()
+    bufs = [png] * 5  # 5 % 8 != 0: exercises the pad/drop path
+    mesh = make_mesh(8)
+    sharded = ShardedStillPipeline(png, 48, 48, quality=85, mesh=mesh)
+    single = StillTranscodePipeline(png, 48, 48, quality=85)
+    with mesh:
+        outs = sharded.transcode(bufs)
+    ref = single.transcode(bufs)
+    assert outs == ref
+
+
+def test_sp_sharded_still_rows():
+    """sp>1 shards each still image's row axis; output carries the same
+    ±1 tier as the JPEG sp path (f32 resize halo reassociation)."""
+    import io
+
+    from PIL import Image
+
+    from lilliput_tpu.parallel import ShardedStillPipeline
+    from lilliput_tpu.pipeline import StillTranscodePipeline
+
+    arr = RNG.integers(0, 256, (128, 96, 4), np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "PNG")
+    png = b.getvalue()
+    mesh = make_mesh(8, sp=2)
+    sharded = ShardedStillPipeline(png, 40, 40, quality=85, mesh=mesh,
+                                   output_format=".png")
+    single = StillTranscodePipeline(png, 40, 40, quality=85,
+                                    output_format=".png")
+    with mesh:
+        outs = sharded.transcode([png] * 4)
+    ref = single.transcode([png] * 4)
+    got = np.array(Image.open(io.BytesIO(outs[0])))
+    want = np.array(Image.open(io.BytesIO(ref[0])))
+    assert got.shape == want.shape == (40, 40, 4)
+    assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
