@@ -5,11 +5,13 @@ ImageOps per goroutine (reference README.md:5-8).
     python examples/serve_batch.py IMG.jpg [IMG2.jpg ...] \
         -width 256 -height 256 [-quality 85] [-mode rgb|direct] [-sharded]
 
-Routes mixed-geometry JPEG requests through MultiGeometryPipeline (one
-compiled program per source geometry, order-preserving batch dispatch);
--sharded shards each batch over every visible chip/device instead. -mode
-direct selects the YCbCr-domain transcode (one chroma resample; fastest)
-where eligible, falling back per group otherwise."""
+Routes mixed-geometry still requests — JPEG and PNG/WebP/BMP/GIF/AVIF
+alike — through MultiGeometryPipeline (one compiled program per source
+signature, order-preserving batch dispatch); -sharded shards each batch
+over every visible chip/device instead (JPEG samples take the
+coefficient-domain sharded pipeline, other formats the pixel-domain
+one). -mode direct selects the YCbCr-domain transcode (one chroma
+resample; fastest) where eligible, falling back per group otherwise."""
 
 import argparse
 import os
@@ -46,12 +48,20 @@ def main() -> int:
     bufs = [open(p, "rb").read() for p in args.inputs]
     t0 = time.time()
     if args.sharded:
-        from lilliput_tpu.parallel import ShardedJpegPipeline, make_mesh
+        from lilliput_tpu.api import is_jpeg
+        from lilliput_tpu.parallel import (ShardedJpegPipeline,
+                                           ShardedStillPipeline, make_mesh)
         mesh = make_mesh()
-        pipe = ShardedJpegPipeline(bufs[0], args.width, args.height,
-                                   quality=args.quality, mesh=mesh,
-                                   chroma_mode=args.mode,
-                                   output_format="." + args.format)
+        if is_jpeg(bufs[0]):
+            pipe = ShardedJpegPipeline(bufs[0], args.width, args.height,
+                                       quality=args.quality, mesh=mesh,
+                                       chroma_mode=args.mode,
+                                       output_format="." + args.format)
+        else:
+            # non-JPEG stills: the pixel-domain sharded pipeline
+            pipe = ShardedStillPipeline(bufs[0], args.width, args.height,
+                                        quality=args.quality, mesh=mesh,
+                                        output_format="." + args.format)
         with mesh:
             outs = pipe.transcode(bufs)
         kind = f"sharded over {mesh.devices.size} device(s)"

@@ -665,7 +665,11 @@ class _ServingPipelineBase:
         from .codecs.webp import encode_webp_pixels
         from .framebuffer import PNG_COMPRESSION, WEBP_QUALITY
         b = packed.shape[0]
-        bgra = packed.view(np.uint8).reshape(b, self.dst_h, self.dst_w, 4)
+        # device->host fetches of odd-shaped int32 arrays can arrive with
+        # non-C-contiguous strides on TPU (np.asarray preserves them), and
+        # .view() requires a contiguous last axis — no-op when already C
+        bgra = np.ascontiguousarray(packed).view(np.uint8).reshape(
+            b, self.dst_h, self.dst_w, 4)
         outs: List[Optional[bytes]] = [None] * b
         fmt = self.output_format
         ch = self._pixel_channels(fmt)

@@ -177,7 +177,23 @@ def main() -> int:
         assert sheet.ndim == 3 and len(ts) >= 1 and len(hashes) == len(ts)
         return {"tiles": len(ts)}
 
+    # --- still-input serving (pixel-domain fused step, odd shapes) ---------
+    def still_serving():
+        from lilliput_tpu.pipeline import StillTranscodePipeline
+        buf = open(f"{DATA}/opera.png", "rb").read()           # 100x100 RGBA
+        out = StillTranscodePipeline(buf, 47, 33).transcode([buf, buf])
+        assert all(o[:2] == b"\xff\xd8" for o in out)
+        ga = open(f"{DATA}/opera-gray-alpha.png", "rb").read()
+        outp = StillTranscodePipeline(ga, 33, 47,
+                                      output_format=".png").transcode([ga])[0]
+        assert outp[:8] == b"\x89PNG\r\n\x1a\n"
+        wb = open(f"{TD}/ferry_sunset.webp", "rb").read()
+        o = StillTranscodePipeline(wb, 40, 40).transcode([wb])[0]
+        assert o[:2] == b"\xff\xd8"
+        return {}
+
     run("jpeg_serving_small+gray", jpeg_serving)
+    run("still_input_serving", still_serving)
     run("gif_batch_anim", gif_batch)
     run("webp_batch_anim", webp_batch)
     run("thumbhash_golden", thumbhash)
