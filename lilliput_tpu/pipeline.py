@@ -1082,6 +1082,25 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         return coefs, iccs
 
 
+def _synthetic_still(fmt: str, w: int, h: int, channels: int = 3) -> bytes:
+    """Zero-pixel sample of a still format/geometry — the warm() analog
+    of codecs.jpeg.synthetic_jpeg for pixel-domain pipelines. The
+    channel count is part of the serving signature (PNG color type /
+    WebP alpha flag), so it is encoded faithfully."""
+    arr = np.zeros((h, w, channels), np.uint8)
+    if fmt == "png":
+        from .codecs.png import encode_png_pixels
+        return encode_png_pixels(arr, 1)
+    if fmt == "webp":
+        from .codecs.webp import encode_webp_pixels
+        from .framebuffer import WEBP_QUALITY
+        # quality>100 selects lossless, which keeps a 4th channel's
+        # alpha flag in the container (the lossy path would too, but
+        # lossless is deterministic about it)
+        return encode_webp_pixels(arr, {WEBP_QUALITY: 101})
+    raise ValueError(f"unsupported warm still format {fmt!r}")
+
+
 def _host_cpu_device():
     """Host CPU jax device for the still decode path's per-image pixel
     conversions. They must not ride the accelerator per image: eager
@@ -1363,10 +1382,13 @@ class MultiGeometryPipeline:
         """Pre-compile pipelines for an expected geometry set BEFORE
         traffic arrives (reference analog: NewImageOps preallocates all
         buffers up front, ops.go:62-94). Each spec is either a sample
-        JPEG (bytes) or a tuple (width, height[, subsampling[, gray]])
-        with subsampling in {'420','422','440','444'} (default '420') —
-        tuples warm via a synthesized zero-coefficient JPEG of that exact
-        geometry. Combined with the persistent compilation cache wired in
+        image (bytes, any supported format), a JPEG geometry tuple
+        (width, height[, subsampling[, gray]]) with subsampling in
+        {'420','422','440','444'} (default '420') warmed via a
+        synthesized zero-coefficient JPEG, or a still-format tuple
+        ('png'|'webp', width, height[, channels]) warmed via a
+        synthesized zero-pixel still of that exact signature.
+        Combined with the persistent compilation cache wired in
         lilliput_tpu.__init__, a RESTARTED process re-warms the same set
         without compiling any new XLA program (gated in
         tests/test_pipeline.py::test_warm_persistent_cache_cold_start).
@@ -1384,8 +1406,12 @@ class MultiGeometryPipeline:
         before = len(self._pipes)
         n = 0
         for spec in specs:
-            buf = spec if isinstance(spec, (bytes, bytearray)) else \
-                J.synthetic_jpeg(*spec)
+            if isinstance(spec, (bytes, bytearray)):
+                buf = bytes(spec)
+            elif isinstance(spec[0], str):
+                buf = _synthetic_still(*spec)
+            else:
+                buf = J.synthetic_jpeg(*spec)
             pipe = self._pipe_for(bytes(buf))
             pipe.transcode([bytes(buf)])  # forces the XLA compile now
             n += 1

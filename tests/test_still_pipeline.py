@@ -251,3 +251,22 @@ def test_still_transcode_pipelined_overlap_and_equality():
     assert events == ["dec", "dec", "enc", "dec", "enc", "enc"]
     flat = [o for batch in outs for o in batch]
     assert flat[0] == pipe.transcode([buf])[0]
+
+
+def test_warm_still_specs():
+    """MultiGeometryPipeline.warm accepts ('png'|'webp', w, h[, channels])
+    still specs; warmed signatures serve matching real traffic without a
+    new compile."""
+    from lilliput_tpu.utils.metrics import metrics
+    mg = MultiGeometryPipeline(32, 32, quality=90)
+    rep = mg.warm([("png", 64, 48, 3), ("png", 64, 48, 4),
+                   ("webp", 64, 48, 3)])
+    assert rep["warmed"] == 3 and rep["compiled_new"] == 3
+    before = metrics.snapshot()["counters"].get(
+        "serving.geometry_compiles", 0)
+    rgb = _smooth(48, 64, 3, seed=20)
+    outs = mg.transcode([_png(rgb), _webp(rgb)])
+    assert all(o[:3] == b"\xff\xd8\xff" for o in outs)
+    after = metrics.snapshot()["counters"].get(
+        "serving.geometry_compiles", 0)
+    assert after == before  # both signatures were pre-warmed
