@@ -101,3 +101,34 @@ def test_negative_atom_fixtures_are_not_streamable():
               "big_buck_bunny_480p_10s_zero_length_atom.mp4",
               "big_buck_bunny_480p_10s_std.mp4"):
         assert not is_streamable_mp4(open(f"{td}/{f}", "rb").read())
+
+
+# -- serving-surface sweep ---------------------------------------------------
+
+_STILL_SKIP_SUFFIXES = (".mp4", ".mov", ".webm", ".mkv", ".aac", ".flac",
+                        ".mp3", ".ogg", ".wav")
+
+
+@pytest.mark.parametrize(
+    "path",
+    [p for p in FIXTURES
+     if not p.lower().endswith(_STILL_SKIP_SUFFIXES)
+     and os.path.basename(p) not in EXPECTED_TYPED],
+    ids=lambda p: os.path.basename(p))
+def test_corpus_fixture_serving(path):
+    """Every still fixture must ALSO flow through the batched serving
+    front (MultiGeometryPipeline): valid JPEG out, or the documented
+    typed redirect to the streaming path (exotic JPEG variants the
+    batched device fns cannot express)."""
+    from lilliput_tpu import MultiGeometryPipeline
+    buf = open(path, "rb").read()
+    mg = MultiGeometryPipeline(48, 48, quality=85)
+    try:
+        out = mg.transcode([buf])[0]
+    except DecodingFailedError as e:
+        redirects = ("streaming ImageOps path", "unsupported chroma",
+                     "does not match header geometry")
+        assert any(r in str(e) for r in redirects), (
+            f"undocumented serving failure for {path}: {e}")
+        return
+    assert out[:3] == b"\xff\xd8\xff" and len(out) > 100
