@@ -8,9 +8,10 @@ ImageOps per goroutine (reference README.md:5-8).
 Routes mixed-geometry still requests — JPEG and PNG/WebP/BMP/GIF/AVIF
 alike — through MultiGeometryPipeline (one compiled program per source
 signature, order-preserving batch dispatch); -sharded shards each batch
-over every visible chip/device instead (JPEG samples take the
-coefficient-domain sharded pipeline, other formats the pixel-domain
-one). -mode direct selects the YCbCr-domain transcode (one chroma
+over every visible chip/device instead (JPEGs take the coefficient-domain
+sharded pipeline, other formats the pixel-domain one; within each class
+the inputs must share the first input's signature, the sharded pipelines'
+contract). -mode direct selects the YCbCr-domain transcode (one chroma
 resample; fastest) where eligible, falling back per group otherwise."""
 
 import argparse
@@ -52,18 +53,29 @@ def main() -> int:
         from lilliput_tpu.parallel import (ShardedJpegPipeline,
                                            ShardedStillPipeline, make_mesh)
         mesh = make_mesh()
-        if is_jpeg(bufs[0]):
-            pipe = ShardedJpegPipeline(bufs[0], args.width, args.height,
-                                       quality=args.quality, mesh=mesh,
-                                       chroma_mode=args.mode,
-                                       output_format="." + args.format)
-        else:
-            # non-JPEG stills: the pixel-domain sharded pipeline
-            pipe = ShardedStillPipeline(bufs[0], args.width, args.height,
-                                        quality=args.quality, mesh=mesh,
-                                        output_format="." + args.format)
+        # route per format class (JPEG -> coefficient-domain pipeline,
+        # other stills -> pixel-domain), preserving input order; within a
+        # class the sharded pipelines require the sample's signature
+        jpeg_idx = [i for i, b in enumerate(bufs) if is_jpeg(b)]
+        still_idx = [i for i in range(len(bufs)) if i not in set(jpeg_idx)]
+        outs = [b""] * len(bufs)
         with mesh:
-            outs = pipe.transcode(bufs)
+            if jpeg_idx:
+                pipe = ShardedJpegPipeline(
+                    bufs[jpeg_idx[0]], args.width, args.height,
+                    quality=args.quality, mesh=mesh, chroma_mode=args.mode,
+                    output_format="." + args.format)
+                for i, out in zip(jpeg_idx,
+                                  pipe.transcode([bufs[i] for i in jpeg_idx])):
+                    outs[i] = out
+            if still_idx:
+                pipe = ShardedStillPipeline(
+                    bufs[still_idx[0]], args.width, args.height,
+                    quality=args.quality, mesh=mesh,
+                    output_format="." + args.format)
+                for i, out in zip(still_idx,
+                                  pipe.transcode([bufs[i] for i in still_idx])):
+                    outs[i] = out
         kind = f"sharded over {mesh.devices.size} device(s)"
     else:
         from lilliput_tpu import MultiGeometryPipeline

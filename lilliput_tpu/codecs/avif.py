@@ -115,12 +115,15 @@ def parse_avis_timing(buf: bytes) -> Tuple[List[float], int]:
         count = min(count, (stts[1] - s0 - 4) // 8)
         ds: List[float] = []
         for i in range(count):
+            if len(ds) >= _MAX_TIMING_SAMPLES:
+                break  # cap reached — stop expanding
             off = s0 + 4 + i * 8
             n, delta = struct.unpack(">II", buf[off:off + 8])
             n = min(n, _MAX_TIMING_SAMPLES - len(ds))
-            if n <= 0:
-                break
-            ds.extend([delta / timescale] * n)
+            if n > 0:
+                # a file-supplied zero sample_count entry extends nothing
+                # but must NOT abort the remaining entries
+                ds.extend([delta / timescale] * n)
         if len(ds) > len(durations):
             durations = ds
     return durations, 0
@@ -134,21 +137,32 @@ def parse_cicp(buf: bytes) -> Optional[Tuple[int, int, int, int]]:
     fallback: a search scoped to the moov (sample entry) or meta box —
     never the whole buffer, which includes entropy-coded mdat payload."""
     payload = None
-    try:
-        from . import av1_raw as _AR
-        si = _AR.parse_still_items(buf)
-        if si is not None:
-            payload = si.nclx
-    except Exception:
-        payload = None
+    # animated (avis): the pict track's sample-entry colr governs playback,
+    # so a moov-scoped hit wins over any still cover item's property
+    moov = _find_box(buf, [b"moov"])
+    if moov:
+        idx = buf.find(b"colrnclx", moov[0], moov[1])
+        if idx != -1 and idx + 15 <= moov[1]:
+            payload = buf[idx + 4:idx + 15]
+    still_parsed = False
     if payload is None:
-        for path in ([b"moov"], [b"meta"]):
-            box = _find_box(buf, path)
-            if box:
-                idx = buf.find(b"colrnclx", box[0], box[1])
-                if idx != -1 and idx + 15 <= box[1]:
-                    payload = buf[idx + 4:idx + 15]
-                    break
+        try:
+            from . import av1_raw as _AR
+            si = _AR.parse_still_items(buf)
+            if si is not None:
+                still_parsed = True
+                payload = si.nclx
+        except Exception:
+            still_parsed = False
+    if payload is None and not still_parsed:
+        # substring fallback ONLY when the item walk could not parse the
+        # meta box at all — if it parsed and found no primary-item colr,
+        # searching ipco raw would misattribute an alpha item's nclx
+        box = _find_box(buf, [b"meta"])
+        if box:
+            idx = buf.find(b"colrnclx", box[0], box[1])
+            if idx != -1 and idx + 15 <= box[1]:
+                payload = buf[idx + 4:idx + 15]
     if payload is None or len(payload) < 11:
         return None
     p, t, m = struct.unpack(">HHH", payload[4:10])

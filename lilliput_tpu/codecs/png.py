@@ -102,6 +102,12 @@ def _inflate_exact(idat: bytes, expected: int, lib) -> Optional[np.ndarray]:
     path, and the known-size buffer doubles as a decompression-bomb cap."""
     if not _fast_zlib(lib) or expected <= 0 or len(idat) == 0:
         return None
+    # DEFLATE expands at most ~1032:1, so an `expected` (derived from the
+    # file's claimed IHDR dims) beyond that bound can never be filled from
+    # this stream — fall back instead of committing a hostile allocation;
+    # the zlib path then raises the typed truncated-PNG error.
+    if expected > len(idat) * 1032 + (1 << 16):
+        return None
     src = np.frombuffer(idat, np.uint8)
     out = np.empty(expected, np.uint8)
     n = int(lib.lp_zlib_decompress(_u8ptr(src), src.size,
@@ -206,6 +212,12 @@ def _parse(buf: bytes) -> "_PngInfo":
                     f"{info.color_type}/{info.bit_depth}")
             if info.interlace not in (0, 1):
                 raise InvalidImageError("invalid PNG interlace method")
+            if (info.width == 0 or info.height == 0
+                    or info.width * info.height > _MAX_PIXELS):
+                # same ceiling OpenCV's imdecode enforces for the reference
+                # (CV_IO_MAX_IMAGE_PIXELS, default 1<<30) — keeps hostile
+                # IHDR dims from driving downstream allocations
+                raise InvalidImageError("PNG dimensions out of range")
             seen_ihdr = True
         elif ctype == b"PLTE":
             if ln % 3 != 0 or ln == 0:
@@ -222,7 +234,11 @@ def _parse(buf: bytes) -> "_PngInfo":
                     # 1 MiB hardening cap as the JPEG/lcms2 ICC paths)
                     d = zlib.decompressobj()
                     icc = d.decompress(data[z + 2:], _ICC_MAX_BYTES + 1)
-                    info.icc = b"" if len(icc) > _ICC_MAX_BYTES else icc
+                    # require a COMPLETE zlib stream (d.eof): decompressobj
+                    # returns partial data on truncation without raising,
+                    # and a truncated profile must be dropped, not embedded
+                    info.icc = (b"" if len(icc) > _ICC_MAX_BYTES or not d.eof
+                                else icc)
                 except zlib.error:
                     info.icc = b""
         elif ctype == b"IDAT":
@@ -239,6 +255,10 @@ _VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
                  4: (8, 16), 6: (8, 16)}
 
 _ICC_MAX_BYTES = 1 << 20
+
+# OpenCV's CV_IO_MAX_IMAGE_PIXELS default — the ceiling the reference's
+# imdecode applies before any allocation
+_MAX_PIXELS = 1 << 30
 
 
 def _unfilter(lib, raw: np.ndarray, rows: int, stride: int, bpp: int) -> np.ndarray:
@@ -390,6 +410,9 @@ class PngDecoder(Decoder):
         alpha = None
         if color_key:
             nvals = 1 if i.color_type == 0 else 3
+            if len(i.trns) < nvals * 2:
+                # libpng errors on an undersized tRNS; keep the error typed
+                raise DecodingFailedError("bad tRNS length")
             key = np.frombuffer(i.trns[:nvals * 2], ">u2").astype(np.uint32)
             if i.bit_depth < 16:
                 key = key & ((1 << i.bit_depth) - 1)

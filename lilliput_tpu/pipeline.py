@@ -508,11 +508,9 @@ _STILL_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "method",
 
 fused_still_fit_transcode = jax.jit(
     _fused_still_fit_impl, static_argnames=_STILL_STATICS)
-
-#: serving variant: the pixel batch is donated (steady-state buffer reuse)
-_fused_still_fit_donating = jax.jit(
-    _fused_still_fit_impl, static_argnames=_STILL_STATICS,
-    donate_argnums=(0,))
+# No donating variant: the u8 pixel batch can never alias the int16
+# coefficient / int32 packed outputs (XLA warns 'donated buffers were not
+# usable' on every compile), and each batch is a fresh H2D array anyway.
 
 
 _GRAY_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale",
@@ -1261,15 +1259,16 @@ class StillTranscodePipeline(_ServingPipelineBase):
     # -- device stage ---------------------------------------------------------
 
     def device_step(self, px, donate: bool = True):
-        """One fused dispatch over the pixel batch (async device arrays)."""
-        emit = self._emit
-        donate = donate and emit == "coefs"
-        fn = (_fused_still_fit_donating if donate
-              else fused_still_fit_transcode)
-        out = fn(jnp.asarray(px), self.enc_qt_y, self.enc_qt_c,
-                 src_w=self.src_w, src_h=self.src_h,
-                 dst_w=self.dst_w, dst_h=self.dst_h, method=self.method,
-                 orientation=self.orientation, emit=emit)
+        """One fused dispatch over the pixel batch (async device arrays).
+
+        `donate` is accepted for signature parity with the JPEG pipelines
+        but is a no-op: the u8 pixel input can never alias the outputs."""
+        del donate
+        out = fused_still_fit_transcode(
+            jnp.asarray(px), self.enc_qt_y, self.enc_qt_c,
+            src_w=self.src_w, src_h=self.src_h,
+            dst_w=self.dst_w, dst_h=self.dst_h, method=self.method,
+            orientation=self.orientation, emit=self._emit)
         return out if isinstance(out, tuple) else (out,)
 
 

@@ -348,3 +348,50 @@ def test_gray_frame_encodes_to_avif():
     back = np.asarray(im.convert("L"))
     src = fb.to_numpy()[:, :, 0]
     assert np.abs(back.astype(int) - src.astype(int)).mean() < 8
+
+
+def test_parse_avis_timing_zero_sample_count_entry():
+    """A legitimate zero-sample_count stts entry extends nothing but must
+    not abort the remaining entries (review finding: the hostile-count cap
+    turned it into an early break, dropping all later durations)."""
+    import struct
+    from lilliput_tpu.codecs.avif import parse_avis_timing
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    stts = (b"\x00" * 4 + struct.pack(">I", 3)
+            + struct.pack(">II", 0, 99)     # zero-count entry (file-supplied)
+            + struct.pack(">II", 2, 500)    # 2 x 0.5 s
+            + struct.pack(">II", 1, 250))   # 1 x 0.25 s
+    mdhd = box(b"mdhd", b"\x00" * 12 + struct.pack(">I", 1000) + b"\x00" * 8)
+    buf = box(b"moov", box(b"trak", box(b"mdia", mdhd + box(
+        b"minf", box(b"stbl", box(b"stts", stts))))))
+    durations, _ = parse_avis_timing(buf)
+    assert durations == [0.5, 0.5, 0.25]
+
+
+def test_parse_cicp_no_meta_fallback_after_item_walk(monkeypatch):
+    """If the still item walk PARSED the meta box but the primary item has
+    no colr/nclx, the raw meta substring fallback must be skipped — it
+    would misattribute an alpha item's nclx to the primary image (review
+    finding). The fallback stays available when the walk cannot parse."""
+    import struct
+    from lilliput_tpu.codecs import av1_raw
+
+    # a 'meta' box whose raw bytes contain a PQ colrnclx (as an alpha
+    # item's ipco property would) — transfer=16 flips HDR if picked up
+    hostile = b"colrnclx" + struct.pack(">HHH", 9, 16, 9) + b"\x80"
+    buf = (struct.pack(">I", 12 + len(hostile)) + b"meta" + b"\x00" * 4
+           + hostile)
+
+    class _Si:
+        nclx = None
+
+    monkeypatch.setattr(av1_raw, "parse_still_items", lambda b: _Si())
+    assert parse_cicp(buf) is None  # parsed walk, no nclx: no fallback
+
+    monkeypatch.setattr(av1_raw, "parse_still_items",
+                        lambda b: (_ for _ in ()).throw(ValueError("boom")))
+    got = parse_cicp(buf)            # unparseable walk: fallback engages
+    assert got is not None and got[1] == 16

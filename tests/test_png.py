@@ -308,3 +308,52 @@ def test_idat_trailing_garbage_falls_back_identically():
     fb = Framebuffer()
     PngDecoder(buf).decode_to(fb)
     assert np.array_equal(fb.to_numpy(), img[:, :, ::-1])
+
+
+def test_hostile_ihdr_dims_raise_typed_error():
+    """Attacker-controlled IHDR dims must raise typed errors before any
+    allocation sized from them (review finding: numpy ValueError /
+    multi-GB transient np.empty from a 100-byte file)."""
+    from lilliput_tpu.errors import DecodingFailedError, InvalidImageError
+    idat = _chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+    # dims past the CV_IO_MAX_IMAGE_PIXELS-class ceiling: typed at parse
+    for w, h in ((0xFFFFFFF0, 0xFFFFFFF0), (50000, 50000), (0, 4), (4, 0)):
+        ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        with pytest.raises(InvalidImageError):
+            PngDecoder(_png(ihdr, idat))
+    # dims under the ceiling but with a tiny IDAT: the fast inflate must
+    # decline (deflate cannot expand ~1000x past the stream) and the
+    # fallback must raise the typed truncated error, not allocate ~1 GB
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 16000, 16000, 8, 2, 0, 0, 0))
+    with pytest.raises(DecodingFailedError, match="truncated"):
+        PngDecoder(_png(ihdr, idat)).decode_to(Framebuffer())
+
+
+def test_short_trns_color_key_raises_typed_error():
+    """A truecolor tRNS shorter than the 6-byte color key raises the typed
+    decode error, not numpy's buffer-size ValueError (review finding; the
+    sibling too-long case is clamped above)."""
+    from lilliput_tpu.errors import DecodingFailedError
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    trns = _chunk(b"tRNS", bytes(5))  # needs 6 bytes for color type 2
+    raw = b"\x00" + bytes(6) + b"\x00" + bytes(6)
+    buf = _png(ihdr, trns, _chunk(b"IDAT", zlib.compress(raw)))
+    with pytest.raises(DecodingFailedError, match="tRNS"):
+        PngDecoder(buf).decode_to(Framebuffer())
+
+
+def test_truncated_iccp_profile_dropped():
+    """A truncated iCCP zlib stream must yield icc()==b'' (decompressobj
+    returns partial data without raising — review finding: garbage
+    profiles rode ICC passthrough into transcoded outputs)."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    base = _synth_png(img)
+    whole = zlib.compress(b"\x00" * 4096, 9)
+    iccp = _chunk(b"iCCP", b"name\x00\x00" + whole[:-5])  # cut short
+    buf = base[:33] + iccp + base[33:]
+    d = PngDecoder(buf)
+    assert d.icc() == b""
+    # an intact stream still comes through
+    iccp_ok = _chunk(b"iCCP", b"name\x00\x00" + whole)
+    buf_ok = base[:33] + iccp_ok + base[33:]
+    assert PngDecoder(buf_ok).icc() == b"\x00" * 4096

@@ -59,7 +59,8 @@ def _linked_sonames() -> list:
     res = subprocess.run(["ldd", SO], capture_output=True, text=True,
                          check=True)
     names = re.findall(r"^\s*(lib[\w.+-]+\.so[\w.]*)", res.stdout, re.M)
-    keep = ("jpeg", "webp", "avformat", "avcodec", "avutil", "swscale", "z")
+    keep = ("jpeg", "webp", "avformat", "avcodec", "avutil", "swscale", "z",
+            "deflate")
     return sorted(n for n in names
                   if any(n.startswith(f"lib{k}") for k in keep))
 
