@@ -241,6 +241,69 @@ def main():
         except Exception:
             still_ips = None
 
+    # --- animated serving device rate (AnimatedTranscodePipeline step) ----
+    # GIF-class workload: the three dispatches behind transcode_gif —
+    # composite lax.scan over a bucket of frames, batched AREA resize,
+    # quantize_animation scan (exact giflib cache emulation) — at a
+    # bucket-32 480x480 canvas -> 128x128 (avatar-resize shape). Inputs
+    # synthesized on device (frame pixels through the dev tunnel would
+    # measure the tunnel, not the chip). Reported as output frames/sec.
+    anim_fps = None
+    if os.environ.get("BENCH_ANIM", "1") != "0":
+        try:
+            from lilliput_tpu.ops import palette as PAL
+            from lilliput_tpu.ops import resize as RZ
+
+            af, ah, aw, adw, adh = 32, 480, 480, 128, 128
+
+            @jax.jit
+            def _anim_inputs(key):
+                ks = jax.random.split(key, 3)
+                idxf = jax.random.bits(ks[0], (af, ah, aw), dtype=jnp.uint8)
+                luts = jax.random.bits(ks[1], (af, 256, 4), dtype=jnp.uint8)
+                pals = jax.random.bits(ks[2], (af, 256, 3),
+                                       dtype=jnp.uint8).astype(jnp.int32)
+                return idxf, luts, pals
+
+            idxf, luts, pals = _anim_inputs(jax.random.key(1))
+            a_drawn = jnp.ones((af, ah, aw), jnp.bool_)
+            a_counts = jnp.full((af,), 256, jnp.int32)
+            a_notrans = jnp.full((af,), -1, jnp.int32)
+            a_trans0 = jnp.zeros((af,), jnp.int32)
+            a_pdisp = jnp.zeros((af,), jnp.int32)
+            a_prect = jnp.zeros((af, ah, aw), jnp.bool_)
+            a_bg = jnp.zeros((4,), jnp.uint8)
+            a_clear = jnp.zeros((af,), jnp.bool_)
+            a_uprev = jnp.ones((af,), jnp.bool_)
+
+            @jax.jit
+            def chained_anim(x0, luts_, pals_):
+                acc = jnp.int32(0)
+                x = x0
+                for _ in range(chain):
+                    comp = PAL.composite_animation(
+                        x, a_drawn, luts_, a_counts, a_notrans, a_pdisp,
+                        a_prect, a_bg)
+                    rs = RZ.resize(comp, adw, adh, RZ.AREA)
+                    qi = PAL.quantize_animation(rs, pals_, a_counts,
+                                                a_trans0, a_clear, a_uprev)
+                    s = jnp.sum(qi.astype(jnp.int32))
+                    acc = acc + s
+                    x = x0 + (s % 2).astype(jnp.uint8)  # serialize
+                return acc
+
+            int(chained_anim(idxf, luts, pals))  # compile
+            atimes = []
+            for _ in range(max(iters // chain, 3)):
+                t1 = time.time()
+                int(chained_anim(idxf, luts, pals))
+                atimes.append(time.time() - t1)
+            atimes.sort()
+            anim_fps = af / max(
+                (atimes[len(atimes) // 2] - rtt) / chain, 1e-9)
+        except Exception:
+            anim_fps = None
+
     # single-image device latency: the per-step time of a 16-deep data-
     # dependent chain of batch-1 transforms (a lone step is ~sub-ms, far
     # below the tunnel RTT's jitter, so it must be amortized to measure)
@@ -425,6 +488,8 @@ def main():
             "mode_ycc_dct_scale2_images_per_sec": round(scaled_ips, 2),
             "still_input_device_images_per_sec": (
                 round(still_ips, 2) if still_ips else None),
+            "anim_gif_device_frames_per_sec": (
+                round(anim_fps, 2) if anim_fps else None),
             "pallas_megakernel_vs_xla_max_abs_diff": pallas_vs_xla,
             "tpu_vs_cpu_decode_max_abs_diff": tpu_vs_cpu,
             "small_geometry_compile_ok": small_ok,

@@ -53,7 +53,8 @@ from .framebuffer import (AVIF_QUALITY, AVIF_SPEED, JPEG_PROGRESSIVE,  # noqa: F
                           Framebuffer, ImageHeader, ImageOrientation)
 from .imageops import ImageOps, ImageOptions, ResizeMethod  # noqa: F401
 from .interfaces import Decoder, Encoder  # noqa: F401
-from .pipeline import (JpegTranscodePipeline, MultiGeometryPipeline,  # noqa: F401
+from .pipeline import (AnimatedTranscodePipeline,  # noqa: F401
+                       JpegTranscodePipeline, MultiGeometryPipeline,
                        StillTranscodePipeline, spritesheet,
                        transcode_avif, transcode_gif, transcode_webp)
 

@@ -274,10 +274,18 @@ class GifDecoder(Decoder):
         disposal code (0 unspecified / 1 none / 2 background / 3 previous)."""
         return self.frame_meta
 
-    def decode_animation(self):
+    def decode_animation(self, pad_frames: int = 0):
         """Decode ALL frames with one device dispatch (lax.scan compositing,
         ops/palette.py:composite_animation). Host work is only LZW + index
         scattering; returns ((N, H, W, 4) device frames, [frame metas]).
+
+        pad_frames > n pads the stacked inputs with inert frames (nothing
+        drawn, no dispose) so the composite scan compiles once per
+        (bucket, canvas) instead of once per exact frame count — the
+        padded outputs duplicate the last real composite and callers
+        slice [:len(metas)]. Real-frame outputs are unaffected (the scan
+        is causal and padding follows the real frames). pad_frames=-1
+        auto-selects ops.palette.frame_bucket(n).
 
         This is the TPU-first batch path; frame-at-a-time decode_to remains
         for the reference-shaped streaming API."""
@@ -313,6 +321,16 @@ class GifDecoder(Decoder):
             prev_disposal = m.disposal
         if not idxs:
             return jnp.zeros((0, ch, cw, 4), jnp.uint8), []
+        if pad_frames == -1:
+            pad_frames = P.frame_bucket(len(metas))
+        for _ in range(len(metas), pad_frames):
+            idxs.append(np.zeros((ch, cw), np.uint8))
+            drawn.append(np.zeros((ch, cw), bool))
+            luts.append(np.zeros((256, 4), np.uint8))
+            counts.append(0)
+            trans.append(-1)
+            pdisp.append(0)
+            prects.append(np.zeros((ch, cw), bool))
         bg = self._anim_info()[3:7]
         bg_bgra = jnp.asarray(np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8))
         frames = P.composite_animation(
@@ -357,50 +375,47 @@ class GifEncoder(Encoder):
         self._cache_idx = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
         self._prev_palette_bytes: Optional[bytes] = None
 
-    def encode(self, fb: Optional[Framebuffer], opts: Dict[int, int]) -> Optional[bytes]:
-        if self._finished:
-            raise DecodingFailedError("gif encoder already finished")
-        if fb is None:
-            return self._finish()
-        m = self._dec.frame_meta
-        if m is None:
-            raise DecodingFailedError("gif encoder requires decoder frame state")
+    def _plan_frame(self, m) -> tuple:
+        """Host-side quantization plan for one frame: resolved transparent
+        index (background-transparency removal, giflib.cpp:891-905),
+        local-palette use, cache-clear flag (palette byte change,
+        giflib.cpp:974-996), and prev-frame validity for the transparency
+        optimization. Advances the encoder's sequential state — call
+        exactly once per frame, in frame order. Returns
+        (trans, use_local, clear, use_prev)."""
         d = self._dec
-        if self._h is None:
-            self._h = self._lib.lp_gif_enc_new(
-                fb.width, fb.height, d._color_res, d._aspect, d._bg_index,
-                _u8(np.ascontiguousarray(d._global_pal[:max(d._global_count, 1)])),
-                d._global_count)
-            if not self._h:
-                raise DecodingFailedError("gif encoder init failed")
-
         trans = m.trans_idx
         use_local = m.local_count > 0
-        # background-transparency removal (giflib.cpp:891-905)
         bg_alpha = int(d._anim_info()[6])
         if (trans >= 0 and not use_local and d._global_count > 0
                 and trans == d._bg_index and bg_alpha == 255):
             trans = -1
-
         pal_bytes = m.palette[:m.pal_count].tobytes()
-        if self._prev_palette_bytes != pal_bytes:
-            self._seen_keys = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)  # cache clear
-            self._cache_idx = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+        clear = self._prev_palette_bytes != pal_bytes
         self._prev_palette_bytes = pal_bytes
-        pal_rgb = jnp.asarray(m.palette[:m.pal_count].astype(np.int32))
         prev_valid = self._have_first and self._prev_disposal in (0, 1)
-        prev = self._prev_bgra if (prev_valid and self._prev_bgra is not None) \
-            else jnp.zeros_like(fb.array)
-        idx, self._seen_keys, self._cache_idx = P.quantize_to_palette(
-            fb.array, pal_rgb, prev, self._seen_keys, self._cache_idx,
-            int(trans), trans >= 0, bool(prev_valid and trans >= 0))
-        idx_np = np.ascontiguousarray(np.asarray(idx))
+        use_prev = bool(prev_valid and trans >= 0)
+        self._prev_disposal = m.disposal
+        self._have_first = True
+        return trans, use_local, clear, use_prev
 
+    def _emit_frame(self, m, idx_np: np.ndarray, width: int, height: int,
+                    trans: int, use_local: bool) -> None:
+        """Write one already-quantized frame (palette indices) through the
+        C++ LZW encoder."""
+        d = self._dec
+        if self._h is None:
+            self._h = self._lib.lp_gif_enc_new(
+                width, height, d._color_res, d._aspect, d._bg_index,
+                _u8(np.ascontiguousarray(d._global_pal[:max(d._global_count, 1)])),
+                d._global_count)
+            if not self._h:
+                raise DecodingFailedError("gif encoder init failed")
         mcs = 2
         effective = m.pal_count
         while (1 << mcs) < effective:
             mcs += 1
-        desc = np.array([0, 0, fb.width, fb.height, m.interlace, trans,
+        desc = np.array([0, 0, width, height, m.interlace, trans,
                          m.delay_cs, m.disposal, mcs], np.int32)
         ext = np.frombuffer(m.ext, np.uint8) if m.ext else np.zeros(0, np.uint8)
         rc = self._lib.lp_gif_enc_frame(
@@ -412,9 +427,27 @@ class GifEncoder(Encoder):
         if rc != 0:
             raise DecodingFailedError("gif frame encode failed")
 
+    def encode(self, fb: Optional[Framebuffer], opts: Dict[int, int]) -> Optional[bytes]:
+        if self._finished:
+            raise DecodingFailedError("gif encoder already finished")
+        if fb is None:
+            return self._finish()
+        m = self._dec.frame_meta
+        if m is None:
+            raise DecodingFailedError("gif encoder requires decoder frame state")
+        trans, use_local, clear, use_prev = self._plan_frame(m)
+        if clear:
+            self._seen_keys = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)
+            self._cache_idx = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+        pal_rgb = jnp.asarray(m.palette[:m.pal_count].astype(np.int32))
+        prev = self._prev_bgra if (use_prev and self._prev_bgra is not None) \
+            else jnp.zeros_like(fb.array)
+        idx, self._seen_keys, self._cache_idx = P.quantize_to_palette(
+            fb.array, pal_rgb, prev, self._seen_keys, self._cache_idx,
+            int(trans), trans >= 0, use_prev)
+        idx_np = np.ascontiguousarray(np.asarray(idx))
+        self._emit_frame(m, idx_np, fb.width, fb.height, trans, use_local)
         self._prev_bgra = fb.array
-        self._prev_disposal = m.disposal
-        self._have_first = True
         return None  # multi-frame: ask for more
 
     def _finish(self) -> bytes:

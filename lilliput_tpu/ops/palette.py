@@ -19,6 +19,97 @@ import jax.numpy as jnp
 #: crushed-RGB cache size + 1 dump slot for masked scatters
 CACHE_SIZE = (1 << 15) + 1
 
+#: frame-count buckets for the animation scans: padding an animation's
+#: frame axis up to the next bucket lets every (bucket, canvas) pair reuse
+#: one compiled composite/resize/quantize program instead of compiling per
+#: exact frame count (the serving concern; ~17% mean pad overhead)
+_FRAME_BUCKETS = (1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def frame_bucket(n: int) -> int:
+    """Smallest scheduled bucket >= n (multiples of 128 past the table)."""
+    for b in _FRAME_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 128) * 128
+
+
+def _quantize_core(img: jax.Array, pal: jax.Array, pal_count: jax.Array,
+                   prev_bgra: jax.Array, seen_keys: jax.Array,
+                   cache_idx: jax.Array, trans: jax.Array,
+                   use_prev: jax.Array):
+    """Fully-dynamic quantizer body shared by the per-frame entry point and
+    the whole-animation scan (quantize_animation): `pal` may be padded past
+    `pal_count` rows (masked out of the search), `trans` is -1 for no
+    transparency, and `use_prev`/`pal_count`/`trans` are traced scalars so
+    one compiled program serves every frame of a scan."""
+    b = img[..., 0].astype(jnp.int32)
+    g = img[..., 1].astype(jnp.int32)
+    r = img[..., 2].astype(jnp.int32)
+    a = img[..., 3].astype(jnp.int32)
+    h, w = r.shape[-2], r.shape[-1]
+    n = h * w
+    imax = jnp.iinfo(jnp.int32).max
+    trans = trans.astype(jnp.int32) if hasattr(trans, "astype") else jnp.int32(trans)
+    have_trans = trans >= 0
+
+    extreme = ((r > 240) & (g > 240) & (b > 240)) | ((r < 15) & (g < 15) & (b < 15))
+    rc = jnp.where(extreme, r, (r & 0xF8) | 4)
+    gc = jnp.where(extreme, g, (g & 0xF8) | 4)
+    bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+
+    pal = pal.astype(jnp.int32)  # (N, 3), possibly padded
+    dist = (jnp.abs(rc[..., None] - pal[:, 0])
+            + jnp.abs(gc[..., None] - pal[:, 1])
+            + jnp.abs(bc[..., None] - pal[:, 2]))  # (H, W, N)
+    rows = jnp.arange(pal.shape[0], dtype=jnp.int32)
+    # padded rows never win; the transparent entry is skipped in the
+    # search exactly when it is inside the effective palette
+    row_dead = (rows >= pal_count) | (have_trans & (rows == trans)
+                                      & (trans < pal_count))
+    dist = jnp.where(row_dead, imax, dist)
+    best_mid = jnp.argmin(dist, axis=-1).astype(jnp.int32).reshape(-1)
+    least_mid = jnp.min(dist, axis=-1).reshape(-1)
+
+    rf, gf, bf = r.reshape(-1), g.reshape(-1), b.reshape(-1)
+    crushed = ((rf >> 3) << 10) | ((gf >> 3) << 5) | (bf >> 3)
+    # transparent pixels skip the cache (only when transparency exists)
+    valid = (a.reshape(-1) >= 128) | ~have_trans
+
+    lin = jnp.arange(n, dtype=jnp.int32)
+    first_of_key = jnp.full((CACHE_SIZE,), imax, jnp.int32)
+    first_of_key = first_of_key.at[crushed].min(jnp.where(valid, lin, imax))
+    first_idx = first_of_key[crushed]
+    frame_first_best = best_mid[jnp.clip(first_idx, 0, n - 1)]
+
+    seen = seen_keys[crushed]
+    cached = cache_idx[crushed].astype(jnp.int32)
+    best = jnp.where(seen, cached, frame_first_best)
+    is_first = valid & (first_idx == lin) & ~seen
+
+    best_rgb = jnp.take(pal, best, axis=0, mode="clip")
+    least_actual = (jnp.abs(rf - best_rgb[..., 0])
+                    + jnp.abs(gf - best_rgb[..., 1])
+                    + jnp.abs(bf - best_rgb[..., 2]))
+    least = jnp.where(is_first, least_mid, least_actual)
+
+    pb = prev_bgra.reshape(-1, prev_bgra.shape[-1]).astype(jnp.int32)
+    dp = (jnp.abs(rf - pb[:, 2]) + jnp.abs(gf - pb[:, 1])
+          + jnp.abs(bf - pb[:, 0]))
+    best = jnp.where(use_prev & have_trans & (dp < least), trans, best)
+
+    best = jnp.where(have_trans & ~valid, trans, best)
+
+    # cache update: transparent pixels scatter to the dump slot; seen keys
+    # keep their cached value (all writers of a key write one value)
+    crushed_w = jnp.where(valid, crushed, CACHE_SIZE - 1)
+    upd = jnp.where(seen, cached, frame_first_best).astype(jnp.uint8)
+    new_cache = cache_idx.at[crushed_w].set(upd)
+    new_seen = seen_keys.at[crushed_w].set(True)
+    return (best.reshape(h, w).astype(jnp.uint8),
+            new_seen.at[CACHE_SIZE - 1].set(False),
+            new_cache)
+
 
 @functools.partial(jax.jit, static_argnames=("trans_idx", "use_prev", "have_trans"))
 def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
@@ -53,69 +144,57 @@ def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
     across same-palette frames; callers reset both when the palette changes
     (giflib.cpp:974-996). Returns (indices, new_seen, new_cache).
     """
-    b = img[..., 0].astype(jnp.int32)
-    g = img[..., 1].astype(jnp.int32)
-    r = img[..., 2].astype(jnp.int32)
-    a = img[..., 3].astype(jnp.int32)
-    h, w = r.shape[-2], r.shape[-1]
-    n = h * w
+    # the historical static flags map onto the dynamic core: transparency
+    # exists iff have_trans (trans outside the palette keeps its forcing
+    # semantics), and prev-frame shortcutting requires both flags
+    trans_eff = trans_idx if have_trans else -1
+    return _quantize_core(img, palette_rgb, jnp.int32(palette_rgb.shape[0]),
+                          prev_bgra, seen_keys, cache_idx,
+                          jnp.int32(trans_eff), jnp.bool_(use_prev))
 
-    extreme = ((r > 240) & (g > 240) & (b > 240)) | ((r < 15) & (g < 15) & (b < 15))
-    rc = jnp.where(extreme, r, (r & 0xF8) | 4)
-    gc = jnp.where(extreme, g, (g & 0xF8) | 4)
-    bc = jnp.where(extreme, b, (b & 0xF8) | 4)
 
-    pal = palette_rgb.astype(jnp.int32)  # (N, 3)
-    dist = (jnp.abs(rc[..., None] - pal[:, 0])
-            + jnp.abs(gc[..., None] - pal[:, 1])
-            + jnp.abs(bc[..., None] - pal[:, 2]))  # (H, W, N)
-    if have_trans and 0 <= trans_idx < pal.shape[0]:
-        dist = dist.at[..., trans_idx].set(jnp.iinfo(jnp.int32).max)
-    best_mid = jnp.argmin(dist, axis=-1).astype(jnp.int32).reshape(-1)
-    least_mid = jnp.min(dist, axis=-1).reshape(-1)
+@jax.jit
+def quantize_animation(frames: jax.Array, palettes: jax.Array,
+                       pal_counts: jax.Array, trans_idx: jax.Array,
+                       clear_flags: jax.Array, use_prev_flags: jax.Array):
+    """Quantize a whole animation's composited frames in ONE lax.scan
+    dispatch — the batched form of GifEncoder's per-frame
+    quantize_to_palette calls, bit-identical to running them sequentially
+    (the crushed-key cache, palette-change clears, and the prev-frame
+    transparency optimization ride the scan carry).
 
-    rf, gf, bf = r.reshape(-1), g.reshape(-1), b.reshape(-1)
-    crushed = ((rf >> 3) << 10) | ((gf >> 3) << 5) | (bf >> 3)
-    valid = jnp.ones((n,), jnp.bool_)
-    if have_trans:
-        valid = a.reshape(-1) >= 128  # transparent pixels skip the cache
+      frames         (N, H, W, 4) u8 composited+resized output frames
+      palettes       (N, 256, 3)  i32 RGB (rows >= pal_counts[k] ignored)
+      pal_counts     (N,)         i32 effective palette sizes
+      trans_idx      (N,)         i32 transparent index (-1 = none)
+      clear_flags    (N,)         bool clear the cache BEFORE this frame
+                                  (host-detected palette byte change,
+                                  giflib.cpp:974-996)
+      use_prev_flags (N,)         bool prev output frame valid for the
+                                  transparency optimization (have_first
+                                  and prev disposal in {0,1})
 
-    imax = jnp.iinfo(jnp.int32).max
-    lin = jnp.arange(n, dtype=jnp.int32)
-    first_of_key = jnp.full((CACHE_SIZE,), imax, jnp.int32)
-    first_of_key = first_of_key.at[crushed].min(jnp.where(valid, lin, imax))
-    first_idx = first_of_key[crushed]
-    frame_first_best = best_mid[jnp.clip(first_idx, 0, n - 1)]
+    Returns (N, H, W) u8 palette indices.
+    """
+    h, w = frames.shape[1], frames.shape[2]
+    seen0 = jnp.zeros((CACHE_SIZE,), jnp.bool_)
+    cache0 = jnp.zeros((CACHE_SIZE,), jnp.uint8)
+    prev0 = jnp.zeros((h, w, 4), jnp.uint8)
 
-    seen = seen_keys[crushed]
-    cached = cache_idx[crushed].astype(jnp.int32)
-    best = jnp.where(seen, cached, frame_first_best)
-    is_first = valid & (first_idx == lin) & ~seen
+    def step(carry, x):
+        seen, cache, prev = carry
+        img, pal, cnt, tr, clear, use_prev = x
+        seen = jnp.where(clear, jnp.zeros_like(seen), seen)
+        cache = jnp.where(clear, jnp.zeros_like(cache), cache)
+        idx, seen, cache = _quantize_core(img, pal, cnt, prev, seen, cache,
+                                          tr, use_prev)
+        return (seen, cache, img), idx
 
-    best_rgb = jnp.take(pal, best, axis=0, mode="clip")
-    least_actual = (jnp.abs(rf - best_rgb[..., 0])
-                    + jnp.abs(gf - best_rgb[..., 1])
-                    + jnp.abs(bf - best_rgb[..., 2]))
-    least = jnp.where(is_first, least_mid, least_actual)
-
-    if use_prev and have_trans:
-        pb = prev_bgra.reshape(-1, prev_bgra.shape[-1]).astype(jnp.int32)
-        dp = (jnp.abs(rf - pb[:, 2]) + jnp.abs(gf - pb[:, 1])
-              + jnp.abs(bf - pb[:, 0]))
-        best = jnp.where(dp < least, trans_idx, best)
-
-    if have_trans:
-        best = jnp.where(valid, best, trans_idx)
-
-    # cache update: transparent pixels scatter to the dump slot; seen keys
-    # keep their cached value (all writers of a key write one value)
-    crushed_w = jnp.where(valid, crushed, CACHE_SIZE - 1)
-    upd = jnp.where(seen, cached, frame_first_best).astype(jnp.uint8)
-    new_cache = cache_idx.at[crushed_w].set(upd)
-    new_seen = seen_keys.at[crushed_w].set(True)
-    return (best.reshape(h, w).astype(jnp.uint8),
-            new_seen.at[CACHE_SIZE - 1].set(False),
-            new_cache)
+    _, idxs = jax.lax.scan(
+        step, (seen0, cache0, prev0),
+        (frames, palettes, pal_counts, trans_idx, clear_flags,
+         use_prev_flags))
+    return idxs
 
 
 @functools.partial(jax.jit, static_argnames=("have_trans", "first_frame"))

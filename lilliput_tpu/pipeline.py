@@ -1272,6 +1272,80 @@ class StillTranscodePipeline(_ServingPipelineBase):
         return out if isinstance(out, tuple) else (out,)
 
 
+class AnimatedTranscodePipeline:
+    """Serving front for ANIMATED sources whose output keeps the animation
+    — what the reference's Transform does for animated input with .gif or
+    .webp output (ops.go:302-374 loops every frame through the encoder;
+    the still serving pipelines instead emit the first frame, the
+    reference's behavior for still outputs).
+
+    Each animation runs the whole-animation batched transcode (frames on
+    the leading device axis: composite lax.scan + batched resize + for GIF
+    output the quantize_animation scan — three dispatches total, outputs
+    byte-identical to the streaming ImageOps path). The frame axis is
+    padded to ops.palette.frame_bucket so same-canvas animations of any
+    length share compiled programs (the serving compile-reuse concern).
+    A batch of animations runs on a thread pool: the host entropy stages
+    (LZW / libwebp / dav1d decode, LZW / WebPAnimEncoder encode) release
+    the GIL and overlap with other threads' device dispatches.
+
+    output_format: ".gif" (GIF sources only — the GIF encoder reuses the
+    source palette, reference giflib.go parity), ".webp" (GIF/WebP/AVIF
+    sources), or ".avif" (AVIF sources).
+    """
+
+    _FORMATS = (".gif", ".webp", ".avif")
+
+    def __init__(self, dst_w: int, dst_h: int, output_format: str = ".webp",
+                 fit: bool = True, workers: Optional[int] = None,
+                 encode_options: Optional[dict] = None):
+        if output_format not in self._FORMATS:
+            raise ValueError(
+                f"animated output_format must be one of {self._FORMATS}")
+        self.dst_w, self.dst_h = dst_w, dst_h
+        self.output_format = output_format
+        self.fit = fit
+        self.workers = workers
+        self.encode_options = dict(encode_options or {})
+
+    def transcode_one(self, buf: bytes) -> bytes:
+        from . import api as A
+        fmt = self.output_format
+        if A.is_gif(buf):
+            if fmt not in (".gif", ".webp"):
+                raise DecodingFailedError(
+                    f"GIF sources encode to .gif/.webp, not {fmt}")
+            return transcode_gif(buf, self.dst_w, self.dst_h, fit=self.fit,
+                                 file_type=fmt)
+        if A.is_webp(buf):
+            if fmt != ".webp":
+                raise DecodingFailedError(
+                    ".gif output requires a GIF source (the GIF encoder "
+                    "reuses the source palette)" if fmt == ".gif" else
+                    f"WebP sources encode to .webp, not {fmt}")
+            return transcode_webp(buf, self.dst_w, self.dst_h, fit=self.fit,
+                                  encode_options=self.encode_options)
+        if A.is_avif(buf):
+            if fmt not in (".webp", ".avif"):
+                raise DecodingFailedError(
+                    ".gif output requires a GIF source (the GIF encoder "
+                    "reuses the source palette)")
+            return transcode_avif(buf, self.dst_w, self.dst_h, fit=self.fit,
+                                  encode_options=self.encode_options,
+                                  file_type=fmt)
+        raise DecodingFailedError(
+            "animated transcode supports GIF/WebP/AVIF sources")
+
+    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
+        n_workers = (self.workers if self.workers is not None
+                     else min(4, os.cpu_count() or 1))
+        if n_workers <= 1 or len(bufs) <= 1:
+            return [self.transcode_one(b) for b in bufs]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(n_workers) as ex:
+            return list(ex.map(self.transcode_one, bufs))
+
+
 class MultiGeometryPipeline:
     """Serving front for mixed-geometry still batches (SURVEY.md hard
     part #3) — JPEG and non-JPEG sources alike.
@@ -1299,17 +1373,53 @@ class MultiGeometryPipeline:
         self.max_geometries = max_geometries
         self.chroma_mode = chroma_mode
         self.dct_scale = dct_scale
-        # fail at construction, not on the first request
-        self.output_format = _normalize_output_format(output_format)
+        # fail at construction, not on the first request; ".gif" is the
+        # animated-only output (GIF sources, reference giflib.go parity)
+        fmt = {".jpg": ".jpeg"}.get(output_format, output_format)
+        if fmt == ".gif":
+            self.output_format = fmt
+        else:
+            self.output_format = _normalize_output_format(output_format)
         self.encode_options = dict(encode_options or {})
+        self._anim_pipe: Optional[AnimatedTranscodePipeline] = None
         # signature key -> serving pipeline, LRU order; JPEG keys are
         # (JpegGeometry, orientation), still keys ("still", kind, w, h,
         # channels, orientation)
         self._pipes: "OrderedDict[Tuple, _ServingPipelineBase]" = OrderedDict()
 
+    def _animated_route(self, buf: bytes):
+        """Animated source + animation-capable output -> the animated
+        serving pipeline (reference Transform keeps the animation for
+        .gif/.webp outputs); still outputs keep the first-frame stance.
+        Returns the pipeline or None for the still routes."""
+        from . import api as A
+        if self.output_format == ".gif":
+            # GIF output: GIF sources only (single-frame ones included —
+            # the GIF encoder reuses the source palette)
+            if not A.is_gif(buf):
+                raise DecodingFailedError(
+                    ".gif output requires a GIF source (the GIF encoder "
+                    "reuses the source palette, giflib.go parity)")
+        elif self.output_format != ".webp":
+            return None
+        elif not (A.is_gif(buf) or A.is_webp(buf) or A.is_avif(buf)):
+            return None
+        else:
+            hdr = A.new_decoder(buf).header()
+            if not hdr.is_animated():
+                return None
+        if self._anim_pipe is None:
+            self._anim_pipe = AnimatedTranscodePipeline(
+                self.dst_w, self.dst_h, output_format=self.output_format,
+                fit=True, encode_options=self.encode_options)
+        return self._anim_pipe
+
     def _pipe_for(self, buf: bytes) -> "_ServingPipelineBase":
         from . import api as A
         from .utils.metrics import metrics
+        anim = self._animated_route(buf)
+        if anim is not None:
+            return anim
         if A.is_jpeg(buf):
             info = J.JpegDecoder(buf)._info
             key = (geometry_of(info), int(J.exif_orientation(buf)))
@@ -1531,6 +1641,15 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         prev_disposal = dispose
     if not frames:
         raise DecodingFailedError("webp has no frames")
+    n = len(frames)
+    # pad the frame axis to a bucket: same-canvas animations share one
+    # compiled composite+resize program (inert frames draw nothing)
+    for _ in range(n, P.frame_bucket(n)):
+        frames.append(np.zeros((ch, cw, 4), np.uint8))
+        drawn.append(np.zeros((ch, cw), bool))
+        blends.append(1)
+        pdisp.append(0)
+        prects.append(np.zeros((ch, cw), bool))
     comp = P.composite_animation_rgba(
         jnp.asarray(np.stack(frames)), jnp.asarray(np.stack(drawn)),
         jnp.asarray(np.array(blends, np.int32)),
@@ -1539,9 +1658,10 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         left, top, w, h = fit_rect(cw, ch, dst_w, dst_h)
         comp = comp[:, top:top + h, left:left + w, :]
     resized = R.resize(comp, dst_w, dst_h, R.AREA)
+    host_frames = np.asarray(resized[:n])  # one D2H for all frames
     enc = WebpEncoder(dec)
     for i, dur in enumerate(durations):
-        fb = Framebuffer(resized[i])
+        fb = Framebuffer(host_frames[i])
         fb.duration = dur / 1000.0
         enc.encode(fb, encode_options or {})
     return enc.encode(None, encode_options or {})
@@ -1569,14 +1689,20 @@ def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         durations.append(fb.duration)
     if not frames:
         raise DecodingFailedError("avif has no frames")
-    batch = jnp.stack(frames)
+    from .ops import palette as P
+    n = len(frames)
+    arrs = [np.asarray(f) for f in frames]
+    for _ in range(n, P.frame_bucket(n)):  # bucketed compile reuse
+        arrs.append(np.zeros_like(arrs[0]))
+    batch = jnp.asarray(np.stack(arrs))
     if fit:
         left, top, w, h = fit_rect(batch.shape[2], batch.shape[1], dst_w, dst_h)
         batch = batch[:, top:top + h, left:left + w, :]
     resized = R.resize(batch, dst_w, dst_h, R.AREA)
+    host_frames = np.asarray(resized[:n])  # one D2H for all frames
     enc = new_encoder(file_type, dec)
     for i, dur in enumerate(durations):
-        fb = Framebuffer(resized[i])
+        fb = Framebuffer(host_frames[i])
         fb.duration = dur
         enc.encode(fb, encode_options or {})
     return enc.encode(None, encode_options or {})
@@ -1585,18 +1711,23 @@ def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
 def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
                   file_type: str = ".gif") -> bytes:
     """Whole-animation batched transcode (BASELINE config 3 path): LZW on
-    host, ONE scan-compositing dispatch for all frames, ONE batched resize
-    dispatch, then per-frame palette quantization + host LZW/WebP encode.
+    host, ONE scan-compositing dispatch for all frames (frame axis padded
+    to a bucket so same-canvas animations share compiled programs), ONE
+    batched resize dispatch, ONE scan-quantization dispatch
+    (ops.palette.quantize_animation — bit-identical to the sequential
+    per-frame cache emulation), then host LZW/WebP encode.
 
     Compare ImageOps.transform, which round-trips the device once per frame
     (the reference-shaped streaming API)."""
     from .codecs.gif import GifDecoder, GifEncoder
     from .framebuffer import BlendMethod, DisposeMethod, Framebuffer
+    from .ops import palette as P
 
     dec = GifDecoder(buf)
-    frames, metas = dec.decode_animation()
+    frames, metas = dec.decode_animation(pad_frames=-1)
     if not metas:
         raise DecodingFailedError("gif has no frames")
+    n = len(metas)
     if fit:
         left, top, w, h = fit_rect(dec._w, dec._hgt, dst_w, dst_h)
         frames = frames[:, top:top + h, left:left + w, :]
@@ -1605,14 +1736,42 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     if file_type == ".webp":
         from .codecs.webp import WebpEncoder
         enc = WebpEncoder(dec)
-    else:
-        enc = GifEncoder(dec)
+        host_frames = np.asarray(resized[:n])  # one D2H for all frames
+        for i, m in enumerate(metas):
+            dec.frame_meta = m
+            fb = Framebuffer(host_frames[i])
+            fb.duration = m.delay_cs * 10 / 1000.0
+            fb.blend = BlendMethod.NO_BLEND
+            fb.dispose = (DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
+                          if m.disposal == 2 else DisposeMethod.NO_DISPOSE)
+            enc.encode(fb, {})
+        return enc.encode(None, {})
+
+    enc = GifEncoder(dec)
+    # host-side per-frame quantization plans (sequential trans/cache state)
+    nb = resized.shape[0]  # bucketed frame count
+    palettes = np.zeros((nb, 256, 3), np.int32)
+    counts = np.zeros((nb,), np.int32)
+    trans_arr = np.full((nb,), -1, np.int32)
+    clear_arr = np.zeros((nb,), bool)
+    use_prev_arr = np.zeros((nb,), bool)
+    plans = []
     for i, m in enumerate(metas):
-        dec.frame_meta = m
-        fb = Framebuffer(resized[i])
-        fb.duration = m.delay_cs * 10 / 1000.0
-        fb.blend = BlendMethod.NO_BLEND
-        fb.dispose = (DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
-                      if m.disposal == 2 else DisposeMethod.NO_DISPOSE)
-        enc.encode(fb, {})
+        trans, use_local, clear, use_prev = enc._plan_frame(m)
+        palettes[i, :m.pal_count] = m.palette[:m.pal_count]
+        counts[i] = max(m.pal_count, 1)
+        trans_arr[i] = trans
+        clear_arr[i] = clear
+        use_prev_arr[i] = use_prev
+        plans.append((trans, use_local))
+    counts[n:] = 1  # inert pad rows: 1-entry palette, no trans, no clear
+    idxs = P.quantize_animation(
+        resized, jnp.asarray(palettes), jnp.asarray(counts),
+        jnp.asarray(trans_arr), jnp.asarray(clear_arr),
+        jnp.asarray(use_prev_arr))
+    idx_np = np.asarray(idxs[:n])  # one D2H for all frames
+    for i, m in enumerate(metas):
+        trans, use_local = plans[i]
+        enc._emit_frame(m, np.ascontiguousarray(idx_np[i]), dst_w, dst_h,
+                        trans, use_local)
     return enc.encode(None, {})

@@ -1,0 +1,180 @@
+"""Animated serving surface: AnimatedTranscodePipeline and the
+MultiGeometryPipeline animated routing (reference Transform keeps the
+animation for .gif/.webp outputs, ops.go:302-374; the still pipelines'
+first-frame stance applies only to still outputs), plus the scan
+quantizer and frame-bucket padding invariants behind them."""
+import io
+
+import numpy as np
+import pytest
+
+PIL_Image = pytest.importorskip("PIL.Image")
+
+from lilliput_tpu import binding  # noqa: E402
+
+if not binding.available():
+    pytest.skip("native host library unavailable", allow_module_level=True)
+
+from lilliput_tpu import (AnimatedTranscodePipeline,  # noqa: E402
+                          MultiGeometryPipeline, transcode_gif,
+                          transcode_webp)
+from lilliput_tpu.errors import DecodingFailedError  # noqa: E402
+
+TD = "/root/reference/testdata"
+
+
+def _gif(name):
+    return open(f"{TD}/{name}", "rb").read()
+
+
+def test_animated_pipeline_gif_to_gif_matches_batch_path():
+    bufs = [_gif("party-discord.gif"), _gif("dispose_bgnd.gif"),
+            _gif("restore_previous.gif")]
+    pipe = AnimatedTranscodePipeline(20, 14, output_format=".gif", fit=False)
+    outs = pipe.transcode(bufs)
+    for buf, out in zip(bufs, outs):
+        assert out == transcode_gif(buf, 20, 14)
+        im = PIL_Image.open(io.BytesIO(out))
+        assert im.size == (20, 14)
+        assert im.n_frames == PIL_Image.open(io.BytesIO(buf)).n_frames
+
+
+def test_animated_pipeline_gif_to_webp_animated_output():
+    buf = _gif("party-discord.gif")
+    pipe = AnimatedTranscodePipeline(24, 16, output_format=".webp")
+    (out,) = pipe.transcode([buf])
+    im = PIL_Image.open(io.BytesIO(out))
+    assert im.format == "WEBP"
+    assert im.n_frames == PIL_Image.open(io.BytesIO(buf)).n_frames
+
+
+def test_animated_pipeline_webp_source():
+    buf = open(f"{TD}/party-discord.webp", "rb").read()
+    pipe = AnimatedTranscodePipeline(24, 15, output_format=".webp", fit=False)
+    (out,) = pipe.transcode([buf])
+    assert out == transcode_webp(buf, 24, 15)
+    im = PIL_Image.open(io.BytesIO(out))
+    assert im.n_frames == PIL_Image.open(io.BytesIO(buf)).n_frames
+
+
+def test_animated_pipeline_rejects_cross_palette_gif_output():
+    buf = open(f"{TD}/party-discord.webp", "rb").read()
+    pipe = AnimatedTranscodePipeline(16, 16, output_format=".gif")
+    with pytest.raises(DecodingFailedError, match="GIF"):
+        pipe.transcode_one(buf)
+
+
+def test_multigeometry_routes_animated_to_animated_pipeline():
+    """.webp output: animated sources keep the animation; a still source
+    in the same batch still takes the pixel-domain still pipeline."""
+    gif = _gif("party-discord.gif")
+    still = open("/root/reference/data/firefox.png", "rb").read()
+    pipe = MultiGeometryPipeline(24, 16, output_format=".webp")
+    outs = pipe.transcode([gif, still, gif])
+    anim = PIL_Image.open(io.BytesIO(outs[0]))
+    assert anim.n_frames == PIL_Image.open(io.BytesIO(gif)).n_frames
+    assert outs[2] == outs[0]
+    st = PIL_Image.open(io.BytesIO(outs[1]))
+    assert st.format == "WEBP" and getattr(st, "n_frames", 1) == 1
+    assert st.size == (24, 16)
+
+
+def test_multigeometry_jpeg_output_keeps_first_frame_stance():
+    """Still outputs keep the documented first-frame behavior for
+    animated sources (what the reference emits for still outputs)."""
+    gif = _gif("party-discord.gif")
+    pipe = MultiGeometryPipeline(16, 16, output_format=".jpeg")
+    (out,) = pipe.transcode([gif])
+    im = PIL_Image.open(io.BytesIO(out))
+    assert im.format == "JPEG" and im.size == (16, 16)
+
+
+def test_multigeometry_gif_output_requires_gif_source():
+    pipe = MultiGeometryPipeline(16, 16, output_format=".gif")
+    jpg = open("/root/reference/data/coast.jpg", "rb").read()
+    with pytest.raises(DecodingFailedError, match="GIF source"):
+        pipe.transcode([jpg])
+    # GIF sources (even single-frame) go through: palette reuse applies
+    gif = _gif("party-discord.gif")
+    (out,) = pipe.transcode([gif])
+    assert PIL_Image.open(io.BytesIO(out)).format == "GIF"
+
+
+def test_quantize_animation_matches_sequential_per_frame():
+    """The one-dispatch scan quantizer must be bit-identical to the
+    sequential per-frame quantize_to_palette calls across palette changes,
+    transparency, and the prev-frame optimization."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu.ops import palette as P
+    rng = np.random.default_rng(3)
+    n, h, w = 5, 17, 23
+    frames = rng.integers(0, 256, (n, h, w, 4), np.uint8)
+    frames[..., 3] = np.where(frames[..., 3] > 40, 255, 0)  # some transparency
+    pal_a = rng.integers(0, 256, (31, 3), np.int64).astype(np.int32)
+    pal_b = rng.integers(0, 256, (64, 3), np.int64).astype(np.int32)
+    pals = [pal_a, pal_a, pal_b, pal_b, pal_a]          # changes at 2 and 4
+    trans = [3, 3, -1, 5, 3]                             # frame 2: no trans
+    # sequential reference: exactly GifEncoder's streaming behavior
+    seen = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)
+    cache = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+    prev_pal = None
+    have_first = False
+    seq = []
+    for k in range(n):
+        pb = pals[k].tobytes()
+        if prev_pal != pb:
+            seen = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)
+            cache = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+        prev_pal = pb
+        use_prev = bool(have_first and trans[k] >= 0)
+        prev = (jnp.asarray(frames[k - 1]) if use_prev
+                else jnp.zeros((h, w, 4), jnp.uint8))
+        idx, seen, cache = P.quantize_to_palette(
+            jnp.asarray(frames[k]), jnp.asarray(pals[k]), prev, seen, cache,
+            trans[k], trans[k] >= 0, use_prev)
+        seq.append(np.asarray(idx))
+        have_first = True
+    # scan form, with padding rows past n (must not disturb real frames)
+    nb = P.frame_bucket(n)
+    fpad = np.zeros((nb, h, w, 4), np.uint8)
+    fpad[:n] = frames
+    pal256 = np.zeros((nb, 256, 3), np.int32)
+    counts = np.ones((nb,), np.int32)
+    trans_arr = np.full((nb,), -1, np.int32)
+    clear_arr = np.zeros((nb,), bool)
+    use_prev_arr = np.zeros((nb,), bool)
+    prev_pal = None
+    have_first = False
+    for k in range(n):
+        pal256[k, :pals[k].shape[0]] = pals[k]
+        counts[k] = pals[k].shape[0]
+        trans_arr[k] = trans[k]
+        clear_arr[k] = prev_pal != pals[k].tobytes()
+        prev_pal = pals[k].tobytes()
+        use_prev_arr[k] = bool(have_first and trans[k] >= 0)
+        have_first = True
+    idxs = np.asarray(P.quantize_animation(
+        jnp.asarray(fpad), jnp.asarray(pal256), jnp.asarray(counts),
+        jnp.asarray(trans_arr), jnp.asarray(clear_arr),
+        jnp.asarray(use_prev_arr)))
+    for k in range(n):
+        assert np.array_equal(idxs[k], seq[k]), f"frame {k}"
+
+
+def test_frame_bucket_padding_is_inert():
+    """transcode_gif pads the frame axis to the bucket: outputs must be
+    byte-identical to an unpadded run (exercised by comparing two
+    animations whose frame counts straddle a bucket edge... here simply
+    against the decode_animation(pad_frames=0) composite)."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu.codecs.gif import GifDecoder
+    buf = _gif("party-discord.gif")
+    plain, metas = GifDecoder(buf).decode_animation()
+    padded, metas2 = GifDecoder(buf).decode_animation(pad_frames=-1)
+    n = len(metas)
+    assert len(metas2) == n
+    assert padded.shape[0] >= n and padded.shape[0] != n or n in (
+        1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+    assert np.array_equal(np.asarray(plain), np.asarray(padded[:n]))
