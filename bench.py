@@ -284,7 +284,14 @@ def main():
                     comp = PAL.composite_animation(
                         x, a_drawn, luts_, a_counts, a_notrans, a_pdisp,
                         a_prect, a_bg)
+                    # barriers model the production structure (three
+                    # separate dispatches): without them XLA re-fuses the
+                    # resize producer into the quantizer's 256-wide
+                    # broadcast and the single program measures ~4x the
+                    # sum of its stages (tools/profile_anim.py)
+                    comp = jax.lax.optimization_barrier(comp)
                     rs = RZ.resize(comp, adw, adh, RZ.AREA)
+                    rs = jax.lax.optimization_barrier(rs)
                     qi = PAL.quantize_animation(rs, pals_, a_counts,
                                                 a_trans0, a_clear, a_uprev)
                     s = jnp.sum(qi.astype(jnp.int32))

@@ -34,6 +34,29 @@ def frame_bucket(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
+    """Palette LUT expansion as a one-hot selection dot on the MXU.
+
+    Replaces `jnp.take(lut, idx, axis=0)`: XLA lowers that gather to a
+    per-index loop on TPU and it measured ~1 ms/frame at 480x480 — the
+    entire cost of the animation composite scan (tools/profile_anim.py);
+    the selection dot is below measurement noise. Exact at DEFAULT (bf16)
+    matmul precision: the one-hot rows are 0/1 and palette entries are
+    integers <= 255, both exactly representable in bf16, and each output
+    element sums exactly one nonzero product into the f32 accumulator, so
+    no rounding can occur (the CLAUDE.md provably-exact exception).
+
+    Out-of-range indices (idx >= lut rows) produce a zero row rather than
+    take's clipped last entry; every caller masks those pixels out.
+
+      lut  (N, C) u8/int   idx (...,) int  ->  (..., C) u8
+    """
+    oh = (idx[..., None] == jnp.arange(lut.shape[0], dtype=jnp.int32)
+          ).astype(jnp.bfloat16)
+    return jnp.einsum("...p,pc->...c", oh, lut.astype(jnp.bfloat16),
+                      precision=jax.lax.Precision.DEFAULT).astype(jnp.uint8)
+
+
 def _quantize_core(img: jax.Array, pal: jax.Array, pal_count: jax.Array,
                    prev_bgra: jax.Array, seen_keys: jax.Array,
                    cache_idx: jax.Array, trans: jax.Array,
@@ -157,44 +180,135 @@ def quantize_to_palette(img: jax.Array, palette_rgb: jax.Array,
 def quantize_animation(frames: jax.Array, palettes: jax.Array,
                        pal_counts: jax.Array, trans_idx: jax.Array,
                        clear_flags: jax.Array, use_prev_flags: jax.Array):
-    """Quantize a whole animation's composited frames in ONE lax.scan
-    dispatch — the batched form of GifEncoder's per-frame
-    quantize_to_palette calls, bit-identical to running them sequentially
-    (the crushed-key cache, palette-change clears, and the prev-frame
-    transparency optimization ride the scan carry).
+    """Quantize a whole animation's composited frames in ONE dispatch —
+    the batched form of GifEncoder's per-frame quantize_to_palette calls,
+    bit-identical to running them sequentially.
 
+    SCAN-FREE formulation (the original lax.scan carried the crushed-key
+    cache tables across frames and its per-frame table scatters/gathers
+    measured ~1 ms/frame on v5e — the whole animation path's cost). The
+    loop-carried cache collapses because clear_flags are set exactly when
+    the palette bytes change (giflib.cpp:974-996): within a clear-delimited
+    SEGMENT the palette is constant, so the value the cache would hold for
+    a crushed key is the midpoint argmin computed at the key's first
+    VALID occurrence in the segment (frame-then-raster order) — and every
+    later hit reads that same value. So:
+
+      * per-pixel midpoint argmin (best_mid/least_mid) vectorizes over all
+        frames (no carry);
+      * "the cache" = one scatter-min of packed (glin*256 + best_mid) into
+        a (segments x CACHE_SIZE) table + one gather back — glin is the
+        global pixel index, unique, so min picks the first occurrence and
+        carries its argmin in the low byte;
+      * the prev-frame transparency optimization reads frames[k-1]
+        directly (the scan's prev carry was just the previous input).
+
+    Args/semantics identical to the scan version it replaces:
       frames         (N, H, W, 4) u8 composited+resized output frames
       palettes       (N, 256, 3)  i32 RGB (rows >= pal_counts[k] ignored)
       pal_counts     (N,)         i32 effective palette sizes
       trans_idx      (N,)         i32 transparent index (-1 = none)
       clear_flags    (N,)         bool clear the cache BEFORE this frame
-                                  (host-detected palette byte change,
-                                  giflib.cpp:974-996)
       use_prev_flags (N,)         bool prev output frame valid for the
-                                  transparency optimization (have_first
-                                  and prev disposal in {0,1})
+                                  transparency optimization
 
     Returns (N, H, W) u8 palette indices.
     """
-    h, w = frames.shape[1], frames.shape[2]
-    seen0 = jnp.zeros((CACHE_SIZE,), jnp.bool_)
-    cache0 = jnp.zeros((CACHE_SIZE,), jnp.uint8)
-    prev0 = jnp.zeros((h, w, 4), jnp.uint8)
+    nf, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    n = h * w
+    imax = jnp.iinfo(jnp.int32).max
+    trans = trans_idx.astype(jnp.int32)
+    have_trans = trans >= 0                                   # (N,)
 
-    def step(carry, x):
-        seen, cache, prev = carry
-        img, pal, cnt, tr, clear, use_prev = x
-        seen = jnp.where(clear, jnp.zeros_like(seen), seen)
-        cache = jnp.where(clear, jnp.zeros_like(cache), cache)
-        idx, seen, cache = _quantize_core(img, pal, cnt, prev, seen, cache,
-                                          tr, use_prev)
-        return (seen, cache, img), idx
+    b = frames[..., 0].astype(jnp.int32)
+    g = frames[..., 1].astype(jnp.int32)
+    r = frames[..., 2].astype(jnp.int32)
+    a = frames[..., 3].astype(jnp.int32)
 
-    _, idxs = jax.lax.scan(
-        step, (seen0, cache0, prev0),
-        (frames, palettes, pal_counts, trans_idx, clear_flags,
-         use_prev_flags))
-    return idxs
+    extreme = (((r > 240) & (g > 240) & (b > 240))
+               | ((r < 15) & (g < 15) & (b < 15)))
+    rc = jnp.where(extreme, r, (r & 0xF8) | 4)
+    gc = jnp.where(extreme, g, (g & 0xF8) | 4)
+    bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+
+    # midpoint argmin per pixel, all frames (lax.map bounds the (H, W, 256)
+    # distance intermediate to one frame at a time; no carry)
+    rows = jnp.arange(palettes.shape[1], dtype=jnp.int32)
+
+    def frame_argmin(xs):
+        rcf, gcf, bcf, pal, cnt, tr, ht = xs
+        dist = (jnp.abs(rcf[..., None] - pal[:, 0])
+                + jnp.abs(gcf[..., None] - pal[:, 1])
+                + jnp.abs(bcf[..., None] - pal[:, 2]))     # (H, W, P)
+        row_dead = (rows >= cnt) | (ht & (rows == tr) & (tr < cnt))
+        dist = jnp.where(row_dead, imax, dist)
+        return (jnp.argmin(dist, axis=-1).astype(jnp.int32),
+                jnp.min(dist, axis=-1))
+
+    best_mid, least_mid = jax.lax.map(
+        frame_argmin, (rc, gc, bc, palettes, pal_counts, trans, have_trans))
+    best_mid = best_mid.reshape(-1)                           # (N*n,)
+    least_mid = least_mid.reshape(-1)
+
+    rf, gf, bf = r.reshape(-1), g.reshape(-1), b.reshape(-1)
+    crushed = ((rf >> 3) << 10) | ((gf >> 3) << 5) | (bf >> 3)
+    valid = ((a.reshape(-1) >= 128)
+             | ~jnp.repeat(have_trans, n, total_repeat_length=nf * n))
+
+    # segment-global first occurrence: one packed scatter-min + one gather
+    seg = jnp.cumsum(clear_flags.astype(jnp.int32))           # (N,)
+    segp = jnp.repeat(seg, n, total_repeat_length=nf * n)
+    table_n = nf * (CACHE_SIZE - 1) + 1
+    ckey = segp * (CACHE_SIZE - 1) + crushed
+    ckey_w = jnp.where(valid, ckey, table_n - 1)              # dump slot
+    glin = jnp.arange(nf * n, dtype=jnp.int32)
+    if nf * n <= (2**31 - 1) // 256:
+        # packed scatter-min: one scatter + one gather (the low byte
+        # carries the first occurrence's argmin; glin is unique so the
+        # min orders by occurrence)
+        packed = glin * 256 + best_mid
+        table = jnp.full((table_n,), imax, jnp.int32)
+        table = table.at[ckey_w].min(jnp.where(valid, packed, imax))
+        first_packed = table[ckey]
+        is_first = valid & (first_packed == packed)
+        best = jnp.where(first_packed == imax, best_mid,
+                         first_packed & 255)
+    else:
+        # glin*256 would overflow int32: scatter glin alone, gather the
+        # first occurrence's argmin in a second pass
+        table = jnp.full((table_n,), imax, jnp.int32)
+        table = table.at[ckey_w].min(jnp.where(valid, glin, imax))
+        first_g = table[ckey]
+        is_first = valid & (first_g == glin)
+        best = jnp.where(first_g == imax, best_mid,
+                         best_mid[jnp.clip(first_g, 0, nf * n - 1)])
+
+    # least_dist: midpoint distance at the first occurrence, actual
+    # distance to the cached color everywhere else
+    pal_flat = palettes.astype(jnp.int32)                     # (N, P, 3)
+    oh = (best.reshape(nf, n)[..., None]
+          == rows).astype(jnp.bfloat16)                       # (N, n, P)
+    # exact selection dot (see lut_select): 0/1 x ints <= 255
+    best_rgb = jnp.einsum("nsp,npc->nsc", oh, pal_flat.astype(jnp.bfloat16),
+                          precision=jax.lax.Precision.DEFAULT
+                          ).astype(jnp.int32).reshape(-1, 3)
+    least_actual = (jnp.abs(rf - best_rgb[:, 0])
+                    + jnp.abs(gf - best_rgb[:, 1])
+                    + jnp.abs(bf - best_rgb[:, 2]))
+    least = jnp.where(is_first, least_mid, least_actual)
+
+    # prev-frame transparency optimization vs the previous INPUT frame
+    prev = jnp.concatenate(
+        [jnp.zeros((1, h, w, 4), frames.dtype), frames[:-1]], axis=0)
+    pb = prev.reshape(-1, 4).astype(jnp.int32)
+    dp = (jnp.abs(rf - pb[:, 2]) + jnp.abs(gf - pb[:, 1])
+          + jnp.abs(bf - pb[:, 0]))
+    transp = jnp.repeat(trans, n, total_repeat_length=nf * n)
+    havep = transp >= 0
+    usep = jnp.repeat(use_prev_flags, n, total_repeat_length=nf * n)
+    best = jnp.where(usep & havep & (dp < least), transp, best)
+    best = jnp.where(havep & ~valid, transp, best)
+    return best.reshape(nf, h, w).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("have_trans", "first_frame"))
@@ -211,7 +325,7 @@ def composite_indexed_frame(canvas: jax.Array, indices_full: jax.Array,
     if first_frame:
         canvas = jnp.broadcast_to(bg_bgra.astype(jnp.uint8), canvas.shape)
     idx = indices_full.astype(jnp.int32)
-    color = jnp.take(lut_bgra, idx, axis=0, mode="clip")  # (H, W, 4)
+    color = lut_select(lut_bgra, idx)  # (H, W, 4)
     valid = drawn_mask & (idx < lut_bgra.shape[0])
     if have_trans:
         valid = valid & (idx != trans_idx)
@@ -309,7 +423,7 @@ def composite_animation(idx_frames: jax.Array, drawn_masks: jax.Array,
         # saved post-disposal, pre-draw; giflib never saves before frame 1
         new_prev = jnp.where(first, zeros, canvas)
         idx32 = idx.astype(jnp.int32)
-        color = jnp.take(lut, idx32, axis=0, mode="clip")
+        color = lut_select(lut, idx32)
         valid = drawn & (idx32 != trans) & (idx32 < count)
         canvas = jnp.where(valid[..., None], color, canvas)
         return (canvas, new_prev), canvas

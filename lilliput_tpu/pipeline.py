@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
+import functools
 import os
 import warnings
 from collections import OrderedDict
@@ -1541,6 +1542,21 @@ class MultiGeometryPipeline:
         return out  # type: ignore[return-value]
 
 
+@functools.partial(jax.jit, static_argnames=("crop", "dst_w", "dst_h"))
+def _anim_crop_resize(frames: jax.Array, crop, dst_w: int, dst_h: int):
+    """Fit crop + exact AREA resize of an animation batch as ONE compiled
+    dispatch. The eager `R.resize` call it replaces issues ~20 unfused
+    per-op dispatches at full canvas size per animation — jitting fuses
+    the tap chain and (with the frame-bucketed inputs) compiles once per
+    (bucket, canvas, dst) geometry. Numerics are unchanged: the exact-AREA
+    guards (_rounded_product / ordered tap sums) hold under fusion by
+    construction."""
+    if crop is not None:
+        left, top, w, h = crop
+        frames = frames[:, top:top + h, left:left + w, :]
+    return R.resize(frames, dst_w, dst_h, R.AREA)
+
+
 def spritesheet(video: bytes, tile_w: int, tile_h: int,
                 max_tiles: int = 64, workers: Optional[int] = None,
                 with_thumbhashes: bool = False):
@@ -1575,7 +1591,7 @@ def spritesheet(video: bytes, tile_w: int, tile_h: int,
         frames = [one(e) for e in kf]
 
     batch = jnp.asarray(np.stack(frames))          # (N, H, W, 4)
-    tiles = R.resize(batch, tile_w, tile_h, R.AREA)
+    tiles = _anim_crop_resize(batch, None, tile_w, tile_h)
     hashes = None
     if with_thumbhashes:
         from .codecs.thumbhash import thumbhash_batch
@@ -1654,10 +1670,8 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         jnp.asarray(np.stack(frames)), jnp.asarray(np.stack(drawn)),
         jnp.asarray(np.array(blends, np.int32)),
         jnp.asarray(np.array(pdisp, np.int32)), jnp.asarray(np.stack(prects)))
-    if fit:
-        left, top, w, h = fit_rect(cw, ch, dst_w, dst_h)
-        comp = comp[:, top:top + h, left:left + w, :]
-    resized = R.resize(comp, dst_w, dst_h, R.AREA)
+    crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
+    resized = _anim_crop_resize(comp, crop, dst_w, dst_h)
     host_frames = np.asarray(resized[:n])  # one D2H for all frames
     enc = WebpEncoder(dec)
     for i, dur in enumerate(durations):
@@ -1695,10 +1709,9 @@ def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     for _ in range(n, P.frame_bucket(n)):  # bucketed compile reuse
         arrs.append(np.zeros_like(arrs[0]))
     batch = jnp.asarray(np.stack(arrs))
-    if fit:
-        left, top, w, h = fit_rect(batch.shape[2], batch.shape[1], dst_w, dst_h)
-        batch = batch[:, top:top + h, left:left + w, :]
-    resized = R.resize(batch, dst_w, dst_h, R.AREA)
+    crop = (fit_rect(batch.shape[2], batch.shape[1], dst_w, dst_h)
+            if fit else None)
+    resized = _anim_crop_resize(batch, crop, dst_w, dst_h)
     host_frames = np.asarray(resized[:n])  # one D2H for all frames
     enc = new_encoder(file_type, dec)
     for i, dur in enumerate(durations):
@@ -1728,10 +1741,8 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     if not metas:
         raise DecodingFailedError("gif has no frames")
     n = len(metas)
-    if fit:
-        left, top, w, h = fit_rect(dec._w, dec._hgt, dst_w, dst_h)
-        frames = frames[:, top:top + h, left:left + w, :]
-    resized = R.resize(frames, dst_w, dst_h, R.AREA)
+    crop = fit_rect(dec._w, dec._hgt, dst_w, dst_h) if fit else None
+    resized = _anim_crop_resize(frames, crop, dst_w, dst_h)
 
     if file_type == ".webp":
         from .codecs.webp import WebpEncoder

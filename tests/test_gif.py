@@ -404,3 +404,75 @@ def test_quantizer_matches_sequential_giflib_cache():
         assert np.array_equal(got, oracle[i]), (
             f"frame {i}: {int((got != oracle[i]).sum())} px differ")
         prev = img
+
+
+def test_quantize_animation_matches_sequential_calls():
+    """The scan-free whole-animation quantizer must be pixel-exact vs
+    sequential quantize_to_palette calls with carried cache tables —
+    across palette-change clears, per-frame transparency changes WITHIN a
+    palette segment, no-transparency frames, and prev-frame validity."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu.ops import palette as P
+
+    rng = np.random.default_rng(77)
+    h, w = 33, 29
+    palA = rng.integers(0, 256, (64, 3), np.uint8)
+    palB = rng.integers(0, 256, (256, 3), np.uint8)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 256, (h, w, 4), np.uint8)
+        img[:8, :8, :3] = r.integers(0, 15, (8, 8, 3))
+        img[8:12, :8, :3] = r.integers(241, 256, (4, 8, 3))
+        img[:, :, 3] = np.where(img[:, :, 3] < 60, 10, 255)
+        # repeated rows -> crushed-key collisions within and across frames
+        img[20:26] = img[20]
+        return img
+
+    frames = [mk(i) for i in range(6)]
+    pals = [palA, palA, palA, palB, palB, palB]
+    # trans changes INSIDE the palA segment (cache must NOT clear);
+    # a no-trans frame; trans inside palB segment
+    trans = [5, 9, -1, 3, 3, 200]
+    prev_ok = [False, True, True, True, False, True]
+
+    # sequential reference: quantize_to_palette with carried tables
+    seen = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)
+    cache = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+    prev_bytes = None
+    prev = None
+    seq = []
+    clears = []
+    for img, pal, tr, pv in zip(frames, pals, trans, prev_ok):
+        clear = prev_bytes != pal.tobytes()
+        clears.append(clear)
+        if clear:
+            seen = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)
+            cache = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+        prev_bytes = pal.tobytes()
+        prev_arr = (jnp.asarray(prev) if (pv and prev is not None)
+                    else jnp.zeros((h, w, 4), jnp.uint8))
+        idx, seen, cache = P.quantize_to_palette(
+            jnp.asarray(img), jnp.asarray(pal.astype(np.int32)), prev_arr,
+            seen, cache, int(tr), tr >= 0,
+            bool(pv and tr >= 0 and prev is not None))
+        seq.append(np.asarray(idx))
+        prev = img
+
+    # batched: pad palettes to 256 rows, counts mask the rest
+    n = len(frames)
+    palettes = np.zeros((n, 256, 3), np.int32)
+    counts = np.zeros((n,), np.int32)
+    for i, p in enumerate(pals):
+        palettes[i, :len(p)] = p
+        counts[i] = len(p)
+    got = np.asarray(P.quantize_animation(
+        jnp.asarray(np.stack(frames)), jnp.asarray(palettes),
+        jnp.asarray(counts), jnp.asarray(np.array(trans, np.int32)),
+        jnp.asarray(np.array(clears)),
+        jnp.asarray(np.array([pv and t >= 0 and i > 0 for i, (pv, t) in
+                              enumerate(zip(prev_ok, trans))]))))
+    for i in range(n):
+        assert np.array_equal(got[i], seq[i]), (
+            f"frame {i}: {int((got[i] != seq[i]).sum())} px differ")

@@ -1,0 +1,333 @@
+#!/usr/bin/env python3
+"""Per-stage device profile of the animated-GIF serving path (real chip).
+
+Decomposes bench.py's anim workload (bucket-32 frames, 480x480 canvas ->
+128x128, composite scan + AREA resize + quantize scan) into stages with
+the chained optimization_barrier methodology (see tools/profile_stages.py
+for why the barrier is required). One JSON line. Stages:
+
+  full             composite + resize + quantize (the bench chain)
+  composite_only   composite_animation scan alone
+  comp_wheres      composite scan with LUT expansion hoisted OUT of the
+                   scan (batched gather outside; scan body = wheres only)
+  lut_batch        the batched LUT expansion alone (vmapped take)
+  lut_onehot       LUT expansion as a one-hot selection matmul (per frame
+                   inside a lax.map, bf16-exact 0/1 x u8 dot)
+  resize_only      batched AREA resize alone (on u8 BGRA frames)
+  quantize_only    quantize_animation scan alone (on pre-resized frames)
+  quant_argmin     per-frame dist+argmin only, scan without cache carry
+  quant_cache      the cache machinery only (scatter-min + 3 gathers +
+                   2 scatter-sets per frame), distances precomputed
+
+Usage: python tools/profile_anim.py   (TPU; CHAIN/ITERS/FRAMES env)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main():
+    chain = int(os.environ.get("CHAIN", "4"))
+    iters = int(os.environ.get("ITERS", "12"))
+    af = int(os.environ.get("FRAMES", "32"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from lilliput_tpu.ops import palette as PAL
+    from lilliput_tpu.ops import resize as RZ
+
+    ah, aw, adw, adh = 480, 480, 128, 128
+
+    @jax.jit
+    def _inputs(key):
+        ks = jax.random.split(key, 3)
+        idxf = jax.random.bits(ks[0], (af, ah, aw), dtype=jnp.uint8)
+        luts = jax.random.bits(ks[1], (af, 256, 4), dtype=jnp.uint8)
+        pals = jax.random.bits(ks[2], (af, 256, 3),
+                               dtype=jnp.uint8).astype(jnp.int32)
+        return idxf, luts, pals
+
+    idxf, luts, pals = _inputs(jax.random.key(1))
+    drawn = jnp.ones((af, ah, aw), jnp.bool_)
+    counts = jnp.full((af,), 256, jnp.int32)
+    notrans = jnp.full((af,), -1, jnp.int32)
+    trans0 = jnp.zeros((af,), jnp.int32)
+    pdisp = jnp.zeros((af,), jnp.int32)
+    prect = jnp.zeros((af, ah, aw), jnp.bool_)
+    bg = jnp.zeros((4,), jnp.uint8)
+    clear = jnp.zeros((af,), jnp.bool_)
+    uprev = jnp.ones((af,), jnp.bool_)
+
+    # pre-resized u8 frames for the quantize-side stages
+    pre = jax.jit(lambda x, l: RZ.resize(
+        PAL.composite_animation(x, drawn, l, counts, notrans, pdisp,
+                                prect, bg), adw, adh, RZ.AREA))(idxf, luts)
+    pre = jax.device_put(jax.numpy.asarray(pre))
+    # full-res composited u8 frames for the resize-side stages
+    pre_full = jax.jit(lambda x, l: PAL.composite_animation(
+        x, drawn, l, counts, notrans, pdisp, prect, bg))(idxf, luts)
+    pre_full = jax.device_put(jax.numpy.asarray(pre_full))
+
+    def chained(step_fn):
+        @jax.jit
+        def cs(x0, luts_, pals_):
+            acc = jnp.int32(0)
+            x = x0
+            for _ in range(chain):
+                o = step_fn(x, luts_, pals_)
+                if not isinstance(o, (tuple, list)):
+                    o = (o,)
+                o = jax.lax.optimization_barrier(tuple(o))
+                s = sum(jnp.sum(v.astype(jnp.int32)) for v in o)
+                acc = acc + s
+                x = x0 + (s % 2).astype(x0.dtype)
+            return acc
+        return cs
+
+    def full(x, luts_, pals_):
+        # barriers between stages = the production three-dispatch shape
+        comp = PAL.composite_animation(x, drawn, luts_, counts, notrans,
+                                       pdisp, prect, bg)
+        comp = jax.lax.optimization_barrier(comp)
+        rs = RZ.resize(comp, adw, adh, RZ.AREA)
+        rs = jax.lax.optimization_barrier(rs)
+        return PAL.quantize_animation(rs, pals_, counts, trans0, clear,
+                                      uprev)
+
+    def full_fused(x, luts_, pals_):
+        # no barriers: XLA re-fuses the resize into the quantizer's
+        # 256-wide broadcast; kept to track the fusion penalty
+        comp = PAL.composite_animation(x, drawn, luts_, counts, notrans,
+                                       pdisp, prect, bg)
+        rs = RZ.resize(comp, adw, adh, RZ.AREA)
+        return PAL.quantize_animation(rs, pals_, counts, trans0, clear,
+                                      uprev)
+
+    def composite_only(x, luts_, pals_):
+        return PAL.composite_animation(x, drawn, luts_, counts, notrans,
+                                       pdisp, prect, bg)
+
+    def comp_resize(x, luts_, pals_):
+        comp = PAL.composite_animation(x, drawn, luts_, counts, notrans,
+                                       pdisp, prect, bg)
+        comp = jax.lax.optimization_barrier(comp)
+        return RZ.resize(comp, adw, adh, RZ.AREA)
+
+    def two_scans_indep(x, luts_, pals_):
+        # composite scan + quantize scan in ONE program, data-independent
+        # (quantize reads the uploaded buffer): isolates "two scans in one
+        # XLA program" from the comp->quant data dependence
+        comp = PAL.composite_animation(x, drawn, luts_, counts, notrans,
+                                       pdisp, prect, bg)
+        q = PAL.quantize_animation(pre[:, :adh, :adw], pals_, counts,
+                                   trans0, clear, uprev)
+        return comp, q
+
+    def comp_quant_dep(x, luts_, pals_):
+        # composite -> (cheap slice, no resize) -> quantize: the data-
+        # dependent two-scan chain without the resize in between
+        comp = PAL.composite_animation(x, drawn, luts_, counts, notrans,
+                                       pdisp, prect, bg)
+        comp = jax.lax.optimization_barrier(comp)
+        rs = comp[:, :adh, :adw, :]
+        return PAL.quantize_animation(rs, pals_, counts, trans0, clear,
+                                      uprev)
+
+    def resize_quant(x, luts_, pals_):
+        p = pre_full + (x[..., None] & 1)
+        rs = RZ.resize(p, adw, adh, RZ.AREA)
+        rs = jax.lax.optimization_barrier(rs)
+        return PAL.quantize_animation(rs, pals_, counts, trans0, clear,
+                                      uprev)
+
+    def lut_batch(x, luts_, pals_):
+        return jax.vmap(lambda i, l: jnp.take(l, i.astype(jnp.int32),
+                                              axis=0, mode="clip"))(x, luts_)
+
+    def lut_onehot(x, luts_, pals_):
+        def one(args):
+            i, l = args
+            oh = (i.astype(jnp.int32)[..., None]
+                  == jnp.arange(256, dtype=jnp.int32)).astype(jnp.bfloat16)
+            return jnp.einsum(
+                "hwp,pc->hwc", oh, l.astype(jnp.bfloat16),
+                precision=jax.lax.Precision.DEFAULT).astype(jnp.uint8)
+        return jax.lax.map(one, (x, luts_))
+
+    def comp_wheres(x, luts_, pals_):
+        colors = lut_batch(x, luts_, pals_)
+        idx32 = x.astype(jnp.int32)
+        valid = (drawn & (idx32 != notrans[:, None, None])
+                 & (idx32 < counts[:, None, None]))
+        init_canvas = jnp.broadcast_to(bg.astype(jnp.uint8), (ah, aw, 4))
+        zeros = jnp.zeros((ah, aw, 4), jnp.uint8)
+        is_first = jnp.arange(af) == 0
+
+        def step(carry, xs):
+            canvas, prev_canvas = carry
+            color, val, disp, prm, first = xs
+            m = prm[..., None]
+            canvas = jnp.where((disp == 2) & m, init_canvas, canvas)
+            canvas = jnp.where((disp == 3) & m, prev_canvas, canvas)
+            new_prev = jnp.where(first, zeros, canvas)
+            canvas = jnp.where(val[..., None], color, canvas)
+            return (canvas, new_prev), canvas
+
+        (_, _), frames = jax.lax.scan(
+            step, (init_canvas, zeros),
+            (colors, valid, pdisp, prect, is_first))
+        return frames
+
+    def resize_only(x, luts_, pals_):
+        # x is idx frames; use the full-res composited buffer via closure
+        # to keep input plumbing uniform (data dependence via the chain
+        # comes from the caller's x perturbation folded in)
+        p = pre_full + (x[..., None] & 1)  # cheap but unfoldable dep on x
+        return RZ.resize(p, adw, adh, RZ.AREA)
+
+    def resize_sel(x, luts_, pals_):
+        # challenger: same exact-AREA tap structure, but each constant-
+        # index gather expressed as a 0/1 selection dot at HIGHEST
+        # precision (exact f32 reconstruction: 3-way bf16 split with a
+        # 0/1 operand keeps terms a1b1+a2b1+a3b1 = a)
+        from lilliput_tpu.ops import resize_tables as T
+        import numpy as np
+        p = (pre_full + (x[..., None] & 1)).astype(jnp.float32)
+        src_h, src_w = ah, aw
+        xi, xw = T.area_tables(src_w, adw)
+        yi, yw = T.area_tables(src_h, adh)
+        z = RZ._runtime_zero_bits(p)
+
+        def sel(n, idx):
+            m = np.zeros((n, idx.shape[0]), np.float32)
+            m[idx, np.arange(idx.shape[0])] = 1.0
+            return jnp.asarray(m)
+
+        h = jnp.zeros(p.shape[:-2] + (adw, p.shape[-1]), jnp.float32)
+        for k in range(xi.shape[1]):
+            g = jnp.einsum("bhwc,wo->bhoc", p, sel(src_w, xi[:, k]),
+                           precision=jax.lax.Precision.HIGHEST)
+            h = h + RZ._rounded_product(
+                g, jnp.asarray(xw[:, k])[:, None], z)
+        out = jnp.zeros(h.shape[:-3] + (adh,) + h.shape[-2:], jnp.float32)
+        for k in range(yi.shape[1]):
+            g = jnp.einsum("bhoc,hp->bpoc", h, sel(src_h, yi[:, k]),
+                           precision=jax.lax.Precision.HIGHEST)
+            out = out + RZ._rounded_product(
+                g, jnp.asarray(yw[:, k])[:, None, None], z)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    def quantize_only(x, luts_, pals_):
+        # real data dependence on x — `pre + x*0` lets XLA constant-fold
+        # the whole stage (measured: compile_s balloons, run time reads 0)
+        p = pre + (x[:, :adh, :adw, None] & 1)
+        return PAL.quantize_animation(p, pals_, counts,
+                                      trans0, clear, uprev)
+
+    def quant_argmin(x, luts_, pals_):
+        p = pre + (x[:, :adh, :adw, None] & 1)
+
+        def one(args):
+            img, pal = args
+            r = img[..., 2].astype(jnp.int32)
+            g = img[..., 1].astype(jnp.int32)
+            b = img[..., 0].astype(jnp.int32)
+            extreme = (((r > 240) & (g > 240) & (b > 240))
+                       | ((r < 15) & (g < 15) & (b < 15)))
+            rc = jnp.where(extreme, r, (r & 0xF8) | 4)
+            gc = jnp.where(extreme, g, (g & 0xF8) | 4)
+            bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+            dist = (jnp.abs(rc[..., None] - pal[:, 0])
+                    + jnp.abs(gc[..., None] - pal[:, 1])
+                    + jnp.abs(bc[..., None] - pal[:, 2]))
+            return jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+        return jax.lax.map(one, (p, pals_))
+
+    def quant_cache(x, luts_, pals_):
+        p = pre + (x[:, :adh, :adw, None] & 1)
+        n = adh * adw
+        imax = jnp.iinfo(jnp.int32).max
+        lin = jnp.arange(n, dtype=jnp.int32)
+
+        def step(carry, img):
+            seen, cache = carry
+            r = img[..., 2].astype(jnp.int32).reshape(-1)
+            g = img[..., 1].astype(jnp.int32).reshape(-1)
+            b = img[..., 0].astype(jnp.int32).reshape(-1)
+            crushed = ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+            first_of_key = jnp.full((PAL.CACHE_SIZE,), imax, jnp.int32)
+            first_of_key = first_of_key.at[crushed].min(lin)
+            first_idx = first_of_key[crushed]
+            seen_g = seen[crushed]
+            cached = cache[crushed].astype(jnp.int32)
+            best = jnp.where(seen_g, cached, first_idx % 256)
+            cache = cache.at[crushed].set(best.astype(jnp.uint8))
+            seen = seen.at[crushed].set(True)
+            return (seen, cache), best.astype(jnp.uint8).reshape(adh, adw)
+
+        seen0 = jnp.zeros((PAL.CACHE_SIZE,), jnp.bool_)
+        cache0 = jnp.zeros((PAL.CACHE_SIZE,), jnp.uint8)
+        _, out = jax.lax.scan(step, (seen0, cache0), p)
+        return out
+
+    stages = {
+        "full": full,
+        "full_fused": full_fused,
+        "composite_only": composite_only,
+        "comp_resize": comp_resize,
+        "resize_quant": resize_quant,
+        "two_scans_indep": two_scans_indep,
+        "comp_quant_dep": comp_quant_dep,
+        "comp_wheres": comp_wheres,
+        "lut_batch": lut_batch,
+        "lut_onehot": lut_onehot,
+        "resize_only": resize_only,
+        "resize_sel": resize_sel,
+        "quantize_only": quantize_only,
+        "quant_argmin": quant_argmin,
+        "quant_cache": quant_cache,
+    }
+    sel = os.environ.get("STAGES")
+    if sel:
+        stages = {k: v for k, v in stages.items() if k in sel.split(",")}
+
+    one_f = jax.device_put(jnp.float32(1.0))
+    triv = jax.jit(lambda v: v + 1)
+    float(triv(one_f))
+    rtts = []
+    for _ in range(10):
+        t1 = time.time()
+        float(triv(one_f))
+        rtts.append(time.time() - t1)
+    rtts.sort()
+    rtt = rtts[len(rtts) // 2]
+
+    out = {"frames": af, "chain": chain, "rtt_ms": round(rtt * 1000, 2)}
+    for name, fn in stages.items():
+        cs = chained(fn)
+        t0 = time.time()
+        int(cs(idxf, luts, pals))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(max(iters // chain, 3)):
+            t1 = time.time()
+            int(cs(idxf, luts, pals))
+            times.append(time.time() - t1)
+        times.sort()
+        p50 = max(times[len(times) // 2] - rtt, 1e-9) / chain
+        out[name] = {"ms_per_step": round(p50 * 1000, 2),
+                     "frames_per_sec": round(af / p50, 1),
+                     "compile_s": round(compile_s, 1)}
+        print(json.dumps({name: out[name]}), file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
