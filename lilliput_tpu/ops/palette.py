@@ -49,11 +49,42 @@ def lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
     Out-of-range indices (idx >= lut rows) produce a zero row rather than
     take's clipped last entry; every caller masks those pixels out.
 
+    Split hi/lo nibble (idx = hi*16 + lo; two (..., 16) one-hots instead
+    of one (..., 256)): the full one-hot materializes ~118 MB per 480x480
+    frame and measured 2.1x slower than the nibble form on v5e.
+
       lut  (N, C) u8/int   idx (...,) int  ->  (..., C) u8
     """
-    oh = (idx[..., None] == jnp.arange(lut.shape[0], dtype=jnp.int32)
-          ).astype(jnp.bfloat16)
-    return jnp.einsum("...p,pc->...c", oh, lut.astype(jnp.bfloat16),
+    p = lut.shape[0]
+    hi_n = -(-p // 16)
+    t = jnp.pad(lut.astype(jnp.bfloat16), ((0, hi_n * 16 - p), (0, 0))
+                ).reshape(hi_n, 16, lut.shape[1])
+    oh_lo = ((idx[..., None] & 15)
+             == jnp.arange(16, dtype=jnp.int32)).astype(jnp.bfloat16)
+    oh_hi = ((idx[..., None] >> 4)
+             == jnp.arange(hi_n, dtype=jnp.int32)).astype(jnp.bfloat16)
+    b = jnp.einsum("...l,glc->...gc", oh_lo, t,
+                   precision=jax.lax.Precision.DEFAULT)
+    return jnp.einsum("...g,...gc->...c", oh_hi, b,
+                      precision=jax.lax.Precision.DEFAULT).astype(jnp.uint8)
+
+
+def lut_select_batched(luts: jax.Array, idx: jax.Array) -> jax.Array:
+    """lut_select with a leading batch axis shared by table and indices:
+    luts (N, P, C) u8/int, idx (N, ...) int -> (N, ..., C) u8. Same
+    nibble-split exact selection dots."""
+    p = luts.shape[1]
+    hi_n = -(-p // 16)
+    t = jnp.pad(luts.astype(jnp.bfloat16),
+                ((0, 0), (0, hi_n * 16 - p), (0, 0))
+                ).reshape(luts.shape[0], hi_n, 16, luts.shape[2])
+    oh_lo = ((idx[..., None] & 15)
+             == jnp.arange(16, dtype=jnp.int32)).astype(jnp.bfloat16)
+    oh_hi = ((idx[..., None] >> 4)
+             == jnp.arange(hi_n, dtype=jnp.int32)).astype(jnp.bfloat16)
+    b = jnp.einsum("n...l,nglc->n...gc", oh_lo, t,
+                   precision=jax.lax.Precision.DEFAULT)
+    return jnp.einsum("n...g,n...gc->n...c", oh_hi, b,
                       precision=jax.lax.Precision.DEFAULT).astype(jnp.uint8)
 
 
@@ -235,20 +266,20 @@ def quantize_animation(frames: jax.Array, palettes: jax.Array,
     # distance intermediate to one frame at a time; no carry)
     rows = jnp.arange(palettes.shape[1], dtype=jnp.int32)
 
-    def frame_argmin(xs):
-        rcf, gcf, bcf, pal, cnt, tr, ht = xs
-        dist = (jnp.abs(rcf[..., None] - pal[:, 0])
-                + jnp.abs(gcf[..., None] - pal[:, 1])
-                + jnp.abs(bcf[..., None] - pal[:, 2]))     # (H, W, P)
-        row_dead = (rows >= cnt) | (ht & (rows == tr) & (tr < cnt))
-        dist = jnp.where(row_dead, imax, dist)
-        return (jnp.argmin(dist, axis=-1).astype(jnp.int32),
-                jnp.min(dist, axis=-1))
-
-    best_mid, least_mid = jax.lax.map(
-        frame_argmin, (rc, gc, bc, palettes, pal_counts, trans, have_trans))
-    best_mid = best_mid.reshape(-1)                           # (N*n,)
-    least_mid = least_mid.reshape(-1)
+    # one fused pass over the (N, H, W, P) distance space: the elementwise
+    # producer fuses into the min/argmin reduce, so the full tensor never
+    # materializes (a lax.map over frames measured slower: serialized
+    # iterations, same traffic)
+    pal_b = palettes[:, None, None, :, :]                     # (N,1,1,P,3)
+    dist = (jnp.abs(rc[..., None] - pal_b[..., 0])
+            + jnp.abs(gc[..., None] - pal_b[..., 1])
+            + jnp.abs(bc[..., None] - pal_b[..., 2]))         # (N,H,W,P)
+    row_dead = ((rows >= pal_counts[:, None])
+                | (have_trans[:, None] & (rows == trans[:, None])
+                   & (trans[:, None] < pal_counts[:, None])))  # (N,P)
+    dist = jnp.where(row_dead[:, None, None, :], imax, dist)
+    best_mid = jnp.argmin(dist, axis=-1).astype(jnp.int32).reshape(-1)
+    least_mid = jnp.min(dist, axis=-1).reshape(-1)
 
     rf, gf, bf = r.reshape(-1), g.reshape(-1), b.reshape(-1)
     crushed = ((rf >> 3) << 10) | ((gf >> 3) << 5) | (bf >> 3)
@@ -263,16 +294,34 @@ def quantize_animation(frames: jax.Array, palettes: jax.Array,
     ckey_w = jnp.where(valid, ckey, table_n - 1)              # dump slot
     glin = jnp.arange(nf * n, dtype=jnp.int32)
     if nf * n <= (2**31 - 1) // 256:
-        # packed scatter-min: one scatter + one gather (the low byte
-        # carries the first occurrence's argmin; glin is unique so the
-        # min orders by occurrence)
+        # sort-based first occurrence: TPU scatters/gathers run at ~6 ns
+        # per random access (the packed scatter-min + gather pair measured
+        # 6.4 ms here, 70% of the quantizer) while a 524k-element stable
+        # sort costs ~0.8 ms. Stable-sort pixels by segment-key (invalid
+        # pixels to an imax sentinel run), forward-fill each run's first
+        # packed value with a segmented associative scan, and sort back by
+        # pixel index. packed = glin*256 + best_mid carries the first
+        # occurrence's argmin in the low byte; ties cannot occur (glin
+        # unique) and the stable sort preserves occurrence order.
         packed = glin * 256 + best_mid
-        table = jnp.full((table_n,), imax, jnp.int32)
-        table = table.at[ckey_w].min(jnp.where(valid, packed, imax))
-        first_packed = table[ckey]
+        skey = jnp.where(valid, ckey, imax)
+        skey_s, packed_s, glin_s = jax.lax.sort(
+            (skey, packed, glin), num_keys=1, is_stable=True)
+        first_flag = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_),
+             skey_s[1:] != skey_s[:-1]])
+
+        def fill(a, b):
+            va, fa = a
+            vb, fb = b
+            return jnp.where(fb, vb, va), fa | fb
+
+        leader_s, _ = jax.lax.associative_scan(
+            fill, (packed_s, first_flag))
+        _, first_packed = jax.lax.sort(
+            (glin_s, leader_s), num_keys=1, is_stable=True)
         is_first = valid & (first_packed == packed)
-        best = jnp.where(first_packed == imax, best_mid,
-                         first_packed & 255)
+        best = jnp.where(valid, first_packed & 255, best_mid)
     else:
         # glin*256 would overflow int32: scatter glin alone, gather the
         # first occurrence's argmin in a second pass
@@ -285,13 +334,8 @@ def quantize_animation(frames: jax.Array, palettes: jax.Array,
 
     # least_dist: midpoint distance at the first occurrence, actual
     # distance to the cached color everywhere else
-    pal_flat = palettes.astype(jnp.int32)                     # (N, P, 3)
-    oh = (best.reshape(nf, n)[..., None]
-          == rows).astype(jnp.bfloat16)                       # (N, n, P)
-    # exact selection dot (see lut_select): 0/1 x ints <= 255
-    best_rgb = jnp.einsum("nsp,npc->nsc", oh, pal_flat.astype(jnp.bfloat16),
-                          precision=jax.lax.Precision.DEFAULT
-                          ).astype(jnp.int32).reshape(-1, 3)
+    best_rgb = lut_select_batched(
+        palettes, best.reshape(nf, n)).astype(jnp.int32).reshape(-1, 3)
     least_actual = (jnp.abs(rf - best_rgb[:, 0])
                     + jnp.abs(gf - best_rgb[:, 1])
                     + jnp.abs(bf - best_rgb[:, 2]))
@@ -428,8 +472,11 @@ def composite_animation(idx_frames: jax.Array, drawn_masks: jax.Array,
         canvas = jnp.where(valid[..., None], color, canvas)
         return (canvas, new_prev), canvas
 
+    # unroll: the per-iteration loop overhead (~180us/frame measured on
+    # v5e) dominates the ~4 canvas-sized wheres of actual work; unrolled
+    # bodies fuse across frames
     (_, _), frames = jax.lax.scan(
         step, (init_canvas, zeros),
         (idx_frames, drawn_masks, luts, pal_counts, trans_idx,
-         prev_disposal, prev_rect_masks, is_first))
+         prev_disposal, prev_rect_masks, is_first), unroll=8)
     return frames

@@ -114,6 +114,51 @@ def main():
         return PAL.composite_animation(x, drawn, luts_, counts, notrans,
                                        pdisp, prect, bg)
 
+    def comp_hilo(x, luts_, pals_):
+        # composite scan with the LUT selection dot split hi/lo nibble:
+        # one-hot operands shrink from (n,256) to 2x(n,16)
+        init_canvas = jnp.broadcast_to(bg.astype(jnp.uint8), (ah, aw, 4))
+        zeros = jnp.zeros((ah, aw, 4), jnp.uint8)
+        is_first = jnp.arange(af) == 0
+        nib = jnp.arange(16, dtype=jnp.int32)
+
+        def sel_hilo(lut, idx):
+            t = lut.astype(jnp.bfloat16).reshape(16, 16, -1)  # (hi,lo,C)
+            oh_lo = ((idx[..., None] & 15) == nib).astype(jnp.bfloat16)
+            oh_hi = ((idx[..., None] >> 4) == nib).astype(jnp.bfloat16)
+            b_ = jnp.einsum("hwl,glc->hwgc", oh_lo, t,
+                            precision=jax.lax.Precision.DEFAULT)
+            return jnp.einsum("hwg,hwgc->hwc", oh_hi, b_,
+                              precision=jax.lax.Precision.DEFAULT
+                              ).astype(jnp.uint8)
+
+        def step(carry, xs):
+            canvas, prev_canvas = carry
+            idx, dr, lut, count, trans, disp, prm, first = xs
+            m = prm[..., None]
+            canvas = jnp.where((disp == 2) & m, init_canvas, canvas)
+            canvas = jnp.where((disp == 3) & m, prev_canvas, canvas)
+            new_prev = jnp.where(first, zeros, canvas)
+            idx32 = idx.astype(jnp.int32)
+            color = sel_hilo(lut, idx32)
+            val = dr & (idx32 != trans) & (idx32 < count)
+            canvas = jnp.where(val[..., None], color, canvas)
+            return (canvas, new_prev), canvas
+
+        (_, _), frames = jax.lax.scan(
+            step, (init_canvas, zeros),
+            (x, drawn, luts_, counts, notrans, pdisp, prect, is_first),
+            unroll=8)
+        return frames
+
+    def sort_524k(x, luts_, pals_):
+        # cost probe: one u32 key-value sort at the quantizer's pixel
+        # count (the sort-based first-occurrence alternative needs two)
+        keys = (x[:, :adh, :adw].astype(jnp.int32).reshape(-1)
+                * 7919 + jnp.arange(af * adh * adw, dtype=jnp.int32))
+        vals = jnp.arange(af * adh * adw, dtype=jnp.int32)
+        return jax.lax.sort((keys, vals), num_keys=1)
+
     def comp_resize(x, luts_, pals_):
         comp = PAL.composite_animation(x, drawn, luts_, counts, notrans,
                                        pdisp, prect, bg)
@@ -231,6 +276,44 @@ def main():
         return PAL.quantize_animation(p, pals_, counts,
                                       trans0, clear, uprev)
 
+    def qn_argmin(x, luts_, pals_):
+        # the new quantizer's vectorized midpoint argmin alone
+        p = pre + (x[:, :adh, :adw, None] & 1)
+        r = p[..., 2].astype(jnp.int32)
+        g = p[..., 1].astype(jnp.int32)
+        b = p[..., 0].astype(jnp.int32)
+        extreme = (((r > 240) & (g > 240) & (b > 240))
+                   | ((r < 15) & (g < 15) & (b < 15)))
+        rc = jnp.where(extreme, r, (r & 0xF8) | 4)
+        gc = jnp.where(extreme, g, (g & 0xF8) | 4)
+        bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+        pal_b = pals_[:, None, None, :, :]
+        dist = (jnp.abs(rc[..., None] - pal_b[..., 0])
+                + jnp.abs(gc[..., None] - pal_b[..., 1])
+                + jnp.abs(bc[..., None] - pal_b[..., 2]))
+        return (jnp.argmin(dist, axis=-1).astype(jnp.int32),
+                jnp.min(dist, axis=-1))
+
+    def qn_scatgat(x, luts_, pals_):
+        # the new quantizer's packed scatter-min + gather alone
+        p = pre + (x[:, :adh, :adw, None] & 1)
+        n = adh * adw
+        imax = jnp.iinfo(jnp.int32).max
+        r = p[..., 2].astype(jnp.int32).reshape(-1)
+        g = p[..., 1].astype(jnp.int32).reshape(-1)
+        b = p[..., 0].astype(jnp.int32).reshape(-1)
+        crushed = ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+        table_n = af * (PAL.CACHE_SIZE - 1) + 1
+        segp = jnp.repeat(jnp.arange(af, dtype=jnp.int32) * 0, n,
+                          total_repeat_length=af * n)
+        ckey = segp * (PAL.CACHE_SIZE - 1) + crushed
+        glin = jnp.arange(af * n, dtype=jnp.int32)
+        packed = glin * 256 + (crushed & 255)
+        table = jnp.full((table_n,), imax, jnp.int32)
+        table = table.at[ckey].min(packed)
+        first_packed = table[ckey]
+        return first_packed, (first_packed == packed)
+
     def quant_argmin(x, luts_, pals_):
         p = pre + (x[:, :adh, :adw, None] & 1)
 
@@ -281,6 +364,8 @@ def main():
         "full": full,
         "full_fused": full_fused,
         "composite_only": composite_only,
+        "comp_hilo": comp_hilo,
+        "sort_524k": sort_524k,
         "comp_resize": comp_resize,
         "resize_quant": resize_quant,
         "two_scans_indep": two_scans_indep,
@@ -291,6 +376,8 @@ def main():
         "resize_only": resize_only,
         "resize_sel": resize_sel,
         "quantize_only": quantize_only,
+        "qn_argmin": qn_argmin,
+        "qn_scatgat": qn_scatgat,
         "quant_argmin": quant_argmin,
         "quant_cache": quant_cache,
     }
