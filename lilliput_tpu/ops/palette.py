@@ -422,7 +422,8 @@ def composite_animation_rgba(frames_full: jax.Array, drawn_masks: jax.Array,
         return canvas, canvas
 
     _, out = jax.lax.scan(step, init, (frames_full, drawn_masks, blend_flags,
-                                       prev_disposal, prev_rect_masks))
+                                       prev_disposal, prev_rect_masks),
+                          unroll=8)
     return out
 
 
