@@ -141,7 +141,7 @@ def _quantize_core(img: jax.Array, pal: jax.Array, pal_count: jax.Array,
     best = jnp.where(seen, cached, frame_first_best)
     is_first = valid & (first_idx == lin) & ~seen
 
-    best_rgb = jnp.take(pal, best, axis=0, mode="clip")
+    best_rgb = lut_select(pal, best).astype(jnp.int32)
     least_actual = (jnp.abs(rf - best_rgb[..., 0])
                     + jnp.abs(gf - best_rgb[..., 1])
                     + jnp.abs(bf - best_rgb[..., 2]))
