@@ -274,21 +274,15 @@ class GifDecoder(Decoder):
         disposal code (0 unspecified / 1 none / 2 background / 3 previous)."""
         return self.frame_meta
 
-    def decode_animation(self, pad_frames: int = 0):
-        """Decode ALL frames with one device dispatch (lax.scan compositing,
-        ops/palette.py:composite_animation). Host work is only LZW + index
-        scattering; returns ((N, H, W, 4) device frames, [frame metas]).
-
-        pad_frames > n pads the stacked inputs with inert frames (nothing
-        drawn, no dispose) so the composite scan compiles once per
-        (bucket, canvas) instead of once per exact frame count — the
-        padded outputs duplicate the last real composite and callers
-        slice [:len(metas)]. Real-frame outputs are unaffected (the scan
-        is causal and padding follows the real frames). pad_frames=-1
-        auto-selects ops.palette.frame_bucket(n).
-
-        This is the TPU-first batch path; frame-at-a-time decode_to remains
-        for the reference-shaped streaming API."""
+    def animation_inputs(self, pad_frames: int = 0):
+        """Host-side assembly for the batched composite: decode every
+        frame's LZW + scatter indices/masks to canvas shape, WITHOUT
+        dispatching the device composite. Returns (inputs, metas) where
+        inputs is a dict of numpy arrays shaped for
+        ops.palette.composite_animation (idxs/drawn/luts/counts/trans/
+        pdisp/prects stacked over the padded frame axis, plus bg_bgra) —
+        the unit the cross-animation batch pipeline stacks over a leading
+        animation axis. Empty animations return (None, [])."""
         cw, ch = self._w, self._hgt
         idxs, drawn, luts, counts, trans, pdisp, prects, metas = \
             [], [], [], [], [], [], [], []
@@ -320,7 +314,7 @@ class GifDecoder(Decoder):
             prev_rect = (m.left, m.top, m.width, m.height)
             prev_disposal = m.disposal
         if not idxs:
-            return jnp.zeros((0, ch, cw, 4), jnp.uint8), []
+            return None, []
         if pad_frames == -1:
             pad_frames = P.frame_bucket(len(metas))
         for _ in range(len(metas), pad_frames):
@@ -332,13 +326,37 @@ class GifDecoder(Decoder):
             pdisp.append(0)
             prects.append(np.zeros((ch, cw), bool))
         bg = self._anim_info()[3:7]
-        bg_bgra = jnp.asarray(np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8))
+        inputs = dict(
+            idxs=np.stack(idxs), drawn=np.stack(drawn),
+            luts=np.stack(luts), counts=np.array(counts, np.int32),
+            trans=np.array(trans, np.int32),
+            pdisp=np.array(pdisp, np.int32), prects=np.stack(prects),
+            bg_bgra=np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8))
+        return inputs, metas
+
+    def decode_animation(self, pad_frames: int = 0):
+        """Decode ALL frames with one device dispatch (lax.scan compositing,
+        ops/palette.py:composite_animation). Host work is only LZW + index
+        scattering; returns ((N, H, W, 4) device frames, [frame metas]).
+
+        pad_frames > n pads the stacked inputs with inert frames (nothing
+        drawn, no dispose) so the composite scan compiles once per
+        (bucket, canvas) instead of once per exact frame count — the
+        padded outputs duplicate the last real composite and callers
+        slice [:len(metas)]. Real-frame outputs are unaffected (the scan
+        is causal and padding follows the real frames). pad_frames=-1
+        auto-selects ops.palette.frame_bucket(n).
+
+        This is the TPU-first batch path; frame-at-a-time decode_to remains
+        for the reference-shaped streaming API."""
+        inp, metas = self.animation_inputs(pad_frames)
+        if not metas:
+            return jnp.zeros((0, self._hgt, self._w, 4), jnp.uint8), []
         frames = P.composite_animation(
-            jnp.asarray(np.stack(idxs)), jnp.asarray(np.stack(drawn)),
-            jnp.asarray(np.stack(luts)), jnp.asarray(np.array(counts, np.int32)),
-            jnp.asarray(np.array(trans, np.int32)),
-            jnp.asarray(np.array(pdisp, np.int32)),
-            jnp.asarray(np.stack(prects)), bg_bgra)
+            jnp.asarray(inp["idxs"]), jnp.asarray(inp["drawn"]),
+            jnp.asarray(inp["luts"]), jnp.asarray(inp["counts"]),
+            jnp.asarray(inp["trans"]), jnp.asarray(inp["pdisp"]),
+            jnp.asarray(inp["prects"]), jnp.asarray(inp["bg_bgra"]))
         return frames, metas
 
     def skip_frame(self) -> None:

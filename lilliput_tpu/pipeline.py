@@ -32,6 +32,7 @@ from .codecs import jpeg as J
 from .errors import DecodingFailedError
 from .ops import jpeg_kernels as K
 from .ops import orient as O
+from .ops import palette as P
 from .ops import resize as R
 
 _i16p = ctypes.POINTER(ctypes.c_int16)
@@ -1338,13 +1339,45 @@ class AnimatedTranscodePipeline:
             "animated transcode supports GIF/WebP/AVIF sources")
 
     def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
+        from . import api as A
+        out: List[Optional[bytes]] = [None] * len(bufs)
+        # GIF sources with animation-capable output ride the cross-
+        # animation batch: same-signature animations share ONE device
+        # program (transcode_gif_batch), byte-identical to per-animation
+        rest = list(range(len(bufs)))
+        if self.output_format in (".gif", ".webp"):
+            gif_members = [i for i in rest if A.is_gif(bufs[i])]
+            if len(gif_members) > 1:
+                res = transcode_gif_batch(
+                    [bufs[i] for i in gif_members], self.dst_w, self.dst_h,
+                    fit=self.fit, file_type=self.output_format,
+                    workers=self.workers)
+                for i, r in zip(gif_members, res):
+                    out[i] = r
+                rest = [i for i in rest if out[i] is None]
+        if self.output_format == ".webp":
+            webp_members = [i for i in rest if A.is_webp(bufs[i])]
+            if len(webp_members) > 1:
+                res = transcode_webp_batch(
+                    [bufs[i] for i in webp_members], self.dst_w, self.dst_h,
+                    fit=self.fit, encode_options=self.encode_options,
+                    workers=self.workers)
+                for i, r in zip(webp_members, res):
+                    out[i] = r
+                rest = [i for i in rest if out[i] is None]
         n_workers = (self.workers if self.workers is not None
                      else min(4, os.cpu_count() or 1))
-        if n_workers <= 1 or len(bufs) <= 1:
-            return [self.transcode_one(b) for b in bufs]
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(n_workers) as ex:
-            return list(ex.map(self.transcode_one, bufs))
+        if rest:
+            if n_workers <= 1 or len(rest) <= 1:
+                results = [self.transcode_one(bufs[i]) for i in rest]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(n_workers) as ex:
+                    results = list(ex.map(
+                        lambda i: self.transcode_one(bufs[i]), rest))
+            for i, r in zip(rest, results):
+                out[i] = r
+        return out  # type: ignore[return-value]
 
 
 class MultiGeometryPipeline:
@@ -1553,7 +1586,7 @@ def _anim_crop_resize(frames: jax.Array, crop, dst_w: int, dst_h: int):
     construction."""
     if crop is not None:
         left, top, w, h = crop
-        frames = frames[:, top:top + h, left:left + w, :]
+        frames = frames[..., top:top + h, left:left + w, :]
     return R.resize(frames, dst_w, dst_h, R.AREA)
 
 
@@ -1607,15 +1640,13 @@ def spritesheet(video: bytes, tile_w: int, tile_h: int,
     return sheet, [e[0] for e in kf], hashes
 
 
-def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
-                   encode_options=None) -> bytes:
-    """Whole-animation batched WebP transcode (BASELINE config 4 path):
-    libwebp frame decode on host, ONE scan-compositing dispatch (alpha
-    blend + dispose), ONE batched resize, WebPAnimEncoder on host.
-    Byte-identical to the streaming ImageOps path."""
-    from .codecs.webp import WebpDecoder, WebpEncoder, _i32p, _u8
-    from .framebuffer import Framebuffer
-    from .ops import palette as P
+def _webp_anim_inputs(buf: bytes):
+    """Host-side assembly for the WebP composite: decode every frame's
+    pixels, scatter to canvas shape, pad the frame axis to the bucket.
+    Returns (decoder, inputs dict for composite_animation_rgba,
+    durations_ms) — the unit transcode_webp_batch stacks over a leading
+    animation axis."""
+    from .codecs.webp import WebpDecoder, _i32p, _u8
 
     dec = WebpDecoder(buf)
     cw, ch = dec._w, dec._hgt
@@ -1666,19 +1697,106 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         blends.append(1)
         pdisp.append(0)
         prects.append(np.zeros((ch, cw), bool))
-    comp = P.composite_animation_rgba(
-        jnp.asarray(np.stack(frames)), jnp.asarray(np.stack(drawn)),
-        jnp.asarray(np.array(blends, np.int32)),
-        jnp.asarray(np.array(pdisp, np.int32)), jnp.asarray(np.stack(prects)))
-    crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
-    resized = _anim_crop_resize(comp, crop, dst_w, dst_h)
-    host_frames = np.asarray(resized[:n])  # one D2H for all frames
+    inputs = dict(frames=np.stack(frames), drawn=np.stack(drawn),
+                  blends=np.array(blends, np.int32),
+                  pdisp=np.array(pdisp, np.int32), prects=np.stack(prects))
+    return dec, inputs, durations
+
+
+def _webp_emit(dec, host_frames: np.ndarray, durations, encode_options):
+    from .codecs.webp import WebpEncoder
+    from .framebuffer import Framebuffer
+
     enc = WebpEncoder(dec)
     for i, dur in enumerate(durations):
         fb = Framebuffer(host_frames[i])
         fb.duration = dur / 1000.0
         enc.encode(fb, encode_options or {})
     return enc.encode(None, encode_options or {})
+
+
+def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
+                   encode_options=None) -> bytes:
+    """Whole-animation batched WebP transcode (BASELINE config 4 path):
+    libwebp frame decode on host, ONE scan-compositing dispatch (alpha
+    blend + dispose), ONE batched resize, WebPAnimEncoder on host.
+    Byte-identical to the streaming ImageOps path."""
+    dec, inp, durations = _webp_anim_inputs(buf)
+    cw, ch = dec._w, dec._hgt
+    comp = P.composite_animation_rgba(
+        jnp.asarray(inp["frames"]), jnp.asarray(inp["drawn"]),
+        jnp.asarray(inp["blends"]), jnp.asarray(inp["pdisp"]),
+        jnp.asarray(inp["prects"]))
+    crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
+    resized = _anim_crop_resize(comp, crop, dst_w, dst_h)
+    host_frames = np.asarray(resized[:len(durations)])  # one D2H
+    return _webp_emit(dec, host_frames, durations, encode_options)
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "dst_w", "dst_h"))
+def _webp_batch_to_pixels(frames, drawn, blends, pdisp, prects,
+                          crop, dst_w: int, dst_h: int):
+    """Vmapped composite_animation_rgba + crop + exact AREA resize for a
+    BATCH of WebP-class animations (leading axis = animation)."""
+    comp = jax.vmap(P.composite_animation_rgba)(
+        frames, drawn, blends, pdisp, prects)
+    if crop is not None:
+        left, top, w, h = crop
+        comp = comp[..., top:top + h, left:left + w, :]
+    return R.resize(comp, dst_w, dst_h, R.AREA)
+
+
+def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
+                         fit: bool = False, encode_options=None,
+                         workers: Optional[int] = None) -> List[bytes]:
+    """Cross-animation batched WebP transcode (the transcode_gif_batch
+    analog for WebP sources): animations grouped by (canvas, frame
+    bucket), animation count padded to a bucket, ONE vmapped composite+
+    resize program and ONE D2H per group, byte-identical to per-animation
+    transcode_webp. Host libwebp decode/encode on a thread pool."""
+    n_workers = workers if workers is not None else min(4, os.cpu_count() or 1)
+
+    if n_workers > 1 and len(bufs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(n_workers) as ex:
+            prepped = list(ex.map(_webp_anim_inputs, bufs))
+    else:
+        prepped = [_webp_anim_inputs(b) for b in bufs]
+
+    groups: "OrderedDict[Tuple, List[int]]" = OrderedDict()
+    for i, (dec, inp, _durs) in enumerate(prepped):
+        groups.setdefault((dec._w, dec._hgt, inp["frames"].shape[0]),
+                          []).append(i)
+
+    out: List[Optional[bytes]] = [None] * len(bufs)
+    for (cw, ch, nb), members in groups.items():
+        bb = P.frame_bucket(len(members))
+        stack = {}
+        for name in ("frames", "drawn", "blends", "pdisp", "prects"):
+            arrs = [prepped[i][1][name] for i in members]
+            pad = np.zeros_like(arrs[0])
+            arrs.extend([pad] * (bb - len(members)))
+            stack[name] = np.stack(arrs)
+        crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
+        resized = _webp_batch_to_pixels(
+            jnp.asarray(stack["frames"]), jnp.asarray(stack["drawn"]),
+            jnp.asarray(stack["blends"]), jnp.asarray(stack["pdisp"]),
+            jnp.asarray(stack["prects"]), crop, dst_w, dst_h)
+        host_px = np.asarray(resized)  # one D2H for the whole group
+
+        def emit(k: int) -> bytes:
+            dec, _, durs = prepped[members[k]]
+            return _webp_emit(dec, host_px[k], durs, encode_options)
+
+        if n_workers > 1 and len(members) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                results = list(ex.map(emit, range(len(members))))
+        else:
+            results = [emit(k) for k in range(len(members))]
+        for k, i in enumerate(members):
+            out[i] = results[k]
+    return out  # type: ignore[return-value]
 
 
 def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
@@ -1759,8 +1877,20 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         return enc.encode(None, {})
 
     enc = GifEncoder(dec)
-    # host-side per-frame quantization plans (sequential trans/cache state)
     nb = resized.shape[0]  # bucketed frame count
+    plan = _gif_quantize_plan(enc, metas, nb)
+    idxs = P.quantize_animation(
+        resized, jnp.asarray(plan["palettes"]), jnp.asarray(plan["counts"]),
+        jnp.asarray(plan["trans"]), jnp.asarray(plan["clear"]),
+        jnp.asarray(plan["use_prev"]))
+    idx_np = np.asarray(idxs[:n])  # one D2H for all frames
+    return _gif_emit_frames(enc, metas, plan["plans"], idx_np, dst_w, dst_h)
+
+
+def _gif_quantize_plan(enc, metas, nb: int) -> dict:
+    """Host-side per-frame quantization plans (sequential trans/cache
+    state) stacked to the padded frame count nb, as quantize_animation
+    inputs + the (trans, use_local) pairs the emitter needs."""
     palettes = np.zeros((nb, 256, 3), np.int32)
     counts = np.zeros((nb,), np.int32)
     trans_arr = np.full((nb,), -1, np.int32)
@@ -1775,14 +1905,166 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         clear_arr[i] = clear
         use_prev_arr[i] = use_prev
         plans.append((trans, use_local))
-    counts[n:] = 1  # inert pad rows: 1-entry palette, no trans, no clear
-    idxs = P.quantize_animation(
-        resized, jnp.asarray(palettes), jnp.asarray(counts),
-        jnp.asarray(trans_arr), jnp.asarray(clear_arr),
-        jnp.asarray(use_prev_arr))
-    idx_np = np.asarray(idxs[:n])  # one D2H for all frames
+    counts[len(metas):] = 1  # inert pad rows: 1-entry palette, no trans
+    return dict(palettes=palettes, counts=counts, trans=trans_arr,
+                clear=clear_arr, use_prev=use_prev_arr, plans=plans)
+
+
+def _gif_emit_frames(enc, metas, plans, idx_np: np.ndarray,
+                     dst_w: int, dst_h: int) -> bytes:
     for i, m in enumerate(metas):
         trans, use_local = plans[i]
         enc._emit_frame(m, np.ascontiguousarray(idx_np[i]), dst_w, dst_h,
                         trans, use_local)
     return enc.encode(None, {})
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "dst_w", "dst_h"))
+def _gif_batch_to_pixels(idxs, drawn, luts, counts, trans, pdisp, prects,
+                         bgs, crop, dst_w: int, dst_h: int):
+    """Composite + crop + exact AREA resize for a BATCH of animations
+    (leading axis = animation): one compiled program per
+    (anim-bucket, frame-bucket, canvas, dst) signature. Per-animation
+    results are bitwise identical to the unbatched chain (vmap adds a
+    batch dimension to the same ops; the exact-resize tap order and
+    rounding guards are elementwise)."""
+    comp = jax.vmap(P.composite_animation)(
+        idxs, drawn, luts, counts, trans, pdisp, prects, bgs)
+    if crop is not None:
+        left, top, w, h = crop
+        comp = comp[..., top:top + h, left:left + w, :]
+    return R.resize(comp, dst_w, dst_h, R.AREA)
+
+
+@jax.jit
+def _gif_batch_quantize(resized, palettes, counts, trans, clears, uprevs):
+    """Vmapped quantize_animation over the animation axis (the scan-free
+    quantizer's sorts/scans batch cleanly)."""
+    return jax.vmap(P.quantize_animation)(
+        resized, palettes, counts, trans, clears, uprevs)
+
+
+def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
+                        fit: bool = False, file_type: str = ".gif",
+                        workers: Optional[int] = None) -> List[bytes]:
+    """Whole-animation batched transcode of MANY GIFs with shared device
+    dispatches — the cross-animation extension of transcode_gif for
+    avatar-resize-class serving (many small animations, where per-
+    animation dispatch overhead dominates the device work).
+
+    Animations are grouped by (canvas, frame bucket); each group pads its
+    animation count to ops.palette.frame_bucket and runs ONE composite+
+    resize (+quantize for .gif output) program over a (B, N, H, W, ...)
+    stack. Outputs are byte-identical to per-animation transcode_gif
+    (asserted in tests): the vmapped chain applies the same exact ops per
+    animation, and the host LZW encode is per-animation regardless.
+
+    Host LZW decode/encode and the input assembly run on a thread pool
+    (the C++ codec releases the GIL)."""
+    from .codecs.gif import GifDecoder, GifEncoder
+
+    if file_type not in (".gif", ".webp"):
+        raise DecodingFailedError(
+            f"GIF batch transcode encodes to .gif/.webp, not {file_type}")
+
+    n_workers = workers if workers is not None else min(4, os.cpu_count() or 1)
+
+    def prep(buf: bytes):
+        dec = GifDecoder(buf)
+        inp, metas = dec.animation_inputs(pad_frames=-1)
+        if not metas:
+            raise DecodingFailedError("gif has no frames")
+        return dec, inp, metas
+
+    if n_workers > 1 and len(bufs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(n_workers) as ex:
+            prepped = list(ex.map(prep, bufs))
+    else:
+        prepped = [prep(b) for b in bufs]
+
+    # group by device signature
+    groups: "OrderedDict[Tuple, List[int]]" = OrderedDict()
+    for i, (dec, inp, metas) in enumerate(prepped):
+        key = (dec._w, dec._hgt, inp["idxs"].shape[0])
+        groups.setdefault(key, []).append(i)
+
+    out: List[Optional[bytes]] = [None] * len(bufs)
+    for (cw, ch, nb), members in groups.items():
+        bb = P.frame_bucket(len(members))  # animation-count bucket
+        stack = {}
+        for name in ("idxs", "drawn", "luts", "counts", "trans", "pdisp",
+                     "prects", "bg_bgra"):
+            arrs = [prepped[i][1][name] for i in members]
+            pad = np.zeros_like(arrs[0])
+            arrs.extend([pad] * (bb - len(members)))
+            stack[name] = np.stack(arrs)
+        crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
+        resized = _gif_batch_to_pixels(
+            jnp.asarray(stack["idxs"]), jnp.asarray(stack["drawn"]),
+            jnp.asarray(stack["luts"]), jnp.asarray(stack["counts"]),
+            jnp.asarray(stack["trans"]), jnp.asarray(stack["pdisp"]),
+            jnp.asarray(stack["prects"]), jnp.asarray(stack["bg_bgra"]),
+            crop, dst_w, dst_h)
+
+        if file_type == ".webp":
+            host_px = np.asarray(resized)  # one D2H for the whole group
+
+            def emit_webp(k: int) -> bytes:
+                from .codecs.webp import WebpEncoder
+                from .framebuffer import (BlendMethod, DisposeMethod,
+                                          Framebuffer)
+                i = members[k]
+                dec, _, metas = prepped[i]
+                enc = WebpEncoder(dec)
+                for j, m in enumerate(metas):
+                    dec.frame_meta = m
+                    fb = Framebuffer(host_px[k, j])
+                    fb.duration = m.delay_cs * 10 / 1000.0
+                    fb.blend = BlendMethod.NO_BLEND
+                    fb.dispose = (
+                        DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
+                        if m.disposal == 2 else DisposeMethod.NO_DISPOSE)
+                    enc.encode(fb, {})
+                return enc.encode(None, {})
+
+            emitters = emit_webp
+        else:
+            # per-animation host plans, stacked for the vmapped quantizer
+            encs, plans_list = [], []
+            pal_s = np.zeros((bb, nb, 256, 3), np.int32)
+            cnt_s = np.ones((bb, nb), np.int32)
+            tr_s = np.full((bb, nb), -1, np.int32)
+            cl_s = np.zeros((bb, nb), bool)
+            up_s = np.zeros((bb, nb), bool)
+            for k, i in enumerate(members):
+                dec, _, metas = prepped[i]
+                enc = GifEncoder(dec)
+                plan = _gif_quantize_plan(enc, metas, nb)
+                encs.append(enc)
+                plans_list.append(plan["plans"])
+                pal_s[k], cnt_s[k] = plan["palettes"], plan["counts"]
+                tr_s[k], cl_s[k], up_s[k] = (plan["trans"], plan["clear"],
+                                             plan["use_prev"])
+            idxs = _gif_batch_quantize(
+                resized, jnp.asarray(pal_s), jnp.asarray(cnt_s),
+                jnp.asarray(tr_s), jnp.asarray(cl_s), jnp.asarray(up_s))
+            idx_np = np.asarray(idxs)  # one D2H for the whole group
+
+            def emit_gif(k: int) -> bytes:
+                i = members[k]
+                _, _, metas = prepped[i]
+                return _gif_emit_frames(encs[k], metas, plans_list[k],
+                                        idx_np[k], dst_w, dst_h)
+
+            emitters = emit_gif
+
+        if n_workers > 1 and len(members) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                results = list(ex.map(emitters, range(len(members))))
+        else:
+            results = [emitters(k) for k in range(len(members))]
+        for k, i in enumerate(members):
+            out[i] = results[k]
+    return out  # type: ignore[return-value]

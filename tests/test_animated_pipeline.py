@@ -178,3 +178,46 @@ def test_frame_bucket_padding_is_inert():
     assert padded.shape[0] >= n and padded.shape[0] != n or n in (
         1, 2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
     assert np.array_equal(np.asarray(plain), np.asarray(padded[:n]))
+
+
+def test_gif_batch_same_signature_group_byte_identical():
+    """transcode_gif_batch with a same-(canvas, bucket) group >1 — the
+    vmapped device chain with animation-count padding (3 members ->
+    bucket 4) must be byte-identical to per-animation transcode_gif,
+    for both .gif (quantized) and .webp (pixel) outputs."""
+    from lilliput_tpu.pipeline import transcode_gif_batch
+    a = _gif("party-discord.gif")
+    b = _gif("dispose_bgnd.gif")
+    bufs = [a, a, b, a]          # group(a) has 3 members -> padded to 4
+    for fmt in (".gif", ".webp"):
+        got = transcode_gif_batch(bufs, 20, 14, file_type=fmt)
+        want = [transcode_gif(x, 20, 14, file_type=fmt) for x in bufs]
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g == w, (fmt, i)
+
+
+def test_gif_batch_fit_crop_and_order():
+    """Fit-mode crop rides the batched chain; outputs come back in input
+    order across interleaved signatures."""
+    from lilliput_tpu.pipeline import transcode_gif_batch
+    a = _gif("party-discord.gif")
+    b = _gif("restore_previous.gif")
+    bufs = [b, a, b, a, a]
+    got = transcode_gif_batch(bufs, 12, 12, fit=True)
+    want = [transcode_gif(x, 12, 12, fit=True) for x in bufs]
+    assert got == want
+
+
+def test_webp_batch_same_signature_byte_identical():
+    """transcode_webp_batch: a same-canvas group (duplicates -> bucket
+    padding) plus a second signature must match per-animation
+    transcode_webp byte-for-byte, in input order."""
+    from lilliput_tpu.pipeline import transcode_webp, transcode_webp_batch
+    a = open(f"{TD}/party-discord.webp", "rb").read()
+    bufs = [a, a, a]
+    got = transcode_webp_batch(bufs, 24, 15)
+    want = [transcode_webp(x, 24, 15) for x in bufs]
+    assert got == want
+    pipe = AnimatedTranscodePipeline(24, 15, output_format=".webp",
+                                     fit=False)
+    assert pipe.transcode(bufs) == want

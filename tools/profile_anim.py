@@ -43,7 +43,9 @@ def main():
     from lilliput_tpu.ops import palette as PAL
     from lilliput_tpu.ops import resize as RZ
 
-    ah, aw, adw, adh = 480, 480, 128, 128
+    ah = aw = int(os.environ.get("CANVAS", "480"))
+    adw = adh = int(os.environ.get("DST", "128"))
+    nb_anim = int(os.environ.get("ANIMS", "4"))
 
     @jax.jit
     def _inputs(key):
@@ -113,6 +115,40 @@ def main():
     def composite_only(x, luts_, pals_):
         return PAL.composite_animation(x, drawn, luts_, counts, notrans,
                                        pdisp, prect, bg)
+
+    def batch_full(x, luts_, pals_):
+        # ANIMS animations through the vmapped batch chain (the
+        # transcode_gif_batch device path); compare ANIMS x `full`
+        B = nb_anim
+        bx = jnp.broadcast_to(x, (B,) + x.shape)
+        bl = jnp.broadcast_to(luts_, (B,) + luts_.shape)
+        bp = jnp.broadcast_to(pals_, (B,) + pals_.shape)
+        comp = jax.vmap(PAL.composite_animation)(
+            bx, jnp.broadcast_to(drawn, (B,) + drawn.shape), bl,
+            jnp.broadcast_to(counts, (B, af)),
+            jnp.broadcast_to(notrans, (B, af)),
+            jnp.broadcast_to(pdisp, (B, af)),
+            jnp.broadcast_to(prect, (B,) + prect.shape),
+            jnp.broadcast_to(bg, (B, 4)))
+        comp = jax.lax.optimization_barrier(comp)
+        rs = RZ.resize(comp, adw, adh, RZ.AREA)
+        rs = jax.lax.optimization_barrier(rs)
+        return jax.vmap(PAL.quantize_animation)(
+            rs, bp, jnp.broadcast_to(counts, (B, af)),
+            jnp.broadcast_to(trans0, (B, af)),
+            jnp.broadcast_to(clear, (B, af)),
+            jnp.broadcast_to(uprev, (B, af)))
+
+    def seq_full(x, luts_, pals_):
+        # the same ANIMS animations as ANIMS sequential chains in one
+        # program (models per-animation dispatch without tunnel RTT)
+        outs = []
+        for _ in range(nb_anim):
+            o = full(x, luts_, pals_)
+            o = jax.lax.optimization_barrier(o)
+            outs.append(o)
+            x = x + (o[0, 0, 0] % 2).astype(x.dtype)
+        return tuple(outs)
 
     def comp_hilo(x, luts_, pals_):
         # composite scan with the LUT selection dot split hi/lo nibble:
@@ -362,6 +398,8 @@ def main():
 
     stages = {
         "full": full,
+        "batch_full": batch_full,
+        "seq_full": seq_full,
         "full_fused": full_fused,
         "composite_only": composite_only,
         "comp_hilo": comp_hilo,
@@ -409,8 +447,9 @@ def main():
             times.append(time.time() - t1)
         times.sort()
         p50 = max(times[len(times) // 2] - rtt, 1e-9) / chain
+        mult = nb_anim if name in ("batch_full", "seq_full") else 1
         out[name] = {"ms_per_step": round(p50 * 1000, 2),
-                     "frames_per_sec": round(af / p50, 1),
+                     "frames_per_sec": round(mult * af / p50, 1),
                      "compile_s": round(compile_s, 1)}
         print(json.dumps({name: out[name]}), file=sys.stderr)
     print(json.dumps(out))
