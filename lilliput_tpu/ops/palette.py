@@ -19,6 +19,10 @@ import jax.numpy as jnp
 #: crushed-RGB cache size + 1 dump slot for masked scatters
 CACHE_SIZE = (1 << 15) + 1
 
+#: quantize_animation packs glin*256+argmin into int32; past this pixel
+#: count it falls back to the two-pass (scatter glin, gather argmin) form
+_PACK_LIMIT = (2**31 - 1) // 256
+
 #: frame-count buckets for the animation scans: padding an animation's
 #: frame axis up to the next bucket lets every (bucket, canvas) pair reuse
 #: one compiled composite/resize/quantize program instead of compiling per
@@ -88,6 +92,21 @@ def lut_select_batched(luts: jax.Array, idx: jax.Array) -> jax.Array:
                       precision=jax.lax.Precision.DEFAULT).astype(jnp.uint8)
 
 
+def _crush(r: jax.Array, g: jax.Array, b: jax.Array):
+    """giflib's crushed-RGB key rules (giflib.cpp:1027-1046), shared by
+    the streaming core and the batched quantizer so the bit-identity
+    contract has one source: extreme light/dark pixels search on their
+    exact values, everything else on the 5-bit midpoint; the cache key is
+    the 15-bit crushed RGB. Returns (rc, gc, bc, crushed)."""
+    extreme = (((r > 240) & (g > 240) & (b > 240))
+               | ((r < 15) & (g < 15) & (b < 15)))
+    rc = jnp.where(extreme, r, (r & 0xF8) | 4)
+    gc = jnp.where(extreme, g, (g & 0xF8) | 4)
+    bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+    crushed = ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+    return rc, gc, bc, crushed
+
+
 def _quantize_core(img: jax.Array, pal: jax.Array, pal_count: jax.Array,
                    prev_bgra: jax.Array, seen_keys: jax.Array,
                    cache_idx: jax.Array, trans: jax.Array,
@@ -107,10 +126,7 @@ def _quantize_core(img: jax.Array, pal: jax.Array, pal_count: jax.Array,
     trans = trans.astype(jnp.int32) if hasattr(trans, "astype") else jnp.int32(trans)
     have_trans = trans >= 0
 
-    extreme = ((r > 240) & (g > 240) & (b > 240)) | ((r < 15) & (g < 15) & (b < 15))
-    rc = jnp.where(extreme, r, (r & 0xF8) | 4)
-    gc = jnp.where(extreme, g, (g & 0xF8) | 4)
-    bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+    rc, gc, bc, crushed_hw = _crush(r, g, b)
 
     pal = pal.astype(jnp.int32)  # (N, 3), possibly padded
     dist = (jnp.abs(rc[..., None] - pal[:, 0])
@@ -126,7 +142,7 @@ def _quantize_core(img: jax.Array, pal: jax.Array, pal_count: jax.Array,
     least_mid = jnp.min(dist, axis=-1).reshape(-1)
 
     rf, gf, bf = r.reshape(-1), g.reshape(-1), b.reshape(-1)
-    crushed = ((rf >> 3) << 10) | ((gf >> 3) << 5) | (bf >> 3)
+    crushed = crushed_hw.reshape(-1)
     # transparent pixels skip the cache (only when transparency exists)
     valid = (a.reshape(-1) >= 128) | ~have_trans
 
@@ -256,14 +272,8 @@ def quantize_animation(frames: jax.Array, palettes: jax.Array,
     r = frames[..., 2].astype(jnp.int32)
     a = frames[..., 3].astype(jnp.int32)
 
-    extreme = (((r > 240) & (g > 240) & (b > 240))
-               | ((r < 15) & (g < 15) & (b < 15)))
-    rc = jnp.where(extreme, r, (r & 0xF8) | 4)
-    gc = jnp.where(extreme, g, (g & 0xF8) | 4)
-    bc = jnp.where(extreme, b, (b & 0xF8) | 4)
+    rc, gc, bc, crushed_hw = _crush(r, g, b)
 
-    # midpoint argmin per pixel, all frames (lax.map bounds the (H, W, 256)
-    # distance intermediate to one frame at a time; no carry)
     rows = jnp.arange(palettes.shape[1], dtype=jnp.int32)
 
     # one fused pass over the (N, H, W, P) distance space: the elementwise
@@ -282,18 +292,21 @@ def quantize_animation(frames: jax.Array, palettes: jax.Array,
     least_mid = jnp.min(dist, axis=-1).reshape(-1)
 
     rf, gf, bf = r.reshape(-1), g.reshape(-1), b.reshape(-1)
-    crushed = ((rf >> 3) << 10) | ((gf >> 3) << 5) | (bf >> 3)
+    crushed = crushed_hw.reshape(-1)
     valid = ((a.reshape(-1) >= 128)
              | ~jnp.repeat(have_trans, n, total_repeat_length=nf * n))
 
-    # segment-global first occurrence: one packed scatter-min + one gather
+    # segment-global first occurrence. seg is 1-BASED when frame 0 clears
+    # (the common case), so nf+1 segment slots are needed in the fallback
+    # table — nf slots drops the last segment's scatters out of bounds
+    # when every frame clears and the count sits exactly on its bucket.
     seg = jnp.cumsum(clear_flags.astype(jnp.int32))           # (N,)
     segp = jnp.repeat(seg, n, total_repeat_length=nf * n)
-    table_n = nf * (CACHE_SIZE - 1) + 1
+    table_n = (nf + 1) * (CACHE_SIZE - 1) + 1
     ckey = segp * (CACHE_SIZE - 1) + crushed
     ckey_w = jnp.where(valid, ckey, table_n - 1)              # dump slot
     glin = jnp.arange(nf * n, dtype=jnp.int32)
-    if nf * n <= (2**31 - 1) // 256:
+    if nf * n <= _PACK_LIMIT:
         # sort-based first occurrence: TPU scatters/gathers run at ~6 ns
         # per random access (the packed scatter-min + gather pair measured
         # 6.4 ms here, 70% of the quantizer) while a 524k-element stable

@@ -1345,26 +1345,24 @@ class AnimatedTranscodePipeline:
         # animation batch: same-signature animations share ONE device
         # program (transcode_gif_batch), byte-identical to per-animation
         rest = list(range(len(bufs)))
+
+        def run_batch(sniff, batch_fn, **kw):
+            nonlocal rest
+            members = [i for i in rest if sniff(bufs[i])]
+            if len(members) > 1:
+                res = batch_fn([bufs[i] for i in members], self.dst_w,
+                               self.dst_h, fit=self.fit,
+                               workers=self.workers, **kw)
+                for i, r in zip(members, res):
+                    out[i] = r
+                rest = [i for i in rest if out[i] is None]
+
         if self.output_format in (".gif", ".webp"):
-            gif_members = [i for i in rest if A.is_gif(bufs[i])]
-            if len(gif_members) > 1:
-                res = transcode_gif_batch(
-                    [bufs[i] for i in gif_members], self.dst_w, self.dst_h,
-                    fit=self.fit, file_type=self.output_format,
-                    workers=self.workers)
-                for i, r in zip(gif_members, res):
-                    out[i] = r
-                rest = [i for i in rest if out[i] is None]
+            run_batch(A.is_gif, transcode_gif_batch,
+                      file_type=self.output_format)
         if self.output_format == ".webp":
-            webp_members = [i for i in rest if A.is_webp(bufs[i])]
-            if len(webp_members) > 1:
-                res = transcode_webp_batch(
-                    [bufs[i] for i in webp_members], self.dst_w, self.dst_h,
-                    fit=self.fit, encode_options=self.encode_options,
-                    workers=self.workers)
-                for i, r in zip(webp_members, res):
-                    out[i] = r
-                rest = [i for i in rest if out[i] is None]
+            run_batch(A.is_webp, transcode_webp_batch,
+                      encode_options=self.encode_options)
         n_workers = (self.workers if self.workers is not None
                      else min(4, os.cpu_count() or 1))
         if rest:
@@ -1755,45 +1753,29 @@ def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
     resize program and ONE D2H per group, byte-identical to per-animation
     transcode_webp. Host libwebp decode/encode on a thread pool."""
     n_workers = workers if workers is not None else min(4, os.cpu_count() or 1)
-
-    if n_workers > 1 and len(bufs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(n_workers) as ex:
-            prepped = list(ex.map(_webp_anim_inputs, bufs))
-    else:
-        prepped = [_webp_anim_inputs(b) for b in bufs]
-
-    groups: "OrderedDict[Tuple, List[int]]" = OrderedDict()
-    for i, (dec, inp, _durs) in enumerate(prepped):
-        groups.setdefault((dec._w, dec._hgt, inp["frames"].shape[0]),
-                          []).append(i)
+    prepped = _tmap(_webp_anim_inputs, bufs, n_workers)
+    groups = _anim_batch_groups(
+        prepped, lambda it: (it[0]._w, it[0]._hgt, it[1]["frames"].shape[0]))
 
     out: List[Optional[bytes]] = [None] * len(bufs)
     for (cw, ch, nb), members in groups.items():
         bb = P.frame_bucket(len(members))
-        stack = {}
-        for name in ("frames", "drawn", "blends", "pdisp", "prects"):
-            arrs = [prepped[i][1][name] for i in members]
-            pad = np.zeros_like(arrs[0])
-            arrs.extend([pad] * (bb - len(members)))
-            stack[name] = np.stack(arrs)
+        stack = _stack_group(prepped, members,
+                             ("frames", "drawn", "blends", "pdisp",
+                              "prects"), bb)
         crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
         resized = _webp_batch_to_pixels(
             jnp.asarray(stack["frames"]), jnp.asarray(stack["drawn"]),
             jnp.asarray(stack["blends"]), jnp.asarray(stack["pdisp"]),
             jnp.asarray(stack["prects"]), crop, dst_w, dst_h)
-        host_px = np.asarray(resized)  # one D2H for the whole group
+        # device-slice off the padded animation lanes before the transfer
+        host_px = np.asarray(resized[:len(members)])
 
         def emit(k: int) -> bytes:
             dec, _, durs = prepped[members[k]]
             return _webp_emit(dec, host_px[k], durs, encode_options)
 
-        if n_workers > 1 and len(members) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(n_workers) as ex:
-                results = list(ex.map(emit, range(len(members))))
-        else:
-            results = [emit(k) for k in range(len(members))]
+        results = _tmap(emit, range(len(members)), n_workers)
         for k, i in enumerate(members):
             out[i] = results[k]
     return out  # type: ignore[return-value]
@@ -1863,18 +1845,8 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     resized = _anim_crop_resize(frames, crop, dst_w, dst_h)
 
     if file_type == ".webp":
-        from .codecs.webp import WebpEncoder
-        enc = WebpEncoder(dec)
         host_frames = np.asarray(resized[:n])  # one D2H for all frames
-        for i, m in enumerate(metas):
-            dec.frame_meta = m
-            fb = Framebuffer(host_frames[i])
-            fb.duration = m.delay_cs * 10 / 1000.0
-            fb.blend = BlendMethod.NO_BLEND
-            fb.dispose = (DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
-                          if m.disposal == 2 else DisposeMethod.NO_DISPOSE)
-            enc.encode(fb, {})
-        return enc.encode(None, {})
+        return _gif_emit_webp(dec, metas, host_frames)
 
     enc = GifEncoder(dec)
     nb = resized.shape[0]  # bucketed frame count
@@ -1908,6 +1880,25 @@ def _gif_quantize_plan(enc, metas, nb: int) -> dict:
     counts[len(metas):] = 1  # inert pad rows: 1-entry palette, no trans
     return dict(palettes=palettes, counts=counts, trans=trans_arr,
                 clear=clear_arr, use_prev=use_prev_arr, plans=plans)
+
+
+def _gif_emit_webp(dec, metas, host_frames: np.ndarray) -> bytes:
+    """GIF->WebP emission: one WebPAnimEncoder fed the composited host
+    frames with the GIF disposal/blend mapping (shared by transcode_gif
+    and the batch path so the byte-identity contract has one source)."""
+    from .codecs.webp import WebpEncoder
+    from .framebuffer import BlendMethod, DisposeMethod, Framebuffer
+
+    enc = WebpEncoder(dec)
+    for i, m in enumerate(metas):
+        dec.frame_meta = m
+        fb = Framebuffer(host_frames[i])
+        fb.duration = m.delay_cs * 10 / 1000.0
+        fb.blend = BlendMethod.NO_BLEND
+        fb.dispose = (DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
+                      if m.disposal == 2 else DisposeMethod.NO_DISPOSE)
+        enc.encode(fb, {})
+    return enc.encode(None, {})
 
 
 def _gif_emit_frames(enc, metas, plans, idx_np: np.ndarray,
@@ -1944,6 +1935,35 @@ def _gif_batch_quantize(resized, palettes, counts, trans, clears, uprevs):
         resized, palettes, counts, trans, clears, uprevs)
 
 
+def _tmap(fn, items, n_workers: int) -> list:
+    """Thread-pooled map (the host entropy codecs release the GIL)."""
+    if n_workers > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(n_workers) as ex:
+            return list(ex.map(fn, items))
+    return [fn(x) for x in items]
+
+
+def _anim_batch_groups(prepped, sig_fn):
+    """Group prepped animations by device signature, preserving first-seen
+    order. Returns OrderedDict[signature, member-index list]."""
+    groups: "OrderedDict[Tuple, List[int]]" = OrderedDict()
+    for i, item in enumerate(prepped):
+        groups.setdefault(sig_fn(item), []).append(i)
+    return groups
+
+
+def _stack_group(prepped, members, names, pad_to: int) -> dict:
+    """Stack each named per-animation input over a leading animation axis,
+    padding the animation count to pad_to with zeroed (inert) lanes."""
+    stack = {}
+    for name in names:
+        arrs = [prepped[i][1][name] for i in members]
+        arrs.extend([np.zeros_like(arrs[0])] * (pad_to - len(members)))
+        stack[name] = np.stack(arrs)
+    return stack
+
+
 def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
                         fit: bool = False, file_type: str = ".gif",
                         workers: Optional[int] = None) -> List[bytes]:
@@ -1976,29 +1996,16 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
             raise DecodingFailedError("gif has no frames")
         return dec, inp, metas
 
-    if n_workers > 1 and len(bufs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(n_workers) as ex:
-            prepped = list(ex.map(prep, bufs))
-    else:
-        prepped = [prep(b) for b in bufs]
-
-    # group by device signature
-    groups: "OrderedDict[Tuple, List[int]]" = OrderedDict()
-    for i, (dec, inp, metas) in enumerate(prepped):
-        key = (dec._w, dec._hgt, inp["idxs"].shape[0])
-        groups.setdefault(key, []).append(i)
+    prepped = _tmap(prep, bufs, n_workers)
+    groups = _anim_batch_groups(
+        prepped, lambda it: (it[0]._w, it[0]._hgt, it[1]["idxs"].shape[0]))
 
     out: List[Optional[bytes]] = [None] * len(bufs)
     for (cw, ch, nb), members in groups.items():
         bb = P.frame_bucket(len(members))  # animation-count bucket
-        stack = {}
-        for name in ("idxs", "drawn", "luts", "counts", "trans", "pdisp",
-                     "prects", "bg_bgra"):
-            arrs = [prepped[i][1][name] for i in members]
-            pad = np.zeros_like(arrs[0])
-            arrs.extend([pad] * (bb - len(members)))
-            stack[name] = np.stack(arrs)
+        stack = _stack_group(prepped, members,
+                             ("idxs", "drawn", "luts", "counts", "trans",
+                              "pdisp", "prects", "bg_bgra"), bb)
         crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
         resized = _gif_batch_to_pixels(
             jnp.asarray(stack["idxs"]), jnp.asarray(stack["drawn"]),
@@ -2008,25 +2015,12 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
             crop, dst_w, dst_h)
 
         if file_type == ".webp":
-            host_px = np.asarray(resized)  # one D2H for the whole group
+            # device-slice off the padded animation lanes before transfer
+            host_px = np.asarray(resized[:len(members)])
 
             def emit_webp(k: int) -> bytes:
-                from .codecs.webp import WebpEncoder
-                from .framebuffer import (BlendMethod, DisposeMethod,
-                                          Framebuffer)
-                i = members[k]
-                dec, _, metas = prepped[i]
-                enc = WebpEncoder(dec)
-                for j, m in enumerate(metas):
-                    dec.frame_meta = m
-                    fb = Framebuffer(host_px[k, j])
-                    fb.duration = m.delay_cs * 10 / 1000.0
-                    fb.blend = BlendMethod.NO_BLEND
-                    fb.dispose = (
-                        DisposeMethod.DISPOSE_TO_BACKGROUND_COLOR
-                        if m.disposal == 2 else DisposeMethod.NO_DISPOSE)
-                    enc.encode(fb, {})
-                return enc.encode(None, {})
+                dec, _, metas = prepped[members[k]]
+                return _gif_emit_webp(dec, metas, host_px[k])
 
             emitters = emit_webp
         else:
@@ -2049,7 +2043,8 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
             idxs = _gif_batch_quantize(
                 resized, jnp.asarray(pal_s), jnp.asarray(cnt_s),
                 jnp.asarray(tr_s), jnp.asarray(cl_s), jnp.asarray(up_s))
-            idx_np = np.asarray(idxs)  # one D2H for the whole group
+            # device-slice off the padded animation lanes before transfer
+            idx_np = np.asarray(idxs[:len(members)])
 
             def emit_gif(k: int) -> bytes:
                 i = members[k]
@@ -2059,12 +2054,7 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
 
             emitters = emit_gif
 
-        if n_workers > 1 and len(members) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(n_workers) as ex:
-                results = list(ex.map(emitters, range(len(members))))
-        else:
-            results = [emitters(k) for k in range(len(members))]
+        results = _tmap(emitters, range(len(members)), n_workers)
         for k, i in enumerate(members):
             out[i] = results[k]
     return out  # type: ignore[return-value]

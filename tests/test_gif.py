@@ -476,3 +476,54 @@ def test_quantize_animation_matches_sequential_calls():
     for i in range(n):
         assert np.array_equal(got[i], seq[i]), (
             f"frame {i}: {int((got[i] != seq[i]).sum())} px differ")
+
+
+def test_quantize_animation_fallback_branch_last_segment(monkeypatch):
+    """The int32-overflow fallback branch (scatter glin / gather argmin)
+    must size its segment table for 1-BASED segment ids: with every frame
+    clearing (per-frame local palettes) and the frame count exactly on
+    its bucket, the LAST segment's keys index seg == nf — an nf-slot
+    table drops those scatters out of bounds and white pixels
+    (crushed = 32767, the very last key) quantize against a clamped,
+    colliding slot. Forced onto the fallback via _PACK_LIMIT=0."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu.ops import palette as P
+
+    rng = np.random.default_rng(5)
+    h, w = 16, 16
+    n = 4                      # == frame_bucket(4): no pad rows
+    frames = rng.integers(0, 256, (n, h, w, 4), np.uint8)
+    frames[..., 3] = 255
+    frames[:, :4, :4, :3] = 255          # white: crushed key 32767
+    frames[:, 4:6, :4, :3] = 0           # black neighbors to collide with
+    pals = [rng.integers(0, 256, (17 + k, 3), np.int64).astype(np.int32)
+            for k in range(n)]           # all palettes distinct -> all clear
+
+    seen = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)
+    cache = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+    seq = []
+    for k in range(n):
+        seen = jnp.zeros((P.CACHE_SIZE,), jnp.bool_)   # every frame clears
+        cache = jnp.zeros((P.CACHE_SIZE,), jnp.uint8)
+        use_prev = k > 0
+        prev = (jnp.asarray(frames[k - 1]) if use_prev
+                else jnp.zeros((h, w, 4), jnp.uint8))
+        idx, seen, cache = P.quantize_to_palette(
+            jnp.asarray(frames[k]), jnp.asarray(pals[k]), prev, seen, cache,
+            3, True, use_prev)
+        seq.append(np.asarray(idx))
+
+    pal256 = np.zeros((n, 256, 3), np.int32)
+    counts = np.zeros((n,), np.int32)
+    for k in range(n):
+        pal256[k, :len(pals[k])] = pals[k]
+        counts[k] = len(pals[k])
+    monkeypatch.setattr(P, "_PACK_LIMIT", 0)
+    got = np.asarray(P.quantize_animation(
+        jnp.asarray(frames), jnp.asarray(pal256), jnp.asarray(counts),
+        jnp.asarray(np.full((n,), 3, np.int32)),
+        jnp.asarray(np.ones((n,), bool)),
+        jnp.asarray(np.array([k > 0 for k in range(n)]))))
+    for k in range(n):
+        assert np.array_equal(got[k], seq[k]), f"frame {k}"
