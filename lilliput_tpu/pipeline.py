@@ -1363,6 +1363,10 @@ class AnimatedTranscodePipeline:
         if self.output_format == ".webp":
             run_batch(A.is_webp, transcode_webp_batch,
                       encode_options=self.encode_options)
+        if self.output_format in (".webp", ".avif"):
+            run_batch(A.is_avif, transcode_avif_batch,
+                      encode_options=self.encode_options,
+                      file_type=self.output_format)
         n_workers = (self.workers if self.workers is not None
                      else min(4, os.cpu_count() or 1))
         if rest:
@@ -1781,12 +1785,10 @@ def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
     return out  # type: ignore[return-value]
 
 
-def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
-                   encode_options=None, file_type: str = ".avif") -> bytes:
-    """Whole-animation batched AVIF transcode: AV1 frame decode on host,
-    frames stack directly (avis frames are full canvas, no compositing
-    needed), ONE batched resize dispatch, then the AVIF/WebP encoder."""
-    from .api import new_encoder
+def _avif_anim_inputs(buf: bytes):
+    """Host-side assembly for AVIF: decode all frames (full-canvas, no
+    compositing), pad the frame axis to the bucket. Returns
+    (decoder, inputs dict, durations_s)."""
     from .codecs.avif import AvifDecoder
     from .framebuffer import Framebuffer
 
@@ -1803,22 +1805,72 @@ def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         durations.append(fb.duration)
     if not frames:
         raise DecodingFailedError("avif has no frames")
-    from .ops import palette as P
-    n = len(frames)
     arrs = [np.asarray(f) for f in frames]
-    for _ in range(n, P.frame_bucket(n)):  # bucketed compile reuse
-        arrs.append(np.zeros_like(arrs[0]))
-    batch = jnp.asarray(np.stack(arrs))
-    crop = (fit_rect(batch.shape[2], batch.shape[1], dst_w, dst_h)
-            if fit else None)
-    resized = _anim_crop_resize(batch, crop, dst_w, dst_h)
-    host_frames = np.asarray(resized[:n])  # one D2H for all frames
+    for _ in range(len(frames), P.frame_bucket(len(frames))):
+        arrs.append(np.zeros_like(arrs[0]))  # bucketed compile reuse
+    return dec, dict(frames=np.stack(arrs)), durations
+
+
+def _avif_emit(dec, host_frames: np.ndarray, durations, encode_options,
+               file_type: str) -> bytes:
+    from .api import new_encoder
+    from .framebuffer import Framebuffer
+
     enc = new_encoder(file_type, dec)
     for i, dur in enumerate(durations):
         fb = Framebuffer(host_frames[i])
         fb.duration = dur
         enc.encode(fb, encode_options or {})
     return enc.encode(None, encode_options or {})
+
+
+def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
+                   encode_options=None, file_type: str = ".avif") -> bytes:
+    """Whole-animation batched AVIF transcode: AV1 frame decode on host,
+    frames stack directly (avis frames are full canvas, no compositing
+    needed), ONE batched resize dispatch, then the AVIF/WebP encoder."""
+    dec, inp, durations = _avif_anim_inputs(buf)
+    batch = jnp.asarray(inp["frames"])
+    crop = (fit_rect(batch.shape[2], batch.shape[1], dst_w, dst_h)
+            if fit else None)
+    resized = _anim_crop_resize(batch, crop, dst_w, dst_h)
+    host_frames = np.asarray(resized[:len(durations)])  # one D2H
+    return _avif_emit(dec, host_frames, durations, encode_options,
+                      file_type)
+
+
+def transcode_avif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
+                         fit: bool = False, encode_options=None,
+                         file_type: str = ".avif",
+                         workers: Optional[int] = None) -> List[bytes]:
+    """Cross-animation batched AVIF transcode: animations grouped by
+    (canvas, frame bucket), one crop+resize dispatch and one D2H per
+    group (no compositing — avis frames are full canvas), byte-identical
+    to per-animation transcode_avif."""
+    n_workers = workers if workers is not None else min(4, os.cpu_count() or 1)
+    prepped = _tmap(_avif_anim_inputs, bufs, n_workers)
+    groups = _anim_batch_groups(
+        prepped, lambda it: it[1]["frames"].shape[:3])
+
+    out: List[Optional[bytes]] = [None] * len(bufs)
+    for (nb, ch, cw), members in groups.items():
+        bb = P.frame_bucket(len(members))
+        stack = _stack_group(prepped, members, ("frames",), bb)
+        crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
+        resized = _anim_crop_resize(jnp.asarray(stack["frames"]), crop,
+                                    dst_w, dst_h)
+        # device-slice off the padded animation lanes before transfer
+        host_px = np.asarray(resized[:len(members)])
+
+        def emit(k: int) -> bytes:
+            dec, _, durs = prepped[members[k]]
+            return _avif_emit(dec, host_px[k], durs, encode_options,
+                              file_type)
+
+        results = _tmap(emit, range(len(members)), n_workers)
+        for k, i in enumerate(members):
+            out[i] = results[k]
+    return out  # type: ignore[return-value]
 
 
 def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,

@@ -221,3 +221,26 @@ def test_webp_batch_same_signature_byte_identical():
     pipe = AnimatedTranscodePipeline(24, 15, output_format=".webp",
                                      fit=False)
     assert pipe.transcode(bufs) == want
+
+
+def test_avif_batch_and_edge_cases():
+    """transcode_avif_batch byte-identity (duplicates -> padded group) and
+    the batch functions' edge cases: empty input lists and a single
+    animation (group of one, bucket 1)."""
+    from lilliput_tpu.pipeline import (transcode_avif, transcode_avif_batch,
+                                       transcode_gif_batch)
+    a = open(f"{TD}/colors-animated-8bpc-alpha-exif-xmp.avif", "rb").read()
+    bufs = [a, a, a]
+    got = transcode_avif_batch(bufs, 24, 16, file_type=".webp")
+    want = transcode_avif(a, 24, 16, file_type=".webp")
+    assert got == [want] * 3
+    # pipeline routing: AVIF sources with .webp output take the batch
+    pipe = AnimatedTranscodePipeline(24, 16, output_format=".webp",
+                                     fit=False)
+    assert pipe.transcode(bufs) == [want] * 3
+    # edge cases
+    assert transcode_gif_batch([], 8, 8) == []
+    assert transcode_avif_batch([], 8, 8) == []
+    g = _gif("party-discord.gif")
+    (single,) = transcode_gif_batch([g], 10, 8)
+    assert single == transcode_gif(g, 10, 8)
