@@ -318,8 +318,13 @@ def quantize_animation(frames: jax.Array, palettes: jax.Array,
         # unique) and the stable sort preserves occurrence order.
         packed = glin * 256 + best_mid
         skey = jnp.where(valid, ckey, imax)
-        skey_s, packed_s, glin_s = jax.lax.sort(
-            (skey, packed, glin), num_keys=1, is_stable=True)
+        # two-key unstable sort: packed is unique (glin in its high bits),
+        # so (skey, packed) fully orders the array — no stability needed,
+        # and glin_s is recovered from packed_s instead of riding the sort
+        # as a third operand
+        skey_s, packed_s = jax.lax.sort(
+            (skey, packed), num_keys=2, is_stable=False)
+        glin_s = packed_s // 256
         first_flag = jnp.concatenate(
             [jnp.ones((1,), jnp.bool_),
              skey_s[1:] != skey_s[:-1]])
@@ -332,7 +337,7 @@ def quantize_animation(frames: jax.Array, palettes: jax.Array,
         leader_s, _ = jax.lax.associative_scan(
             fill, (packed_s, first_flag))
         _, first_packed = jax.lax.sort(
-            (glin_s, leader_s), num_keys=1, is_stable=True)
+            (glin_s, leader_s), num_keys=1, is_stable=False)
         is_first = valid & (first_packed == packed)
         best = jnp.where(valid, first_packed & 255, best_mid)
     else:

@@ -244,3 +244,21 @@ def test_avif_batch_and_edge_cases():
     g = _gif("party-discord.gif")
     (single,) = transcode_gif_batch([g], 10, 8)
     assert single == transcode_gif(g, 10, 8)
+
+
+def test_gif_batch_corpus_sweep():
+    """Every reference GIF fixture through transcode_gif_batch (one mixed
+    batch: several signatures, duplicates, interlace, dispose variants,
+    big ferry_sunset) must match its per-animation output byte-for-byte,
+    for both output formats."""
+    import glob
+
+    from lilliput_tpu.pipeline import transcode_gif_batch
+    names = sorted(glob.glob(f"{TD}/*.gif"))
+    bufs = [open(n, "rb").read() for n in names]
+    bufs = bufs + bufs[:2]        # duplicates -> same-signature groups
+    for fmt in (".gif", ".webp"):
+        got = transcode_gif_batch(bufs, 40, 30, fit=True, file_type=fmt)
+        for i, b in enumerate(bufs):
+            assert got[i] == transcode_gif(b, 40, 30, fit=True,
+                                           file_type=fmt), (fmt, i)

@@ -312,6 +312,34 @@ def main():
         return PAL.quantize_animation(p, pals_, counts,
                                       trans0, clear, uprev)
 
+    def qn_sorts(x, luts_, pals_):
+        # the sort-based first-occurrence machinery alone (2 stable sorts
+        # + segmented forward-fill) on real runtime data
+        p = pre + (x[:, :adh, :adw, None] & 1)
+        n = adh * adw
+        imax = jnp.iinfo(jnp.int32).max
+        r = p[..., 2].astype(jnp.int32).reshape(-1)
+        g = p[..., 1].astype(jnp.int32).reshape(-1)
+        b = p[..., 0].astype(jnp.int32).reshape(-1)
+        crushed = ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+        glin = jnp.arange(af * n, dtype=jnp.int32)
+        packed = glin * 256 + (crushed & 255)
+        skey = crushed
+        skey_s, packed_s, glin_s = jax.lax.sort(
+            (skey, packed, glin), num_keys=1, is_stable=True)
+        first_flag = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), skey_s[1:] != skey_s[:-1]])
+
+        def fill(a_, b_):
+            va, fa = a_
+            vb, fb = b_
+            return jnp.where(fb, vb, va), fa | fb
+
+        leader_s, _ = jax.lax.associative_scan(fill, (packed_s, first_flag))
+        _, first_packed = jax.lax.sort(
+            (glin_s, leader_s), num_keys=1, is_stable=True)
+        return first_packed, (first_packed == packed)
+
     def qn_argmin(x, luts_, pals_):
         # the new quantizer's vectorized midpoint argmin alone
         p = pre + (x[:, :adh, :adw, None] & 1)
@@ -415,6 +443,7 @@ def main():
         "resize_sel": resize_sel,
         "quantize_only": quantize_only,
         "qn_argmin": qn_argmin,
+        "qn_sorts": qn_sorts,
         "qn_scatgat": qn_scatgat,
         "quant_argmin": quant_argmin,
         "quant_cache": quant_cache,
