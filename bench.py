@@ -311,6 +311,54 @@ def main():
         except Exception:
             anim_fps = None
 
+    # host anim bound: our GIF LZW decode (animation_inputs: LZW + index
+    # scatter at canvas size) and LZW encode (_emit_frame at dst size)
+    # in frames/s/core — the per-animation-independent host stages that
+    # scale with cores like JPEG Huffman (see host_scaling)
+    anim_host = None
+    if os.environ.get("BENCH_ANIM", "1") != "0":
+        try:
+            import io
+
+            import numpy as _np
+            from PIL import Image as _Image
+
+            from lilliput_tpu.codecs.gif import GifDecoder, GifEncoder
+
+            rng = _np.random.default_rng(7)
+            ims = [_Image.fromarray(
+                rng.integers(0, 256, (480, 480, 3), _np.uint8), "RGB"
+            ).quantize(colors=256) for _ in range(8)]
+            bio = io.BytesIO()
+            ims[0].save(bio, format="GIF", save_all=True,
+                        append_images=ims[1:], duration=40, loop=0)
+            gbuf = bio.getvalue()
+            t0 = time.time()
+            dec = GifDecoder(gbuf)
+            inp, metas = dec.animation_inputs()
+            dec_s = time.time() - t0
+            # encode: random dst-size indices through the LZW emitter
+            enc = GifEncoder(dec)
+            idxs_np = rng.integers(0, 255, (len(metas), adh, adw),
+                                   _np.uint8)
+            t0 = time.time()
+            for i, m in enumerate(metas):
+                trans, use_local, _cl, _up = enc._plan_frame(m)
+                enc._emit_frame(m, _np.ascontiguousarray(idxs_np[i]),
+                                adw, adh, trans, use_local)
+            out_gif = enc.encode(None, {})
+            enc_s = time.time() - t0
+            anim_host = {
+                "decode_frames_per_sec_per_core":
+                    round(len(metas) / max(dec_s, 1e-9), 1),
+                "encode_frames_per_sec_per_core":
+                    round(len(metas) / max(enc_s, 1e-9), 1),
+                "canvas": "480x480", "dst": f"{adw}x{adh}",
+                "frames": len(metas), "encoded_bytes": len(out_gif),
+            }
+        except Exception:
+            anim_host = None
+
     # single-image device latency: the per-step time of a 16-deep data-
     # dependent chain of batch-1 transforms (a lone step is ~sub-ms, far
     # below the tunnel RTT's jitter, so it must be amortized to measure)
@@ -497,6 +545,7 @@ def main():
                 round(still_ips, 2) if still_ips else None),
             "anim_gif_device_frames_per_sec": (
                 round(anim_fps, 2) if anim_fps else None),
+            "anim_host": anim_host,
             "pallas_megakernel_vs_xla_max_abs_diff": pallas_vs_xla,
             "tpu_vs_cpu_decode_max_abs_diff": tpu_vs_cpu,
             "small_geometry_compile_ok": small_ok,

@@ -150,6 +150,16 @@ def main():
             x = x + (o[0, 0, 0] % 2).astype(x.dtype)
         return tuple(outs)
 
+    def rgba_full(x, luts_, pals_):
+        # WebP/AVIF-class chain: composite_animation_rgba + exact resize
+        # (no quantize; frames carry their own BGRA pixels)
+        frames_full = jnp.broadcast_to(
+            x[..., None], x.shape + (4,)).astype(jnp.uint8)
+        comp = PAL.composite_animation_rgba(
+            frames_full, drawn, jnp.zeros((af,), jnp.int32), pdisp, prect)
+        comp = jax.lax.optimization_barrier(comp)
+        return RZ.resize(comp, adw, adh, RZ.AREA)
+
     def comp_hilo(x, luts_, pals_):
         # composite scan with the LUT selection dot split hi/lo nibble:
         # one-hot operands shrink from (n,256) to 2x(n,16)
@@ -430,6 +440,7 @@ def main():
         "seq_full": seq_full,
         "full_fused": full_fused,
         "composite_only": composite_only,
+        "rgba_full": rgba_full,
         "comp_hilo": comp_hilo,
         "sort_524k": sort_524k,
         "comp_resize": comp_resize,
