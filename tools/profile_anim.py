@@ -150,6 +150,44 @@ def main():
             x = x + (o[0, 0, 0] % 2).astype(x.dtype)
         return tuple(outs)
 
+    def comp_3208(x, luts_, pals_):
+        # 32/8 split, hi contracted first: intermediates oh_hi (n,32) +
+        # b (n,8,C) + oh_lo (n,8) = 144 B/px vs the 16/16 form's 192
+        init_canvas = jnp.broadcast_to(bg.astype(jnp.uint8), (ah, aw, 4))
+        zeros = jnp.zeros((ah, aw, 4), jnp.uint8)
+        is_first = jnp.arange(af) == 0
+
+        def sel(lut, idx):
+            t = lut.astype(jnp.bfloat16).reshape(32, 8, -1)
+            oh_hi = ((idx[..., None] >> 3)
+                     == jnp.arange(32, dtype=jnp.int32)).astype(jnp.bfloat16)
+            oh_lo = ((idx[..., None] & 7)
+                     == jnp.arange(8, dtype=jnp.int32)).astype(jnp.bfloat16)
+            b_ = jnp.einsum("hwg,glc->hwlc", oh_hi, t,
+                            precision=jax.lax.Precision.DEFAULT)
+            return jnp.einsum("hwl,hwlc->hwc", oh_lo, b_,
+                              precision=jax.lax.Precision.DEFAULT
+                              ).astype(jnp.uint8)
+
+        def step(carry, xs):
+            canvas, prev_canvas = carry
+            idx, dr, lut, count, trans, disp, prm, first = xs
+            m = prm[..., None]
+            canvas = jnp.where((disp == 2) & m, init_canvas, canvas)
+            canvas = jnp.where((disp == 3) & m, prev_canvas, canvas)
+            new_prev = jnp.where(first, zeros, canvas)
+            idx32 = idx.astype(jnp.int32)
+            color = sel(lut, idx32)
+            val = dr & (idx32 != trans) & (idx32 < count)
+            canvas = jnp.where(val[..., None], color, canvas)
+            return (canvas, new_prev), canvas
+
+        (_, _), frames = jax.lax.scan(
+            step, (init_canvas, zeros),
+            (x, drawn, luts_, counts, notrans, pdisp, prect, is_first),
+            unroll=8)
+        return frames
+
     def rgba_full(x, luts_, pals_):
         # WebP/AVIF-class chain: composite_animation_rgba + exact resize
         # (no quantize; frames carry their own BGRA pixels)
@@ -440,6 +478,7 @@ def main():
         "seq_full": seq_full,
         "full_fused": full_fused,
         "composite_only": composite_only,
+        "comp_3208": comp_3208,
         "rgba_full": rgba_full,
         "comp_hilo": comp_hilo,
         "sort_524k": sort_524k,
