@@ -1300,7 +1300,7 @@ class AnimatedTranscodePipeline:
 
     def __init__(self, dst_w: int, dst_h: int, output_format: str = ".webp",
                  fit: bool = True, workers: Optional[int] = None,
-                 encode_options: Optional[dict] = None):
+                 encode_options: Optional[dict] = None, mesh=None):
         if output_format not in self._FORMATS:
             raise ValueError(
                 f"animated output_format must be one of {self._FORMATS}")
@@ -1309,6 +1309,11 @@ class AnimatedTranscodePipeline:
         self.fit = fit
         self.workers = workers
         self.encode_options = dict(encode_options or {})
+        # optional jax.sharding.Mesh with a 'dp' axis: the cross-animation
+        # batch shards its animation axis over the mesh (byte-identical —
+        # animations never split across chips); per-animation fallbacks
+        # (mixed formats, singletons) stay single-device
+        self.mesh = mesh
 
     def transcode_one(self, buf: bytes) -> bytes:
         from . import api as A
@@ -1352,7 +1357,7 @@ class AnimatedTranscodePipeline:
             if len(members) > 1:
                 res = batch_fn([bufs[i] for i in members], self.dst_w,
                                self.dst_h, fit=self.fit,
-                               workers=self.workers, **kw)
+                               workers=self.workers, mesh=self.mesh, **kw)
                 for i, r in zip(members, res):
                     out[i] = r
                 rest = [i for i in rest if out[i] is None]
@@ -1750,7 +1755,8 @@ def _webp_batch_to_pixels(frames, drawn, blends, pdisp, prects,
 
 def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
                          fit: bool = False, encode_options=None,
-                         workers: Optional[int] = None) -> List[bytes]:
+                         workers: Optional[int] = None,
+                         mesh=None) -> List[bytes]:
     """Cross-animation batched WebP transcode (the transcode_gif_batch
     analog for WebP sources): animations grouped by (canvas, frame
     bucket), animation count padded to a bucket, ONE vmapped composite+
@@ -1763,15 +1769,15 @@ def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
 
     out: List[Optional[bytes]] = [None] * len(bufs)
     for (cw, ch, nb), members in groups.items():
-        bb = P.frame_bucket(len(members))
+        bb = _anim_bucket(len(members), mesh)
         stack = _stack_group(prepped, members,
                              ("frames", "drawn", "blends", "pdisp",
                               "prects"), bb)
         crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
         resized = _webp_batch_to_pixels(
-            jnp.asarray(stack["frames"]), jnp.asarray(stack["drawn"]),
-            jnp.asarray(stack["blends"]), jnp.asarray(stack["pdisp"]),
-            jnp.asarray(stack["prects"]), crop, dst_w, dst_h)
+            _dp_put(stack["frames"], mesh), _dp_put(stack["drawn"], mesh),
+            _dp_put(stack["blends"], mesh), _dp_put(stack["pdisp"], mesh),
+            _dp_put(stack["prects"], mesh), crop, dst_w, dst_h)
         # device-slice off the padded animation lanes before the transfer
         host_px = np.asarray(resized[:len(members)])
 
@@ -1842,7 +1848,8 @@ def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
 def transcode_avif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
                          fit: bool = False, encode_options=None,
                          file_type: str = ".avif",
-                         workers: Optional[int] = None) -> List[bytes]:
+                         workers: Optional[int] = None,
+                         mesh=None) -> List[bytes]:
     """Cross-animation batched AVIF transcode: animations grouped by
     (canvas, frame bucket), one crop+resize dispatch and one D2H per
     group (no compositing — avis frames are full canvas), byte-identical
@@ -1854,10 +1861,10 @@ def transcode_avif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
 
     out: List[Optional[bytes]] = [None] * len(bufs)
     for (nb, ch, cw), members in groups.items():
-        bb = P.frame_bucket(len(members))
+        bb = _anim_bucket(len(members), mesh)
         stack = _stack_group(prepped, members, ("frames",), bb)
         crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
-        resized = _anim_crop_resize(jnp.asarray(stack["frames"]), crop,
+        resized = _anim_crop_resize(_dp_put(stack["frames"], mesh), crop,
                                     dst_w, dst_h)
         # device-slice off the padded animation lanes before transfer
         host_px = np.asarray(resized[:len(members)])
@@ -2016,9 +2023,32 @@ def _stack_group(prepped, members, names, pad_to: int) -> dict:
     return stack
 
 
+def _anim_bucket(n_members: int, mesh) -> int:
+    """Animation-count bucket, rounded up to a multiple of the mesh's dp
+    size so the animation axis shards evenly."""
+    bb = P.frame_bucket(n_members)
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        bb = -(-bb // dp) * dp
+    return bb
+
+
+def _dp_put(arr, mesh):
+    """Device placement for a stacked animation input: dp-sharded over
+    the leading (animation) axis when a mesh is given — animations are
+    independent, so dp sharding is byte-identical to single-chip — else
+    a plain transfer."""
+    if mesh is None:
+        return jnp.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.device_put(np.ascontiguousarray(arr),
+                          NamedSharding(mesh, PartitionSpec("dp")))
+
+
 def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
                         fit: bool = False, file_type: str = ".gif",
-                        workers: Optional[int] = None) -> List[bytes]:
+                        workers: Optional[int] = None,
+                        mesh=None) -> List[bytes]:
     """Whole-animation batched transcode of MANY GIFs with shared device
     dispatches — the cross-animation extension of transcode_gif for
     avatar-resize-class serving (many small animations, where per-
@@ -2054,16 +2084,16 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
 
     out: List[Optional[bytes]] = [None] * len(bufs)
     for (cw, ch, nb), members in groups.items():
-        bb = P.frame_bucket(len(members))  # animation-count bucket
+        bb = _anim_bucket(len(members), mesh)  # animation-count bucket
         stack = _stack_group(prepped, members,
                              ("idxs", "drawn", "luts", "counts", "trans",
                               "pdisp", "prects", "bg_bgra"), bb)
         crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
         resized = _gif_batch_to_pixels(
-            jnp.asarray(stack["idxs"]), jnp.asarray(stack["drawn"]),
-            jnp.asarray(stack["luts"]), jnp.asarray(stack["counts"]),
-            jnp.asarray(stack["trans"]), jnp.asarray(stack["pdisp"]),
-            jnp.asarray(stack["prects"]), jnp.asarray(stack["bg_bgra"]),
+            _dp_put(stack["idxs"], mesh), _dp_put(stack["drawn"], mesh),
+            _dp_put(stack["luts"], mesh), _dp_put(stack["counts"], mesh),
+            _dp_put(stack["trans"], mesh), _dp_put(stack["pdisp"], mesh),
+            _dp_put(stack["prects"], mesh), _dp_put(stack["bg_bgra"], mesh),
             crop, dst_w, dst_h)
 
         if file_type == ".webp":
@@ -2093,8 +2123,9 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
                 tr_s[k], cl_s[k], up_s[k] = (plan["trans"], plan["clear"],
                                              plan["use_prev"])
             idxs = _gif_batch_quantize(
-                resized, jnp.asarray(pal_s), jnp.asarray(cnt_s),
-                jnp.asarray(tr_s), jnp.asarray(cl_s), jnp.asarray(up_s))
+                resized, _dp_put(pal_s, mesh), _dp_put(cnt_s, mesh),
+                _dp_put(tr_s, mesh), _dp_put(cl_s, mesh),
+                _dp_put(up_s, mesh))
             # device-slice off the padded animation lanes before transfer
             idx_np = np.asarray(idxs[:len(members)])
 

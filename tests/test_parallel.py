@@ -225,3 +225,25 @@ def test_sp_sharded_still_rows():
     want = np.array(Image.open(io.BytesIO(ref[0])))
     assert got.shape == want.shape == (40, 40, 4)
     assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+
+def test_sharded_animated_batch_matches_single():
+    """AnimatedTranscodePipeline with a dp mesh: the cross-animation
+    batch shards the animation axis over 8 devices (3 members pad to a
+    dp-multiple bucket) and must produce bytes identical to the
+    single-device pipeline, for GIF and WebP outputs."""
+    from lilliput_tpu.pipeline import AnimatedTranscodePipeline
+
+    TD = "/root/reference/testdata"
+    a = open(f"{TD}/party-discord.gif", "rb").read()
+    b = open(f"{TD}/dispose_bgnd.gif", "rb").read()
+    bufs = [a, a, b, a]
+    mesh = make_mesh(8)
+    for fmt in (".gif", ".webp"):
+        sharded = AnimatedTranscodePipeline(20, 14, output_format=fmt,
+                                            fit=False, mesh=mesh)
+        single = AnimatedTranscodePipeline(20, 14, output_format=fmt,
+                                           fit=False)
+        with mesh:
+            got = sharded.transcode(bufs)
+        assert got == single.transcode(bufs), fmt
