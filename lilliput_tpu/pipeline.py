@@ -1407,7 +1407,12 @@ class MultiGeometryPipeline:
                  method: str = R.AREA, max_geometries: int = 64,
                  chroma_mode: str = "rgb", dct_scale: int = 1,
                  output_format: str = ".jpeg",
-                 encode_options: Optional[dict] = None):
+                 encode_options: Optional[dict] = None, mesh=None):
+        # optional jax.sharding.Mesh: every route shards — JPEG groups
+        # build ShardedJpegPipeline, stills ShardedStillPipeline (dp
+        # byte-identical, sp rows for big images), animated batches
+        # dp-shard their animation axis
+        self.mesh = mesh
         self.dst_w, self.dst_h = dst_w, dst_h
         self.quality = quality
         self.method = method
@@ -1452,7 +1457,8 @@ class MultiGeometryPipeline:
         if self._anim_pipe is None:
             self._anim_pipe = AnimatedTranscodePipeline(
                 self.dst_w, self.dst_h, output_format=self.output_format,
-                fit=True, encode_options=self.encode_options)
+                fit=True, encode_options=self.encode_options,
+                mesh=self.mesh)
         return self._anim_pipe
 
     def _pipe_for(self, buf: bytes) -> "_ServingPipelineBase":
@@ -1474,12 +1480,17 @@ class MultiGeometryPipeline:
                             and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
                             and self.method == R.AREA)
                         else "rgb")
+                kw = dict(quality=self.quality, method=self.method,
+                          chroma_mode=mode,
+                          dct_scale=self.dct_scale if mode == "direct" else 1,
+                          output_format=self.output_format,
+                          encode_options=self.encode_options)
+                if self.mesh is not None:
+                    from .parallel.serving import ShardedJpegPipeline
+                    return ShardedJpegPipeline(
+                        buf, self.dst_w, self.dst_h, mesh=self.mesh, **kw)
                 return JpegTranscodePipeline(
-                    buf, self.dst_w, self.dst_h, quality=self.quality,
-                    method=self.method, chroma_mode=mode,
-                    dct_scale=self.dct_scale if mode == "direct" else 1,
-                    output_format=self.output_format,
-                    encode_options=self.encode_options)
+                    buf, self.dst_w, self.dst_h, **kw)
         else:
             # non-JPEG stills: pixel-domain pipelines keyed by (format,
             # dims, channel layout, orientation) — a JPEG key is a
@@ -1491,10 +1502,15 @@ class MultiGeometryPipeline:
                    int(hdr.orientation))
 
             def builder() -> "_ServingPipelineBase":
+                kw = dict(quality=self.quality, method=self.method,
+                          output_format=self.output_format,
+                          encode_options=self.encode_options)
+                if self.mesh is not None:
+                    from .parallel.serving import ShardedStillPipeline
+                    return ShardedStillPipeline(
+                        buf, self.dst_w, self.dst_h, mesh=self.mesh, **kw)
                 return StillTranscodePipeline(
-                    buf, self.dst_w, self.dst_h, quality=self.quality,
-                    method=self.method, output_format=self.output_format,
-                    encode_options=self.encode_options)
+                    buf, self.dst_w, self.dst_h, **kw)
         pipe = self._pipes.get(key)
         if pipe is None:
             metrics.incr("serving.geometry_compiles")

@@ -247,3 +247,25 @@ def test_sharded_animated_batch_matches_single():
         with mesh:
             got = sharded.transcode(bufs)
         assert got == single.transcode(bufs), fmt
+
+
+def test_sharded_multigeometry_front():
+    """MultiGeometryPipeline(mesh=...): one serving object, every route
+    sharded — mixed JPEG (coefficient domain), PNG (pixel domain), and
+    animated GIF traffic over the 8-device mesh, byte-identical to the
+    single-chip front."""
+    import bench as B
+    from lilliput_tpu.codecs.png import encode_png_pixels
+    from lilliput_tpu.pipeline import MultiGeometryPipeline
+
+    jpg = B._ensure_fixture()
+    png = encode_png_pixels(
+        np.random.default_rng(2).integers(0, 256, (96, 128, 3), np.uint8), 6)
+    gif = open("/root/reference/testdata/party-discord.gif", "rb").read()
+    bufs = [jpg, png, gif, jpg, gif, png]
+    mesh = make_mesh(8)
+    sharded = MultiGeometryPipeline(32, 32, output_format=".webp", mesh=mesh)
+    single = MultiGeometryPipeline(32, 32, output_format=".webp")
+    with mesh:
+        got = sharded.transcode(bufs)
+    assert got == single.transcode(bufs)
