@@ -5,14 +5,15 @@ ImageOps per goroutine (reference README.md:5-8).
     python examples/serve_batch.py IMG.jpg [IMG2.jpg ...] \
         -width 256 -height 256 [-quality 85] [-mode rgb|direct] [-sharded]
 
-Routes mixed-geometry still requests — JPEG and PNG/WebP/BMP/GIF/AVIF
-alike — through MultiGeometryPipeline (one compiled program per source
-signature, order-preserving batch dispatch); -sharded shards each batch
-over every visible chip/device instead (JPEGs take the coefficient-domain
-sharded pipeline, other formats the pixel-domain one; within each class
-the inputs must share the first input's signature, the sharded pipelines'
-contract). -mode direct selects the YCbCr-domain transcode (one chroma
-resample; fastest) where eligible, falling back per group otherwise."""
+Routes mixed requests — JPEG, PNG/WebP/BMP/AVIF stills, and animated
+GIF/WebP/AVIF alike — through MultiGeometryPipeline (one compiled
+program per source signature, order-preserving batch dispatch);
+-sharded hands the same front a device mesh so every route scales
+across chips (JPEG signatures take the sharded coefficient-domain
+pipeline, other stills the sharded pixel-domain one, animated batches
+dp-shard their animation axis). -mode direct selects the YCbCr-domain
+transcode (one chroma resample; fastest) where eligible, falling back
+per group otherwise."""
 
 import argparse
 import os
@@ -49,33 +50,22 @@ def main() -> int:
     bufs = [open(p, "rb").read() for p in args.inputs]
     t0 = time.time()
     if args.sharded:
-        from lilliput_tpu.api import is_jpeg
-        from lilliput_tpu.parallel import (ShardedJpegPipeline,
-                                           ShardedStillPipeline, make_mesh)
+        from lilliput_tpu import MultiGeometryPipeline
+        from lilliput_tpu.parallel import make_mesh
+
+        # the mesh-aware mixed front: JPEG signatures take the sharded
+        # coefficient-domain pipeline, other stills the sharded
+        # pixel-domain one, animated sources (with webp output) shard
+        # their animation axis — all from one serving object
         mesh = make_mesh()
-        # route per format class (JPEG -> coefficient-domain pipeline,
-        # other stills -> pixel-domain), preserving input order; within a
-        # class the sharded pipelines require the sample's signature
-        jpeg_idx = [i for i, b in enumerate(bufs) if is_jpeg(b)]
-        still_idx = [i for i in range(len(bufs)) if i not in set(jpeg_idx)]
-        outs = [b""] * len(bufs)
+        pipe = MultiGeometryPipeline(args.width, args.height,
+                                     quality=args.quality,
+                                     chroma_mode=args.mode,
+                                     dct_scale=args.dct_scale,
+                                     output_format="." + args.format,
+                                     mesh=mesh)
         with mesh:
-            if jpeg_idx:
-                pipe = ShardedJpegPipeline(
-                    bufs[jpeg_idx[0]], args.width, args.height,
-                    quality=args.quality, mesh=mesh, chroma_mode=args.mode,
-                    output_format="." + args.format)
-                for i, out in zip(jpeg_idx,
-                                  pipe.transcode([bufs[i] for i in jpeg_idx])):
-                    outs[i] = out
-            if still_idx:
-                pipe = ShardedStillPipeline(
-                    bufs[still_idx[0]], args.width, args.height,
-                    quality=args.quality, mesh=mesh,
-                    output_format="." + args.format)
-                for i, out in zip(still_idx,
-                                  pipe.transcode([bufs[i] for i in still_idx])):
-                    outs[i] = out
+            outs = pipe.transcode(bufs)
         kind = f"sharded over {mesh.devices.size} device(s)"
     else:
         from lilliput_tpu import MultiGeometryPipeline
