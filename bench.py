@@ -339,13 +339,17 @@ def main():
             dec_s = time.time() - t0
             # encode: random dst-size indices through the LZW emitter
             enc = GifEncoder(dec)
-            idxs_np = rng.integers(0, 255, (len(metas), adh, adw),
+            # dst geometry defined locally: the device-anim block's
+            # adw/adh must not couple this independent host metric to
+            # that block's success
+            hdw = hdh = 128
+            idxs_np = rng.integers(0, 255, (len(metas), hdh, hdw),
                                    _np.uint8)
             t0 = time.time()
             for i, m in enumerate(metas):
                 trans, use_local, _cl, _up = enc._plan_frame(m)
                 enc._emit_frame(m, _np.ascontiguousarray(idxs_np[i]),
-                                adw, adh, trans, use_local)
+                                hdw, hdh, trans, use_local)
             out_gif = enc.encode(None, {})
             enc_s = time.time() - t0
             anim_host = {
@@ -353,7 +357,7 @@ def main():
                     round(len(metas) / max(dec_s, 1e-9), 1),
                 "encode_frames_per_sec_per_core":
                     round(len(metas) / max(enc_s, 1e-9), 1),
-                "canvas": "480x480", "dst": f"{adw}x{adh}",
+                "canvas": "480x480", "dst": f"{hdw}x{hdh}",
                 "frames": len(metas), "encoded_bytes": len(out_gif),
             }
         except Exception:

@@ -1763,10 +1763,7 @@ def _webp_batch_to_pixels(frames, drawn, blends, pdisp, prects,
     BATCH of WebP-class animations (leading axis = animation)."""
     comp = jax.vmap(P.composite_animation_rgba)(
         frames, drawn, blends, pdisp, prects)
-    if crop is not None:
-        left, top, w, h = crop
-        comp = comp[..., top:top + h, left:left + w, :]
-    return R.resize(comp, dst_w, dst_h, R.AREA)
+    return _anim_crop_resize(comp, crop, dst_w, dst_h)
 
 
 def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
@@ -1784,7 +1781,8 @@ def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
         prepped, lambda it: (it[0]._w, it[0]._hgt, it[1]["frames"].shape[0]))
 
     out: List[Optional[bytes]] = [None] * len(bufs)
-    for (cw, ch, nb), members in groups.items():
+    for (cw, ch, nb), members in [(k, c) for k, g in groups.items()
+                                  for c in _chunk_members(g, mesh)]:
         bb = _anim_bucket(len(members), mesh)
         stack = _stack_group(prepped, members,
                              ("frames", "drawn", "blends", "pdisp",
@@ -1872,11 +1870,17 @@ def transcode_avif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
     to per-animation transcode_avif."""
     n_workers = workers if workers is not None else min(4, os.cpu_count() or 1)
     prepped = _tmap(_avif_anim_inputs, bufs, n_workers)
+    # key on the FULL frame-stack signature: channels (RGB vs RGBA) and
+    # dtype (u8 vs HDR float) must match within a group or np.stack
+    # fails / silently promotes
     groups = _anim_batch_groups(
-        prepped, lambda it: it[1]["frames"].shape[:3])
+        prepped, lambda it: (it[1]["frames"].shape,
+                             str(it[1]["frames"].dtype)))
 
     out: List[Optional[bytes]] = [None] * len(bufs)
-    for (nb, ch, cw), members in groups.items():
+    for ((nb, ch, cw, _c), _dt), members in [
+            (k, c) for k, g in groups.items()
+            for c in _chunk_members(g, mesh)]:
         bb = _anim_bucket(len(members), mesh)
         stack = _stack_group(prepped, members, ("frames",), bb)
         crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
@@ -1908,8 +1912,6 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     Compare ImageOps.transform, which round-trips the device once per frame
     (the reference-shaped streaming API)."""
     from .codecs.gif import GifDecoder, GifEncoder
-    from .framebuffer import BlendMethod, DisposeMethod, Framebuffer
-    from .ops import palette as P
 
     dec = GifDecoder(buf)
     frames, metas = dec.decode_animation(pad_frames=-1)
@@ -1996,10 +1998,7 @@ def _gif_batch_to_pixels(idxs, drawn, luts, counts, trans, pdisp, prects,
     rounding guards are elementwise)."""
     comp = jax.vmap(P.composite_animation)(
         idxs, drawn, luts, counts, trans, pdisp, prects, bgs)
-    if crop is not None:
-        left, top, w, h = crop
-        comp = comp[..., top:top + h, left:left + w, :]
-    return R.resize(comp, dst_w, dst_h, R.AREA)
+    return _anim_crop_resize(comp, crop, dst_w, dst_h)
 
 
 @jax.jit
@@ -2039,6 +2038,14 @@ def _stack_group(prepped, members, names, pad_to: int) -> dict:
     return stack
 
 
+#: cross-animation batch lane cap: one group's device footprint is
+#: proportional to its animation count (composited frames alone are
+#: ~30 MB/animation at a 480p canvas x bucket-32), so groups larger than
+#: this split into chunks — the per-animation path's bounded-memory
+#: property, kept at batch granularity
+_MAX_ANIM_LANES = 32
+
+
 def _anim_bucket(n_members: int, mesh) -> int:
     """Animation-count bucket, rounded up to a multiple of the mesh's dp
     size so the animation axis shards evenly."""
@@ -2047,6 +2054,17 @@ def _anim_bucket(n_members: int, mesh) -> int:
         dp = mesh.shape["dp"]
         bb = -(-bb // dp) * dp
     return bb
+
+
+def _chunk_members(members, mesh):
+    """Split a group's member list into device-memory-bounded chunks of
+    at most _MAX_ANIM_LANES animations (rounded to a dp multiple so
+    sharded chunks keep even lanes)."""
+    cap = _MAX_ANIM_LANES
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        cap = max(dp, (cap // dp) * dp)
+    return [members[i:i + cap] for i in range(0, len(members), cap)]
 
 
 def _dp_put(arr, mesh):
@@ -2099,7 +2117,8 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
         prepped, lambda it: (it[0]._w, it[0]._hgt, it[1]["idxs"].shape[0]))
 
     out: List[Optional[bytes]] = [None] * len(bufs)
-    for (cw, ch, nb), members in groups.items():
+    for (cw, ch, nb), members in [(k, c) for k, g in groups.items()
+                                  for c in _chunk_members(g, mesh)]:
         bb = _anim_bucket(len(members), mesh)  # animation-count bucket
         stack = _stack_group(prepped, members,
                              ("idxs", "drawn", "luts", "counts", "trans",

@@ -262,3 +262,41 @@ def test_gif_batch_corpus_sweep():
         for i, b in enumerate(bufs):
             assert got[i] == transcode_gif(b, 40, 30, fit=True,
                                            file_type=fmt), (fmt, i)
+
+
+def test_avif_batch_mixed_channels_and_canvas_groups():
+    """Mixed RGB and RGBA animated AVIFs share a canvas but not a frame
+    signature: the batch must group them apart (channel/dtype in the
+    key) instead of crashing np.stack, and match per-animation output."""
+    from lilliput_tpu.pipeline import transcode_avif, transcode_avif_batch
+
+    def mk(mode):
+        frames = []
+        rng = np.random.default_rng(9 if mode == "RGB" else 10)
+        for _ in range(2):
+            arr = rng.integers(0, 256, (40, 40, len(mode)), np.uint8)
+            frames.append(PIL_Image.fromarray(arr, mode))
+        bio = io.BytesIO()
+        frames[0].save(bio, format="AVIF", save_all=True,
+                       append_images=frames[1:], duration=100)
+        return bio.getvalue()
+
+    rgb, rgba = mk("RGB"), mk("RGBA")
+    bufs = [rgb, rgba, rgb]
+    got = transcode_avif_batch(bufs, 16, 16, file_type=".webp")
+    want = [transcode_avif(b, 16, 16, file_type=".webp") for b in bufs]
+    assert got == want
+
+
+def test_gif_batch_group_chunking(monkeypatch):
+    """Groups larger than the lane cap split into bounded chunks (the
+    per-animation path's memory property at batch granularity), with
+    outputs unchanged."""
+    import lilliput_tpu.pipeline as PL
+
+    monkeypatch.setattr(PL, "_MAX_ANIM_LANES", 2)
+    a = _gif("party-discord.gif")
+    bufs = [a] * 5                      # one signature, chunks 2+2+1
+    got = PL.transcode_gif_batch(bufs, 14, 9)
+    want = transcode_gif(a, 14, 9)
+    assert got == [want] * 5
