@@ -56,6 +56,8 @@ from .interfaces import Decoder, Encoder  # noqa: F401
 from .pipeline import (AnimatedTranscodePipeline,  # noqa: F401
                        JpegTranscodePipeline, MultiGeometryPipeline,
                        StillTranscodePipeline, spritesheet,
-                       transcode_avif, transcode_gif, transcode_webp)
+                       transcode_avif, transcode_avif_batch,
+                       transcode_gif, transcode_gif_batch,
+                       transcode_webp, transcode_webp_batch)
 
 __version__ = "0.1.0"

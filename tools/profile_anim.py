@@ -6,20 +6,29 @@ Decomposes bench.py's anim workload (bucket-32 frames, 480x480 canvas ->
 the chained optimization_barrier methodology (see tools/profile_stages.py
 for why the barrier is required). One JSON line. Stages:
 
-  full             composite + resize + quantize (the bench chain)
+  full             composite + resize + quantize, barriers between the
+                   stages (the production three-dispatch shape)
+  full_fused       same without barriers (tracks the fusion penalty)
+  batch_full /     ANIMS animations through the vmapped cross-animation
+  seq_full         chain vs the same work as sequential in-program chains
   composite_only   composite_animation scan alone
-  comp_wheres      composite scan with LUT expansion hoisted OUT of the
-                   scan (batched gather outside; scan body = wheres only)
-  lut_batch        the batched LUT expansion alone (vmapped take)
-  lut_onehot       LUT expansion as a one-hot selection matmul (per frame
-                   inside a lax.map, bf16-exact 0/1 x u8 dot)
-  resize_only      batched AREA resize alone (on u8 BGRA frames)
-  quantize_only    quantize_animation scan alone (on pre-resized frames)
-  quant_argmin     per-frame dist+argmin only, scan without cache carry
-  quant_cache      the cache machinery only (scatter-min + 3 gathers +
-                   2 scatter-sets per frame), distances precomputed
+  comp_hilo /      composite with alternative LUT-dot splits (history of
+  comp_3208        the 16/16 -> 32/8 hi-first experiments)
+  rgba_full        the WebP/AVIF-class chain (composite_rgba + resize)
+  lut_batch        LUT expansion as an XLA gather (the original sin)
+  lut_onehot       LUT expansion as a full 256-wide one-hot dot
+  resize_only      batched exact AREA resize alone
+  quantize_only    scan-free quantize_animation alone
+  qn_argmin        its vectorized midpoint argmin alone
+  qn_sorts         its sort-based first-occurrence machinery alone
+  qn_scatgat       the REJECTED packed scatter-min + gather form
+  comp_* / quant_* older decomposition stages (see git history)
 
-Usage: python tools/profile_anim.py   (TPU; CHAIN/ITERS/FRAMES env)
+All stages take unfoldable inputs (pre-buffers perturbed by `x & 1`) —
+`x * 0` perturbations constant-fold the whole stage away.
+
+Usage: python tools/profile_anim.py
+       (TPU; CHAIN/ITERS/FRAMES/CANVAS/DST/ANIMS/STAGES env)
 """
 
 import json
