@@ -1579,7 +1579,16 @@ class MultiGeometryPipeline:
             else:
                 buf = J.synthetic_jpeg(*spec)
             pipe = self._pipe_for(bytes(buf))
-            pipe.transcode([bytes(buf)])  # forces the XLA compile now
+            if isinstance(pipe, AnimatedTranscodePipeline):
+                # animated routes compile per (canvas, frame-bucket,
+                # ANIM-LANE-bucket, dst): a pair warms the batch path's
+                # bucket-2 program alongside the shared composite/resize/
+                # quantize shapes; other lane buckets (4, 6, 8, ...)
+                # compile on first use — pass duplicated samples to warm
+                # a specific expected batch size
+                pipe.transcode([bytes(buf), bytes(buf)])
+            else:
+                pipe.transcode([bytes(buf)])  # forces the XLA compile now
             n += 1
         return {"warmed": n, "compiled_new": len(self._pipes) - before,
                 "seconds": round(_time.time() - t0, 3)}
