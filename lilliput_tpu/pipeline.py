@@ -2039,6 +2039,10 @@ def _anim_batch_groups(prepped, sig_fn):
 def _stack_group(prepped, members, names, pad_to: int) -> dict:
     """Stack each named per-animation input over a leading animation axis,
     padding the animation count to pad_to with zeroed (inert) lanes."""
+    from .utils.metrics import metrics
+    metrics.incr("serving.anim_groups")
+    metrics.incr("serving.anim_lanes", len(members))
+    metrics.incr("serving.anim_pad_lanes", pad_to - len(members))
     stack = {}
     for name in names:
         arrs = [prepped[i][1][name] for i in members]
