@@ -285,10 +285,12 @@ def main():
                         x, a_drawn, luts_, a_counts, a_notrans, a_pdisp,
                         a_prect, a_bg)
                     # barriers model the production structure (three
-                    # separate dispatches): without them XLA re-fuses the
-                    # resize producer into the quantizer's 256-wide
-                    # broadcast and the single program measures ~4x the
-                    # sum of its stages (tools/profile_anim.py)
+                    # separate dispatches). History: with the original
+                    # lax.scan quantizer the UNbarriered program re-fused
+                    # producers into the scan and measured ~4x the stage
+                    # sum; with the scan-free quantizer fused==barriered
+                    # exactly (6.13 vs 6.13 ms measured) — kept for shape
+                    # fidelity, they now cost nothing
                     comp = jax.lax.optimization_barrier(comp)
                     rs = RZ.resize(comp, adw, adh, RZ.AREA)
                     rs = jax.lax.optimization_barrier(rs)
