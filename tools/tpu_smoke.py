@@ -83,6 +83,16 @@ def main() -> int:
         assert out[:6] in (b"GIF87a", b"GIF89a")
         return {"bytes": len(out)}
 
+    # --- cross-ANIMATION batch (vmapped composite/resize/quantize — the
+    # batched sorts have no CPU-suite coverage of their TPU lowering) ---
+    def gif_anim_group():
+        from lilliput_tpu import transcode_gif, transcode_gif_batch
+        buf = open(f"{TD}/party-discord.gif", "rb").read()
+        outs = transcode_gif_batch([buf, buf, buf], 14, 9)
+        want = transcode_gif(buf, 14, 9)
+        assert outs == [want] * 3
+        return {"bytes": len(want)}
+
     # --- animated WebP batch path ------------------------------------------
     def webp_batch():
         from lilliput_tpu import transcode_webp
@@ -195,6 +205,7 @@ def main() -> int:
     run("jpeg_serving_small+gray", jpeg_serving)
     run("still_input_serving", still_serving)
     run("gif_batch_anim", gif_batch)
+    run("gif_anim_group", gif_anim_group)
     run("webp_batch_anim", webp_batch)
     run("thumbhash_golden", thumbhash)
     run("video_first_frame", video_frame)
