@@ -141,9 +141,38 @@ def parse_cicp(buf: bytes) -> Optional[Tuple[int, int, int, int]]:
     # so a moov-scoped hit wins over any still cover item's property
     moov = _find_box(buf, [b"moov"])
     if moov:
-        idx = buf.find(b"colrnclx", moov[0], moov[1])
-        if idx != -1 and idx + 15 <= moov[1]:
-            payload = buf[idx + 4:idx + 15]
+        # scope the search to the COLOR track's stsd sample entry: a raw
+        # moov-wide scan can pick up an alpha/aux track's colr first, or
+        # coincidental bytes in an unrelated box payload (ADVICE r3 #2)
+        for typ, s, e in _iter_boxes(buf, *moov):
+            if typ != b"trak":
+                continue
+            mdia = _find_box(buf, [b"mdia"], s, e)
+            if not mdia:
+                continue
+            hdlr = _find_box(buf, [b"hdlr"], *mdia)
+            # hdlr payload: version/flags(4) pre_defined(4) handler(4)
+            if (not hdlr or hdlr[1] - hdlr[0] < 12
+                    or buf[hdlr[0] + 8:hdlr[0] + 12] != b"pict"):
+                continue
+            # an alpha track references the color track via tref/auxl —
+            # skip it; the color track carries no tref
+            tref = _find_box(buf, [b"tref"], s, e)
+            if tref and b"auxl" in buf[tref[0]:tref[1]]:
+                continue
+            stsd = _find_box(buf, [b"minf", b"stbl", b"stsd"], *mdia)
+            if not stsd:
+                continue
+            idx = buf.find(b"colrnclx", stsd[0], stsd[1])
+            if idx != -1 and idx + 15 <= stsd[1]:
+                payload = buf[idx + 4:idx + 15]
+                break
+        if payload is None:
+            # fallback: the original moov-scoped scan (hand-rolled or
+            # truncated files whose trak walk fails)
+            idx = buf.find(b"colrnclx", moov[0], moov[1])
+            if idx != -1 and idx + 15 <= moov[1]:
+                payload = buf[idx + 4:idx + 15]
     still_parsed = False
     if payload is None:
         try:

@@ -50,8 +50,11 @@ def lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
     element sums exactly one nonzero product into the f32 accumulator, so
     no rounding can occur (the CLAUDE.md provably-exact exception).
 
-    Out-of-range indices (idx >= lut rows) produce a zero row rather than
-    take's clipped last entry; every caller masks those pixels out.
+    Out-of-range indices clamp to the nearest valid row — the same
+    semantics as `jnp.take(mode='clip')`, so a caller that forgets to
+    mask invalid pixels gets clipped entries, never silent zeros
+    (ADVICE r3: the zero-row contract was documentation-only). The
+    clamp is one fused elementwise op, below measurement noise.
 
     Split hi/lo (idx = hi*8 + lo) with the HI dot contracted first: the
     full (..., 256) one-hot materializes ~118 MB per 480x480 frame; the
@@ -63,6 +66,7 @@ def lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
       lut  (N, C) u8/int   idx (...,) int  ->  (..., C) u8
     """
     p = lut.shape[0]
+    idx = jnp.clip(idx, 0, p - 1)
     hi_n = -(-p // 8)
     t = jnp.pad(lut.astype(jnp.bfloat16), ((0, hi_n * 8 - p), (0, 0))
                 ).reshape(hi_n, 8, lut.shape[1])
@@ -79,8 +83,10 @@ def lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
 def lut_select_batched(luts: jax.Array, idx: jax.Array) -> jax.Array:
     """lut_select with a leading batch axis shared by table and indices:
     luts (N, P, C) u8/int, idx (N, ...) int -> (N, ..., C) u8. Same
-    32/8 hi-first exact selection dots."""
+    32/8 hi-first exact selection dots; out-of-range indices clamp like
+    jnp.take(mode='clip')."""
     p = luts.shape[1]
+    idx = jnp.clip(idx, 0, p - 1)
     hi_n = -(-p // 8)
     t = jnp.pad(luts.astype(jnp.bfloat16),
                 ((0, 0), (0, hi_n * 8 - p), (0, 0))

@@ -26,6 +26,7 @@ from ..pipeline import (JpegTranscodePipeline, StillTranscodePipeline,
                         fused_jpeg_fit_transcode,
                         fused_jpeg_fit_transcode_ycc,
                         fused_still_fit_transcode)
+from ..utils.metrics import metrics
 from .mesh import make_mesh
 
 
@@ -108,7 +109,12 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
             # odd-row chroma plane stays dp-only, still correct, the halo
             # work simply concentrates on the luma 2/3 of the FLOPs
             if self._sp > 1 and a.shape[1] % self._sp == 0:
+                metrics.incr("serving.sp_sharded_planes")
                 return jax.device_put(a, self._coef_sharding)
+            if self._sp > 1:
+                # visible fallback: operators sharding big-image traffic
+                # can see when planes silently run dp-only (VERDICT r3 #4)
+                metrics.incr("serving.sp_fallback_dp_only")
             return jax.device_put(a, self._batch_sharding)
 
         if self.ncomp == 1:
@@ -179,9 +185,13 @@ class ShardedStillPipeline(StillTranscodePipeline):
             px = np.concatenate([px, np.repeat(px[-1:], pad, axis=0)])
         # spatial sharding needs the row axis to divide sp; otherwise the
         # batch stays dp-only (still correct, just unsharded rows)
-        sharding = (self._px_sharding
-                    if self._sp > 1 and px.shape[1] % self._sp == 0
-                    else self._batch_sharding)
+        if self._sp > 1 and px.shape[1] % self._sp == 0:
+            sharding = self._px_sharding
+            metrics.incr("serving.sp_sharded_planes")
+        else:
+            sharding = self._batch_sharding
+            if self._sp > 1:
+                metrics.incr("serving.sp_fallback_dp_only")
         px_d = jax.device_put(np.ascontiguousarray(px), sharding)
         eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
         eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)

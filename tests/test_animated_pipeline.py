@@ -300,3 +300,52 @@ def test_gif_batch_group_chunking(monkeypatch):
     got = PL.transcode_gif_batch(bufs, 14, 9)
     want = transcode_gif(a, 14, 9)
     assert got == [want] * 5
+
+
+def test_animated_pipeline_isolates_hostile_member():
+    """One malformed animation in a mixed batch must not fail its healthy
+    co-batched requests (ADVICE r3 #1): the poisoned group falls back to
+    per-item transcode where the error attaches to its own index."""
+    good = [_gif("party-discord.gif"), _gif("dispose_bgnd.gif")]
+    # structurally-valid GIF header with no frames: sniffs as GIF, then
+    # fails during batch prep ("gif has no frames"-class error)
+    hostile = b"GIF89a" + b"\x10\x00\x10\x00\x00\x00\x00" + b"\x3b"
+    bufs = [good[0], hostile, good[1]]
+    pipe = AnimatedTranscodePipeline(20, 14, output_format=".gif", fit=False)
+
+    outs = pipe.transcode(bufs, return_exceptions=True)
+    assert outs[0] == transcode_gif(good[0], 20, 14)
+    assert outs[2] == transcode_gif(good[1], 20, 14)
+    assert isinstance(outs[1], Exception)
+
+    # default mode still raises, but only after healthy items completed
+    with pytest.raises(Exception):
+        pipe.transcode(bufs)
+
+
+def test_warm_covers_anim_lane_buckets(tmp_path):
+    """VERDICT r3 #7 acceptance gate: after warm() of an animated spec, a
+    mixed corpus including bucket-4 and bucket-8 animation groups compiles
+    ZERO new XLA programs (warm used to cover only the lane-bucket-2
+    batch program; other lane buckets compiled on the request path).
+    Compiles are counted via the persistent compile cache's file set."""
+    import jax
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        buf = _gif("party-discord.gif")
+        pipe = MultiGeometryPipeline(16, 11, output_format=".gif")
+        pipe.warm([buf], anim_lane_buckets=(1, 2, 4, 8))
+        warmed = sorted(p.name for p in tmp_path.rglob("*") if p.is_file())
+        for n in (4, 8, 3, 1):  # bucket-4, bucket-8, padded-to-4, singleton
+            outs = pipe.transcode([buf] * n)
+            assert len(outs) == n and all(o[:6] == b"GIF89a" for o in outs)
+        after = sorted(p.name for p in tmp_path.rglob("*") if p.is_file())
+        assert after == warmed, (
+            f"request path compiled new programs: {set(after) - set(warmed)}")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min)

@@ -395,3 +395,38 @@ def test_parse_cicp_no_meta_fallback_after_item_walk(monkeypatch):
                         lambda b: (_ for _ in ()).throw(ValueError("boom")))
     got = parse_cicp(buf)            # unparseable walk: fallback engages
     assert got is not None and got[1] == 16
+
+
+def test_parse_cicp_prefers_color_trak_over_alpha_trak():
+    """Animated path (ADVICE r3 #2): the moov scan must read the COLOR
+    track's stsd colr, not the first 'colrnclx' in moov — an alpha/aux
+    track (tref/auxl) can precede the color track and carry its own nclx."""
+    import struct
+    from lilliput_tpu.codecs.avif import parse_cicp
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def colr(p, t, m):
+        return box(b"colr", b"nclx" + struct.pack(">HHH", p, t, m) + b"\x80")
+
+    def trak(nclx, aux):
+        stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + nclx)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"pict" + b"\x00" * 12)
+        mdia = box(b"mdia", hdlr + minf)
+        tref = box(b"tref", box(b"auxl", struct.pack(">I", 1))) if aux \
+            else b""
+        return box(b"trak", tref + mdia)
+
+    # alpha track FIRST, claiming PQ (transfer 16); color track sRGB-ish
+    alpha = trak(colr(9, 16, 9), aux=True)
+    color = trak(colr(1, 13, 6), aux=False)
+    moov = box(b"moov", alpha + color)
+    ftyp = box(b"ftyp", b"avis" + b"\x00" * 4 + b"avis")
+    assert parse_cicp(ftyp + moov) == (1, 13, 6, 1)
+    # color track first: unchanged
+    assert parse_cicp(ftyp + box(b"moov", color + alpha)) == (1, 13, 6, 1)
+    # only an alpha track: the moov-wide fallback still surfaces its nclx
+    assert parse_cicp(ftyp + box(b"moov", alpha)) == (9, 16, 9, 1)

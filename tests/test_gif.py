@@ -527,3 +527,24 @@ def test_quantize_animation_fallback_branch_last_segment(monkeypatch):
         jnp.asarray(np.array([k > 0 for k in range(n)]))))
     for k in range(n):
         assert np.array_equal(got[k], seq[k]), f"frame {k}"
+
+
+def test_lut_select_clamps_out_of_range_indices():
+    """lut_select/_batched match jnp.take(mode='clip') for ALL indices,
+    including out-of-range and negative (ADVICE r3 #3: the old zero-row
+    behavior made an unmasked future caller silently wrong)."""
+    import jax.numpy as jnp
+    from lilliput_tpu.ops.palette import lut_select, lut_select_batched
+    rng = np.random.default_rng(7)
+    lut = rng.integers(0, 256, (200, 4), np.uint8)   # non-pow2 palette
+    idx = np.array([[0, 199, 200, 255], [-1, 64, 1000, 5]], np.int32)
+    want = jnp.take(jnp.asarray(lut), jnp.asarray(idx), axis=0, mode="clip")
+    got = lut_select(jnp.asarray(lut), jnp.asarray(idx))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    luts = rng.integers(0, 256, (3, 200, 4), np.uint8)
+    idxb = rng.integers(-5, 260, (3, 6, 6), np.int64).astype(np.int32)
+    wantb = np.stack([np.asarray(jnp.take(jnp.asarray(luts[i]),
+                                          jnp.asarray(idxb[i]), axis=0,
+                                          mode="clip")) for i in range(3)])
+    gotb = lut_select_batched(jnp.asarray(luts), jnp.asarray(idxb))
+    assert np.array_equal(np.asarray(gotb), wantb)
