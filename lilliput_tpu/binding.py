@@ -41,6 +41,12 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.lp_jpeg_decode_coefs_parallel.argtypes = [
         u8p, c.c_size_t, c.POINTER(i16p), u16p, c.c_int32]
     lib.lp_jpeg_decode_coefs_parallel.restype = c.c_int
+    lib.lp_jpeg_decode_coefs_fast.argtypes = [
+        u8p, c.c_size_t, c.POINTER(i16p), u16p, c.c_int32]
+    lib.lp_jpeg_decode_coefs_fast.restype = c.c_int
+    lib.lp_jpeg_decode_coefs_win.argtypes = [
+        u8p, c.c_size_t, c.POINTER(i16p), u16p, c.c_int32, i32p]
+    lib.lp_jpeg_decode_coefs_win.restype = c.c_int
     lib.lp_jpeg_scale_qtable.argtypes = [u16p, c.c_int32, c.c_int32, u16p]
     lib.lp_jpeg_scale_qtable.restype = None
     _configure_optional(lib)

@@ -13,16 +13,22 @@ host only Huffman-coding the result.
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Dict, Optional
 
 import numpy as np
 
 from .. import binding
 from ..errors import DecodingFailedError, InvalidImageError
-from ..framebuffer import (JPEG_OPTIMIZE, JPEG_PROGRESSIVE,  # noqa: E501
+from ..framebuffer import (JPEG_CHROMA_QUALITY, JPEG_LUMA_QUALITY,  # noqa: E501
+                           JPEG_OPTIMIZE, JPEG_PROGRESSIVE,
                            JPEG_QUALITY, JPEG_RST_INTERVAL,
                            Framebuffer, ImageHeader, ImageOrientation)
-from ..interfaces import Decoder, Encoder
+from ..interfaces import Decoder, Encoder, check_encode_options
+
+_JPEG_ENCODE_KEYS = frozenset({
+    JPEG_QUALITY, JPEG_PROGRESSIVE, JPEG_OPTIMIZE, JPEG_RST_INTERVAL,
+    JPEG_LUMA_QUALITY, JPEG_CHROMA_QUALITY})
 from ..ops import jpeg_kernels as K
 
 # Standard Annex K base quantization tables (JPEG spec Tables K.1/K.2).
@@ -103,6 +109,13 @@ class _JpegInfo(ctypes.Structure):
         ("jpeg_color_space", ctypes.c_int32),
         ("restart_interval", ctypes.c_int32),
     ]
+
+
+def use_fast_huff() -> bool:
+    """Own baseline Huffman decoder (jpeg_huff.cpp) on by default;
+    LILLIPUT_JPEG_HUFF=libjpeg forces the libjpeg path everywhere (the
+    escape hatch mirrors LILLIPUT_PALLAS)."""
+    return os.environ.get("LILLIPUT_JPEG_HUFF", "fast") != "libjpeg"
 
 
 def intra_decode_workers() -> int:
@@ -368,9 +381,20 @@ class JpegDecoder(Decoder):
         qtables = np.zeros((4, 64), np.uint16)
         icc_buf = np.zeros(max(info.icc_length, 1), np.uint8)
         rc = -10
+        fast_used = False
         workers = intra_decode_workers()
-        if (workers > 1 and info.restart_interval > 0 and not info.progressive
-                and info.icc_length == 0):
+        if not info.progressive and use_fast_huff():
+            # own baseline Huffman decoder (jpeg_huff.cpp): decodes straight
+            # into the destination arrays, bit-identical to libjpeg (gated
+            # in tests/test_jpeg_huff.py), threads across restart segments.
+            # Declines (-10) on anything non-baseline -> libjpeg fallback.
+            rc = self._lib.lp_jpeg_decode_coefs_fast(
+                _u8ptr(self._buf), self._buf.size, ptrs,
+                qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                workers)
+            fast_used = rc == 0
+        if (rc != 0 and workers > 1 and info.restart_interval > 0
+                and not info.progressive and info.icc_length == 0):
             # restart-marker-parallel Huffman decode (SURVEY hard part #2):
             # DRI segments reset bit state + DC predictors, so the scan
             # slices across host threads inside ONE image
@@ -387,7 +411,14 @@ class JpegDecoder(Decoder):
             raise DecodingFailedError(f"JPEG entropy decode failed ({rc})")
         self._coefs = coefs
         self._qtables = qtables
-        self._icc = icc_buf.tobytes() if info.icc_length > 0 else b""
+        if info.icc_length <= 0:
+            self._icc = b""
+        elif fast_used:
+            # the fast decoder skips APPn payloads; the Python APP2 walk
+            # returns the same concatenation libjpeg's reader does
+            self._icc = read_icc(bytes(self._buf))
+        else:
+            self._icc = icc_buf.tobytes()
 
     def decode_to(self, fb: Framebuffer) -> None:
         if self._decoded:
@@ -445,15 +476,20 @@ class JpegDecoder(Decoder):
 # encoder
 # ---------------------------------------------------------------------------
 
-def scaled_qtables(quality: int):
+def scaled_qtables(quality: int, chroma_quality: Optional[int] = None):
+    """Annex-K tables scaled by libjpeg quality semantics; chroma_quality
+    scales the chroma table independently (IMWRITE_JPEG_LUMA/CHROMA_QUALITY
+    parity — OpenCV's grfmt_jpeg per-table q_scale_factor path)."""
     lib = binding.load()
     out_l = np.zeros(64, np.uint16)
     out_c = np.zeros(64, np.uint16)
     q = ctypes.POINTER(ctypes.c_uint16)
     lib.lp_jpeg_scale_qtable(STD_LUMA_QTABLE.ctypes.data_as(q), quality, 1,
                              out_l.ctypes.data_as(q))
-    lib.lp_jpeg_scale_qtable(STD_CHROMA_QTABLE.ctypes.data_as(q), quality, 1,
-                             out_c.ctypes.data_as(q))
+    lib.lp_jpeg_scale_qtable(
+        STD_CHROMA_QTABLE.ctypes.data_as(q),
+        quality if chroma_quality is None else chroma_quality, 1,
+        out_c.ctypes.data_as(q))
     return out_l, out_c
 
 
@@ -474,12 +510,24 @@ class JpegEncoder(Encoder):
         if fb is None:
             raise DecodingFailedError("JPEG encoder cannot flush without a frame")
         opts = opts or {}
+        check_encode_options(opts, _JPEG_ENCODE_KEYS, "jpeg")
         quality = int(opts.get(JPEG_QUALITY, 95))
         quality = min(max(quality, 1), 100)
         progressive = 1 if opts.get(JPEG_PROGRESSIVE, 0) else 0
         optimize = 1 if opts.get(JPEG_OPTIMIZE, 0) else 0
         rst_rows = max(int(opts.get(JPEG_RST_INTERVAL, 0)), 0)
-        qt_l, qt_c = scaled_qtables(quality)
+        # per-table quality (opencv.go passthrough -> OpenCV grfmt_jpeg):
+        # LUMA_QUALITY overrides the overall quality for the luma table;
+        # CHROMA_QUALITY defaults to LUMA_QUALITY and is ignored without it
+        # (cv2's own gate is `luma >= 0 && chroma >= 0` after defaulting)
+        luma_q = int(opts.get(JPEG_LUMA_QUALITY, -1))
+        if luma_q >= 0:
+            luma_q = min(max(luma_q, 1), 100)
+            chroma_q = int(opts.get(JPEG_CHROMA_QUALITY, luma_q))
+            chroma_q = min(max(chroma_q, 1), 100)
+            qt_l, qt_c = scaled_qtables(luma_q, chroma_q)
+        else:
+            qt_l, qt_c = scaled_qtables(quality)
 
         arr = fb.array
         h, w = fb.height, fb.width

@@ -756,6 +756,7 @@ class JpegTranscodePipeline(_ServingPipelineBase):
                  dct_scale: int = 1, output_format: str = ".jpeg",
                  encode_options: Optional[dict] = None):
         self._lib = binding.load()
+        self._coef_pool: dict = {}
         self.dst_w, self.dst_h = dst_w, dst_h
         self.method = method
         self.optimize_coding = optimize_coding
@@ -895,7 +896,34 @@ class JpegTranscodePipeline(_ServingPipelineBase):
                 f"MultiGeometryPipeline, which groups by orientation)")
         return info
 
-    def decode_entropy(self, bufs: Sequence[bytes], workers: Optional[int] = None):
+    def _pooled(self, key, alloc):
+        """Rotating 2-slot destination-array pool for decode_entropy.
+
+        Fresh batch-coefficient arrays are mmap-backed at these sizes, so
+        every batch pays first-touch page faults (~1.1 ms/image at 1080p,
+        measured in tools/profile_host.py — comparable to the entropy
+        decode itself after jpeg_huff.cpp). Steady-state serving reuses the
+        previous batch's pages instead. Two slots cover transcode_pipelined,
+        whose batch-i H2D transfer may still be in flight while batch i+1
+        decodes; slot i is reused only at batch i+2, after iteration i+1
+        fetched batch i's OUTPUTS (which orders after its input transfer).
+        Callers of pool=True must serialize decode_entropy calls per
+        pipeline (transcode/transcode_pipelined do)."""
+        slots = self._coef_pool.get(key)
+        if slots is None:
+            if len(self._coef_pool) >= 4:  # ragged tail batches: stay bounded
+                self._coef_pool.pop(next(iter(self._coef_pool)))
+            self._coef_pool[key] = slots = [[], 0]
+        arrs, idx = slots
+        if len(arrs) < 2:
+            arrs.append(alloc())
+            return arrs[-1]
+        out = arrs[idx]
+        slots[1] = 1 - idx
+        return out
+
+    def decode_entropy(self, bufs: Sequence[bytes],
+                       workers: Optional[int] = None, pool: bool = False):
         """Huffman-decode a batch into stacked coefficient + qtable arrays.
 
         Returns (ys, cbs, crs, qt_y, qt_c) with qt_* of shape (B, 64) — each
@@ -903,7 +931,11 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         saved at different qualities must not share tables). Grayscale
         pipelines return (ys, qt_y).
 
-        The libjpeg shim releases the GIL inside ctypes calls, so a small
+        pool=True reuses the previous-but-one batch's destination arrays
+        (see _pooled) — the serving paths' default; direct callers that
+        hold returned arrays across calls must keep pool=False.
+
+        The entropy shims release the GIL inside ctypes calls, so a small
         thread pool scales entropy decode across host cores (the reference's
         'one ImageOps per goroutine' concurrency model, SURVEY.md §2.3)."""
         g = self.geom
@@ -920,22 +952,53 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         ypad = ybh % 2 if (not gray and g.v2) else 0
         win = self._window
         if win is None:
-            ys = np.zeros((b, ybh + ypad, ybw, 64), np.int16)
+            def _alloc_full():
+                # ys zeros: only the MCU pad row relies on it, and nothing
+                # ever writes that row, so pooled reuse preserves it
+                a = np.zeros((b, ybh + ypad, ybw, 64), np.int16)
+                if gray:
+                    return (a,)
+                return (a, np.empty((b,) + g.blocks[1] + (64,), np.int16),
+                        np.empty((b,) + g.blocks[2] + (64,), np.int16))
+
+            if pool:
+                arrs = self._pooled((b, "full"), _alloc_full)
+            else:
+                arrs = _alloc_full()
+            ys = arrs[0]
             if not gray:
-                cbs = np.empty((b,) + g.blocks[1] + (64,), np.int16)
-                crs = np.empty((b,) + g.blocks[2] + (64,), np.int16)
+                cbs, crs = arrs[1], arrs[2]
+            win_c = None
         else:
             # window mode: the shim decodes into per-thread full-geometry
             # scratch and only the MCU crop window is copied into the batch
             # (and later shipped to the device)
             import threading
             _, _, _, _, yr, ycs, crr, ccs = win
-            ys = np.empty((b, yr.stop - yr.start, ycs.stop - ycs.start, 64),
-                          np.int16)
+
+            def _alloc_win():
+                a = np.empty((b, yr.stop - yr.start, ycs.stop - ycs.start,
+                              64), np.int16)
+                if gray:
+                    return (a,)
+                c = np.empty((b, crr.stop - crr.start, ccs.stop - ccs.start,
+                              64), np.int16)
+                return (a, c, np.empty_like(c))
+
+            if pool:
+                arrs = self._pooled((b, "win"), _alloc_win)
+            else:
+                arrs = _alloc_win()
+            ys = arrs[0]
             if not gray:
-                cbs = np.empty((b, crr.stop - crr.start,
-                                ccs.stop - ccs.start, 64), np.int16)
-                crs = np.empty_like(cbs)
+                cbs, crs = arrs[1], arrs[2]
+            # per-component block windows for the direct-window fast decode
+            # (lp_jpeg_decode_coefs_win): {y0, x0, h, w} rows
+            win_c = np.array(
+                [[yr.start, ycs.start, yr.stop - yr.start,
+                  ycs.stop - ycs.start]] +
+                [[crr.start, ccs.start, crr.stop - crr.start,
+                  ccs.stop - ccs.start]] * 2 + [[0, 0, 0, 0]], np.int32)
             tls = threading.local()
 
             def scratch():
@@ -962,14 +1025,40 @@ class JpegTranscodePipeline(_ServingPipelineBase):
             info = self._validate_header(bufs[i])
             arr = np.frombuffer(bufs[i], np.uint8)
             qtables = np.zeros((4, 64), np.uint16)
+            rc = -10
+            if not info.progressive and J.use_fast_huff():
+                # own baseline Huffman decoder (jpeg_huff.cpp, bit-identical
+                # to libjpeg): no internal whole-image virtual array, no
+                # copy-out pass — measured 1.5x the libjpeg call on the
+                # bench fixture (tools/profile_host.py). Threads across
+                # restart segments when the batch underfills the pool.
+                # In window mode it decodes DIRECTLY into the batch window
+                # slice (out-of-window blocks parse but never store), so
+                # the full-geometry scratch + crop copy is skipped.
+                comps = (ys[i],) if gray else (ys[i], cbs[i], crs[i])
+                ptrs = (_i16p * len(comps))(
+                    *[c.ctypes.data_as(_i16p) for c in comps])
+                rc = self._lib.lp_jpeg_decode_coefs_win(
+                    arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    arr.size, ptrs,
+                    qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                    intra,
+                    (win_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                     if win_c is not None else None))
+                if rc == 0:
+                    qty[i] = qtables[info.comp_quant_tbl[0]]
+                    if not gray:
+                        qtc[i] = qtables[info.comp_quant_tbl[1]]
+                    return
+            # libjpeg fallback: window mode stages through full-geometry
+            # per-thread scratch, then copies the crop window out
             if win is None:
                 comps = (ys[i],) if gray else (ys[i], cbs[i], crs[i])
             else:
                 comps = scratch()
             ptrs = (_i16p * len(comps))(
                 *[c.ctypes.data_as(_i16p) for c in comps])
-            rc = -10
-            if (intra > 1 and info.restart_interval > 0
+            if (rc != 0 and intra > 1 and info.restart_interval > 0
                     and not info.progressive):
                 rc = self._lib.lp_jpeg_decode_coefs_parallel(
                     arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -1077,7 +1166,7 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         """Host stage: entropy decode + ICC collection (a cheap APP2
         header walk per source, so color profiles survive the transcode —
         reference Transform parity)."""
-        coefs = self.decode_entropy(bufs)
+        coefs = self.decode_entropy(bufs, pool=True)
         iccs = [J.read_icc(b) for b in bufs]
         return coefs, iccs
 

@@ -142,9 +142,9 @@ def test_pipelined_overlap_structure():
     events = []
     orig_dec, orig_enc = pipe.decode_entropy, pipe.encode_entropy
 
-    def dec(bufs, workers=None):
+    def dec(bufs, workers=None, pool=False):
         events.append("dec")
-        return orig_dec(bufs, workers=workers)
+        return orig_dec(bufs, workers=workers, pool=pool)
 
     def enc(*a, **kw):
         events.append("enc")

@@ -87,6 +87,54 @@ def jpeg_restart_parallel(lib):
         assert np.array_equal(a, b)
 
 
+def jpeg_fast_hostile(lib):
+    """Hostile bitstreams straight into lp_jpeg_decode_coefs_fast /
+    _win (untrusted-input memory safety for jpeg_huff.cpp): truncations,
+    random bitflips, marker soup. Arrays are sized from lp_jpeg_get_info
+    of the SAME buffer — the real caller's contract — so any OOB write is
+    the decoder's bug, not the harness's. Return codes are unchecked (a
+    nonzero path just falls back); only memory safety is under test."""
+    import cv2
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (60, 44, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_RST_INTERVAL, 1])
+    assert ok
+    base = enc.tobytes()
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    cases = [base, base[: len(base) // 2], base[:-2], base[:24]]
+    for _ in range(60):
+        m = bytearray(base)
+        for _ in range(3):
+            m[int(rng.integers(2, len(m)))] = int(rng.integers(0, 256))
+        cases.append(bytes(m))
+    for case in cases:
+        arr = np.frombuffer(case, np.uint8)
+        info = J._JpegInfo()
+        if lib.lp_jpeg_get_info(arr.ctypes.data_as(u8p), arr.size,
+                                ctypes.byref(info)) != 0:
+            continue
+        nc = max(1, min(int(info.num_components), 4))
+        comps = [np.zeros((info.comp_blocks_h[c], info.comp_blocks_w[c], 64),
+                          np.int16) for c in range(nc)]
+        q = np.zeros((4, 64), np.uint16)
+        ptrs = (i16p * nc)(*[c.ctypes.data_as(i16p) for c in comps])
+        lib.lp_jpeg_decode_coefs_fast(arr.ctypes.data_as(u8p), arr.size,
+                                      ptrs, q.ctypes.data_as(u16p), 2)
+        # windowed variant over a sub-window of the same arrays
+        win = np.zeros((4, 4), np.int32)
+        wc = [np.zeros((2, 2, 64), np.int16) for _ in range(nc)]
+        for c in range(nc):
+            win[c] = (0, 0, 2, 2)
+        wptrs = (i16p * nc)(*[c.ctypes.data_as(i16p) for c in wc])
+        if all(info.comp_blocks_w[c] >= 2 for c in range(nc)):
+            lib.lp_jpeg_decode_coefs_win(
+                arr.ctypes.data_as(u8p), arr.size, wptrs,
+                q.ctypes.data_as(u16p), 1,
+                win.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+
 def jp2_t1_exercise(lib):
     """EBCOT Tier-1 over real + hostile inputs (untrusted-codestream
     memory safety for native/src/jp2_t1.cpp)."""
@@ -128,6 +176,7 @@ def main():
     png_filter_roundtrip(lib)
     jpeg_roundtrip(lib)
     jpeg_restart_parallel(lib)
+    jpeg_fast_hostile(lib)
     jp2_t1_exercise(lib)
     print("asan smoke OK")
 
