@@ -28,7 +28,9 @@ from ..errors import DecodingFailedError, InvalidImageError
 from ..framebuffer import (AVIF_QUALITY, AVIF_SPEED, BlendMethod,
                            DisposeMethod, Framebuffer, ImageHeader,
                            ImageOrientation)
-from ..interfaces import Decoder, Encoder
+from ..interfaces import Decoder, Encoder, check_encode_options
+
+_AVIF_ENCODE_KEYS = frozenset({AVIF_QUALITY, AVIF_SPEED})
 from ..ops import color as COLOR
 from .icc import REC709_PROFILE
 
@@ -466,6 +468,7 @@ class AvifEncoder(Encoder):
         if self._flushed:
             raise EOFError()
         if fb is not None:
+            check_encode_options(opts, _AVIF_ENCODE_KEYS, "avif")
             self._opts = opts or {}
             arr = fb.to_numpy()
             if arr.shape[2] == 4:

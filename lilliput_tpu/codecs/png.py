@@ -23,8 +23,11 @@ import numpy as np
 
 from .. import binding
 from ..errors import DecodingFailedError, InvalidImageError
-from ..framebuffer import PNG_COMPRESSION, Framebuffer, ImageHeader, ImageOrientation
-from ..interfaces import Decoder, Encoder
+from ..framebuffer import (PNG_BILEVEL, PNG_COMPRESSION, PNG_STRATEGY,
+                           Framebuffer, ImageHeader, ImageOrientation)
+
+_PNG_ENCODE_KEYS = frozenset({PNG_COMPRESSION, PNG_STRATEGY, PNG_BILEVEL})
+from ..interfaces import Decoder, Encoder, check_encode_options
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -92,6 +95,18 @@ def _deflate(data: bytes, level: int, lib=None) -> bytes:
             if n > 0:
                 return out[:n].tobytes()
     return zlib.compress(data, level)
+
+
+def _deflate_strategy(data: bytes, level: int, strategy: Optional[int],
+                      lib=None) -> bytes:
+    """_deflate with an optional zlib strategy (IMWRITE_PNG_STRATEGY).
+    libdeflate has no strategy knob, so a non-default strategy routes
+    through Python zlib — correctness knob, not a hot path."""
+    if strategy is None or int(strategy) == zlib.Z_DEFAULT_STRATEGY:
+        return _deflate(data, level, lib)
+    co = zlib.compressobj(min(max(int(level), 0), 9), zlib.DEFLATED, 15, 8,
+                          int(strategy))
+    return co.compress(data) + co.flush()
 
 
 def _inflate_exact(idat: bytes, expected: int, lib) -> Optional[np.ndarray]:
@@ -558,18 +573,61 @@ class PngEncoder(Encoder):
         if fb is None:
             raise DecodingFailedError("PNG encoder cannot flush without a frame")
         opts = opts or {}
+        check_encode_options(opts, _PNG_ENCODE_KEYS, "png")
         level = int(opts.get(PNG_COMPRESSION, 6))
-        return encode_png_pixels(fb.to_numpy(), level, self._icc)
+        return encode_png_pixels(fb.to_numpy(), level, self._icc,
+                                 strategy=opts.get(PNG_STRATEGY),
+                                 bilevel=bool(opts.get(PNG_BILEVEL, 0)))
+
+
+def _pack_bilevel(gray: np.ndarray) -> np.ndarray:
+    """(H, W) u8 -> 1-bit-packed scanlines with a 0 (None) filter byte per
+    row. cv2 oracle semantics: any nonzero pixel -> bit 1 (decodes back as
+    255), MSB-first within each byte (PNG packing order)."""
+    h, w = gray.shape
+    bits = (gray != 0).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)  # MSB-first, zero-padded rows
+    return np.concatenate(
+        [np.zeros((h, 1), np.uint8), packed], axis=1).reshape(-1)
 
 
 def encode_png_pixels(arr: np.ndarray, level: int = 6,
-                      icc: Optional[bytes] = None) -> bytes:
+                      icc: Optional[bytes] = None,
+                      strategy: Optional[int] = None,
+                      bilevel: bool = False) -> bytes:
     """Encode (H, W, 1|3|4) BGR(A)/gray u8 pixels to PNG (host: C++ Paeth
     filter + zlib deflate). The numpy-level body of PngEncoder.encode,
-    shared with the serving pipeline's still-output path."""
+    shared with the serving pipeline's still-output path.
+
+    strategy: zlib strategy 0..4 (IMWRITE_PNG_STRATEGY passthrough —
+    values are zlib's own Z_*_STRATEGY constants, like OpenCV's).
+    bilevel: 1-bit grayscale output (IMWRITE_PNG_BILEVEL); color input is
+    converted via the BGR luma weights first, then thresholded nonzero."""
     lib = binding.load()
     level = min(max(int(level), 0), 9)
     h, w, c = arr.shape
+    if bilevel:
+        if c == 1:
+            gray = arr[:, :, 0]
+        else:  # BT.601 luma of BGR, the cv2 color->gray convention
+            gray = (arr[:, :, 0] * 0.114 + arr[:, :, 1] * 0.587
+                    + arr[:, :, 2] * 0.299 + 0.5).astype(np.uint8)
+        filtered = _pack_bilevel(gray)
+        comp = _deflate_strategy(filtered.tobytes(), level, strategy, lib)
+
+        def chunk1(ctype: bytes, data: bytes) -> bytes:
+            body = ctype + data
+            return (struct.pack(">I", len(data)) + body
+                    + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+        out = [PNG_MAGIC, chunk1(b"IHDR", ihdr)]
+        if icc:
+            out.append(chunk1(b"iCCP",
+                              b"ICC Profile\x00\x00" + _deflate(icc, 9, lib)))
+        out.append(chunk1(b"IDAT", comp))
+        out.append(chunk1(b"IEND", b""))
+        return b"".join(out)
     if c == 3:
         rgb = arr[:, :, ::-1]
         color_type = 2
@@ -585,7 +643,7 @@ def encode_png_pixels(arr: np.ndarray, level: int = 6,
     filtered = np.empty(h * (stride + 1), np.uint8)
     lib.lp_png_filter(_u8ptr(np.ascontiguousarray(raw)), _u8ptr(filtered),
                       h, stride, ch)
-    comp = _deflate(filtered.tobytes(), level, lib)
+    comp = _deflate_strategy(filtered.tobytes(), level, strategy, lib)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         body = ctype + data

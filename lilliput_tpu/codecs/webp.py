@@ -17,9 +17,18 @@ import numpy as np
 
 from .. import binding
 from ..errors import DecodingFailedError, InvalidImageError
-from ..framebuffer import (BlendMethod, DisposeMethod, Framebuffer,
+from ..framebuffer import (WEBP_AUTOFILTER, WEBP_FILTER_STRENGTH,  # noqa: E501
+                           WEBP_FILTER_TYPE, WEBP_METHOD, WEBP_PALETTE,
+                           WEBP_PARTITIONS, WEBP_PREPROCESSING,
+                           WEBP_QUALITY, WEBP_SEGMENTS, WEBP_THREAD_LEVEL,
+                           BlendMethod, DisposeMethod, Framebuffer,
                            ImageHeader, ImageOrientation)
-from ..interfaces import Decoder, Encoder
+from ..interfaces import Decoder, Encoder, check_encode_options
+
+_WEBP_ENCODE_KEYS = frozenset({
+    WEBP_QUALITY, WEBP_METHOD, WEBP_FILTER_STRENGTH, WEBP_FILTER_TYPE,
+    WEBP_AUTOFILTER, WEBP_PARTITIONS, WEBP_SEGMENTS, WEBP_PREPROCESSING,
+    WEBP_THREAD_LEVEL, WEBP_PALETTE})
 
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -174,6 +183,7 @@ class WebpEncoder(Encoder):
 
     @staticmethod
     def _opts_array(opts: Dict[int, int]) -> np.ndarray:
+        check_encode_options(opts, _WEBP_ENCODE_KEYS, "webp")
         flat = []
         for k, v in (opts or {}).items():
             flat += [int(k), int(v)]

@@ -65,7 +65,11 @@ JPEG_QUALITY = 1            # CV_IMWRITE_JPEG_QUALITY
 JPEG_PROGRESSIVE = 2        # CV_IMWRITE_JPEG_PROGRESSIVE
 JPEG_OPTIMIZE = 3           # CV_IMWRITE_JPEG_OPTIMIZE (optimize_coding)
 JPEG_RST_INTERVAL = 4       # CV_IMWRITE_JPEG_RST_INTERVAL (DRI, MCU rows)
+JPEG_LUMA_QUALITY = 5       # CV_IMWRITE_JPEG_LUMA_QUALITY (per-table scale)
+JPEG_CHROMA_QUALITY = 6     # CV_IMWRITE_JPEG_CHROMA_QUALITY
 PNG_COMPRESSION = 16        # CV_IMWRITE_PNG_COMPRESSION
+PNG_STRATEGY = 17           # CV_IMWRITE_PNG_STRATEGY (zlib strategy 0..4)
+PNG_BILEVEL = 18            # CV_IMWRITE_PNG_BILEVEL (1-bit grayscale)
 WEBP_QUALITY = 64           # CV_IMWRITE_WEBP_QUALITY
 # Extended WebP options (webp.hpp:13-23)
 WEBP_METHOD = 1000
@@ -80,6 +84,18 @@ WEBP_PALETTE = 1008
 # AVIF options (avif.hpp:17)
 AVIF_QUALITY = 1
 AVIF_SPEED = 2
+
+# The union of every encode-option key any codec reads. Callers pass ONE
+# combined map for all output formats (the reference's examples/main.go
+# builds exactly that); each encoder reads its own keys and silently skips
+# the other codecs' — only keys outside this union are "unknown" (OpenCV's
+# loadsave.cpp warns for keys outside the IMWRITE enum the same way).
+KNOWN_ENCODE_OPTION_KEYS = frozenset({
+    JPEG_QUALITY, JPEG_PROGRESSIVE, JPEG_OPTIMIZE, JPEG_RST_INTERVAL,
+    JPEG_LUMA_QUALITY, JPEG_CHROMA_QUALITY, PNG_COMPRESSION, PNG_STRATEGY,
+    PNG_BILEVEL, WEBP_QUALITY, WEBP_METHOD, WEBP_FILTER_STRENGTH,
+    WEBP_FILTER_TYPE, WEBP_AUTOFILTER, WEBP_PARTITIONS, WEBP_SEGMENTS,
+    WEBP_PREPROCESSING, WEBP_THREAD_LEVEL, WEBP_PALETTE})
 
 
 @dataclasses.dataclass

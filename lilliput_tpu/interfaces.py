@@ -70,6 +70,31 @@ class Decoder(abc.ABC):
         self.close()
 
 
+def check_encode_options(opts: Optional[Dict[int, int]], supported,
+                         codec: str) -> None:
+    """Unknown int-keyed encode options: warn and ignore, visibly.
+
+    Callers pass ONE combined option map for every output format (the
+    reference's examples/main.go style), so another codec's keys are
+    normal and skipped silently; only keys outside the union of all known
+    constants warn. Parity note: the reference forwards any map[int]int to
+    cv::imencode (opencv.go:44-60), and OpenCV's loadsave.cpp logs 'An
+    unknown key was specified and has been ignored' for keys outside the
+    IMWRITE enum — rejecting would break migrating callers, silently
+    accepting would hide typos, so this mirrors the warn-and-ignore
+    contract and counts it in Metrics."""
+    from .framebuffer import KNOWN_ENCODE_OPTION_KEYS
+    for k in (opts or {}):
+        if k not in supported and k not in KNOWN_ENCODE_OPTION_KEYS:
+            import warnings
+
+            from .utils.metrics import metrics
+            warnings.warn(
+                f"{codec} encoder: unknown option key {k} ignored "
+                f"({codec} reads: {sorted(supported)})", stacklevel=3)
+            metrics.incr(f"encode.unknown_option.{codec}")
+
+
 class Encoder(abc.ABC):
     @abc.abstractmethod
     def encode(self, fb: Optional[Framebuffer], opts: Dict[int, int]) -> Optional[bytes]:
