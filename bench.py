@@ -356,9 +356,11 @@ def main():
             ims[0].save(bio, format="GIF", save_all=True,
                         append_images=ims[1:], duration=40, loop=0)
             gbuf = bio.getvalue()
+            # workers=1: frames/s/CORE (the scan-parallel LZW path also
+            # threads inside one animation; this records the per-core rate)
             t0 = time.time()
             dec = GifDecoder(gbuf)
-            inp, metas = dec.animation_inputs()
+            inp, metas = dec.animation_inputs(workers=1)
             dec_s = time.time() - t0
             # encode: random dst-size indices through the LZW emitter
             enc = GifEncoder(dec)

@@ -22,6 +22,7 @@ device (ops/palette.py); the host only touches indices and bitstreams.
 from __future__ import annotations
 
 import ctypes
+import os
 import threading
 from typing import Dict, Optional
 
@@ -46,6 +47,19 @@ binding.register_signature("lp_gif_frame_palette", [ctypes.c_void_p, _u8p], ctyp
 binding.register_signature("lp_gif_frame_ext", [ctypes.c_void_p, _u8p, ctypes.c_int32], ctypes.c_int)
 binding.register_signature("lp_gif_frame_indices", [ctypes.c_void_p, _u8p], ctypes.c_int)
 binding.register_signature("lp_gif_skip_frame", [ctypes.c_void_p], ctypes.c_int)
+binding.register_signature("lp_gif_scan", [ctypes.c_void_p], ctypes.c_int)
+binding.register_signature("lp_gif_scanned_meta",
+                           [ctypes.c_void_p, ctypes.c_int32, _i32p],
+                           ctypes.c_int)
+binding.register_signature("lp_gif_scanned_palette",
+                           [ctypes.c_void_p, ctypes.c_int32, _u8p],
+                           ctypes.c_int)
+binding.register_signature("lp_gif_scanned_ext",
+                           [ctypes.c_void_p, ctypes.c_int32, _u8p,
+                            ctypes.c_int32], ctypes.c_int)
+binding.register_signature("lp_gif_decode_scanned",
+                           [ctypes.c_void_p, ctypes.c_int32, _u8p],
+                           ctypes.c_int)
 binding.register_signature("lp_gif_anim_info", [_u8p, ctypes.c_size_t, _i32p], ctypes.c_int)
 binding.register_signature(
     "lp_gif_enc_new",
@@ -169,6 +183,27 @@ class GifDecoder(Decoder):
             m.ext = b""
         return m
 
+    def _scanned_meta(self, i: int):
+        """Frame meta of scanned frame i (after lp_gif_scan)."""
+        out = np.zeros(10, np.int32)
+        if self._lib.lp_gif_scanned_meta(self._h, i,
+                                         out.ctypes.data_as(_i32p)) != 0:
+            raise InvalidImageError("corrupt GIF frame")
+        m = _FrameMeta()
+        (m.left, m.top, m.width, m.height, m.interlace, m.local_count,
+         m.trans_idx, m.delay_cs, m.disposal, ext_len) = (int(v) for v in out)
+        pal = np.zeros((256, 3), np.uint8)
+        m.pal_count = int(self._lib.lp_gif_scanned_palette(self._h, i,
+                                                           _u8(pal)))
+        m.palette = pal
+        if ext_len > 0:
+            eb = np.zeros(ext_len, np.uint8)
+            self._lib.lp_gif_scanned_ext(self._h, i, _u8(eb), ext_len)
+            m.ext = eb.tobytes()
+        else:
+            m.ext = b""
+        return m
+
     def _read_frame_raster(self, m):
         """Decode the pending frame's raster and pre-scatter it to canvas
         shape (max-dimension guard, clipping, 256-row BGRA LUT). Shared by
@@ -180,7 +215,10 @@ class GifDecoder(Decoder):
         raw = np.empty(m.height * m.width, np.uint8)
         if self._lib.lp_gif_frame_indices(self._h, _u8(raw)) != 0:
             raise DecodingFailedError("gif raster decode failed")
-        raw = raw.reshape(m.height, m.width)
+        return self._scatter(m, raw.reshape(m.height, m.width))
+
+    def _scatter(self, m, raw):
+        """Canvas-shape scatter of a decoded raster (clipping + BGRA LUT)."""
         cw, ch = self._w, self._hgt
         full_idx = np.zeros((ch, cw), np.uint8)
         drawn = np.zeros((ch, cw), bool)
@@ -274,7 +312,8 @@ class GifDecoder(Decoder):
         disposal code (0 unspecified / 1 none / 2 background / 3 previous)."""
         return self.frame_meta
 
-    def animation_inputs(self, pad_frames: int = 0):
+    def animation_inputs(self, pad_frames: int = 0,
+                         workers: Optional[int] = None):
         """Host-side assembly for the batched composite: decode every
         frame's LZW + scatter indices/masks to canvas shape, WITHOUT
         dispatching the device composite. Returns (inputs, metas) where
@@ -282,18 +321,47 @@ class GifDecoder(Decoder):
         ops.palette.composite_animation (idxs/drawn/luts/counts/trans/
         pdisp/prects stacked over the padded frame axis, plus bg_bgra) —
         the unit the cross-animation batch pipeline stacks over a leading
-        animation axis. Empty animations return (None, [])."""
+        animation axis. Empty animations return (None, []).
+
+        workers: intra-animation LZW thread count (default min(4, cores));
+        frames decode in parallel after one serial container scan."""
         cw, ch = self._w, self._hgt
         idxs, drawn, luts, counts, trans, pdisp, prects, metas = \
             [], [], [], [], [], [], [], []
         prev_rect = None
         prev_disposal = 0
-        while True:
-            try:
-                m = self._next_frame_meta()
-            except EOFError:
-                break
-            full_idx, dmask, lut, (fl, ft, fw, fh) = self._read_frame_raster(m)
+        # scan-then-parallel decode: one serial container walk records every
+        # frame header + raster position, then the rasters (independent LZW
+        # streams) decode across host threads — one viral 100-frame
+        # animation no longer pins a single core (the reference's giflib
+        # walk is serial here, giflib.cpp:290-324). Byte-identical to the
+        # sequential walk; gated in tests/test_gif.py.
+        nf = self._lib.lp_gif_scan(self._h)
+        if nf < 0:
+            raise InvalidImageError("corrupt GIF frame")
+        smetas = [self._scanned_meta(i) for i in range(nf)]
+        maxd = _gif_max_frame_dimension
+        for m in smetas:
+            if m.width > maxd or m.height > maxd:
+                raise InvalidImageError("gif frame exceeds max dimension")
+
+        def _dec(i: int):
+            m = smetas[i]
+            raw = np.empty(m.height * m.width, np.uint8)
+            if self._lib.lp_gif_decode_scanned(self._h, i, _u8(raw)) != 0:
+                raise DecodingFailedError("gif raster decode failed")
+            return raw.reshape(m.height, m.width)
+
+        nw = workers if workers is not None else min(4, os.cpu_count() or 1)
+        if nw > 1 and nf > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(nw, nf)) as ex:
+                raws = list(ex.map(_dec, range(nf)))
+        else:
+            raws = [_dec(i) for i in range(nf)]
+
+        for m, raw in zip(smetas, raws):
+            full_idx, dmask, lut, (fl, ft, fw, fh) = self._scatter(m, raw)
             pm = np.zeros((ch, cw), bool)
             if prev_rect is not None:
                 pl, pt, pw, ph = self._clip_rect(*prev_rect)
@@ -334,7 +402,8 @@ class GifDecoder(Decoder):
             bg_bgra=np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8))
         return inputs, metas
 
-    def decode_animation(self, pad_frames: int = 0):
+    def decode_animation(self, pad_frames: int = 0,
+                         workers: Optional[int] = None):
         """Decode ALL frames with one device dispatch (lax.scan compositing,
         ops/palette.py:composite_animation). Host work is only LZW + index
         scattering; returns ((N, H, W, 4) device frames, [frame metas]).
@@ -349,7 +418,7 @@ class GifDecoder(Decoder):
 
         This is the TPU-first batch path; frame-at-a-time decode_to remains
         for the reference-shaped streaming API."""
-        inp, metas = self.animation_inputs(pad_frames)
+        inp, metas = self.animation_inputs(pad_frames, workers=workers)
         if not metas:
             return jnp.zeros((0, self._hgt, self._w, 4), jnp.uint8), []
         frames = P.composite_animation(

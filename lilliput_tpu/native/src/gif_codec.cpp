@@ -14,6 +14,8 @@
 //  * truncated-GCE hardening (CVE-2026-26740 guard, :270-288)
 //  * encode: GIF89 output, palette reuse, extension replay (:784-1200)
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <new>
@@ -66,6 +68,12 @@ struct GifDec {
     FrameMeta frame;
     bool frame_ready = false;      // header parsed, raster not yet consumed
     size_t raster_pos = 0;         // where the image data (mcs byte) begins
+    // lp_gif_scan results: after a scan the handle is read-only and any
+    // number of threads may decode scanned frames concurrently (each
+    // raster is an independent LZW stream — the intra-animation
+    // parallelism seam; giflib's streaming walk is serial here)
+    std::vector<FrameMeta> scanned;
+    std::vector<size_t> scanned_raster;
 };
 
 bool parse_header(GifDec* d) {
@@ -163,47 +171,157 @@ int next_frame_header(GifDec* d) {
 
 class LzwDecoder {
   public:
-    LzwDecoder(Reader& r, int mcs) : r_(r), mcs_(mcs) { reset(); }
+    LzwDecoder(Reader& r, int mcs) : r_(r), mcs_(mcs) {}
 
     // Decode exactly n pixels into out. Returns false on malformed data.
+    //
+    // Two structural speedups over the textbook backwards prefix-chain
+    // walk (same-run A/B in tools/profile_anim.py / bench anim_host):
+    //  * the data sub-blocks are destuffed ONCE into a flat buffer, so
+    //    the bit reader runs 64-bit LSB-first lookahead refills with no
+    //    per-byte block accounting on the hot path;
+    //  * the dictionary stores each code's string as (position, length)
+    //    into the OUTPUT ALREADY EMITTED — LZW emissions are contiguous,
+    //    so the entry created after emitting code C at position P is
+    //    exactly out[prev_P .. prev_P+prev_len] (prev emission plus the
+    //    first byte of C's, which sits at prev_P+prev_len == P). Emitting
+    //    any code is then one forward memcpy from earlier output instead
+    //    of a data-dependent pointer chase writing backwards.
+    // Output bytes and acceptance/failure cases are identical to the old
+    // decoder (gated by the giflib-oracle and fuzz tests).
     bool decode(uint8_t* out, size_t n) {
+        // destuff all sub-blocks (the reader then sits on the next record,
+        // exactly where the old decoder's drain() left it)
+        std::vector<uint8_t> data;
+        data.reserve(std::min(r_.len - r_.pos, n + n / 4 + 64));
+        while (true) {
+            int cnt = r_.byte();
+            if (cnt < 0) return false;  // EOF before block terminator
+            if (cnt == 0) break;
+            if (r_.pos + static_cast<size_t>(cnt) > r_.len) {
+                r_.pos = r_.len;
+                return false;
+            }
+            const size_t at = data.size();
+            data.resize(at + static_cast<size_t>(cnt));
+            std::memcpy(data.data() + at, r_.p + r_.pos,
+                        static_cast<size_t>(cnt));
+            r_.pos += static_cast<size_t>(cnt);
+        }
+
+        // root strings live in a static identity table (16-byte slop for
+        // the fixed-width copy), so root and dictionary emissions share
+        // ONE branch-free source-pointer path
+        static const auto kRoots = [] {
+            std::array<uint8_t, 256 + 16> t{};
+            for (int i = 0; i < 256; i++) t[i] = static_cast<uint8_t>(i);
+            return t;
+        }();
+
+        const uint8_t* dp = data.data();
+        const uint8_t* const dend = dp + data.size();
+        uint64_t acc = 0;
+        int nb = 0;
+        const int clear = 1 << mcs_;
+        const int end_code = clear + 1;
+        int next_index = end_code + 1;
+        int bits = mcs_ + 1;
+        int prev = -1;
+        size_t prev_pos = 0;
+        uint16_t prev_len = 0;
+        const uint8_t* src[4096];
+        uint16_t len[4096];
+        for (int i = 0; i < clear; i++) {
+            src[i] = kRoots.data() + i;
+            len[i] = 1;
+        }
+        len[clear] = len[end_code] = 0;
         size_t produced = 0;
+
         while (produced < n) {
-            int code = next_code();
-            if (code < 0) return false;
-            if (code == clear_) {
-                reset();
+            if (nb < 32) {  // one refill covers two 12-bit codes
+                if (dend - dp >= 8) {
+                    uint64_t v;
+                    std::memcpy(&v, dp, 8);
+                    acc |= v << nb;            // LSB-first lookahead refill
+                    dp += (63 - nb) >> 3;      // whole bytes now counted
+                    nb |= 56;
+                } else {
+                    while (nb <= 56 && dp < dend) {
+                        acc |= static_cast<uint64_t>(*dp++) << nb;
+                        nb += 8;
+                    }
+                }
+            }
+            if (nb < bits) return false;  // ran out of real data
+            const int code = static_cast<int>(acc & ((1u << bits) - 1));
+            acc >>= bits;
+            nb -= bits;
+            if (code == clear) {
+                next_index = end_code + 1;
+                bits = mcs_ + 1;
+                prev = -1;
                 continue;
             }
-            if (code == end_) break;
-            if (prev_ < 0) {
-                if (code >= next_index_ || length_[code] == 0) return false;
-                out[produced++] = suffix_[code];
-                prev_ = code;
+            if (code == end_code) break;
+            const size_t P = produced;
+            if (prev < 0) {  // first code of a run must be a root
+                if (code >= clear) return false;
+                out[produced++] = static_cast<uint8_t>(code);
+                prev = code;
+                prev_pos = P;
+                prev_len = 1;
                 continue;
             }
-            int entry;
-            if (code < next_index_ && length_[code] > 0) {
-                // add (prev + first_of(code)), emit string(code)
-                if (next_index_ < 4096) add_entry(prev_, first_of(code));
-                entry = code;
-            } else if (code == next_index_ && next_index_ < 4096) {
-                // KwKwK case: new entry is (prev + first_of(prev))
-                add_entry(prev_, first_of(prev_));
-                entry = next_index_ - 1;
+            if (code < next_index && len[code] > 0) {
+                const int elen = len[code];
+                if (produced + elen > n) return false;
+                const uint8_t* s = src[code];
+                if (elen <= 16 && produced + 16 <= n) {
+                    // fixed 16-byte move for the dominant short strings:
+                    // both words load BEFORE either store (the 16-byte
+                    // window may read into the uninitialized slop past the
+                    // true string, whose bytes land past elen and are
+                    // overwritten by later emissions or gated by the
+                    // produced == n check)
+                    uint64_t a, b;
+                    std::memcpy(&a, s, 8);
+                    std::memcpy(&b, s + 8, 8);
+                    std::memcpy(out + produced, &a, 8);
+                    std::memcpy(out + produced + 8, &b, 8);
+                } else {
+                    // entry strings always end strictly before P: no overlap
+                    std::memcpy(out + produced, s, elen);
+                }
+                if (next_index < 4096) {  // prev string + first byte of this
+                    src[next_index] = out + prev_pos;
+                    len[next_index] = static_cast<uint16_t>(prev_len + 1);
+                    next_index++;
+                    if (next_index == (1 << bits) && bits < 12) bits++;
+                }
+                produced += elen;
+                prev = code;
+                prev_pos = P;
+                prev_len = static_cast<uint16_t>(elen);
+            } else if (code == next_index && next_index < 4096) {
+                // KwKwK: string = prev + first(prev); contiguity makes the
+                // new entry the same (prev_pos, prev_len + 1) span
+                const int elen = prev_len + 1;
+                if (produced + elen > n) return false;
+                std::memcpy(out + produced, out + prev_pos, prev_len);
+                out[produced + prev_len] = out[prev_pos];
+                src[next_index] = out + prev_pos;
+                len[next_index] = static_cast<uint16_t>(elen);
+                next_index++;
+                if (next_index == (1 << bits) && bits < 12) bits++;
+                produced += elen;
+                prev = code;
+                prev_pos = P;
+                prev_len = static_cast<uint16_t>(elen);
             } else {
                 return false;
             }
-            const int elen = length_[entry];
-            if (produced + elen > n) return false;
-            int pos = static_cast<int>(produced) + elen - 1;
-            for (int c = entry; c >= 0 && pos >= static_cast<int>(produced); c = prefix_[c])
-                out[pos--] = suffix_[c];
-            produced += elen;
-            prev_ = code;
         }
-        // drain remaining sub-blocks so the reader lands on the next record
-        drain();
         // premature end-of-information must FAIL, not succeed with an
         // uninitialized output tail (the caller hands us an np.empty
         // buffer — returning true here would composite heap bytes into
@@ -212,77 +330,8 @@ class LzwDecoder {
     }
 
   private:
-    void reset() {
-        clear_ = 1 << mcs_;
-        end_ = clear_ + 1;
-        next_index_ = end_ + 1;
-        bits_ = mcs_ + 1;
-        prev_ = -1;
-        for (int i = 0; i < clear_; i++) {
-            prefix_[i] = -1;
-            suffix_[i] = static_cast<uint8_t>(i);
-            length_[i] = 1;
-        }
-        prefix_[clear_] = prefix_[end_] = -1;
-        suffix_[clear_] = suffix_[end_] = 0;
-        length_[clear_] = length_[end_] = 0;
-    }
-
-    uint8_t first_of(int code) const {
-        while (prefix_[code] >= 0) code = prefix_[code];
-        return suffix_[code];
-    }
-
-    void add_entry(int prev, uint8_t first) {
-        prefix_[next_index_] = static_cast<int16_t>(prev);
-        suffix_[next_index_] = first;
-        length_[next_index_] = static_cast<uint16_t>(length_[prev] + 1);
-        next_index_++;
-        if (next_index_ == (1 << bits_) && bits_ < 12) bits_++;
-    }
-
-    int next_code() {
-        while (nbits_ < bits_) {
-            if (block_left_ == 0) {
-                int cnt = r_.byte();
-                if (cnt <= 0) {
-                    if (cnt == 0) ended_ = true;
-                    return -1;
-                }
-                block_left_ = cnt;
-            }
-            int b = r_.byte();
-            if (b < 0) return -1;
-            block_left_--;
-            acc_ |= static_cast<uint32_t>(b) << nbits_;
-            nbits_ += 8;
-        }
-        int code = static_cast<int>(acc_ & ((1u << bits_) - 1));
-        acc_ >>= bits_;
-        nbits_ -= bits_;
-        return code;
-    }
-
-    void drain() {
-        if (ended_) return;
-        if (block_left_ > 0) r_.skip(block_left_);
-        while (true) {
-            int cnt = r_.byte();
-            if (cnt <= 0) return;
-            if (!r_.skip(cnt)) return;
-        }
-    }
-
     Reader& r_;
     int mcs_;
-    int clear_ = 0, end_ = 0, next_index_ = 0, bits_ = 0, prev_ = -1;
-    uint32_t acc_ = 0;
-    int nbits_ = 0;
-    int block_left_ = 0;
-    bool ended_ = false;
-    int16_t prefix_[4096];
-    uint8_t suffix_[4096];
-    uint16_t length_[4096];
 };
 
 const int kInterlaceOffset[4] = {0, 4, 2, 1};
@@ -478,6 +527,36 @@ int lp_gif_frame_ext(void* h, uint8_t* out, int32_t cap) {
     return static_cast<int32_t>(b.size());
 }
 
+// Shared raster decode: LZW + deinterlace from an explicit position,
+// using a LOCAL reader so concurrent calls never share mutable state.
+static int decode_raster_at(const GifDec* d, const FrameMeta& f,
+                            size_t raster_pos, uint8_t* out) {
+    Reader r{d->r.p, d->r.len, raster_pos};
+    int mcs = r.byte();
+    if (mcs < 2 || mcs > 11) return -1;
+    const size_t n = static_cast<size_t>(f.width) * f.height;
+    bool ok;
+    if (f.interlace) {
+        std::vector<uint8_t> seq(n);
+        LzwDecoder dec(r, mcs);
+        ok = dec.decode(seq.data(), n);
+        if (ok) {
+            size_t src_row = 0;
+            for (int pass = 0; pass < 4; pass++) {
+                for (int y = kInterlaceOffset[pass]; y < f.height;
+                     y += kInterlaceJump[pass]) {
+                    std::memcpy(out + static_cast<size_t>(y) * f.width,
+                                seq.data() + (src_row++) * f.width, f.width);
+                }
+            }
+        }
+    } else {
+        LzwDecoder dec(r, mcs);
+        ok = dec.decode(out, n);
+    }
+    return ok ? 0 : -1;
+}
+
 // Decode the pending frame's raster into out (w*h bytes, deinterlaced).
 int lp_gif_frame_indices(void* h, uint8_t* out) {
     auto* d = static_cast<GifDec*>(h);
@@ -526,6 +605,94 @@ int lp_gif_skip_frame(void* h) {
     }
     d->frame_ready = false;
     return 1;
+}
+
+// ---------------------------------------------------------------------------
+// Scan-then-parallel-decode API: one cheap serial container walk collects
+// every frame header + raster position; the rasters are then independent
+// LZW streams, decodable from any number of threads concurrently
+// (lp_gif_decode_scanned is const over the handle). This is the seam the
+// reference cannot use — giflib's DGifGetLine walk is inherently serial
+// (/root/reference/giflib.cpp:290-324) — and what lets ONE viral
+// animation spread across host cores instead of pinning one.
+// ---------------------------------------------------------------------------
+
+// Walk from the current position to the trailer, recording all frames.
+// Returns the frame count (>= 0), or -1 on a corrupt frame header (same
+// condition the streaming walk fails on). A truncated raster stops the
+// scan after recording its frame; decoding that frame reports the error.
+int lp_gif_scan(void* h) {
+    auto* d = static_cast<GifDec*>(h);
+    d->scanned.clear();
+    d->scanned_raster.clear();
+    while (true) {
+        int st = next_frame_header(d);
+        if (st == 0) break;
+        if (st < 0) return -1;
+        d->scanned.push_back(d->frame);
+        d->scanned_raster.push_back(d->raster_pos);
+        d->frame_ready = false;
+        Reader& r = d->r;
+        r.pos = d->raster_pos;
+        int mcs = r.byte();
+        if (mcs < 0) break;  // truncated raster: frame kept, scan ends
+        while (true) {       // skip data sub-blocks
+            int cnt = r.byte();
+            if (cnt <= 0) {
+                if (cnt < 0) r.pos = r.len;
+                break;
+            }
+            if (!r.skip(static_cast<size_t>(cnt))) break;
+        }
+    }
+    return static_cast<int>(d->scanned.size());
+}
+
+int lp_gif_scanned_meta(void* h, int32_t i, int32_t* out10) {
+    auto* d = static_cast<GifDec*>(h);
+    if (i < 0 || static_cast<size_t>(i) >= d->scanned.size()) return -1;
+    const FrameMeta& f = d->scanned[i];
+    out10[0] = f.left;
+    out10[1] = f.top;
+    out10[2] = f.width;
+    out10[3] = f.height;
+    out10[4] = f.interlace;
+    out10[5] = f.local_count;
+    out10[6] = f.trans_idx;
+    out10[7] = f.delay_cs;
+    out10[8] = f.disposal;
+    out10[9] = static_cast<int32_t>(f.ext_blob.size());
+    return 0;
+}
+
+int lp_gif_scanned_palette(void* h, int32_t i, uint8_t* out768) {
+    auto* d = static_cast<GifDec*>(h);
+    if (i < 0 || static_cast<size_t>(i) >= d->scanned.size()) return -1;
+    const FrameMeta& f = d->scanned[i];
+    if (f.local_count > 0) {
+        std::memcpy(out768, f.local_pal,
+                    static_cast<size_t>(f.local_count) * 3);
+        return f.local_count;
+    }
+    std::memcpy(out768, d->global_pal,
+                static_cast<size_t>(d->global_count) * 3);
+    return d->global_count;
+}
+
+int lp_gif_scanned_ext(void* h, int32_t i, uint8_t* out, int32_t cap) {
+    auto* d = static_cast<GifDec*>(h);
+    if (i < 0 || static_cast<size_t>(i) >= d->scanned.size()) return -1;
+    const auto& b = d->scanned[i].ext_blob;
+    if (static_cast<int32_t>(b.size()) > cap) return -1;
+    std::memcpy(out, b.data(), b.size());
+    return static_cast<int32_t>(b.size());
+}
+
+// Thread-safe: const over the handle; any number of concurrent callers.
+int lp_gif_decode_scanned(void* h, int32_t i, uint8_t* out) {
+    auto* d = static_cast<GifDec*>(h);
+    if (i < 0 || static_cast<size_t>(i) >= d->scanned.size()) return -1;
+    return decode_raster_at(d, d->scanned[i], d->scanned_raster[i], out);
 }
 
 // Stateless scan: out7 = loop_count, frame_count, duration_ms, bg_r, bg_g, bg_b, bg_a.

@@ -548,3 +548,73 @@ def test_lut_select_clamps_out_of_range_indices():
                                           mode="clip")) for i in range(3)])
     gotb = lut_select_batched(jnp.asarray(luts), jnp.asarray(idxb))
     assert np.array_equal(np.asarray(gotb), wantb)
+
+
+@pytest.mark.parametrize("name", ["party-discord.gif", "dispose_bgnd.gif",
+                                  "restore_previous.gif", "no-loop.gif",
+                                  "ferry_sunset.gif",
+                                  "duplicate_number_of_loops.gif"])
+def test_scan_parallel_decode_matches_streaming(name):
+    """The scan-then-parallel raster decode (lp_gif_scan +
+    lp_gif_decode_scanned, threaded) must be byte-identical to the serial
+    streaming walk (lp_gif_next_frame + lp_gif_frame_indices) — metas,
+    palettes, extensions, and every raster."""
+    import ctypes
+    buf = open(f"/root/reference/testdata/{name}", "rb").read()
+    lib = binding.load()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    # streaming walk
+    ds = GifDecoder(buf)
+    stream = []
+    while True:
+        try:
+            m = ds._next_frame_meta()
+        except EOFError:
+            break
+        raw = np.empty(m.height * m.width, np.uint8)
+        assert lib.lp_gif_frame_indices(
+            ds._h, raw.ctypes.data_as(u8p)) == 0
+        stream.append((m, raw.copy()))
+    ds.close()
+
+    # threaded scan decode (out-of-order on purpose)
+    dp = GifDecoder(buf)
+    nf = lib.lp_gif_scan(dp._h)
+    assert nf == len(stream)
+    metas = [dp._scanned_meta(i) for i in range(nf)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def dec(i):
+        m = metas[i]
+        raw = np.empty(m.height * m.width, np.uint8)
+        assert lib.lp_gif_decode_scanned(
+            dp._h, i, raw.ctypes.data_as(u8p)) == 0
+        return raw
+    with ThreadPoolExecutor(4) as ex:
+        raws = list(ex.map(dec, reversed(range(nf))))[::-1]
+    for (ms, raw_s), mp, raw_p in zip(stream, metas, raws):
+        for attr in ("left", "top", "width", "height", "interlace",
+                     "trans_idx", "delay_cs", "disposal", "pal_count",
+                     "ext"):
+            assert getattr(ms, attr) == getattr(mp, attr), attr
+        assert np.array_equal(ms.palette, mp.palette)
+        assert np.array_equal(raw_s, raw_p)
+    dp.close()
+
+
+def test_animation_inputs_workers_identical():
+    """animation_inputs(workers=4) must produce byte-identical stacks to
+    workers=1 (the intra-animation parallel LZW gate)."""
+    buf = open("/root/reference/testdata/party-discord.gif", "rb").read()
+    d1 = GifDecoder(buf)
+    i1, m1 = d1.animation_inputs(pad_frames=-1, workers=1)
+    d1.close()
+    d4 = GifDecoder(buf)
+    i4, m4 = d4.animation_inputs(pad_frames=-1, workers=4)
+    d4.close()
+    assert len(m1) == len(m4)
+    for k in i1:
+        assert np.array_equal(np.asarray(i1[k]), np.asarray(i4[k])), k
+    for a, b in zip(m1, m4):
+        assert a.trans_idx == b.trans_idx and a.delay_cs == b.delay_cs

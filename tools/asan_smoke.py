@@ -37,6 +37,45 @@ def gif_roundtrip(lib):
         frames += 1
     assert frames == 16, frames
     lib.lp_gif_free(h)
+    # scan-then-parallel raster decode (thread + heap safety of
+    # lp_gif_scan / lp_gif_decode_scanned, incl. concurrent const access)
+    h2 = lib.lp_gif_open(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         buf.size,
+                         info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    assert h2
+    nf = lib.lp_gif_scan(h2)
+    assert nf == 16, nf
+    from concurrent.futures import ThreadPoolExecutor
+
+    def dec_one(i):
+        meta2 = np.zeros(10, np.int32)
+        assert lib.lp_gif_scanned_meta(
+            h2, i, meta2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) == 0
+        raw = np.empty(int(meta2[2]) * int(meta2[3]), np.uint8)
+        return lib.lp_gif_decode_scanned(
+            h2, i, raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    with ThreadPoolExecutor(4) as ex:
+        assert all(rc == 0 for rc in ex.map(dec_one, range(nf)))
+    lib.lp_gif_free(h2)
+    # hostile scans: truncations must not crash
+    for cut in (len(buf) // 4, len(buf) // 2, len(buf) - 3):
+        tb = np.frombuffer(bytes(buf[:cut]), np.uint8)
+        h3 = lib.lp_gif_open(
+            tb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), tb.size,
+            info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if not h3:
+            continue
+        n3 = lib.lp_gif_scan(h3)
+        for i in range(max(n3, 0)):
+            meta3 = np.zeros(10, np.int32)
+            if lib.lp_gif_scanned_meta(
+                    h3, i,
+                    meta3.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))) != 0:
+                continue
+            raw = np.empty(max(int(meta3[2]) * int(meta3[3]), 1), np.uint8)
+            lib.lp_gif_decode_scanned(
+                h3, i, raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        lib.lp_gif_free(h3)
     out7 = np.zeros(7, np.int32)
     lib.lp_gif_anim_info(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                          buf.size, out7.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
