@@ -143,6 +143,31 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def band_geometry(tcx0, tcy0, tcx1, tcy1, levels):
+    """Per resolution r: (res rect, [(orient, band rect), ...]) on the
+    tile-component rect (B.5); shared by the decoder and the encoder
+    (codecs/jp2_enc.py) so split geometry can never diverge."""
+    out = []
+    for r in range(levels + 1):
+        nb = levels - r
+        trx0, try0 = _ceil_div(tcx0, 1 << nb), _ceil_div(tcy0, 1 << nb)
+        trx1, try1 = _ceil_div(tcx1, 1 << nb), _ceil_div(tcy1, 1 << nb)
+        if r == 0:
+            bands = [(0, trx0, try0, trx1, try1)]
+        else:
+            nb2 = levels - r + 1
+            bands = []
+            for orient, (xo, yo) in ((1, (1, 0)), (2, (0, 1)),
+                                     (3, (1, 1))):
+                bx0 = _ceil_div(tcx0 - (1 << (nb2 - 1)) * xo, 1 << nb2)
+                by0 = _ceil_div(tcy0 - (1 << (nb2 - 1)) * yo, 1 << nb2)
+                bx1 = _ceil_div(tcx1 - (1 << (nb2 - 1)) * xo, 1 << nb2)
+                by1 = _ceil_div(tcy1 - (1 << (nb2 - 1)) * yo, 1 << nb2)
+                bands.append((orient, bx0, by0, bx1, by1))
+        out.append(((trx0, try0, trx1, try1), bands))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # codestream structures
 # ---------------------------------------------------------------------------
@@ -431,26 +456,7 @@ class Jp2Image:
         return self.qcc.get(c, self.qcd)
 
     def _band_geometry(self, tcx0, tcy0, tcx1, tcy1, levels):
-        """Per resolution r: (res rect, [(orient, band rect), ...])."""
-        out = []
-        for r in range(levels + 1):
-            nb = levels - r
-            trx0, try0 = _ceil_div(tcx0, 1 << nb), _ceil_div(tcy0, 1 << nb)
-            trx1, try1 = _ceil_div(tcx1, 1 << nb), _ceil_div(tcy1, 1 << nb)
-            if r == 0:
-                bands = [(0, trx0, try0, trx1, try1)]
-            else:
-                nb2 = levels - r + 1
-                bands = []
-                for orient, (xo, yo) in ((1, (1, 0)), (2, (0, 1)),
-                                         (3, (1, 1))):
-                    bx0 = _ceil_div(tcx0 - (1 << (nb2 - 1)) * xo, 1 << nb2)
-                    by0 = _ceil_div(tcy0 - (1 << (nb2 - 1)) * yo, 1 << nb2)
-                    bx1 = _ceil_div(tcx1 - (1 << (nb2 - 1)) * xo, 1 << nb2)
-                    by1 = _ceil_div(tcy1 - (1 << (nb2 - 1)) * yo, 1 << nb2)
-                    bands.append((orient, bx0, by0, bx1, by1))
-            out.append(((trx0, try0, trx1, try1), bands))
-        return out
+        return band_geometry(tcx0, tcy0, tcx1, tcy1, levels)
 
     def _decode_tile(self, data, tx0, ty0, tx1, ty1, t1mod, W):
         s, cod = self.siz, self.cod
@@ -859,20 +865,20 @@ class Jp2Decoder(Decoder):
 
 
 class Jp2Encoder:
-    """JP2 encoder via PIL's OpenJPEG binding (the reference encodes
-    .jp2 through cv::ImageEncoder's OpenJPEG writer — same library).
-    Lossless 5/3 by default; JPEG2000_RATE (encode option key 1000) sets
-    an irreversible 9/7 rate target in 1/1000ths like OpenCV's
-    IMWRITE_JPEG2000_COMPRESSION_X1000."""
+    """First-party JP2 encoder (codecs/jp2_enc.py — from-spec Tier-1/
+    Tier-2/markers; the reference encodes .jp2 through
+    cv::ImageEncoder's OpenJPEG writer, /root/reference/opencv.cpp:93).
+    Lossless 5/3 by default, bit-exact round-trip and decodable by
+    OpenJPEG itself; JPEG2000_RATE (encode option key 1000) sets an
+    irreversible 9/7 compression-ratio target in 1/1000ths like
+    OpenCV's IMWRITE_JPEG2000_COMPRESSION_X1000."""
 
     def __init__(self, decoded_by=None, icc_override=None):
         del decoded_by, icc_override
         self._flushed = False
 
     def encode(self, fb, opts):
-        import io
-
-        from PIL import Image
+        from . import jp2_enc
         if fb is None:
             raise DecodingFailedError(
                 "JP2 encoder cannot flush without a frame")
@@ -882,16 +888,12 @@ class Jp2Encoder:
         if arr.ndim == 3:
             arr = arr[:, :, [2, 1, 0, 3]] if arr.shape[2] == 4 \
                 else arr[:, :, ::-1]
-        im = Image.fromarray(np.ascontiguousarray(arr))
-        bio = io.BytesIO()
+        arr = np.ascontiguousarray(arr)
         rate = int(opts.get(JPEG2000_RATE, 0)) if opts else 0
         if rate > 0:
-            im.save(bio, format="JPEG2000", irreversible=True,
-                    quality_mode="rates",
-                    quality_layers=[max(rate / 1000.0, 1.0)])
-        else:
-            im.save(bio, format="JPEG2000")
-        return bio.getvalue()
+            return jp2_enc.encode_jp2(arr, reversible=False,
+                                      rate=max(rate / 1000.0, 1.0))
+        return jp2_enc.encode_jp2(arr)
 
     def close(self):
         pass

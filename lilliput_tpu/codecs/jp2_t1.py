@@ -175,6 +175,309 @@ def _sc_context(h0, h1, v0, v1):
     return 13, 1
 
 
+class MQEncoder:
+    """Annex C MQ encoder (software conventions, mirrors opj mqc.c).
+
+    The byte before a fresh segment is a 0x00 sentinel (dropped at
+    flush); for continuation segments (termall) pass the previous
+    segment's final byte so CT initializes to 13 after 0xFF (C.2.8)."""
+
+    def __init__(self, prev_byte: int = 0):
+        self.buf = bytearray([prev_byte])
+        self.bp = 0
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 13 if prev_byte == 0xFF else 12
+        self.ctx = [(0, 0)] * N_CTX
+        self.reset_ctx()
+
+    def reset_ctx(self):
+        for i in range(N_CTX):
+            self.ctx[i] = (0, 0)
+        self.ctx[CTX_UNI] = (46, 0)
+        self.ctx[CTX_RL] = (3, 0)
+        self.ctx[0] = (4, 0)
+
+    def _byteout(self):
+        b = self.buf
+        if b[self.bp] == 0xFF:
+            self.bp += 1
+            b.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif (self.c & 0x8000000) == 0:
+            self.bp += 1
+            b.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            b[self.bp] += 1
+            if b[self.bp] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.bp += 1
+                b.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self.bp += 1
+                b.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self):
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, d: int, cx: int):
+        idx, mps = self.ctx[cx]
+        qe, nmps, nlps, sw = MQ_STATES[idx]
+        self.a -= qe
+        if d == mps:
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                self.ctx[cx] = (nmps, mps)
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if sw:
+                mps = 1 - mps
+            self.ctx[cx] = (nlps, mps)
+            self._renorm()
+
+    def flush(self) -> bytes:
+        """Standard Elias termination (C.2.9 FLUSH); returns the
+        segment bytes (sentinel dropped, trailing 0xFF excluded)."""
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        end = self.bp + 1 if self.buf[self.bp] != 0xFF else self.bp
+        return bytes(self.buf[1:end])
+
+
+def encode_codeblock_py(coefs: np.ndarray, band: int, mb: int):
+    """Encode one codeblock (signed int coefficients, (h, w)) with the
+    default coding style, all passes, per Annex D (mirror of
+    _decode_codeblock_py). Returns (data, numpasses, zero_planes);
+    empty blocks return (b'', 0, mb)."""
+    coefs = np.asarray(coefs, np.int64)
+    h, w = coefs.shape
+    mag_all = np.abs(coefs)
+    sgn_in = np.where(coefs < 0, -1, 1).astype(np.int8)
+    maxmag = int(mag_all.max()) if mag_all.size else 0
+    nb = maxmag.bit_length()
+    if nb == 0:
+        return b"", 0, mb
+    if nb > mb:
+        raise ValueError(f"codeblock needs {nb} bitplanes > Mb={mb}")
+    zero_planes = mb - nb
+
+    sig = np.zeros((h, w), np.uint8)
+    vis = np.zeros((h, w), np.uint8)
+    first_ref = np.ones((h, w), np.uint8)
+    mq = MQEncoder()
+
+    def neigh_sig(x, y):
+        hn = ((sig[y, x - 1] if x > 0 else 0)
+              + (sig[y, x + 1] if x + 1 < w else 0))
+        vn = ((sig[y - 1, x] if y > 0 else 0)
+              + (sig[y + 1, x] if y + 1 < h else 0))
+        dn = ((sig[y - 1, x - 1] if x > 0 and y > 0 else 0)
+              + (sig[y - 1, x + 1] if x + 1 < w and y > 0 else 0)
+              + (sig[y + 1, x - 1] if x > 0 and y + 1 < h else 0)
+              + (sig[y + 1, x + 1] if x + 1 < w and y + 1 < h else 0))
+        return hn, vn, dn
+
+    def encode_sign(x, y):
+        def sv(xx, yy):
+            if 0 <= xx < w and 0 <= yy < h and sig[yy, xx]:
+                return int(sgn_out[yy, xx])
+            return 0
+        cx, xorbit = _sc_context(sv(x - 1, y), sv(x + 1, y),
+                                 sv(x, y - 1), sv(x, y + 1))
+        bit = (1 if sgn_in[y, x] < 0 else 0) ^ xorbit
+        mq.encode(bit, cx)
+        sgn_out[y, x] = sgn_in[y, x]
+
+    sgn_out = np.zeros((h, w), np.int8)
+
+    def spp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if sig[y, x]:
+                        continue
+                    hn, vn, dn = neigh_sig(x, y)
+                    if hn + vn + dn == 0:
+                        continue
+                    vis[y, x] = 1
+                    bit = int((mag_all[y, x] >> p) & 1)
+                    mq.encode(bit, _zc_context(band, hn, vn, dn))
+                    if bit:
+                        sig[y, x] = 1
+                        encode_sign(x, y)
+
+    def mrp(p):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if not sig[y, x] or vis[y, x]:
+                        continue
+                    if first_ref[y, x]:
+                        hn, vn, dn = neigh_sig(x, y)
+                        cx = 15 if hn + vn + dn else 14
+                        first_ref[y, x] = 0
+                    else:
+                        cx = 16
+                    mq.encode(int((mag_all[y, x] >> p) & 1), cx)
+                    vis[y, x] = 1
+
+    def cleanup(p):
+        for y0 in range(0, h, 4):
+            x = 0
+            while x < w:
+                y = y0
+                if y0 + 4 <= h:
+                    runlen_ok = True
+                    for yy in range(y0, y0 + 4):
+                        if sig[yy, x] or vis[yy, x]:
+                            runlen_ok = False
+                            break
+                        hn, vn, dn = neigh_sig(x, yy)
+                        if hn + vn + dn:
+                            runlen_ok = False
+                            break
+                    if runlen_ok:
+                        r = -1
+                        for yy in range(y0, y0 + 4):
+                            if (mag_all[yy, x] >> p) & 1:
+                                r = yy - y0
+                                break
+                        if r < 0:
+                            mq.encode(0, CTX_RL)
+                            x += 1
+                            continue
+                        mq.encode(1, CTX_RL)
+                        mq.encode((r >> 1) & 1, CTX_UNI)
+                        mq.encode(r & 1, CTX_UNI)
+                        y = y0 + r
+                        sig[y, x] = 1
+                        encode_sign(x, y)
+                        y += 1
+                for yy in range(y, min(y0 + 4, h)):
+                    if sig[yy, x] or vis[yy, x]:
+                        vis[yy, x] = 0
+                        continue
+                    hn, vn, dn = neigh_sig(x, yy)
+                    bit = int((mag_all[yy, x] >> p) & 1)
+                    mq.encode(bit, _zc_context(band, hn, vn, dn))
+                    if bit:
+                        sig[yy, x] = 1
+                        encode_sign(x, yy)
+                x += 1
+        vis[:] = 0
+
+    cleanup(nb - 1)
+    numpasses = 1
+    for pp in range(nb - 2, -1, -1):
+        spp(pp)
+        mrp(pp)
+        cleanup(pp)
+        numpasses += 3
+    return mq.flush(), numpasses, zero_planes
+
+
+_C_ENC_READY = None
+
+
+def _native_enc():
+    """C++ T1 encoder entry, or None (LILLIPUT_JP2_T1=py forces the
+    pure-Python reference, shared with the decode escape hatch)."""
+    global _C_ENC_READY
+    import os
+    if os.environ.get("LILLIPUT_JP2_T1") == "py":
+        return None
+    if _C_ENC_READY is None:
+        import ctypes as c
+
+        from .. import binding
+        u8p = c.POINTER(c.c_uint8)
+        i32p = c.POINTER(c.c_int32)
+        binding.register_signature(
+            "lp_jp2_t1_encode",
+            [i32p, c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+             u8p, c.c_int32, i32p, i32p, i32p, i32p, i32p, i32p,
+             c.c_int32], c.c_int)
+        try:
+            lib = binding.load()
+            _C_ENC_READY = lib if hasattr(lib, "lp_jp2_t1_encode") else False
+        except Exception:
+            _C_ENC_READY = False
+    return _C_ENC_READY or None
+
+
+def encode_codeblock(coefs, band: int, mb: int, style: int = 0):
+    """Encode one codeblock; returns (segments, numpasses,
+    zero_planes) where segments is a list of (bytes, passes) codeword
+    segments (one element for the default style)."""
+    coefs = np.ascontiguousarray(coefs, np.int32)
+    h, w = coefs.shape
+    lib = _native_enc()
+    if lib is not None and style == 0:
+        import ctypes as c
+        cap = w * h * 8 + 1024
+        out = np.empty(cap, np.uint8)
+        max_segs = 256
+        seg_lens = np.zeros(max_segs, np.int32)
+        seg_passes = np.zeros(max_segs, np.int32)
+        out_len = c.c_int32()
+        out_np = c.c_int32()
+        out_zp = c.c_int32()
+        n_segs = c.c_int32()
+        rc = lib.lp_jp2_t1_encode(
+            coefs.ctypes.data_as(c.POINTER(c.c_int32)), w, h, band, mb,
+            style, out.ctypes.data_as(c.POINTER(c.c_uint8)), cap,
+            c.byref(out_len), c.byref(out_np), c.byref(out_zp),
+            seg_lens.ctypes.data_as(c.POINTER(c.c_int32)),
+            seg_passes.ctypes.data_as(c.POINTER(c.c_int32)),
+            c.byref(n_segs), max_segs)
+        if rc == 0:
+            segs = []
+            pos = 0
+            for i in range(n_segs.value):
+                ln = int(seg_lens[i])
+                segs.append((out[pos:pos + ln].tobytes(),
+                             int(seg_passes[i])))
+                pos += ln
+            return segs, out_np.value, out_zp.value
+        if rc == -2:
+            raise ValueError("codeblock bitplanes exceed Mb")
+        # rc == -3 (style not in C++ yet) falls through to Python
+    if style != 0:
+        raise NotImplementedError("codeblock styles: encoder phase 2")
+    data, np_, zp = encode_codeblock_py(coefs, band, mb)
+    segs = [(data, np_)] if np_ else []
+    return segs, np_, zp
+
+
 _C_READY = None
 
 

@@ -281,7 +281,299 @@ struct T1 {
     }
 };
 
+// ---------------------------------------------------------------------------
+// Tier-1 ENCODER — C++ port of jp2_t1.py encode_codeblock_py (MQ coder
+// per Annex C software conventions, passes per Annex D), feeding the
+// first-party .jp2 encoder (codecs/jp2_enc.py).
+// ---------------------------------------------------------------------------
+
+struct MqEnc {
+    std::vector<uint8_t> buf;
+    size_t bp;
+    uint32_t c;
+    int32_t a, ct;
+    uint8_t idx[kNCtx], mps[kNCtx];
+
+    void init(uint8_t prev_byte) {
+        buf.clear();
+        buf.push_back(prev_byte);
+        bp = 0;
+        c = 0;
+        a = 0x8000;
+        ct = prev_byte == 0xFF ? 13 : 12;
+        reset_ctx();
+    }
+    void reset_ctx() {
+        std::memset(idx, 0, sizeof(idx));
+        std::memset(mps, 0, sizeof(mps));
+        idx[kCtxUni] = 46;
+        idx[kCtxRl] = 3;
+        idx[0] = 4;
+    }
+    void byteout() {
+        if (buf[bp] == 0xFF) {
+            bp += 1;
+            buf.push_back((c >> 20) & 0xFF);
+            c &= 0xFFFFF;
+            ct = 7;
+        } else if ((c & 0x8000000) == 0) {
+            bp += 1;
+            buf.push_back((c >> 19) & 0xFF);
+            c &= 0x7FFFF;
+            ct = 8;
+        } else {
+            buf[bp] += 1;
+            if (buf[bp] == 0xFF) {
+                c &= 0x7FFFFFF;
+                bp += 1;
+                buf.push_back((c >> 20) & 0xFF);
+                c &= 0xFFFFF;
+                ct = 7;
+            } else {
+                bp += 1;
+                buf.push_back((c >> 19) & 0xFF);
+                c &= 0x7FFFF;
+                ct = 8;
+            }
+        }
+    }
+    void renorm() {
+        do {
+            a = (a << 1) & 0xFFFF;
+            c <<= 1;
+            ct -= 1;
+            if (ct == 0) byteout();
+        } while (!(a & 0x8000));
+    }
+    void encode(int d, int cx) {
+        const MqState& st = kStates[idx[cx]];
+        a -= st.qe;
+        if (d == mps[cx]) {
+            if ((a & 0x8000) == 0) {
+                if (a < static_cast<int32_t>(st.qe)) a = st.qe;
+                else c += st.qe;
+                idx[cx] = st.nmps;
+                renorm();
+            } else {
+                c += st.qe;
+            }
+        } else {
+            if (a < static_cast<int32_t>(st.qe)) c += st.qe;
+            else a = st.qe;
+            if (st.sw) mps[cx] = 1 - mps[cx];
+            idx[cx] = st.nlps;
+            renorm();
+        }
+    }
+    // Standard Elias termination (C.2.9); returns segment length
+    // (sentinel dropped, trailing 0xFF excluded).
+    size_t flush() {
+        uint32_t tempc = c + static_cast<uint32_t>(a);
+        c |= 0xFFFF;
+        if (c >= tempc) c -= 0x8000;
+        c <<= ct;
+        byteout();
+        c <<= ct;
+        byteout();
+        size_t end = buf[bp] != 0xFF ? bp + 1 : bp;
+        return end - 1;  // bytes after the sentinel
+    }
+};
+
+struct T1Enc {
+    int w, h, band;
+    std::vector<int32_t> mag;
+    std::vector<uint8_t> sig, vis, first_ref;
+    std::vector<int8_t> sgn_in, sgn_out;
+    MqEnc mq;
+
+    inline uint8_t s_at(int x, int y) const {
+        return (x >= 0 && x < w && y >= 0 && y < h) ? sig[y * w + x] : 0;
+    }
+    inline int sv(int x, int y) const {
+        if (x >= 0 && x < w && y >= 0 && y < h && sig[y * w + x])
+            return sgn_out[y * w + x];
+        return 0;
+    }
+    inline void neigh(int x, int y, int* hn, int* vn, int* dn) const {
+        *hn = s_at(x - 1, y) + s_at(x + 1, y);
+        *vn = s_at(x, y - 1) + s_at(x, y + 1);
+        *dn = s_at(x - 1, y - 1) + s_at(x + 1, y - 1) + s_at(x - 1, y + 1)
+              + s_at(x + 1, y + 1);
+    }
+    void encode_sign(int x, int y) {
+        int cx, xorbit;
+        sc_context(sv(x - 1, y), sv(x + 1, y), sv(x, y - 1), sv(x, y + 1),
+                   &cx, &xorbit);
+        int bit = (sgn_in[y * w + x] < 0 ? 1 : 0) ^ xorbit;
+        mq.encode(bit, cx);
+        sgn_out[y * w + x] = sgn_in[y * w + x];
+    }
+
+    void spp(int p) {
+        for (int y0 = 0; y0 < h; y0 += 4) {
+            int ylim = y0 + 4 < h ? y0 + 4 : h;
+            for (int x = 0; x < w; x++) {
+                for (int y = y0; y < ylim; y++) {
+                    int i = y * w + x;
+                    if (sig[i]) continue;
+                    int hn, vn, dn;
+                    neigh(x, y, &hn, &vn, &dn);
+                    if (hn + vn + dn == 0) continue;
+                    vis[i] = 1;
+                    int bit = (mag[i] >> p) & 1;
+                    mq.encode(bit, zc_context(band, hn, vn, dn));
+                    if (bit) {
+                        sig[i] = 1;
+                        encode_sign(x, y);
+                    }
+                }
+            }
+        }
+    }
+
+    void mrp(int p) {
+        for (int y0 = 0; y0 < h; y0 += 4) {
+            int ylim = y0 + 4 < h ? y0 + 4 : h;
+            for (int x = 0; x < w; x++) {
+                for (int y = y0; y < ylim; y++) {
+                    int i = y * w + x;
+                    if (!sig[i] || vis[i]) continue;
+                    int cx;
+                    if (first_ref[i]) {
+                        int hn, vn, dn;
+                        neigh(x, y, &hn, &vn, &dn);
+                        cx = (hn + vn + dn) ? 15 : 14;
+                        first_ref[i] = 0;
+                    } else {
+                        cx = 16;
+                    }
+                    mq.encode((mag[i] >> p) & 1, cx);
+                    vis[i] = 1;
+                }
+            }
+        }
+    }
+
+    void cleanup(int p) {
+        for (int y0 = 0; y0 < h; y0 += 4) {
+            int ylim = y0 + 4 < h ? y0 + 4 : h;
+            for (int x = 0; x < w; x++) {
+                int y = y0;
+                if (y0 + 4 <= h) {
+                    bool rl = true;
+                    for (int yy = y0; yy < y0 + 4; yy++) {
+                        int i = yy * w + x;
+                        if (sig[i] || vis[i]) { rl = false; break; }
+                        int hn, vn, dn;
+                        neigh(x, yy, &hn, &vn, &dn);
+                        if (hn + vn + dn) { rl = false; break; }
+                    }
+                    if (rl) {
+                        int r = -1;
+                        for (int yy = y0; yy < y0 + 4; yy++) {
+                            if ((mag[yy * w + x] >> p) & 1) {
+                                r = yy - y0;
+                                break;
+                            }
+                        }
+                        if (r < 0) {
+                            mq.encode(0, kCtxRl);
+                            continue;
+                        }
+                        mq.encode(1, kCtxRl);
+                        mq.encode((r >> 1) & 1, kCtxUni);
+                        mq.encode(r & 1, kCtxUni);
+                        y = y0 + r;
+                        int i = y * w + x;
+                        sig[i] = 1;
+                        encode_sign(x, y);
+                        y += 1;
+                    }
+                }
+                for (int yy = y; yy < ylim; yy++) {
+                    int i = yy * w + x;
+                    if (sig[i] || vis[i]) { vis[i] = 0; continue; }
+                    int hn, vn, dn;
+                    neigh(x, yy, &hn, &vn, &dn);
+                    int bit = (mag[i] >> p) & 1;
+                    mq.encode(bit, zc_context(band, hn, vn, dn));
+                    if (bit) {
+                        sig[i] = 1;
+                        encode_sign(x, yy);
+                    }
+                }
+            }
+        }
+        std::memset(vis.data(), 0, vis.size());
+    }
+};
+
 }  // namespace
+
+// Encode one codeblock with the default coding style, all passes.
+// Returns 0 on success; fills out[0..*out_len), *out_numpasses,
+// *out_zero_planes. seg_lens/seg_passes receive per-codeword-segment
+// byte lengths / pass counts (single segment for the default style).
+extern "C" int lp_jp2_t1_encode(const int32_t* coefs, int32_t w, int32_t h,
+                                int32_t band, int32_t mb, int32_t style,
+                                uint8_t* out, int32_t out_cap,
+                                int32_t* out_len, int32_t* out_numpasses,
+                                int32_t* out_zero_planes,
+                                int32_t* seg_lens, int32_t* seg_passes,
+                                int32_t* n_segs, int32_t max_segs) {
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096 || mb < 1 || mb > 31)
+        return -1;
+    if (style != 0) return -3;  // styles arrive with the style phase
+    const size_t nsamp = static_cast<size_t>(w) * h;
+    T1Enc t1;
+    t1.w = w;
+    t1.h = h;
+    t1.band = band;
+    t1.mag.resize(nsamp);
+    t1.sgn_in.resize(nsamp);
+    int32_t maxmag = 0;
+    for (size_t i = 0; i < nsamp; i++) {
+        int32_t v = coefs[i];
+        int32_t m = v < 0 ? -v : v;
+        t1.mag[i] = m;
+        t1.sgn_in[i] = v < 0 ? -1 : 1;
+        if (m > maxmag) maxmag = m;
+    }
+    int nb = 0;
+    while ((maxmag >> nb) != 0) nb++;
+    if (nb == 0) {
+        *out_len = 0;
+        *out_numpasses = 0;
+        *out_zero_planes = mb;
+        *n_segs = 0;
+        return 0;
+    }
+    if (nb > mb) return -2;
+    t1.sig.assign(nsamp, 0);
+    t1.vis.assign(nsamp, 0);
+    t1.first_ref.assign(nsamp, 1);
+    t1.sgn_out.assign(nsamp, 0);
+    t1.mq.init(0);
+    t1.cleanup(nb - 1);
+    int numpasses = 1;
+    for (int p = nb - 2; p >= 0; p--) {
+        t1.spp(p);
+        t1.mrp(p);
+        t1.cleanup(p);
+        numpasses += 3;
+    }
+    size_t len = t1.mq.flush();
+    if (static_cast<int32_t>(len) > out_cap || max_segs < 1) return -4;
+    std::memcpy(out, t1.mq.buf.data() + 1, len);
+    *out_len = static_cast<int32_t>(len);
+    *out_numpasses = numpasses;
+    *out_zero_planes = mb - nb;
+    seg_lens[0] = static_cast<int32_t>(len);
+    seg_passes[0] = numpasses;
+    *n_segs = 1;
+    return 0;
+}
 
 extern "C" int lp_jp2_t1_decode(const uint8_t* data, int32_t len,
                                 int32_t w, int32_t h, int32_t band,

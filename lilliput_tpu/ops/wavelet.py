@@ -1,5 +1,9 @@
-"""Inverse discrete wavelet transforms + multi-component transforms for
-JPEG 2000 (ISO/IEC 15444-1 Annex F/G).
+"""Discrete wavelet transforms + multi-component transforms for
+JPEG 2000 (ISO/IEC 15444-1 Annex F/G), both directions.
+
+The forward (analysis) direction feeds the first-party .jp2 encoder
+(codecs/jp2_enc.py) — forward lifting is the exact algebraic inverse of
+the synthesis steps below, so lossless 5/3 round-trips bit-exactly.
 
 The dense synthesis stages of the JP2 decode: 5/3 reversible integer
 lifting, 9/7 irreversible float lifting, and the inverse RCT/ICT — all
@@ -141,6 +145,110 @@ def inverse_dwt_level(ll, hl, lh, hh, ll_rect, out_rect, reversible: bool):
     Y = sr(Y, -1, x0, x1)
     Y = sr(Y, -2, y0, y1)
     return Y
+
+
+def _fa_1d_53(x, axis: int, i0: int, i1: int):
+    """Reversible 1D analysis (forward of _sr_1d_53) on absolute
+    indices [i0, i1); returns interleaved Y (even=low, odd=high)."""
+    n = i1 - i0
+    if n == 1:
+        if i0 & 1:
+            # inverse of X = trunc(Y / 2) for the lone odd-phase sample
+            return np.asarray(x, np.int64) * 2
+        return np.asarray(x, np.int64)
+    x = np.moveaxis(np.asarray(x, np.int64), axis, -1)
+    idx_abs = np.arange(i0, i1)
+    y = x.copy()
+
+    def at(arr, j_abs):
+        rel = _sym_ext_idx(j_abs - i0, n)
+        return arr[..., rel]
+
+    # Y(2n+1) = X(2n+1) - floor((X(2n) + X(2n+2)) / 2)
+    odd_abs = idx_abs[(idx_abs % 2) == 1]
+    y[..., odd_abs - i0] = x[..., odd_abs - i0] - (
+        (at(x, odd_abs - 1) + at(x, odd_abs + 1)) >> 1)
+    # Y(2n) = X(2n) + floor((Y(2n-1) + Y(2n+1) + 2) / 4)
+    even_abs = idx_abs[(idx_abs % 2) == 0]
+    y[..., even_abs - i0] = x[..., even_abs - i0] + (
+        (at(y, even_abs - 1) + at(y, even_abs + 1) + 2) >> 2)
+    return np.moveaxis(y, -1, axis)
+
+
+def _fa_1d_97(x, axis: int, i0: int, i1: int):
+    """Irreversible 1D analysis (forward of _sr_1d_97)."""
+    n = i1 - i0
+    x = np.moveaxis(np.asarray(x, np.float64), axis, -1)
+    if n == 1:
+        out = x if (i0 & 1) == 0 else x * 2.0
+        return np.moveaxis(out, -1, axis)
+    idx_abs = np.arange(i0, i1)
+    y = x.copy()
+
+    def lift(target_parity, coef):
+        tgt = idx_abs[(idx_abs % 2) == target_parity]
+        rel_m = _sym_ext_idx(tgt - 1 - i0, n)
+        rel_p = _sym_ext_idx(tgt + 1 - i0, n)
+        y[..., tgt - i0] += coef * (y[..., rel_m] + y[..., rel_p])
+
+    lift(1, ALPHA)
+    lift(0, BETA)
+    lift(1, GAMMA)
+    lift(0, DELTA)
+    even_m = (idx_abs % 2) == 0
+    y[..., even_m] *= 1.0 / KK
+    y[..., ~even_m] *= KK
+    return np.moveaxis(y, -1, axis)
+
+
+def forward_dwt_level(x, out_rect, reversible: bool):
+    """One 2D analysis level: LL of resolution r (rect out_rect =
+    (x0, y0, x1, y1) in that resolution's coordinates) -> (LL, HL, LH,
+    HH) of the next decomposition. Exact inverse of inverse_dwt_level;
+    band shapes follow the same parity split of the absolute grid."""
+    x0, y0, x1, y1 = out_rect
+    fa = _fa_1d_53 if reversible else _fa_1d_97
+    Y = np.asarray(x, np.int64 if reversible else np.float64)
+    # analysis order is the reverse of HOR_SR-then-VER_SR synthesis
+    Y = fa(Y, -2, y0, y1)
+    Y = fa(Y, -1, x0, x1)
+    xs = np.arange(x0, x1)
+    ys = np.arange(y0, y1)
+    ex = (xs % 2) == 0
+    ey = (ys % 2) == 0
+    iy_e = np.nonzero(ey)[0][:, None]
+    iy_o = np.nonzero(~ey)[0][:, None]
+    ix_e = np.nonzero(ex)[0][None, :]
+    ix_o = np.nonzero(~ex)[0][None, :]
+    ll = Y[iy_e, ix_e]
+    hl = Y[iy_e, ix_o]
+    lh = Y[iy_o, ix_e]
+    hh = Y[iy_o, ix_o]
+    return ll, hl, lh, hh
+
+
+def forward_rct(r, g, b):
+    """Forward reversible color transform (G.2); exact inverse of
+    inverse_rct."""
+    r = np.asarray(r, np.int64)
+    g = np.asarray(g, np.int64)
+    b = np.asarray(b, np.int64)
+    y = (r + 2 * g + b) >> 2
+    u = b - g
+    v = r - g
+    return y, u, v
+
+
+def forward_ict(r, g, b):
+    """Forward irreversible color transform (G.3): floats, the exact
+    algebraic inverse of inverse_ict's lifting form."""
+    r = np.asarray(r, np.float64)
+    g = np.asarray(g, np.float64)
+    b = np.asarray(b, np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = (b - y) / 1.772
+    cr = (r - y) / 1.402
+    return y, cb, cr
 
 
 def inverse_rct(y, u, v):
