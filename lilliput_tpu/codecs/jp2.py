@@ -186,7 +186,7 @@ class _Qcd:
 
 class _CodeBlock:
     __slots__ = ("x0", "y0", "x1", "y1", "included", "zero_planes",
-                 "lblock", "numpasses", "data", "band")
+                 "lblock", "numpasses", "segs", "band")
 
     def __init__(self, x0, y0, x1, y1, band):
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
@@ -194,7 +194,10 @@ class _CodeBlock:
         self.zero_planes = 0
         self.lblock = 3
         self.numpasses = 0
-        self.data = b""
+        # codeword segments: [bytearray, passes] per terminated segment
+        # (one open-ended segment for the default style; bypass/termall
+        # split per jp2_t1.seg_maxpasses)
+        self.segs = []
         self.band = band
 
 
@@ -265,9 +268,9 @@ def _parse_cod(seg: bytes) -> _Cod:
     if c.prog > 4:
         raise InvalidImageError(
             f"JPEG 2000: invalid progression order {c.prog}")
-    if c.cblk_style & 0x3F:
+    if c.cblk_style & 0xC0:
         raise InvalidImageError(
-            "JPEG 2000: non-default codeblock style unsupported")
+            "JPEG 2000: undefined codeblock-style bits")
     if c.layers < 1:
         raise InvalidImageError("JPEG 2000: zero layers")
     c.precw = [15] * (c.levels + 1)
@@ -566,15 +569,19 @@ class Jp2Image:
                             f"JPEG 2000: magnitude bitplanes exceed 31 "
                             f"(Mb={mb})")
                     for cb in b.cblks:
-                        if cb.numpasses and cb.data:
+                        if cb.numpasses and cb.segs:
                             t1_jobs.append((cb, b, mb))
         results: Dict[int, np.ndarray] = {}
+        style = cod.cblk_style
 
         def one(job):
             cb, b, mb = job
+            data = b"".join(bytes(s[0]) for s in cb.segs)
+            seg_meta = [(len(s[0]), s[1]) for s in cb.segs]
             results[id(cb)] = t1mod.decode_codeblock(
-                cb.data, cb.x1 - cb.x0, cb.y1 - cb.y0,
-                (0, 1, 0, 2)[b.orient], cb.zero_planes, cb.numpasses, mb)
+                data, cb.x1 - cb.x0, cb.y1 - cb.y0,
+                (0, 1, 0, 2)[b.orient], cb.zero_planes, cb.numpasses,
+                mb, style, seg_meta)
 
         nw = min(len(t1_jobs), (__import__("os").cpu_count() or 1) * 2)
         if nw > 1 and len(t1_jobs) > 8:
@@ -672,19 +679,33 @@ class Jp2Image:
                             np_ = 6 + v
                         else:
                             np_ = 37 + br.read(7)
-                # Lblock update
+                # Lblock update (one per contribution), then one length
+                # per codeword segment touched (B.10.7.1)
                 while br.bit():
                     cb.lblock += 1
-                nbits = cb.lblock + int(math.floor(math.log2(np_)))
-                seg_len = br.read(nbits)
-                body.append((cb, np_, seg_len))
+                from . import jp2_t1 as _t1
+                style = cod.cblk_style
+                remaining = np_
+                while remaining > 0:
+                    si = len(cb.segs) - 1
+                    if si < 0 or cb.segs[si][1] >= _t1.seg_maxpasses(
+                            style, si):
+                        cb.segs.append([bytearray(), 0])
+                        si += 1
+                    cap = _t1.seg_maxpasses(style, si) - cb.segs[si][1]
+                    k = min(remaining, cap)
+                    nbits = cb.lblock + int(math.floor(math.log2(k)))
+                    seg_len = br.read(nbits)
+                    cb.segs[si][1] += k
+                    cb.numpasses += k
+                    body.append((cb, si, seg_len))
+                    remaining -= k
         pos = br.align()
         d = br.d
-        for cb, np_, seg_len in body:
+        for cb, si, seg_len in body:
             if pos + seg_len > len(d):
                 raise DecodingFailedError("JPEG 2000 packet body truncated")
-            cb.data += d[pos:pos + seg_len]
-            cb.numpasses += np_
+            cb.segs[si][0] += d[pos:pos + seg_len]
             pos += seg_len
         return _BitReader(d, pos)
 

@@ -44,10 +44,21 @@ CTX_MR = 14  # 14,15,16
 CTX_SC = 9   # 9..13
 
 
-class MQDecoder:
-    """Annex C software-conventions MQ decoder (matches OpenJPEG)."""
+def _fresh_ctx():
+    ctx = [(0, 0)] * N_CTX
+    ctx[CTX_UNI] = (46, 0)
+    ctx[CTX_RL] = (3, 0)
+    ctx[0] = (4, 0)
+    return ctx
 
-    def __init__(self, data: bytes):
+
+class MQDecoder:
+    """Annex C software-conventions MQ decoder (matches OpenJPEG).
+    `ctx` adopts an existing context-state list so states persist
+    across codeword segments (termall/bypass styles re-init only the
+    register state per segment, D.4.1)."""
+
+    def __init__(self, data: bytes, ctx=None):
         self.data = data
         self.n = len(data)
         self.bp = 0
@@ -58,10 +69,10 @@ class MQDecoder:
         self.ct -= 7
         self.a = 0x8000
         # ctx state: (index, mps)
-        self.ctx = [(0, 0)] * N_CTX
-        self.ctx[CTX_UNI] = (46, 0)
-        self.ctx[CTX_RL] = (3, 0)
-        self.ctx[0] = (4, 0)
+        self.ctx = ctx if ctx is not None else _fresh_ctx()
+
+    def reset_ctx(self):
+        self.ctx[:] = _fresh_ctx()
 
     def _bytein(self):
         d, n = self.data, self.n
@@ -273,11 +284,51 @@ class MQEncoder:
         return bytes(self.buf[1:end])
 
 
-def encode_codeblock_py(coefs: np.ndarray, band: int, mb: int):
-    """Encode one codeblock (signed int coefficients, (h, w)) with the
-    default coding style, all passes, per Annex D (mirror of
-    _decode_codeblock_py). Returns (data, numpasses, zero_planes);
-    empty blocks return (b'', 0, mb)."""
+class RawEncoder:
+    """Raw (bypass) bit writer, D.6 — mirror of RawDecoder: MSB-first,
+    a byte following 0xFF carries 7 bits; flush zero-pads and never
+    ends the segment on 0xFF."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+        self.last = 0
+
+    def _cap(self):
+        return 7 if self.last == 0xFF else 8
+
+    def bit(self, b):
+        self.acc = (self.acc << 1) | (b & 1)
+        self.nacc += 1
+        if self.nacc == self._cap():
+            self.out.append(self.acc)
+            self.last = self.acc
+            self.acc = 0
+            self.nacc = 0
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            self.acc <<= self._cap() - self.nacc
+            self.out.append(self.acc)
+            self.last = self.acc
+            self.acc = 0
+            self.nacc = 0
+        if self.last == 0xFF:
+            self.out.append(0)
+            self.last = 0
+        return bytes(self.out)
+
+
+def encode_codeblock_py(coefs: np.ndarray, band: int, mb: int,
+                        style: int = 0):
+    """Encode one codeblock (signed int coefficients, (h, w)), all
+    passes, per Annex D (mirror of _decode_codeblock_py) with full
+    codeblock-style support. Returns (segments, numpasses,
+    zero_planes) where segments is [(bytes, passes)] per codeword
+    segment (termination points per the opj rule: every pass for
+    termall; pass 10 then each raw pair / MQ cleanup for bypass).
+    Empty blocks return ([], 0, mb)."""
     coefs = np.asarray(coefs, np.int64)
     h, w = coefs.shape
     mag_all = np.abs(coefs)
@@ -285,41 +336,49 @@ def encode_codeblock_py(coefs: np.ndarray, band: int, mb: int):
     maxmag = int(mag_all.max()) if mag_all.size else 0
     nb = maxmag.bit_length()
     if nb == 0:
-        return b"", 0, mb
+        return [], 0, mb
     if nb > mb:
         raise ValueError(f"codeblock needs {nb} bitplanes > Mb={mb}")
     zero_planes = mb - nb
+    vsc = bool(style & STY_VSC)
 
     sig = np.zeros((h, w), np.uint8)
     vis = np.zeros((h, w), np.uint8)
     first_ref = np.ones((h, w), np.uint8)
-    mq = MQEncoder()
+    sgn_out = np.zeros((h, w), np.int8)
+    ctx = _fresh_ctx()
+    state = {"mq": None, "raw": None}
 
     def neigh_sig(x, y):
+        s = vsc and (y & 3) == 3
         hn = ((sig[y, x - 1] if x > 0 else 0)
               + (sig[y, x + 1] if x + 1 < w else 0))
         vn = ((sig[y - 1, x] if y > 0 else 0)
-              + (sig[y + 1, x] if y + 1 < h else 0))
+              + (sig[y + 1, x] if y + 1 < h and not s else 0))
         dn = ((sig[y - 1, x - 1] if x > 0 and y > 0 else 0)
-              + (sig[y - 1, x + 1] if x + 1 < w and y > 0 else 0)
-              + (sig[y + 1, x - 1] if x > 0 and y + 1 < h else 0)
-              + (sig[y + 1, x + 1] if x + 1 < w and y + 1 < h else 0))
+              + (sig[y - 1, x + 1] if x + 1 < w and y > 0 else 0))
+        if not s:
+            dn += ((sig[y + 1, x - 1] if x > 0 and y + 1 < h else 0)
+                   + (sig[y + 1, x + 1] if x + 1 < w and y + 1 < h
+                      else 0))
         return hn, vn, dn
 
     def encode_sign(x, y):
+        s = vsc and (y & 3) == 3
+
         def sv(xx, yy):
+            if s and yy > y:
+                return 0
             if 0 <= xx < w and 0 <= yy < h and sig[yy, xx]:
                 return int(sgn_out[yy, xx])
             return 0
         cx, xorbit = _sc_context(sv(x - 1, y), sv(x + 1, y),
                                  sv(x, y - 1), sv(x, y + 1))
         bit = (1 if sgn_in[y, x] < 0 else 0) ^ xorbit
-        mq.encode(bit, cx)
+        state["mq"].encode(bit, cx)
         sgn_out[y, x] = sgn_in[y, x]
 
-    sgn_out = np.zeros((h, w), np.int8)
-
-    def spp(p):
+    def spp(p, is_raw):
         for y0 in range(0, h, 4):
             for x in range(w):
                 for y in range(y0, min(y0 + 4, h)):
@@ -330,16 +389,29 @@ def encode_codeblock_py(coefs: np.ndarray, band: int, mb: int):
                         continue
                     vis[y, x] = 1
                     bit = int((mag_all[y, x] >> p) & 1)
-                    mq.encode(bit, _zc_context(band, hn, vn, dn))
+                    if is_raw:
+                        state["raw"].bit(bit)
+                        if bit:
+                            sig[y, x] = 1
+                            state["raw"].bit(1 if sgn_in[y, x] < 0
+                                             else 0)
+                            sgn_out[y, x] = sgn_in[y, x]
+                        continue
+                    state["mq"].encode(bit, _zc_context(band, hn, vn, dn))
                     if bit:
                         sig[y, x] = 1
                         encode_sign(x, y)
 
-    def mrp(p):
+    def mrp(p, is_raw):
         for y0 in range(0, h, 4):
             for x in range(w):
                 for y in range(y0, min(y0 + 4, h)):
                     if not sig[y, x] or vis[y, x]:
+                        continue
+                    bit = int((mag_all[y, x] >> p) & 1)
+                    if is_raw:
+                        state["raw"].bit(bit)
+                        vis[y, x] = 1
                         continue
                     if first_ref[y, x]:
                         hn, vn, dn = neigh_sig(x, y)
@@ -347,10 +419,11 @@ def encode_codeblock_py(coefs: np.ndarray, band: int, mb: int):
                         first_ref[y, x] = 0
                     else:
                         cx = 16
-                    mq.encode(int((mag_all[y, x] >> p) & 1), cx)
+                    state["mq"].encode(bit, cx)
                     vis[y, x] = 1
 
     def cleanup(p):
+        mq = state["mq"]
         for y0 in range(0, h, 4):
             x = 0
             while x < w:
@@ -394,15 +467,77 @@ def encode_codeblock_py(coefs: np.ndarray, band: int, mb: int):
                         encode_sign(x, yy)
                 x += 1
         vis[:] = 0
+        if style & STY_SEGSYM:
+            mq.encode(1, CTX_UNI)
+            mq.encode(0, CTX_UNI)
+            mq.encode(1, CTX_UNI)
+            mq.encode(0, CTX_UNI)
 
-    cleanup(nb - 1)
-    numpasses = 1
-    for pp in range(nb - 2, -1, -1):
-        spp(pp)
-        mrp(pp)
-        cleanup(pp)
-        numpasses += 3
-    return mq.flush(), numpasses, zero_planes
+    segments = []
+    seg_passes = 0
+    prev_byte = 0
+    bpno = nb - 1
+    passtype = 2
+    passidx = 0
+    numpasses = 3 * nb - 2
+
+    def want_raw():
+        return (bool(style & STY_LAZY) and passtype < 2
+                and passidx >= 10)
+
+    def open_coder():
+        if want_raw():
+            state["raw"] = RawEncoder()
+            state["mq"] = None
+        else:
+            enc = MQEncoder(prev_byte)
+            enc.ctx = ctx
+            state["mq"] = enc
+            state["raw"] = None
+
+    def close_coder():
+        nonlocal prev_byte, seg_passes
+        if state["raw"] is not None:
+            data = state["raw"].flush()
+        else:
+            data = state["mq"].flush()
+        segments.append((data, seg_passes))
+        if data:
+            prev_byte = data[-1]
+        seg_passes = 0
+
+    open_coder()
+    while bpno >= 0:
+        is_raw = state["raw"] is not None
+        if passtype == 0:
+            spp(bpno, is_raw)
+        elif passtype == 1:
+            mrp(bpno, is_raw)
+        else:
+            cleanup(bpno)
+        if style & STY_RESET and state["mq"] is not None:
+            state["mq"].ctx[:] = _fresh_ctx()
+        seg_passes += 1
+        passidx += 1
+        last_pass = (passtype == 2 and bpno == 0)
+        # opj termination rule: termall -> every pass; bypass -> after
+        # pass 9 (cleanup of plane nb-4), then after each raw MRP and
+        # each MQ cleanup
+        term = False
+        if style & STY_TERMALL:
+            term = not last_pass
+        elif style & STY_LAZY:
+            term = ((bpno < nb - 4 and passtype > 0)
+                    or (bpno == nb - 4 and passtype == 2))
+        passtype += 1
+        if passtype == 3:
+            passtype = 0
+            bpno -= 1
+        if last_pass or term:
+            close_coder()
+            if not last_pass:
+                open_coder()
+    return segments, numpasses, zero_planes
 
 
 _C_ENC_READY = None
@@ -441,7 +576,7 @@ def encode_codeblock(coefs, band: int, mb: int, style: int = 0):
     coefs = np.ascontiguousarray(coefs, np.int32)
     h, w = coefs.shape
     lib = _native_enc()
-    if lib is not None and style == 0:
+    if lib is not None:
         import ctypes as c
         cap = w * h * 8 + 1024
         out = np.empty(cap, np.uint8)
@@ -471,11 +606,7 @@ def encode_codeblock(coefs, band: int, mb: int, style: int = 0):
         if rc == -2:
             raise ValueError("codeblock bitplanes exceed Mb")
         # rc == -3 (style not in C++ yet) falls through to Python
-    if style != 0:
-        raise NotImplementedError("codeblock styles: encoder phase 2")
-    data, np_, zp = encode_codeblock_py(coefs, band, mb)
-    segs = [(data, np_)] if np_ else []
-    return segs, np_, zp
+    return encode_codeblock_py(coefs, band, mb, style)
 
 
 _C_READY = None
@@ -499,9 +630,14 @@ def _native():
             "lp_jp2_t1_decode",
             [u8p, c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
              c.c_int32, c.c_int32, i32p], c.c_int)
+        binding.register_signature(
+            "lp_jp2_t1_decode2",
+            [u8p, c.c_int32, i32p, i32p, c.c_int32, c.c_int32, c.c_int32,
+             c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+             i32p], c.c_int)
         try:
             lib = binding.load()
-            _C_READY = lib if hasattr(lib, "lp_jp2_t1_decode") else False
+            _C_READY = lib if hasattr(lib, "lp_jp2_t1_decode2") else False
         except Exception:
             _C_READY = False
     return _C_READY or None
@@ -509,17 +645,25 @@ def _native():
 
 def decode_codeblock(data: bytes, w: int, h: int, band: int,
                      missing_bitplanes: int, numpasses: int,
-                     mb: int) -> np.ndarray:
+                     mb: int, style: int = 0, segs=None) -> np.ndarray:
     lib = _native()
     if lib is not None:
         import ctypes as c
         arr = np.frombuffer(data, np.uint8) if data else \
             np.zeros(1, np.uint8)
         out = np.empty((h, w), np.int32)
-        rc = lib.lp_jp2_t1_decode(
+        if segs is None:
+            segs = [(len(data), numpasses)]
+        seg_lens = np.ascontiguousarray(
+            [s[0] for s in segs], np.int32)
+        seg_passes = np.ascontiguousarray(
+            [s[1] for s in segs], np.int32)
+        rc = lib.lp_jp2_t1_decode2(
             arr.ctypes.data_as(c.POINTER(c.c_uint8)), len(data),
-            w, h, band, missing_bitplanes, numpasses, mb,
-            out.ctypes.data_as(c.POINTER(c.c_int32)))
+            seg_lens.ctypes.data_as(c.POINTER(c.c_int32)),
+            seg_passes.ctypes.data_as(c.POINTER(c.c_int32)),
+            len(segs), w, h, band, missing_bitplanes, numpasses, mb,
+            style, out.ctypes.data_as(c.POINTER(c.c_int32)))
         if rc != 0:
             # out-of-bounds geometry/bitplanes: fail loudly rather than
             # silently crawling through the 100x-slower Python path (the
@@ -534,41 +678,105 @@ def decode_codeblock(data: bytes, w: int, h: int, band: int,
         raise DecodingFailedError(
             "JPEG 2000: magnitude bitplanes exceed 31")
     return _decode_codeblock_py(data, w, h, band, missing_bitplanes,
-                                numpasses, mb)
+                                numpasses, mb, style, segs)
+
+
+class RawDecoder:
+    """Raw (bypass) bit reader, D.6 — port of opj raw decode: bytes
+    MSB-first; after a 0xFF byte the next byte carries 7 bits; reads
+    past the end feed 0xFF."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.c = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            self.ct = 8
+            if self.pos >= len(self.d):
+                self.c = 0xFF
+            else:
+                if self.c == 0xFF:
+                    self.ct = 7
+                self.c = self.d[self.pos]
+                self.pos += 1
+        self.ct -= 1
+        return (self.c >> self.ct) & 1
+
+
+# style bits (SPcod Table A.19) — shared with codecs/jp2_enc.py
+STY_LAZY = 0x01
+STY_RESET = 0x02
+STY_TERMALL = 0x04
+STY_VSC = 0x08
+STY_PTERM = 0x10
+STY_SEGSYM = 0x20
+
+
+def seg_maxpasses(style: int, seg_index: int) -> int:
+    """Codeword-segment pass capacity (opj opj_t2_init_seg): termall
+    -> 1; bypass -> 10 then alternating 2 (raw SPP+MRP) / 1 (MQ
+    cleanup); default -> 109."""
+    if style & STY_TERMALL:
+        return 1
+    if style & STY_LAZY:
+        if seg_index == 0:
+            return 10
+        return 2 if seg_index % 2 == 1 else 1
+    return 109
 
 
 def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                          missing_bitplanes: int, numpasses: int,
-                         mb: int) -> np.ndarray:
+                         mb: int, style: int = 0,
+                         segs=None) -> np.ndarray:
     """Decode one codeblock to signed integer coefficients (h, w) int32.
 
     band: 0 LL/LH, 1 HL, 2 HH (context orientation). mb: max magnitude
     bitplanes for the subband (guard bits + exponent - 1);
-    missing_bitplanes: from the zero-bitplane tag tree. Default codeblock
-    style only (no bypass/reset/termall/vsc/segsym) — what OpenJPEG and
-    the PIL encoder emit by default."""
+    missing_bitplanes: from the zero-bitplane tag tree. style: SPcod
+    codeblock-style byte (bypass/reset/termall/vsc/segsym all
+    supported); segs: [(byte_length, passes)] codeword segments within
+    `data` (None = one segment holding every pass, the default-style
+    layout)."""
     mag = np.zeros((h, w), np.int32)
     sig = np.zeros((h, w), np.uint8)    # significant
     sgn = np.zeros((h, w), np.int8)     # sign: +1 / -1 once significant
     vis = np.zeros((h, w), np.uint8)    # coded in current bitplane
-    mq = MQDecoder(data)
     nb = mb - missing_bitplanes  # number of bitplanes actually coded
     if nb <= 0 or numpasses <= 0:
         return mag
+    if segs is None:
+        segs = [(len(data), numpasses)]
+    vsc = bool(style & STY_VSC)
+    ctx = _fresh_ctx()
+    mq = None   # type: Optional[MQDecoder]
+    raw = None  # type: Optional[RawDecoder]
 
     def neigh_sig(x, y):
+        # VSC: the row below a stripe boundary is treated insignificant
+        # for context formation (D.7)
+        s = vsc and (y & 3) == 3
         hn = ((sig[y, x - 1] if x > 0 else 0)
               + (sig[y, x + 1] if x + 1 < w else 0))
         vn = ((sig[y - 1, x] if y > 0 else 0)
-              + (sig[y + 1, x] if y + 1 < h else 0))
+              + (sig[y + 1, x] if y + 1 < h and not s else 0))
         dn = ((sig[y - 1, x - 1] if x > 0 and y > 0 else 0)
-              + (sig[y - 1, x + 1] if x + 1 < w and y > 0 else 0)
-              + (sig[y + 1, x - 1] if x > 0 and y + 1 < h else 0)
-              + (sig[y + 1, x + 1] if x + 1 < w and y + 1 < h else 0))
+              + (sig[y - 1, x + 1] if x + 1 < w and y > 0 else 0))
+        if not s:
+            dn += ((sig[y + 1, x - 1] if x > 0 and y + 1 < h else 0)
+                   + (sig[y + 1, x + 1] if x + 1 < w and y + 1 < h
+                      else 0))
         return hn, vn, dn
 
     def decode_sign(x, y):
+        s = vsc and (y & 3) == 3
+
         def sv(xx, yy):
+            if s and yy > y:
+                return 0
             if 0 <= xx < w and 0 <= yy < h and sig[yy, xx]:
                 return int(sgn[yy, xx])
             return 0
@@ -577,7 +785,7 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
         bit = mq.decode(cx) ^ xorbit
         sgn[y, x] = -1 if bit else 1
 
-    def spp(p):
+    def spp(p, is_raw):
         bit = 1 << p
         for y0 in range(0, h, 4):
             for x in range(w):
@@ -588,19 +796,31 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                     if hn + vn + dn == 0:
                         continue
                     vis[y, x] = 1
-                    if mq.decode(_zc_context(band, hn, vn, dn)):
+                    if is_raw:
+                        if raw.bit():
+                            sig[y, x] = 1
+                            mag[y, x] |= bit
+                            sgn[y, x] = -1 if raw.bit() else 1
+                    elif mq.decode(_zc_context(band, hn, vn, dn)):
                         sig[y, x] = 1
                         mag[y, x] |= bit
                         decode_sign(x, y)
 
-    def mrp(p, first_ref):
+    def mrp(p, first_ref, is_raw):
         # OpenJPEG context rule: refinement ctx 14 (no sig neighbors) /
-        # 15 (some) on the FIRST refinement of a sample, 16 afterwards
+        # 15 (some) on the FIRST refinement of a sample, 16 afterwards.
+        # (opj applies no VSC masking to the refinement context — the
+        # oracle behavior we must match.)
         bit = 1 << p
         for y0 in range(0, h, 4):
             for x in range(w):
                 for y in range(y0, min(y0 + 4, h)):
                     if not sig[y, x] or vis[y, x]:
+                        continue
+                    if is_raw:
+                        if raw.bit():
+                            mag[y, x] |= bit
+                        vis[y, x] = 1
                         continue
                     if first_ref[y, x]:
                         hn, vn, dn = neigh_sig(x, y)
@@ -652,22 +872,41 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                         decode_sign(x, yy)
                 x += 1
         vis[:] = 0
+        if style & STY_SEGSYM:
+            # segmentation symbol 1010: decode and discard (opj warns
+            # on mismatch but still returns the data)
+            for _ in range(4):
+                mq.decode(CTX_UNI)
 
     first_ref = np.ones((h, w), np.uint8)
-    # first pass (MSB plane) is cleanup; then [SPP, MRP, CP] per plane
-    cleanup(nb - 1)
-    passno = 1
-    seq = []
-    for pp in range(nb - 2, -1, -1):
-        seq += [("spp", pp), ("mrp", pp), ("cp", pp)]
-    for kind, plane in seq:
-        if passno >= numpasses:
+    bpno = nb - 1
+    passtype = 2
+    passidx = 0
+    pos = 0
+    for (seg_len, seg_passes) in segs:
+        if passidx >= numpasses or bpno < 0:
             break
-        if kind == "spp":
-            spp(plane)
-        elif kind == "mrp":
-            mrp(plane, first_ref)
+        seg_data = data[pos:pos + seg_len]
+        pos += seg_len
+        is_raw = bool(style & STY_LAZY) and passtype < 2 and passidx >= 10
+        if is_raw:
+            raw = RawDecoder(seg_data)
         else:
-            cleanup(plane)
-        passno += 1
+            mq = MQDecoder(seg_data, ctx=ctx)
+        for _ in range(seg_passes):
+            if passidx >= numpasses or bpno < 0:
+                break
+            if passtype == 0:
+                spp(bpno, is_raw)
+            elif passtype == 1:
+                mrp(bpno, first_ref, is_raw)
+            else:
+                cleanup(bpno)
+            if style & STY_RESET and not is_raw:
+                mq.reset_ctx()
+            passidx += 1
+            passtype += 1
+            if passtype == 3:
+                passtype = 0
+                bpno -= 1
     return mag * np.where(sgn < 0, -1, 1).astype(np.int32)

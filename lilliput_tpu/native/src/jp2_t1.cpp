@@ -1,10 +1,11 @@
-// JPEG 2000 Tier-1 (EBCOT) codeblock decoder — C++ port of the Python
+// JPEG 2000 Tier-1 (EBCOT) codeblock codec — C++ port of the Python
 // reference in lilliput_tpu/codecs/jp2_t1.py (ISO/IEC 15444-1 Annexes
-// C/D; the reference decodes JP2 via OpenJPEG inside its OpenCV build,
+// C/D; the reference codes JP2 via OpenJPEG inside its OpenCV build,
 // /root/reference/deps/build-deps-linux.sh:289). Same algorithm, ~100x
 // faster than the per-bit Python loop; tests cross-check the two.
 //
-// Default codeblock style only (no bypass/reset/termall/vsc/segsym).
+// Full codeblock-style support (bypass/reset/termall/vsc/segsym) in
+// both directions, with codeword segments per the opj maxpasses rule.
 
 #include <cstdint>
 #include <cstring>
@@ -40,6 +41,13 @@ constexpr int kNCtx = 19;
 constexpr int kCtxUni = 18;
 constexpr int kCtxRl = 17;
 
+// style bits (SPcod Table A.19)
+constexpr int kStyLazy = 0x01;
+constexpr int kStyReset = 0x02;
+constexpr int kStyTermall = 0x04;
+constexpr int kStyVsc = 0x08;
+constexpr int kStySegsym = 0x20;
+
 struct MqDec {
     const uint8_t* d;
     int n, bp;
@@ -47,7 +55,17 @@ struct MqDec {
     int32_t a, ct;
     uint8_t idx[kNCtx], mps[kNCtx];
 
-    void init(const uint8_t* data, int len) {
+    void reset_ctx() {
+        std::memset(idx, 0, sizeof(idx));
+        std::memset(mps, 0, sizeof(mps));
+        idx[kCtxUni] = 46;
+        idx[kCtxRl] = 3;
+        idx[0] = 4;
+    }
+
+    // register (re-)init at a codeword segment boundary; context
+    // states persist across segments unless RESET style clears them
+    void init_regs(const uint8_t* data, int len) {
         d = data;
         n = len;
         bp = 0;
@@ -57,11 +75,11 @@ struct MqDec {
         c <<= 7;
         ct -= 7;
         a = 0x8000;
-        std::memset(idx, 0, sizeof(idx));
-        std::memset(mps, 0, sizeof(mps));
-        idx[kCtxUni] = 46;
-        idx[kCtxRl] = 3;
-        idx[0] = 4;
+    }
+
+    void init(const uint8_t* data, int len) {
+        init_regs(data, len);
+        reset_ctx();
     }
 
     void bytein() {
@@ -118,6 +136,36 @@ struct MqDec {
     }
 };
 
+// Raw (bypass) bit reader, D.6 — port of opj raw decode: MSB-first,
+// a byte after 0xFF carries 7 bits, reads past the end feed 0xFF.
+struct RawDec {
+    const uint8_t* d;
+    int n, pos;
+    uint32_t c;
+    int ct;
+
+    void init(const uint8_t* data, int len) {
+        d = data;
+        n = len;
+        pos = 0;
+        c = 0;
+        ct = 0;
+    }
+    int bit() {
+        if (ct == 0) {
+            ct = 8;
+            if (pos >= n) {
+                c = 0xFF;
+            } else {
+                if (c == 0xFF) ct = 7;
+                c = d[pos++];
+            }
+        }
+        ct -= 1;
+        return (c >> ct) & 1;
+    }
+};
+
 static int zc_context(int band, int h, int v, int dg) {
     if (band == 1) { int t = h; h = v; v = t; }
     if (band != 2) {
@@ -164,10 +212,12 @@ static void sc_context(int h0, int h1, int v0, int v1, int* cx, int* xorbit) {
 
 struct T1 {
     int w, h, band;
+    bool vsc;
     std::vector<int32_t> mag;
     std::vector<uint8_t> sig, vis, first_ref;
     std::vector<int8_t> sgn;
     MqDec mq;
+    RawDec raw;
 
     inline uint8_t s_at(int x, int y) const {
         return (x >= 0 && x < w && y >= 0 && y < h) ? sig[y * w + x] : 0;
@@ -177,21 +227,27 @@ struct T1 {
             return sgn[y * w + x];
         return 0;
     }
+    // VSC: the row below a stripe boundary is treated insignificant
+    // for context formation — opj suppresses the north-word flag
+    // update entirely, so the mask covers ZC, SC, MR and the cleanup
+    // run-length aggregation alike (D.7).
     inline void neigh(int x, int y, int* hn, int* vn, int* dn) const {
+        bool s = vsc && (y & 3) == 3;
         *hn = s_at(x - 1, y) + s_at(x + 1, y);
-        *vn = s_at(x, y - 1) + s_at(x, y + 1);
-        *dn = s_at(x - 1, y - 1) + s_at(x + 1, y - 1) + s_at(x - 1, y + 1)
-              + s_at(x + 1, y + 1);
+        *vn = s_at(x, y - 1) + (s ? 0 : s_at(x, y + 1));
+        *dn = s_at(x - 1, y - 1) + s_at(x + 1, y - 1);
+        if (!s) *dn += s_at(x - 1, y + 1) + s_at(x + 1, y + 1);
     }
     void decode_sign(int x, int y) {
+        bool s = vsc && (y & 3) == 3;
         int cx, xorbit;
-        sc_context(sv(x - 1, y), sv(x + 1, y), sv(x, y - 1), sv(x, y + 1),
-                   &cx, &xorbit);
+        sc_context(sv(x - 1, y), sv(x + 1, y), sv(x, y - 1),
+                   s ? 0 : sv(x, y + 1), &cx, &xorbit);
         int bit = mq.decode(cx) ^ xorbit;
         sgn[y * w + x] = bit ? -1 : 1;
     }
 
-    void spp(int p) {
+    void spp(int p, bool is_raw) {
         const int32_t bit = 1 << p;
         for (int y0 = 0; y0 < h; y0 += 4) {
             int ylim = y0 + 4 < h ? y0 + 4 : h;
@@ -203,7 +259,13 @@ struct T1 {
                     neigh(x, y, &hn, &vn, &dn);
                     if (hn + vn + dn == 0) continue;
                     vis[i] = 1;
-                    if (mq.decode(zc_context(band, hn, vn, dn))) {
+                    if (is_raw) {
+                        if (raw.bit()) {
+                            sig[i] = 1;
+                            mag[i] |= bit;
+                            sgn[i] = raw.bit() ? -1 : 1;
+                        }
+                    } else if (mq.decode(zc_context(band, hn, vn, dn))) {
                         sig[i] = 1;
                         mag[i] |= bit;
                         decode_sign(x, y);
@@ -213,7 +275,7 @@ struct T1 {
         }
     }
 
-    void mrp(int p) {
+    void mrp(int p, bool is_raw) {
         const int32_t bit = 1 << p;
         for (int y0 = 0; y0 < h; y0 += 4) {
             int ylim = y0 + 4 < h ? y0 + 4 : h;
@@ -221,6 +283,11 @@ struct T1 {
                 for (int y = y0; y < ylim; y++) {
                     int i = y * w + x;
                     if (!sig[i] || vis[i]) continue;
+                    if (is_raw) {
+                        if (raw.bit()) mag[i] |= bit;
+                        vis[i] = 1;
+                        continue;
+                    }
                     int cx;
                     if (first_ref[i]) {
                         int hn, vn, dn;
@@ -237,7 +304,7 @@ struct T1 {
         }
     }
 
-    void cleanup(int p) {
+    void cleanup(int p, bool segsym) {
         const int32_t bit = 1 << p;
         for (int y0 = 0; y0 < h; y0 += 4) {
             int ylim = y0 + 4 < h ? y0 + 4 : h;
@@ -278,13 +345,15 @@ struct T1 {
             }
         }
         std::memset(vis.data(), 0, vis.size());
+        if (segsym) {
+            // segmentation symbol 1010: decode and discard
+            for (int k = 0; k < 4; k++) mq.decode(kCtxUni);
+        }
     }
 };
 
 // ---------------------------------------------------------------------------
-// Tier-1 ENCODER — C++ port of jp2_t1.py encode_codeblock_py (MQ coder
-// per Annex C software conventions, passes per Annex D), feeding the
-// first-party .jp2 encoder (codecs/jp2_enc.py).
+// Tier-1 ENCODER — mirror of jp2_t1.py encode_codeblock_py.
 // ---------------------------------------------------------------------------
 
 struct MqEnc {
@@ -301,7 +370,6 @@ struct MqEnc {
         c = 0;
         a = 0x8000;
         ct = prev_byte == 0xFF ? 13 : 12;
-        reset_ctx();
     }
     void reset_ctx() {
         std::memset(idx, 0, sizeof(idx));
@@ -380,12 +448,55 @@ struct MqEnc {
     }
 };
 
+// Raw (bypass) bit writer: mirror of RawDec; flush zero-pads and
+// never ends the segment on 0xFF.
+struct RawEnc {
+    std::vector<uint8_t> out;
+    uint32_t acc;
+    int nacc;
+    uint8_t last;
+
+    void init() {
+        out.clear();
+        acc = 0;
+        nacc = 0;
+        last = 0;
+    }
+    inline int cap() const { return last == 0xFF ? 7 : 8; }
+    void bit(int b) {
+        acc = (acc << 1) | (b & 1);
+        nacc += 1;
+        if (nacc == cap()) {
+            out.push_back(static_cast<uint8_t>(acc));
+            last = static_cast<uint8_t>(acc);
+            acc = 0;
+            nacc = 0;
+        }
+    }
+    void flush() {
+        if (nacc) {
+            acc <<= cap() - nacc;
+            out.push_back(static_cast<uint8_t>(acc));
+            last = static_cast<uint8_t>(acc);
+            acc = 0;
+            nacc = 0;
+        }
+        if (last == 0xFF) {
+            out.push_back(0);
+            last = 0;
+        }
+    }
+};
+
 struct T1Enc {
     int w, h, band;
+    bool vsc;
     std::vector<int32_t> mag;
     std::vector<uint8_t> sig, vis, first_ref;
     std::vector<int8_t> sgn_in, sgn_out;
     MqEnc mq;
+    RawEnc raw;
+    bool use_raw;
 
     inline uint8_t s_at(int x, int y) const {
         return (x >= 0 && x < w && y >= 0 && y < h) ? sig[y * w + x] : 0;
@@ -396,15 +507,17 @@ struct T1Enc {
         return 0;
     }
     inline void neigh(int x, int y, int* hn, int* vn, int* dn) const {
+        bool s = vsc && (y & 3) == 3;
         *hn = s_at(x - 1, y) + s_at(x + 1, y);
-        *vn = s_at(x, y - 1) + s_at(x, y + 1);
-        *dn = s_at(x - 1, y - 1) + s_at(x + 1, y - 1) + s_at(x - 1, y + 1)
-              + s_at(x + 1, y + 1);
+        *vn = s_at(x, y - 1) + (s ? 0 : s_at(x, y + 1));
+        *dn = s_at(x - 1, y - 1) + s_at(x + 1, y - 1);
+        if (!s) *dn += s_at(x - 1, y + 1) + s_at(x + 1, y + 1);
     }
     void encode_sign(int x, int y) {
+        bool s = vsc && (y & 3) == 3;
         int cx, xorbit;
-        sc_context(sv(x - 1, y), sv(x + 1, y), sv(x, y - 1), sv(x, y + 1),
-                   &cx, &xorbit);
+        sc_context(sv(x - 1, y), sv(x + 1, y), sv(x, y - 1),
+                   s ? 0 : sv(x, y + 1), &cx, &xorbit);
         int bit = (sgn_in[y * w + x] < 0 ? 1 : 0) ^ xorbit;
         mq.encode(bit, cx);
         sgn_out[y * w + x] = sgn_in[y * w + x];
@@ -422,6 +535,15 @@ struct T1Enc {
                     if (hn + vn + dn == 0) continue;
                     vis[i] = 1;
                     int bit = (mag[i] >> p) & 1;
+                    if (use_raw) {
+                        raw.bit(bit);
+                        if (bit) {
+                            sig[i] = 1;
+                            raw.bit(sgn_in[i] < 0 ? 1 : 0);
+                            sgn_out[i] = sgn_in[i];
+                        }
+                        continue;
+                    }
                     mq.encode(bit, zc_context(band, hn, vn, dn));
                     if (bit) {
                         sig[i] = 1;
@@ -439,6 +561,12 @@ struct T1Enc {
                 for (int y = y0; y < ylim; y++) {
                     int i = y * w + x;
                     if (!sig[i] || vis[i]) continue;
+                    int bit = (mag[i] >> p) & 1;
+                    if (use_raw) {
+                        raw.bit(bit);
+                        vis[i] = 1;
+                        continue;
+                    }
                     int cx;
                     if (first_ref[i]) {
                         int hn, vn, dn;
@@ -448,14 +576,14 @@ struct T1Enc {
                     } else {
                         cx = 16;
                     }
-                    mq.encode((mag[i] >> p) & 1, cx);
+                    mq.encode(bit, cx);
                     vis[i] = 1;
                 }
             }
         }
     }
 
-    void cleanup(int p) {
+    void cleanup(int p, bool segsym) {
         for (int y0 = 0; y0 < h; y0 += 4) {
             int ylim = y0 + 4 < h ? y0 + 4 : h;
             for (int x = 0; x < w; x++) {
@@ -506,15 +634,93 @@ struct T1Enc {
             }
         }
         std::memset(vis.data(), 0, vis.size());
+        if (segsym) {
+            mq.encode(1, kCtxUni);
+            mq.encode(0, kCtxUni);
+            mq.encode(1, kCtxUni);
+            mq.encode(0, kCtxUni);
+        }
     }
 };
 
 }  // namespace
 
-// Encode one codeblock with the default coding style, all passes.
-// Returns 0 on success; fills out[0..*out_len), *out_numpasses,
-// *out_zero_planes. seg_lens/seg_passes receive per-codeword-segment
-// byte lengths / pass counts (single segment for the default style).
+// Segment-aware decode: seg_lens/seg_passes describe the codeword
+// segments within `data` (bypass/termall layouts). Context states
+// persist across MQ segments; raw segments use the D.6 bit reader.
+extern "C" int lp_jp2_t1_decode2(const uint8_t* data, int32_t len,
+                                 const int32_t* seg_lens,
+                                 const int32_t* seg_passes,
+                                 int32_t n_segs, int32_t w, int32_t h,
+                                 int32_t band, int32_t zero_planes,
+                                 int32_t numpasses, int32_t mb,
+                                 int32_t style, int32_t* out) {
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096 || len < 0) return -1;
+    T1 t1;
+    t1.w = w;
+    t1.h = h;
+    t1.band = band;
+    t1.vsc = (style & kStyVsc) != 0;
+    const size_t nsamp = static_cast<size_t>(w) * h;
+    t1.mag.assign(nsamp, 0);
+    t1.sig.assign(nsamp, 0);
+    t1.vis.assign(nsamp, 0);
+    t1.first_ref.assign(nsamp, 1);
+    t1.sgn.assign(nsamp, 0);
+    int nb = mb - zero_planes;
+    if (nb <= 0 || numpasses <= 0 || n_segs <= 0) {
+        std::memset(out, 0, nsamp * sizeof(int32_t));
+        return 0;
+    }
+    if (nb > 31) return -2;
+    t1.mq.reset_ctx();
+    const bool segsym = (style & kStySegsym) != 0;
+    int bpno = nb - 1;
+    int passtype = 2;
+    int passidx = 0;
+    int64_t pos = 0;
+    for (int s = 0; s < n_segs && passidx < numpasses && bpno >= 0; s++) {
+        int32_t sl = seg_lens[s];
+        int32_t sp = seg_passes[s];
+        if (sl < 0 || pos + sl > len) return -5;
+        bool is_raw = (style & kStyLazy) && passtype < 2 && passidx >= 10;
+        if (is_raw) {
+            t1.raw.init(data + pos, sl);
+        } else {
+            t1.mq.init_regs(data + pos, sl);
+        }
+        pos += sl;
+        for (int k = 0; k < sp && passidx < numpasses && bpno >= 0; k++) {
+            if (passtype == 0) t1.spp(bpno, is_raw);
+            else if (passtype == 1) t1.mrp(bpno, is_raw);
+            else t1.cleanup(bpno, segsym);
+            if ((style & kStyReset) && !is_raw) t1.mq.reset_ctx();
+            passidx += 1;
+            passtype += 1;
+            if (passtype == 3) {
+                passtype = 0;
+                bpno -= 1;
+            }
+        }
+    }
+    for (size_t i = 0; i < nsamp; i++) {
+        out[i] = t1.sgn[i] < 0 ? -t1.mag[i] : t1.mag[i];
+    }
+    return 0;
+}
+
+extern "C" int lp_jp2_t1_decode(const uint8_t* data, int32_t len,
+                                int32_t w, int32_t h, int32_t band,
+                                int32_t zero_planes, int32_t numpasses,
+                                int32_t mb, int32_t* out) {
+    const int32_t sl = len, sp = numpasses;
+    return lp_jp2_t1_decode2(data, len, &sl, &sp, 1, w, h, band,
+                             zero_planes, numpasses, mb, 0, out);
+}
+
+// Encode one codeblock, all passes, with full style support. Fills
+// out[0..*out_len) with concatenated codeword segments; seg_lens/
+// seg_passes receive the per-segment byte lengths / pass counts.
 extern "C" int lp_jp2_t1_encode(const int32_t* coefs, int32_t w, int32_t h,
                                 int32_t band, int32_t mb, int32_t style,
                                 uint8_t* out, int32_t out_cap,
@@ -524,12 +730,12 @@ extern "C" int lp_jp2_t1_encode(const int32_t* coefs, int32_t w, int32_t h,
                                 int32_t* n_segs, int32_t max_segs) {
     if (w <= 0 || h <= 0 || w > 4096 || h > 4096 || mb < 1 || mb > 31)
         return -1;
-    if (style != 0) return -3;  // styles arrive with the style phase
     const size_t nsamp = static_cast<size_t>(w) * h;
     T1Enc t1;
     t1.w = w;
     t1.h = h;
     t1.band = band;
+    t1.vsc = (style & kStyVsc) != 0;
     t1.mag.resize(nsamp);
     t1.sgn_in.resize(nsamp);
     int32_t maxmag = 0;
@@ -554,58 +760,89 @@ extern "C" int lp_jp2_t1_encode(const int32_t* coefs, int32_t w, int32_t h,
     t1.vis.assign(nsamp, 0);
     t1.first_ref.assign(nsamp, 1);
     t1.sgn_out.assign(nsamp, 0);
-    t1.mq.init(0);
-    t1.cleanup(nb - 1);
-    int numpasses = 1;
-    for (int p = nb - 2; p >= 0; p--) {
-        t1.spp(p);
-        t1.mrp(p);
-        t1.cleanup(p);
-        numpasses += 3;
-    }
-    size_t len = t1.mq.flush();
-    if (static_cast<int32_t>(len) > out_cap || max_segs < 1) return -4;
-    std::memcpy(out, t1.mq.buf.data() + 1, len);
-    *out_len = static_cast<int32_t>(len);
-    *out_numpasses = numpasses;
-    *out_zero_planes = mb - nb;
-    seg_lens[0] = static_cast<int32_t>(len);
-    seg_passes[0] = numpasses;
-    *n_segs = 1;
-    return 0;
-}
+    t1.mq.reset_ctx();
 
-extern "C" int lp_jp2_t1_decode(const uint8_t* data, int32_t len,
-                                int32_t w, int32_t h, int32_t band,
-                                int32_t zero_planes, int32_t numpasses,
-                                int32_t mb, int32_t* out) {
-    if (w <= 0 || h <= 0 || w > 4096 || h > 4096 || len < 0) return -1;
-    T1 t1;
-    t1.w = w;
-    t1.h = h;
-    t1.band = band;
-    const size_t nsamp = static_cast<size_t>(w) * h;
-    t1.mag.assign(nsamp, 0);
-    t1.sig.assign(nsamp, 0);
-    t1.vis.assign(nsamp, 0);
-    t1.first_ref.assign(nsamp, 1);
-    t1.sgn.assign(nsamp, 0);
-    int nb = mb - zero_planes;
-    if (nb <= 0 || numpasses <= 0) {
-        std::memset(out, 0, nsamp * sizeof(int32_t));
+    const bool segsym = (style & kStySegsym) != 0;
+    int bpno = nb - 1;
+    int passtype = 2;
+    int passidx = 0;
+    int seg_pass_count = 0;
+    uint8_t prev_byte = 0;
+    int32_t total = 0;
+    int32_t segs = 0;
+    uint8_t saved_idx[kNCtx], saved_mps[kNCtx];
+
+    auto want_raw = [&]() {
+        return (style & kStyLazy) && passtype < 2 && passidx >= 10;
+    };
+    auto open_coder = [&]() {
+        t1.use_raw = want_raw();
+        if (t1.use_raw) {
+            t1.raw.init();
+        } else {
+            // context states persist across segments: save around the
+            // register re-init (MqEnc keeps ctx in the same struct)
+            std::memcpy(saved_idx, t1.mq.idx, sizeof(saved_idx));
+            std::memcpy(saved_mps, t1.mq.mps, sizeof(saved_mps));
+            t1.mq.init(prev_byte);
+            std::memcpy(t1.mq.idx, saved_idx, sizeof(saved_idx));
+            std::memcpy(t1.mq.mps, saved_mps, sizeof(saved_mps));
+        }
+    };
+    auto close_coder = [&]() -> int {
+        const uint8_t* src;
+        size_t len;
+        if (t1.use_raw) {
+            t1.raw.flush();
+            src = t1.raw.out.data();
+            len = t1.raw.out.size();
+        } else {
+            len = t1.mq.flush();
+            src = t1.mq.buf.data() + 1;
+        }
+        if (total + static_cast<int64_t>(len) > out_cap ||
+            segs >= max_segs)
+            return -4;
+        std::memcpy(out + total, src, len);
+        total += static_cast<int32_t>(len);
+        seg_lens[segs] = static_cast<int32_t>(len);
+        seg_passes[segs] = seg_pass_count;
+        segs += 1;
+        if (len) prev_byte = src[len - 1];
+        seg_pass_count = 0;
         return 0;
+    };
+
+    open_coder();
+    while (bpno >= 0) {
+        if (passtype == 0) t1.spp(bpno);
+        else if (passtype == 1) t1.mrp(bpno);
+        else t1.cleanup(bpno, segsym);
+        if ((style & kStyReset) && !t1.use_raw) t1.mq.reset_ctx();
+        seg_pass_count += 1;
+        passidx += 1;
+        bool last_pass = (passtype == 2 && bpno == 0);
+        bool term = false;
+        if (style & kStyTermall) {
+            term = !last_pass;
+        } else if (style & kStyLazy) {
+            term = ((bpno < nb - 4 && passtype > 0)
+                    || (bpno == nb - 4 && passtype == 2));
+        }
+        passtype += 1;
+        if (passtype == 3) {
+            passtype = 0;
+            bpno -= 1;
+        }
+        if (last_pass || term) {
+            int rc = close_coder();
+            if (rc) return rc;
+            if (!last_pass) open_coder();
+        }
     }
-    if (nb > 31) return -2;
-    t1.mq.init(data, len);
-    t1.cleanup(nb - 1);
-    int passno = 1;
-    for (int p = nb - 2; p >= 0 && passno < numpasses; p--) {
-        if (passno < numpasses) { t1.spp(p); passno++; }
-        if (passno < numpasses) { t1.mrp(p); passno++; }
-        if (passno < numpasses) { t1.cleanup(p); passno++; }
-    }
-    for (size_t i = 0; i < nsamp; i++) {
-        out[i] = t1.sgn[i] < 0 ? -t1.mag[i] : t1.mag[i];
-    }
+    *out_len = total;
+    *out_numpasses = 3 * nb - 2;
+    *out_zero_planes = mb - nb;
+    *n_segs = segs;
     return 0;
 }

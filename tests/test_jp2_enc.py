@@ -174,6 +174,75 @@ def test_new_encoder_jp2_first_party():
     assert _psnr(_cv(b2), img) >= 30
 
 
+STYLES = {
+    "bypass": 0x01, "reset": 0x02, "termall": 0x04, "vsc": 0x08,
+    "segsym": 0x20, "bypass+termall": 0x05, "bypass+vsc+segsym": 0x29,
+    "all": 0x2F,
+}
+
+
+@pytest.mark.parametrize("name", list(STYLES), ids=str)
+def test_codeblock_styles_against_openjpeg(name):
+    """Every exotic coding style round-trips bit-exactly through our
+    own decoder AND through OpenJPEG's (cv2/PIL) — closing the round-3
+    'exotic J2K styles' gap in both directions."""
+    style = STYLES[name]
+    rng = np.random.default_rng(style)
+    img = rng.integers(0, 256, (44, 38, 3), np.uint8)
+    b = jp2_enc.encode_jp2(img, style=style)
+    np.testing.assert_array_equal(_own(b)[:, :, :3], img[:, :, ::-1])
+    np.testing.assert_array_equal(_cv(b), img[:, :, ::-1])
+    np.testing.assert_array_equal(
+        np.array(PIL_Image.open(io.BytesIO(b))), img)
+
+
+@pytest.mark.parametrize("style", [0x00, 0x01, 0x04, 0x08, 0x05, 0x2F],
+                         ids=lambda s: f"0x{s:02x}")
+def test_t1_styles_cpp_matches_python(style, monkeypatch):
+    """C++ Tier-1 (encode + segment-aware decode) is byte-identical to
+    the pure-Python reference for every coding style."""
+    rng = np.random.default_rng(style + 100)
+    for (h, w, band, amp) in [(16, 16, 0, 2000), (33, 29, 1, 30000),
+                              (7, 5, 2, 3)]:
+        coefs = rng.integers(-amp, amp + 1, (h, w)).astype(np.int32)
+        mb = max(int(np.abs(coefs).max()).bit_length(), 1) + 2
+        segs_c, np_c, zp_c = jp2_t1.encode_codeblock(coefs, band, mb,
+                                                     style)
+        segs_p, np_p, zp_p = jp2_t1.encode_codeblock_py(coefs, band, mb,
+                                                        style)
+        assert (segs_c, np_c, zp_c) == (segs_p, np_p, zp_p)
+        data = b"".join(s for s, _ in segs_c)
+        meta = [(len(s), p) for s, p in segs_c]
+        fast = jp2_t1.decode_codeblock(data, w, h, band, zp_c, np_c, mb,
+                                       style, meta)
+        slow = jp2_t1._decode_codeblock_py(data, w, h, band, zp_c, np_c,
+                                           mb, style, meta)
+        np.testing.assert_array_equal(fast, coefs)
+        np.testing.assert_array_equal(slow, coefs)
+    del monkeypatch
+
+
+def test_styled_stream_fuzz_total():
+    """Truncations/bitflips of a styled (bypass+termall) stream stay
+    total: typed errors or clean decode, never raw exceptions."""
+    from lilliput_tpu.errors import LilliputError
+    img = np.random.default_rng(42).integers(0, 256, (24, 24, 3),
+                                             np.uint8)
+    b = jp2_enc.encode_jp2(img, style=0x05)
+    rng = np.random.default_rng(43)
+    cases = [b[:n] for n in range(0, len(b), 61)]
+    for _ in range(40):
+        m = bytearray(b)
+        for _ in range(rng.integers(1, 5)):
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        cases.append(bytes(m))
+    for case in cases:
+        try:
+            _own(case)
+        except (LilliputError, EOFError):
+            pass
+
+
 def test_encoder_rejects_bad_input():
     from lilliput_tpu.errors import InvalidImageError
     with pytest.raises(InvalidImageError):
