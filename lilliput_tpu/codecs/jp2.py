@@ -238,9 +238,10 @@ def _parse_siz(seg: bytes) -> _Siz:
         signed = bool(ssiz & 0x80)
         if depth > 16:
             raise InvalidImageError("JPEG 2000: >16-bit components")
-        if xr != 1 or yr != 1:
+        if not (1 <= xr <= 4 and 1 <= yr <= 4):
             raise InvalidImageError(
-                "JPEG 2000: subsampled components unsupported")
+                f"JPEG 2000: subsampling {xr}x{yr} out of the "
+                "supported 1..4 range")
         s.comps.append((depth, signed, xr, yr))
     return s
 
@@ -258,9 +259,9 @@ def _parse_cod(seg: bytes) -> _Cod:
     c.cbh = (seg[7] & 0x0F) + 2
     c.cblk_style = seg[8]
     c.transform = seg[9]  # 0 = 9/7 irreversible, 1 = 5/3 reversible
-    if c.scod & 0x06:
+    if c.scod & 0xF8:
         raise InvalidImageError(
-            "JPEG 2000: SOP/EPH markers unsupported")
+            "JPEG 2000: undefined Scod bits")
     if c.cbw > 12 or c.cbh > 12 or c.cbw + c.cbh > 12:
         raise InvalidImageError(
             "JPEG 2000: invalid codeblock exponents (xcb+ycb must be "
@@ -280,6 +281,37 @@ def _parse_cod(seg: bytes) -> _Cod:
             raise InvalidImageError("JPEG 2000: truncated COD precincts")
         for r in range(c.levels + 1):
             pp = seg[10 + r]
+            c.precw[r] = pp & 0x0F
+            c.prech[r] = pp >> 4
+    return c
+
+
+def _parse_coc_body(seg: bytes, base: "_Cod") -> _Cod:
+    """SPcoc mirrors COD's SPcod (A.6.2); prog/layers/mct inherit from
+    the main COD."""
+    c = _Cod()
+    if len(seg) < 6:
+        raise InvalidImageError("JPEG 2000: truncated COC")
+    c.scod = seg[0] & 0x01  # only the precinct bit exists in Scoc
+    c.prog = base.prog
+    c.layers = base.layers
+    c.mct = base.mct
+    c.levels = seg[1]
+    c.cbw = (seg[2] & 0x0F) + 2
+    c.cbh = (seg[3] & 0x0F) + 2
+    c.cblk_style = seg[4]
+    c.transform = seg[5]
+    if c.cbw > 12 or c.cbh > 12 or c.cbw + c.cbh > 12:
+        raise InvalidImageError("JPEG 2000: invalid COC codeblock size")
+    if c.cblk_style & 0xC0:
+        raise InvalidImageError("JPEG 2000: undefined COC style bits")
+    c.precw = [15] * (c.levels + 1)
+    c.prech = [15] * (c.levels + 1)
+    if c.scod & 1:
+        if len(seg) < 7 + c.levels:
+            raise InvalidImageError("JPEG 2000: truncated COC precincts")
+        for r in range(c.levels + 1):
+            pp = seg[6 + r]
             c.precw[r] = pp & 0x0F
             c.prech[r] = pp >> 4
     return c
@@ -351,7 +383,12 @@ class Jp2Image:
         self.coc: Dict[int, _Cod] = {}
         self.qcd: Optional[_Qcd] = None
         self.qcc: Dict[int, _Qcd] = {}
+        self.rgn: Dict[int, int] = {}       # component -> ROI maxshift
         self.tile_parts: Dict[int, List[bytes]] = {}
+        ppm_parts: List[Tuple[int, bytes]] = []   # (Zppm, data)
+        tile_ppt: Dict[int, List[Tuple[int, bytes]]] = {}
+        tile_tp_seq: Dict[int, List[int]] = {}    # tile -> tile-part nos
+        tp_counter = 0
         n = len(cs)
         while i + 4 <= n:
             marker = cs[i:i + 2]
@@ -364,14 +401,14 @@ class Jp2Image:
             elif marker == b"\xff\x52":
                 self.cod = _parse_cod(seg)
             elif marker == b"\xff\x53":  # COC
-                if self.cod is None or not seg:
+                if self.cod is None or self.siz is None or not seg:
                     raise InvalidImageError("JPEG 2000: bad COC placement")
-                # minimal: component index then SPcoc mirrors COD SPcod
-                ci = seg[0] if (self.siz and self.siz.csiz < 257) else \
-                    struct.unpack(">H", seg[0:2])[0] if len(seg) >= 2 else 0
-                raise InvalidImageError(
-                    "JPEG 2000: per-component coding styles (COC) "
-                    f"unsupported (component {ci})")
+                off = 1 if self.siz.csiz < 257 else 2
+                ci = seg[0] if off == 1 else \
+                    struct.unpack(">H", seg[:2])[0]
+                if ci >= self.siz.csiz:
+                    raise InvalidImageError("JPEG 2000: COC component")
+                self.coc[ci] = _parse_coc_body(seg[off:], self.cod)
             elif marker == b"\xff\x5c":
                 if self.cod is None:
                     raise InvalidImageError("JPEG 2000: QCD before COD")
@@ -381,28 +418,94 @@ class Jp2Image:
                     raise InvalidImageError("JPEG 2000: QCC before COD")
                 off = 1 if self.siz.csiz < 257 else 2
                 ci = seg[0] if off == 1 else struct.unpack(">H", seg[:2])[0]
-                self.qcc[ci] = _parse_qcd(seg[off:], self.cod.levels)
-            elif marker in (b"\xff\x60", b"\xff\x61"):  # PPM/PPT
-                raise InvalidImageError(
-                    "JPEG 2000: packed packet headers unsupported")
+                lv = self.coc[ci].levels if ci in self.coc \
+                    else self.cod.levels
+                self.qcc[ci] = _parse_qcd(seg[off:], lv)
+            elif marker == b"\xff\x60":  # PPM (packed headers, main)
+                if not seg:
+                    raise InvalidImageError("JPEG 2000: empty PPM")
+                ppm_parts.append((seg[0], seg[1:]))
             elif marker == b"\xff\x5e":  # RGN
-                raise InvalidImageError("JPEG 2000: ROI unsupported")
+                if self.siz is None or not seg:
+                    raise InvalidImageError("JPEG 2000: bad RGN")
+                off = 1 if self.siz.csiz < 257 else 2
+                ci = seg[0] if off == 1 else \
+                    struct.unpack(">H", seg[:2])[0]
+                if len(seg) < off + 2 or seg[off] != 0:
+                    raise InvalidImageError(
+                        "JPEG 2000: only maxshift ROI (Srgn=0) exists")
+                shift = seg[off + 1]
+                if shift > 37:
+                    raise InvalidImageError("JPEG 2000: ROI shift > 37")
+                self.rgn[ci] = shift
             elif marker == b"\xff\x90":  # SOT
                 if len(seg) < 8:
                     raise InvalidImageError("JPEG 2000: truncated SOT")
                 isot, psot, tpsot, tnsot = struct.unpack(
                     ">HIBB", seg[:8])
-                # find SOD
-                j = i + 2 + ln
-                if cs[j:j + 2] != b"\xff\x93":
-                    raise InvalidImageError("JPEG 2000: SOT without SOD")
                 end = i + psot if psot else n
+                # tile-part header: markers until SOD
+                j = i + 2 + ln
+                while cs[j:j + 2] != b"\xff\x93":
+                    if j + 4 > n:
+                        raise InvalidImageError(
+                            "JPEG 2000: SOT without SOD")
+                    tm = cs[j:j + 2]
+                    tln = struct.unpack(">H", cs[j + 2:j + 4])[0]
+                    tseg = cs[j + 4:j + 2 + tln]
+                    if tm == b"\xff\x61":  # PPT
+                        if not tseg:
+                            raise InvalidImageError("JPEG 2000: bad PPT")
+                        tile_ppt.setdefault(isot, []).append(
+                            (tseg[0], tseg[1:]))
+                    elif tm in (b"\xff\x58", b"\xff\x64"):
+                        pass  # PLT / COM: informational
+                    elif tm in (b"\xff\x52", b"\xff\x53", b"\xff\x5c",
+                                b"\xff\x5d", b"\xff\x5e"):
+                        raise InvalidImageError(
+                            "JPEG 2000: tile-specific coding/quant "
+                            "overrides unsupported")
+                    else:
+                        raise InvalidImageError(
+                            f"JPEG 2000: unexpected marker "
+                            f"{tm.hex()} in tile-part header")
+                    j += 2 + tln
+                tile_tp_seq.setdefault(isot, []).append(tp_counter)
+                tp_counter += 1
                 self.tile_parts.setdefault(isot, []).append(cs[j + 2:end])
                 i = end
                 continue
             i += 2 + ln
         if self.siz is None or self.cod is None or self.qcd is None:
             raise InvalidImageError("JPEG 2000: missing SIZ/COD/QCD")
+        # packed packet headers: PPT per tile (Zppt order), else PPM
+        # chunks ([Nppm u32 | data] per tile-part, consumed in
+        # codestream tile-part order, A.7.4/A.7.5)
+        self.tile_packed: Dict[int, bytes] = {}
+        for t, parts in tile_ppt.items():
+            self.tile_packed[t] = b"".join(
+                d for _, d in sorted(parts, key=lambda z: z[0]))
+        if ppm_parts:
+            if tile_ppt:
+                raise InvalidImageError(
+                    "JPEG 2000: PPM and PPT both present")
+            stream = b"".join(d for _, d in sorted(
+                ppm_parts, key=lambda z: z[0]))
+            chunks = []
+            p = 0
+            while p + 4 <= len(stream):
+                cl = struct.unpack(">I", stream[p:p + 4])[0]
+                if p + 4 + cl > len(stream):
+                    raise InvalidImageError("JPEG 2000: truncated PPM")
+                chunks.append(stream[p + 4:p + 4 + cl])
+                p += 4 + cl
+            for t, seqs in tile_tp_seq.items():
+                try:
+                    self.tile_packed[t] = b"".join(
+                        chunks[s] for s in seqs)
+                except IndexError:
+                    raise InvalidImageError(
+                        "JPEG 2000: PPM chunk count < tile-parts")
 
     # -- geometry -----------------------------------------------------------
 
@@ -422,12 +525,20 @@ class Jp2Image:
                 f"JPEG 2000: malformed codestream ({e})")
 
     def _decode_impl(self) -> List[np.ndarray]:
+        """Per-component planes int64, each at the COMPONENT's own
+        grid resolution (ceil-divided by XRsiz/YRsiz, B.3); full-res
+        for XRsiz=YRsiz=1. decode_to upsamples by sample replication
+        for subsampled components."""
         from . import jp2_t1
         from ..ops import wavelet as W
-        s, cod, qcd = self.siz, self.cod, self.qcd
+        s, cod = self.siz, self.cod
         ntx, nty = self._tile_grid()
-        H, Wd = s.ysiz - s.yosiz, s.xsiz - s.xosiz
-        planes = [np.zeros((H, Wd), np.int64) for _ in range(s.csiz)]
+        planes = []
+        for c in range(s.csiz):
+            _, _, xr, yr = s.comps[c]
+            cw = _ceil_div(s.xsiz, xr) - _ceil_div(s.xosiz, xr)
+            ch = _ceil_div(s.ysiz, yr) - _ceil_div(s.yosiz, yr)
+            planes.append(np.zeros((ch, cw), np.int64))
         for t in range(ntx * nty):
             data = b"".join(self.tile_parts.get(t, []))
             tx = t % ntx
@@ -438,13 +549,23 @@ class Jp2Image:
             ty1 = min(s.ytosiz + (ty + 1) * s.ytsiz, s.ysiz)
             if tx0 >= tx1 or ty0 >= ty1:
                 continue
-            comps = self._decode_tile(data, tx0, ty0, tx1, ty1,
-                                      jp2_t1, W)
+            rects = []
             for c in range(s.csiz):
-                planes[c][ty0 - s.yosiz:ty1 - s.yosiz,
-                          tx0 - s.xosiz:tx1 - s.xosiz] = comps[c]
-        # inverse multi-component transform
-        if cod.mct and s.csiz >= 3:
+                _, _, xr, yr = s.comps[c]
+                rects.append((_ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                              _ceil_div(tx1, xr), _ceil_div(ty1, yr)))
+            comps = self._decode_tile(t, data, rects, jp2_t1, W)
+            for c in range(s.csiz):
+                _, _, xr, yr = s.comps[c]
+                cx0 = rects[c][0] - _ceil_div(s.xosiz, xr)
+                cy0 = rects[c][1] - _ceil_div(s.yosiz, yr)
+                planes[c][cy0:cy0 + comps[c].shape[0],
+                          cx0:cx0 + comps[c].shape[1]] = comps[c]
+        # inverse multi-component transform: requires the first three
+        # components on one sampling grid (G.2/G.3; opj skips it
+        # otherwise)
+        if cod.mct and s.csiz >= 3 and \
+                s.comps[0][2:] == s.comps[1][2:] == s.comps[2][2:]:
             if cod.transform == 1:
                 planes[0], planes[1], planes[2] = W.inverse_rct(
                     planes[0], planes[1], planes[2])
@@ -458,22 +579,27 @@ class Jp2Image:
     def _qcd_for(self, c: int) -> _Qcd:
         return self.qcc.get(c, self.qcd)
 
+    def _cod_for(self, c: int) -> _Cod:
+        return self.coc.get(c, self.cod)
+
     def _band_geometry(self, tcx0, tcy0, tcx1, tcy1, levels):
         return band_geometry(tcx0, tcy0, tcx1, tcy1, levels)
 
-    def _decode_tile(self, data, tx0, ty0, tx1, ty1, t1mod, W):
+    def _decode_tile(self, t, data, rects, t1mod, W):
         s, cod = self.siz, self.cod
-        levels = cod.levels
         ncomp = s.csiz
+        max_levels = max(self._cod_for(c).levels for c in range(ncomp))
         # build band/precinct/codeblock structures per component
         comps = []
         for c in range(ncomp):
-            geo = self._band_geometry(tx0, ty0, tx1, ty1, levels)
+            cod_c = self._cod_for(c)
+            tx0, ty0, tx1, ty1 = rects[c]
+            geo = self._band_geometry(tx0, ty0, tx1, ty1, cod_c.levels)
             q = self._qcd_for(c)
             res_list = []
             for r, (rrect, bands) in enumerate(geo):
                 trx0, try0, trx1, try1 = rrect
-                ppx, ppy = cod.precw[r], cod.prech[r]
+                ppx, ppy = cod_c.precw[r], cod_c.prech[r]
                 # precinct grid on the resolution
                 if trx1 > trx0:
                     npw = _ceil_div(trx1, 1 << ppx) - (trx0 >> ppx)
@@ -481,8 +607,8 @@ class Jp2Image:
                 else:
                     npw = nph = 0
                 # codeblock size in band coordinates
-                cbw_exp = min(cod.cbw, ppx - 1 if r else ppx)
-                cbh_exp = min(cod.cbh, ppy - 1 if r else ppy)
+                cbw_exp = min(cod_c.cbw, ppx - 1 if r else ppx)
+                cbh_exp = min(cod_c.cbh, ppy - 1 if r else ppy)
                 band_objs = []
                 for bi, (orient, bx0, by0, bx1, by1) in enumerate(bands):
                     b = _Band()
@@ -505,51 +631,61 @@ class Jp2Image:
                 })
             comps.append(res_list)
 
-        # Tier-2: iterate packets in progression order
-        br = _BitReader(data, 0)
+        # Tier-2: iterate packets in progression order (resolutions a
+        # component lacks — COC levels below the tile max — simply
+        # contribute no packets)
         order = []
-        nprec = lambda res: res["npw"] * res["nph"]
+        nprec = lambda c, r: (comps[c][r]["npw"] * comps[c][r]["nph"]
+                              if r < len(comps[c]) else 0)
         if cod.prog == 0:    # LRCP
             for l in range(cod.layers):
-                for r in range(levels + 1):
+                for r in range(max_levels + 1):
                     for c in range(ncomp):
-                        for p in range(nprec(comps[c][r])):
+                        for p in range(nprec(c, r)):
                             order.append((l, r, c, p))
         elif cod.prog == 1:  # RLCP
-            for r in range(levels + 1):
+            for r in range(max_levels + 1):
                 for l in range(cod.layers):
                     for c in range(ncomp):
-                        for p in range(nprec(comps[c][r])):
+                        for p in range(nprec(c, r)):
                             order.append((l, r, c, p))
         elif cod.prog == 2:  # RPCL (precinct-major over position; with
-            for r in range(levels + 1):  # whole-tile precincts this
-                for p in range(max(nprec(comps[c][r])              # order
-                                   for c in range(ncomp))):  # matches spec
+            for r in range(max_levels + 1):  # whole-tile precincts
+                for p in range(max(nprec(c, r)              # this order
+                                   for c in range(ncomp))):  # is spec's
                     for c in range(ncomp):
-                        if p < nprec(comps[c][r]):
+                        if p < nprec(c, r):
                             for l in range(cod.layers):
                                 order.append((l, r, c, p))
         else:                # PCRL / CPRL: positional orders — supported
             # for the whole-tile-precinct case (what encoders emit by
             # default), where every (r, c) has exactly one precinct and
             # the position loop degenerates
-            if any(nprec(comps[c][r]) > 1 for c in range(ncomp)
-                   for r in range(levels + 1)):
+            if any(nprec(c, r) > 1 for c in range(ncomp)
+                   for r in range(max_levels + 1)):
                 raise InvalidImageError(
                     "JPEG 2000: PCRL/CPRL with multiple precincts "
                     "unsupported")
-            if cod.prog == 3:  # PCRL
-                for c in range(ncomp):
-                    for r in range(levels + 1):
-                        for l in range(cod.layers):
-                            order.append((l, r, c, 0))
-            else:              # CPRL
-                for c in range(ncomp):
-                    for r in range(levels + 1):
-                        for l in range(cod.layers):
-                            order.append((l, r, c, 0))
-        for (l, r, c, p) in order:
-            br = self._read_packet(br, comps[c][r], l, p, cod)
+            for c in range(ncomp):
+                for r in range(len(comps[c])):
+                    for l in range(cod.layers):
+                        order.append((l, r, c, 0))
+        packed = self.tile_packed.get(t)
+        sop = bool(cod.scod & 0x02)
+        eph = bool(cod.scod & 0x04)
+        if packed is not None:
+            hdr_br = _BitReader(packed, 0)
+            body_pos = 0
+            for (l, r, c, p) in order:
+                hdr_br, body_pos = self._read_packet(
+                    hdr_br, comps[c][r], l, p, self._cod_for(c),
+                    body=data, body_pos=body_pos, sop=sop, eph=eph)
+        else:
+            br = _BitReader(data, 0)
+            for (l, r, c, p) in order:
+                br, _ = self._read_packet(br, comps[c][r], l, p,
+                                          self._cod_for(c), sop=sop,
+                                          eph=eph)
 
         # Tier-1 (parallel across codeblocks: the C++ decoder releases
         # the GIL through ctypes, so a thread pool scales EBCOT across
@@ -558,9 +694,14 @@ class Jp2Image:
         t1_jobs = []
         for c in range(ncomp):
             qc = self._qcd_for(c)
+            style_c = self._cod_for(c).cblk_style
+            # ROI maxshift raises the coded bitplane count (B.10.4 +
+            # opj parity: numbps includes the shift; decoded values
+            # >= 2^shift are ROI and downshift after Tier-1)
+            shift_c = self.rgn.get(c, 0)
             for res in comps[c]:
                 for b in res["bands"]:
-                    mb = qc.guard + b.eps - 1
+                    mb = qc.guard + b.eps - 1 + shift_c
                     if mb > 31:
                         # no legitimate profile reaches this (precision
                         # <=16 + band gain + guard bits); int32 magnitudes
@@ -570,12 +711,11 @@ class Jp2Image:
                             f"(Mb={mb})")
                     for cb in b.cblks:
                         if cb.numpasses and cb.segs:
-                            t1_jobs.append((cb, b, mb))
+                            t1_jobs.append((cb, b, mb, style_c))
         results: Dict[int, np.ndarray] = {}
-        style = cod.cblk_style
 
         def one(job):
-            cb, b, mb = job
+            cb, b, mb, style = job
             data = b"".join(bytes(s[0]) for s in cb.segs)
             seg_meta = [(len(s[0]), s[1]) for s in cb.segs]
             results[id(cb)] = t1mod.decode_codeblock(
@@ -593,8 +733,9 @@ class Jp2Image:
                 one(job)
 
         out = []
-        reversible = cod.transform == 1
         for c in range(ncomp):
+            reversible = self._cod_for(c).transform == 1
+            roishift = self.rgn.get(c, 0)
             depth = s.comps[c][0]
             qc = self._qcd_for(c)
             res_list = comps[c]
@@ -610,6 +751,14 @@ class Jp2Image:
                             continue
                         arr[cb.y0 - b.y0:cb.y1 - b.y0,
                             cb.x0 - b.x0:cb.x1 - b.x0] = coef
+                    if roishift:
+                        # maxshift ROI: magnitudes above 2^shift are
+                        # region-of-interest samples, scaled back down
+                        thr = 1 << roishift
+                        mags = np.abs(arr)
+                        arr = np.where(mags >= thr,
+                                       np.sign(arr) * (mags >> roishift),
+                                       arr)
                     if not reversible:
                         rb = depth + b.gain
                         delta = 2.0 ** (rb - b.eps) * (1.0 + b.mu / 2048.0)
@@ -634,17 +783,37 @@ class Jp2Image:
             out.append(np.asarray(ll, np.int64))
         return out
 
-    def _read_packet(self, br: _BitReader, res, layer: int, p: int, cod):
-        """Parse one packet header + collect codeblock data."""
+    def _read_packet(self, br: _BitReader, res, layer: int, p: int, cod,
+                     body=None, body_pos: int = 0, sop: bool = False,
+                     eph: bool = False):
+        """Parse one packet header + collect codeblock data.
+
+        br reads the packet HEADER (the tile stream normally; the
+        PPM/PPT packed-header stream when `body` is given, in which
+        case packet bodies advance `body_pos` through `body`). SOP
+        markers live in the body stream; EPH follows each packet
+        header in the header stream. Returns (next header reader,
+        next body position)."""
+        packed = body is not None
+        if sop:
+            bstream = body if packed else br.d
+            bpos = body_pos if packed else br.pos
+            if bstream[bpos:bpos + 2] == b"\xff\x91":
+                if packed:
+                    body_pos += 6
+                else:
+                    br = _BitReader(br.d, bpos + 6)
         prec = res["precincts"].get(p)
         if prec is None:
             prec = self._init_precinct(res, p, cod)
             res["precincts"][p] = prec
         # empty-packet bit
         if not br.bit():
-            br.align()
-            return br
-        body = []
+            pos = br.align()
+            if eph and br.d[pos:pos + 2] == b"\xff\x92":
+                pos += 2
+            return _BitReader(br.d, pos), body_pos
+        chunks = []
         for bi, (band, cblks) in enumerate(prec.bands_cblks):
             itt, ztt = prec.incl_tt[bi], prec.zp_tt[bi]
             for ci, cb in enumerate(cblks):
@@ -698,16 +867,25 @@ class Jp2Image:
                     seg_len = br.read(nbits)
                     cb.segs[si][1] += k
                     cb.numpasses += k
-                    body.append((cb, si, seg_len))
+                    chunks.append((cb, si, seg_len))
                     remaining -= k
         pos = br.align()
-        d = br.d
-        for cb, si, seg_len in body:
-            if pos + seg_len > len(d):
+        if eph and br.d[pos:pos + 2] == b"\xff\x92":
+            pos += 2
+        if packed:
+            d = body
+            bpos = body_pos
+        else:
+            d = br.d
+            bpos = pos
+        for cb, si, seg_len in chunks:
+            if bpos + seg_len > len(d):
                 raise DecodingFailedError("JPEG 2000 packet body truncated")
-            cb.segs[si][0] += d[pos:pos + seg_len]
-            pos += seg_len
-        return _BitReader(d, pos)
+            cb.segs[si][0] += d[bpos:bpos + seg_len]
+            bpos += seg_len
+        if packed:
+            return _BitReader(br.d, pos), bpos
+        return _BitReader(d, bpos), body_pos
 
     def _init_precinct(self, res, p: int, cod):
         prec = _Precinct()
@@ -834,7 +1012,13 @@ class Jp2Decoder(Decoder):
         planes = self._img.decode()
         chans = []
         for c, pl in enumerate(planes):
-            depth, signed, _, _ = s.comps[c]
+            depth, signed, xr, yr = s.comps[c]
+            if xr > 1 or yr > 1:
+                # subsampled component: sample replication back to the
+                # image grid (component sample i covers image columns
+                # [i*XRsiz, (i+1)*XRsiz), B.3)
+                pl = np.repeat(np.repeat(pl, yr, axis=0), xr, axis=1)
+                pl = pl[:self._h, :self._w]
             # unsigned: undo the DC level shift; signed: same offset maps
             # [-2^(d-1), 2^(d-1)) onto the unsigned range the way
             # OpenCV's grfmt_jpeg2000 renders signed components

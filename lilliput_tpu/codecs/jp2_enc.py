@@ -239,36 +239,54 @@ def _quantize_band(arr, reversible, depth, gain, eps, mu):
 
 
 class _TileEncoder:
-    def __init__(self, comp_planes, tile_rect, cod, qparams, depths,
-                 style=0):
+    def __init__(self, comp_planes, comp_rects, cod, qparams, depths,
+                 comp_styles, roi=None, roi_shifts=None):
         """comp_planes: per-component int64/float64 arrays covering
-        tile_rect (post level-shift + MCT). qparams: per component a
-        list of (eps, mu) per band index (QCD order). depths: SIZ
-        component depths (dequant Rb uses these — jp2.py:602)."""
+        comp_rects[c] (post level-shift + MCT, component grid).
+        qparams: per component a list of (eps, mu) per band index (QCD
+        order). depths: SIZ component depths (dequant Rb uses these —
+        jp2.py:602). comp_styles: SPcod/SPcoc style byte per
+        component. roi: (x0, y0, x1, y1) image-grid rect whose wavelet
+        coefficients get the maxshift ROI upshift roi_shifts[c]."""
         self.cod = cod
-        self.tile_rect = tile_rect
         levels = cod["levels"]
         self.ncomp = len(comp_planes)
         self.comps = []
         guard = cod["guard"]
         reversible = cod["transform"] == 1
         for c, plane in enumerate(comp_planes):
+            tile_rect = comp_rects[c]
+            shift = roi_shifts[c] if roi_shifts else 0
             bands_per_res = forward_tile_planes(
                 plane, tile_rect, levels, reversible)
             geo = _build_bands(tile_rect, levels, cod["cbw_e"],
                                cod["cbh_e"])
             res_list = []
             for r, (rrect, binfo) in enumerate(geo):
+                nb2 = levels - r + (1 if r else 0)
                 bands = []
                 for (orient, brect, grid) in binfo:
                     qi = 0 if r == 0 else 3 * (r - 1) + \
                         {1: 1, 2: 2, 3: 3}[orient]
                     eps, mu = qparams[c][qi]
-                    mb = guard + eps - 1
+                    mb = guard + eps - 1 + shift
                     arr = bands_per_res[r][orient]
                     q = _quantize_band(arr, reversible, depths[c],
                                        _BAND_GAIN[orient], eps, mu)
                     bx0, by0, bx1, by1 = brect
+                    if roi and shift and q.size:
+                        # maxshift: upshift coefficients whose band
+                        # coords fall in the (scaled) ROI rect — any
+                        # encoder-side mask is legal; the decoder
+                        # recovers values by the 2^shift threshold
+                        rx0, ry0, rx1, ry1 = roi
+                        sbx0 = max(rx0 >> nb2, bx0)
+                        sby0 = max(ry0 >> nb2, by0)
+                        sbx1 = min(_ceil_div(rx1, 1 << nb2), bx1)
+                        sby1 = min(_ceil_div(ry1, 1 << nb2), by1)
+                        if sbx1 > sbx0 and sby1 > sby0:
+                            q[sby0 - by0:sby1 - by0,
+                              sbx0 - bx0:sbx1 - bx0] <<= shift
                     cgx0, cgy0, gw, gh = grid
                     cblks = []
                     cbw, cbh = 1 << cod["cbw_e"], 1 << cod["cbh_e"]
@@ -281,7 +299,7 @@ class _TileEncoder:
                             cb = _EncBlock(x0, y0, x1, y1)
                             coefs = q[y0 - by0:y1 - by0, x0 - bx0:x1 - bx0]
                             segs, np_, zp = _t1_encode(
-                                coefs, orient, mb, style)
+                                coefs, orient, mb, comp_styles[c])
                             cb.segs = segs
                             cb.numpasses = np_
                             cb.zero_planes = zp if np_ else mb
@@ -291,9 +309,10 @@ class _TileEncoder:
                 res_list.append({"rect": rrect, "bands": bands})
             self.comps.append(res_list)
 
-    def packets(self) -> List[bytes]:
+    def packets(self) -> List[Tuple[bytes, bytes]]:
         """All packets of this tile in LRCP order (single layer,
-        whole-tile precincts => one precinct per (r, c))."""
+        whole-tile precincts => one precinct per (r, c)), as
+        (header, body) pairs so PPT/SOP/EPH assembly can split them."""
         cod = self.cod
         out = []
         for r in range(cod["levels"] + 1):
@@ -305,7 +324,7 @@ class _TileEncoder:
                 out.append(self._one_packet(res))
         return out
 
-    def _one_packet(self, res) -> bytes:
+    def _one_packet(self, res) -> Tuple[bytes, bytes]:
         bw = _BitWriter()
         styled = self.cod.get("style", 0)
         any_inc = any(cb.numpasses
@@ -313,7 +332,7 @@ class _TileEncoder:
         if not any_inc:
             bw.bit(0)
             bw.align()
-            return bw.data()
+            return bw.data(), b""
         bw.bit(1)
         bodies = []
         for b in res["bands"]:
@@ -356,7 +375,7 @@ class _TileEncoder:
                 bodies.append(b"".join(s for s, _ in cb.segs))
         del styled
         bw.align()
-        return bw.data() + b"".join(bodies)
+        return bw.data(), b"".join(bodies)
 
 
 def _marker(code: int, payload: bytes) -> bytes:
@@ -428,6 +447,12 @@ def encode_j2k(img: np.ndarray, *, reversible: bool = True,
                style: int = 0,
                rate: Optional[float] = None,
                qscale: Optional[float] = None,
+               sub: Optional[Sequence[Tuple[int, int]]] = None,
+               sop: bool = False, eph: bool = False, ppt: bool = False,
+               ppm: bool = False,
+               roi: Optional[Tuple[int, int, int, int]] = None,
+               roi_shift: Optional[int] = None,
+               coc_styles: Optional[dict] = None,
                qcd_eps_bump: int = 0) -> bytes:
     """Encode HxW or HxWxC uint8 (components in R,G,B(,A) order) to a
     raw J2K codestream. Single quality layer, LRCP, whole-tile
@@ -482,7 +507,14 @@ def encode_j2k(img: np.ndarray, *, reversible: bool = True,
     if h < 1 or w < 1 or nc < 1 or nc > 4:
         raise InvalidImageError("JPEG 2000 encoder: bad geometry")
     depth = 8
+    sub = list(sub) if sub else [(1, 1)] * nc
+    if len(sub) != nc or any(not (1 <= xr <= 4 and 1 <= yr <= 4)
+                             for (xr, yr) in sub):
+        raise InvalidImageError("JPEG 2000 encoder: bad subsampling")
+    same_grid = all(sv == sub[0] for sv in sub[:3])
     use_mct = (nc >= 3) if mct is None else (mct and nc >= 3)
+    if use_mct and not same_grid:
+        use_mct = False  # MCT needs co-sited components (G.2)
     if levels is None:
         levels = max(0, min(5, int(math.floor(math.log2(min(w, h))))
                             if min(w, h) > 1 else 0))
@@ -493,14 +525,15 @@ def encode_j2k(img: np.ndarray, *, reversible: bool = True,
 
     # ---- headers
     guard = 2
-    comps_siz = b"".join(struct.pack(">BBB", depth - 1, 1, 1)
-                         for _ in range(nc))
+    comps_siz = b"".join(struct.pack(">BBB", depth - 1, xr, yr)
+                         for (xr, yr) in sub)
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xts, yts, 0, 0, nc) \
         + comps_siz
     sgcod = struct.pack(">BHB", 0, 1, 1 if use_mct else 0)
     spcod = struct.pack(">BBBBB", levels, cbw_e - 2, cbh_e - 2, style,
                         1 if reversible else 0)
-    cod = bytes([0]) + sgcod + spcod
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    cod = bytes([scod]) + sgcod + spcod
     nbands = 3 * levels + 1
     qparams = []
 
@@ -533,12 +566,19 @@ def encode_j2k(img: np.ndarray, *, reversible: bool = True,
 
     head = b"\xff\x4f" + _marker(0xFF51, siz) + _marker(0xFF52, cod) \
         + _marker(0xFF5C, qcd)
+    comp_styles = [style] * nc
+    if coc_styles:
+        for c, st in sorted(coc_styles.items()):
+            comp_styles[c] = st
+            spcoc = struct.pack(">BBBBBB", 0, levels, cbw_e - 2,
+                                cbh_e - 2, st, 1 if reversible else 0)
+            head += _marker(0xFF53, bytes([c]) + spcoc)
     for (c, qbody) in qcc_list:
         qcc = bytes([c]) + qbody if nc < 257 else \
             struct.pack(">H", c) + qbody
         head += _marker(0xFF5D, qcc)
 
-    # ---- component planes: level shift + MCT
+    # ---- component planes: level shift + MCT + subsampling
     from ..ops import wavelet as W
     planes = [img[:, :, c].astype(np.int64) - (1 << (depth - 1))
               for c in range(nc)]
@@ -548,26 +588,106 @@ def encode_j2k(img: np.ndarray, *, reversible: bool = True,
         else:
             y, u, v = W.forward_ict(planes[0], planes[1], planes[2])
         planes[0], planes[1], planes[2] = y, u, v
+    # subsampled components keep every XRsiz/YRsiz-th sample
+    # (decimation — the component grid per B.3)
+    planes = [p[::sub[c][1], ::sub[c][0]] for c, p in enumerate(planes)]
     if not reversible:
         planes = [np.asarray(p, np.float64) for p in planes]
+
+    # maxshift ROI: the shift must clear every background coefficient
+    # (the decoder separates ROI samples by the 2^shift threshold)
+    roi_shifts = None
+    if roi is not None:
+        if not reversible:
+            raise InvalidImageError(
+                "JPEG 2000 encoder: ROI fixtures are reversible-only")
+        roi_shifts = []
+        for c in range(nc):
+            mx = int(np.abs(planes[c]).max()) if planes[c].size else 0
+            # conservative: any 5/3 coefficient magnitude is bounded by
+            # 4x the plane's max absolute sample. +1 margin because
+            # OpenJPEG applies its ROI threshold in the x2-scaled T1
+            # domain (background must stay below 2^(shift-1) there —
+            # found via oracle A/B on a marginal stream)
+            s_c = roi_shift if roi_shift is not None \
+                else (4 * mx + 1).bit_length() + 1
+            roi_shifts.append(s_c)
+        for c in range(nc):
+            head += _marker(0xFF5E, bytes([c, 0, roi_shifts[c]]))
 
     cod_dict = {"levels": levels, "cbw_e": cbw_e, "cbh_e": cbh_e,
                 "transform": 1 if reversible else 0, "guard": guard,
                 "style": style}
 
     # ---- tiles
+    if ppm and ppt:
+        raise InvalidImageError("JPEG 2000 encoder: PPM xor PPT")
     ntx, nty = _ceil_div(w, xts), _ceil_div(h, yts)
     body = b""
+    ppm_chunks = []
+    nsop = 0
     for t in range(ntx * nty):
         tx, ty = t % ntx, t // ntx
         tx0, ty0 = tx * xts, ty * yts
         tx1, ty1 = min(tx0 + xts, w), min(ty0 + yts, h)
-        tile_planes = [p[ty0:ty1, tx0:tx1] for p in planes]
-        te = _TileEncoder(tile_planes, (tx0, ty0, tx1, ty1), cod_dict,
-                          qparams, [depth] * nc, style)
-        pk = b"".join(te.packets())
-        sot_body = struct.pack(">HIBB", t, 12 + 2 + len(pk), 0, 1)
-        body += _marker(0xFF90, sot_body) + b"\xff\x93" + pk
+        rects = []
+        tile_planes = []
+        for c in range(nc):
+            xr, yr = sub[c]
+            rc = (_ceil_div(tx0, xr), _ceil_div(ty0, yr),
+                  _ceil_div(tx1, xr), _ceil_div(ty1, yr))
+            rects.append(rc)
+            tile_planes.append(planes[c][rc[1]:rc[3], rc[0]:rc[2]])
+        te = _TileEncoder(tile_planes, rects, cod_dict, qparams,
+                          [depth] * nc, comp_styles, roi=roi,
+                          roi_shifts=roi_shifts)
+        hdrs = []
+        bodies = []
+        for (hd, bd) in te.packets():
+            if sop:
+                bodies.append(_marker(0xFF91, struct.pack(">H",
+                                                          nsop & 0xFFFF)))
+                nsop += 1
+            if eph:
+                hd += b"\xff\x92"
+            hdrs.append(hd)
+            bodies.append(bd)
+        if ppm:
+            # one Nppm-prefixed chunk per tile-part (A.7.4)
+            blob = b"".join(hdrs)
+            ppm_chunks.append(struct.pack(">I", len(blob)) + blob)
+            pk = b"".join(bodies)
+            sot_body = struct.pack(">HIBB", t, 12 + 2 + len(pk), 0, 1)
+            body += _marker(0xFF90, sot_body) + b"\xff\x93" + pk
+        elif ppt:
+            ppt_seg = _marker(0xFF61, bytes([0]) + b"".join(hdrs))
+            pk = b"".join(bodies)
+            sot_body = struct.pack(">HIBB", t, 12 + len(ppt_seg) + 2
+                                   + len(pk), 0, 1)
+            body += _marker(0xFF90, sot_body) + ppt_seg \
+                + b"\xff\x93" + pk
+        else:
+            # interleave: header then body per packet
+            pk_parts = []
+            bi = 0
+            for hd in hdrs:
+                if sop:
+                    pk_parts.append(bodies[bi])
+                    bi += 1
+                pk_parts.append(hd)
+                pk_parts.append(bodies[bi])
+                bi += 1
+            pk = b"".join(pk_parts)
+            sot_body = struct.pack(">HIBB", t, 12 + 2 + len(pk), 0, 1)
+            body += _marker(0xFF90, sot_body) + b"\xff\x93" + pk
+    if ppm_chunks:
+        stream = b"".join(ppm_chunks)
+        # split across PPM segments if oversized (Lppm is 16-bit)
+        z = 0
+        while stream:
+            part, stream = stream[:65000], stream[65000:]
+            head += _marker(0xFF60, bytes([z]) + part)
+            z += 1
     return head + body + b"\xff\xd9"
 
 

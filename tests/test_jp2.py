@@ -222,10 +222,14 @@ def _patch_marker(b: bytes, marker: bytes, offset: int, new: int) -> bytes:
 def test_unsupported_profiles_typed():
     img = np.random.default_rng(14).integers(0, 256, (32, 32, 3), np.uint8)
     b = _enc(img)
-    # SOP/EPH flags in Scod (COD byte 0 after the length)
+    # SOP/EPH flags in Scod: markers are OPTIONAL per packet, so a
+    # stream flagged without them still decodes (round 4: supported)
     sop = _patch_marker(b, b"\xff\x52", 4, 0x06)
-    with pytest.raises(InvalidImageError, match="SOP/EPH"):
-        new_decoder(sop)
+    np.testing.assert_array_equal(_dec(sop)[:, :, :3], _pil(b)[:, :, ::-1])
+    # undefined Scod bits are still typed-rejected
+    bad = _patch_marker(b, b"\xff\x52", 4, 0x08)
+    with pytest.raises(InvalidImageError, match="Scod"):
+        new_decoder(bad)
     # oversized codeblock exponents (xcb+ycb > 12, B.7)
     big = _patch_marker(b, b"\xff\x52", 10, 0x0F)
     with pytest.raises(InvalidImageError, match="codeblock exponents"):

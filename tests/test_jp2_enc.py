@@ -222,20 +222,81 @@ def test_t1_styles_cpp_matches_python(style, monkeypatch):
     del monkeypatch
 
 
+SUBPROFILE = {
+    "ppt": dict(ppt=True),
+    "ppt-tiles": dict(ppt=True, tile=(32, 32)),
+    "ppm": dict(ppm=True),
+    "ppm-tiles-styled": dict(ppm=True, tile=(32, 32), style=0x05),
+    "sop": dict(sop=True),
+    "eph": dict(eph=True),
+    "sop-eph-ppt-bypass": dict(sop=True, eph=True, ppt=True, style=0x01),
+    "coc-per-component-styles": dict(coc_styles={1: 0x01, 2: 0x0D}),
+    "roi-maxshift": dict(roi=(10, 10, 40, 40)),
+    "roi-explicit-shift": dict(roi=(0, 0, 20, 20), roi_shift=14),
+}
+
+
+@pytest.mark.parametrize("name", list(SUBPROFILE), ids=str)
+def test_subprofile_features_against_openjpeg(name):
+    """PPM/PPT packed headers, SOP/EPH markers, per-component COC
+    styles, and maxshift ROI all decode bit-exactly through our own
+    decoder AND OpenJPEG (cv2) — the round-3 sub-profile gaps."""
+    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    img = rng.integers(0, 256, (70, 66, 3), np.uint8)
+    b = jp2_enc.encode_jp2(img, **SUBPROFILE[name])
+    np.testing.assert_array_equal(_own(b)[:, :, :3], img[:, :, ::-1])
+    np.testing.assert_array_equal(_cv(b), img[:, :, ::-1])
+
+
+def test_subsampled_components():
+    """4:2:0-style subsampling: component planes decode bit-exactly at
+    their own grid; the BGRA surface upsamples by sample replication
+    exactly like PIL/OpenJPEG. (This EXCEEDS the reference: OpenCV
+    5.0's OpenJPEG wrapper rejects subsampled components outright —
+    'expected (int)comp.dx == 1'.)"""
+    from lilliput_tpu.codecs.jp2 import Jp2Image
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (70, 66, 3), np.uint8)
+    b = jp2_enc.encode_jp2(img, sub=[(1, 1), (2, 2), (2, 2)])
+    pls = Jp2Image(b).decode()
+    np.testing.assert_array_equal(
+        pls[0], img[:, :, 0].astype(np.int64) - 128)
+    np.testing.assert_array_equal(
+        pls[1], img[::2, ::2, 1].astype(np.int64) - 128)
+    np.testing.assert_array_equal(
+        pls[2], img[::2, ::2, 2].astype(np.int64) - 128)
+    own_rgb = _own(b)[:, :, :3][:, :, ::-1]
+    pil = np.array(PIL_Image.open(io.BytesIO(b)))
+    np.testing.assert_array_equal(own_rgb, pil)
+    assert _cv(b) is None  # the reference path cannot decode these
+    # asymmetric sampling + gray companion
+    b = jp2_enc.encode_jp2(img, sub=[(1, 1), (2, 1), (1, 2)])
+    pls = Jp2Image(b).decode()
+    np.testing.assert_array_equal(
+        pls[1], img[:, ::2, 1].astype(np.int64) - 128)
+    np.testing.assert_array_equal(
+        pls[2], img[::2, :, 2].astype(np.int64) - 128)
+
+
 def test_styled_stream_fuzz_total():
     """Truncations/bitflips of a styled (bypass+termall) stream stay
     total: typed errors or clean decode, never raw exceptions."""
     from lilliput_tpu.errors import LilliputError
     img = np.random.default_rng(42).integers(0, 256, (24, 24, 3),
                                              np.uint8)
-    b = jp2_enc.encode_jp2(img, style=0x05)
     rng = np.random.default_rng(43)
-    cases = [b[:n] for n in range(0, len(b), 61)]
-    for _ in range(40):
-        m = bytearray(b)
-        for _ in range(rng.integers(1, 5)):
-            m[rng.integers(0, len(m))] = rng.integers(0, 256)
-        cases.append(bytes(m))
+    cases = []
+    for b in (jp2_enc.encode_jp2(img, style=0x05),
+              jp2_enc.encode_jp2(img, ppt=True, sop=True, eph=True),
+              jp2_enc.encode_jp2(img, ppm=True),
+              jp2_enc.encode_jp2(img, roi=(4, 4, 12, 12)),
+              jp2_enc.encode_jp2(img, sub=[(1, 1), (2, 2), (2, 2)])):
+        cases += [b[:n] for n in range(0, len(b), 61)]
+        for _ in range(25):
+            m = bytearray(b)
+            for _ in range(rng.integers(1, 5)):
+                m[rng.integers(0, len(m))] = rng.integers(0, 256)
+            cases.append(bytes(m))
     for case in cases:
         try:
             _own(case)
