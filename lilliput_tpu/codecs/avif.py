@@ -484,6 +484,25 @@ class AvifEncoder(Encoder):
             raise DecodingFailedError("avif encoder got no frames")
         quality = int(self._opts.get(AVIF_QUALITY, 60))
         speed = int(self._opts.get(AVIF_SPEED, 6))
+        # first-party path: libaom-av1 through our ffmpeg shim + own
+        # ISOBMFF muxer (codecs/avif_enc.py). Animated-with-alpha
+        # stays on the PIL/libavif delegation for now.
+        from . import avif_enc
+        anim_alpha = (len(self._frames) > 1
+                      and any(f.ndim == 3 and f.shape[2] == 4
+                              for f in self._frames))
+        if avif_enc.available() and not anim_alpha:
+            try:
+                durs = self._durations if len(self._frames) > 1 else [0]
+                out = avif_enc.encode(
+                    self._frames, [max(d, 1) for d in durs],
+                    quality=min(max(quality, 0), 100),
+                    speed=min(max(speed, 0), 10),
+                    loop_count=max(self._loops, 0), icc=self._icc)
+                self._flushed = True
+                return out
+            except Exception:
+                pass  # PIL/libavif fallback below
         imgs = [_PILImage.fromarray(f) for f in self._frames]
         bio = io.BytesIO()
         kwargs = dict(format="AVIF", quality=min(max(quality, 0), 100),

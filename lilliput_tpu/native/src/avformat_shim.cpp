@@ -492,6 +492,128 @@ void* lp_av_raw_frame_decode(const char* codec_name, int32_t codec_id,
     return rf;
 }
 
+// Encode n_frames of tightly-packed planar pixels to AV1 OBU packets
+// via libaom-av1 — the same encoder the reference drives through
+// libavif (/root/reference/avif.cpp:614-776), with the same knobs:
+// crf (libavif quality -> qp mapping done by the caller), cpu_used
+// (speed), optional true-lossless mode, thread count, keyframe
+// interval. fmt: 0 = yuv420p BT.601 studio, 1 = yuv444p BT.601
+// studio, 2 = gray8 full range (monochrome AV1, used for alpha
+// planes), 3 = yuv444p identity-matrix full range (lossless RGB: the
+// caller passes G,B,R planes per the AV1 identity convention).
+// planes: per frame Y then U then V (chroma dims per fmt), frames
+// back to back. Packet data is concatenated into out with per-packet
+// sizes in pkt_sizes. Returns the packet count, or <0 on failure.
+extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
+                              int32_t fmt, int32_t n_frames,
+                              int32_t timescale, const int64_t* durations,
+                              int32_t crf, int32_t cpu_used,
+                              int32_t lossless, int32_t threads,
+                              int32_t keyint, uint8_t* out,
+                              int64_t out_cap, int64_t* pkt_sizes,
+                              int32_t max_pkts) {
+    if (w <= 0 || h <= 0 || n_frames <= 0 || timescale <= 0) return -1;
+    const AVCodec* enc = avcodec_find_encoder_by_name("libaom-av1");
+    if (!enc) return -2;
+    AVCodecContext* ctx = avcodec_alloc_context3(enc);
+    if (!ctx) return -3;
+    ctx->width = w;
+    ctx->height = h;
+    ctx->pix_fmt = fmt == 0 ? AV_PIX_FMT_YUV420P
+                   : fmt == 2 ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_YUV444P;
+    ctx->time_base = {1, timescale};
+    ctx->thread_count = threads > 0 ? threads : 1;
+    ctx->gop_size = keyint > 0 ? keyint : n_frames;
+    ctx->max_b_frames = 0;
+    if (fmt == 3) {
+        ctx->colorspace = AVCOL_SPC_RGB;          // identity (GBR)
+        ctx->color_range = AVCOL_RANGE_JPEG;      // full range
+    } else if (fmt == 2) {
+        ctx->color_range = AVCOL_RANGE_JPEG;      // alpha is full range
+    } else {
+        ctx->colorspace = AVCOL_SPC_BT470BG;      // BT.601 matrix
+        ctx->color_range = AVCOL_RANGE_MPEG;      // studio swing
+    }
+    av_opt_set_int(ctx->priv_data, "cpu-used",
+                   cpu_used < 0 ? 6 : (cpu_used > 8 ? 8 : cpu_used), 0);
+    if (lossless) {
+        av_opt_set_int(ctx->priv_data, "lossless", 1, 0);
+        av_opt_set_int(ctx->priv_data, "crf", 0, 0);
+    } else {
+        av_opt_set_int(ctx->priv_data, "crf",
+                       crf < 0 ? 0 : (crf > 63 ? 63 : crf), 0);
+        // rate control: constant quality, no bitrate target
+        ctx->bit_rate = 0;
+        av_opt_set(ctx->priv_data, "b", "0", 0);
+    }
+    if (avcodec_open2(ctx, enc, nullptr) != 0) {
+        avcodec_free_context(&ctx);
+        return -4;
+    }
+    const int cw = fmt == 0 ? (w + 1) / 2 : w;
+    const int ch = fmt == 0 ? (h + 1) / 2 : h;
+    const size_t ysz = static_cast<size_t>(w) * h;
+    const size_t csz = static_cast<size_t>(cw) * ch;
+    const size_t frame_sz = fmt == 2 ? ysz : ysz + 2 * csz;
+    AVFrame* frame = av_frame_alloc();
+    AVPacket* pkt = av_packet_alloc();
+    long npkts = 0;
+    int64_t total = 0;
+    int64_t pts = 0;
+    bool fail = false;
+    auto drain = [&](bool flush) {
+        while (true) {
+            int r = avcodec_receive_packet(ctx, pkt);
+            if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+            if (r < 0) { fail = true; break; }
+            if (npkts >= max_pkts || total + pkt->size > out_cap) {
+                av_packet_unref(pkt);
+                fail = true;
+                break;
+            }
+            std::memcpy(out + total, pkt->data, pkt->size);
+            pkt_sizes[npkts++] = pkt->size;
+            total += pkt->size;
+            av_packet_unref(pkt);
+        }
+        (void)flush;
+    };
+    for (int32_t i = 0; i < n_frames && !fail; i++) {
+        frame->format = ctx->pix_fmt;
+        frame->width = w;
+        frame->height = h;
+        if (av_frame_get_buffer(frame, 0) < 0) { fail = true; break; }
+        const uint8_t* src = planes + static_cast<size_t>(i) * frame_sz;
+        for (int y = 0; y < h; y++)
+            std::memcpy(frame->data[0] + static_cast<size_t>(y) *
+                        frame->linesize[0], src + static_cast<size_t>(y) * w,
+                        w);
+        if (fmt != 2) {
+            for (int p = 1; p <= 2; p++) {
+                const uint8_t* cs = src + ysz + (p - 1) * csz;
+                for (int y = 0; y < ch; y++)
+                    std::memcpy(frame->data[p] + static_cast<size_t>(y) *
+                                frame->linesize[p],
+                                cs + static_cast<size_t>(y) * cw, cw);
+            }
+        }
+        frame->pts = pts;
+        frame->pkt_duration = durations ? durations[i] : 1;
+        pts += frame->pkt_duration;
+        if (avcodec_send_frame(ctx, frame) < 0) fail = true;
+        av_frame_unref(frame);
+        drain(false);
+    }
+    if (!fail) {
+        avcodec_send_frame(ctx, nullptr);
+        drain(true);
+    }
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    avcodec_free_context(&ctx);
+    return fail ? -5 : npkts;
+}
+
 int lp_av_raw_frame_plane(void* h, int32_t idx, uint8_t* out,
                           int32_t row_bytes, int32_t rows) {
     auto* rf = static_cast<RawFrame*>(h);

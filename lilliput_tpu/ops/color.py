@@ -126,6 +126,38 @@ def yuv_to_rgb_norm(y: jax.Array, u: jax.Array, v: jax.Array,
 # HDR transfer functions + tone mapping (avif.cpp:88-199 math)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("space", "subsample"))
+def bgr_to_yuv(bgr: jax.Array, space: str = "bt601",
+               subsample: bool = True):
+    """(H, W, 3) BGR u8 -> studio-swing planar YUV u8 (the forward of
+    yuv420_to_bgr): Y on [16, 235], chroma on [16, 240] around 128;
+    subsample=True averages chroma 2x2 (4:2:0, odd edges replicate).
+    Feeds the first-party AVIF encoder (codecs/avif_enc.py); the dense
+    conversion runs on device per the codec split."""
+    kr, kb = KR_KB[space]
+    kg = 1.0 - kr - kb
+    b = bgr[..., 0].astype(jnp.float32)
+    g = bgr[..., 1].astype(jnp.float32)
+    r = bgr[..., 2].astype(jnp.float32)
+    yf = kr * r + kg * g + kb * b                    # 0..255
+    cb = (b - yf) / (2.0 * (1.0 - kb))               # -127.5..127.5
+    cr = (r - yf) / (2.0 * (1.0 - kr))
+    y = jnp.clip(jnp.round(16.0 + yf * (219.0 / 255.0)), 0, 255)
+    if subsample:
+        h, w = cb.shape
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        cb = jnp.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr = jnp.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = (cb[0::2, 0::2] + cb[0::2, 1::2]
+              + cb[1::2, 0::2] + cb[1::2, 1::2]) * 0.25
+        cr = (cr[0::2, 0::2] + cr[0::2, 1::2]
+              + cr[1::2, 0::2] + cr[1::2, 1::2]) * 0.25
+    u = jnp.clip(jnp.round(128.0 + cb * (224.0 / 255.0)), 0, 255)
+    v = jnp.clip(jnp.round(128.0 + cr * (224.0 / 255.0)), 0, 255)
+    return (y.astype(jnp.uint8), u.astype(jnp.uint8),
+            v.astype(jnp.uint8))
+
+
 def pq_to_linear(e: jax.Array) -> jax.Array:
     """SMPTE ST 2084 (PQ) EOTF: normalized signal -> linear (1.0 = 10000 nits)."""
     m1 = 2610.0 / 16384.0
