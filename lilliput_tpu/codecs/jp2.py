@@ -702,12 +702,12 @@ class Jp2Image:
             for res in comps[c]:
                 for b in res["bands"]:
                     mb = qc.guard + b.eps - 1 + shift_c
-                    if mb > 31:
+                    if mb > 30:
                         # no legitimate profile reaches this (precision
                         # <=16 + band gain + guard bits); int32 magnitudes
                         # cap the decodable range
                         raise InvalidImageError(
-                            f"JPEG 2000: magnitude bitplanes exceed 31 "
+                            f"JPEG 2000: magnitude bitplanes exceed 30 "
                             f"(Mb={mb})")
                     for cb in b.cblks:
                         if cb.numpasses and cb.segs:
@@ -751,9 +751,15 @@ class Jp2Image:
                             continue
                         arr[cb.y0 - b.y0:cb.y1 - b.y0,
                             cb.x0 - b.x0:cb.x1 - b.x0] = coef
+                    # Tier-1 outputs opj's 2x-domain values (2*mag +
+                    # 2^last_decoded_plane): the uncertainty midpoint
+                    # sits at the LAST decoded plane so truncated
+                    # (rate-controlled / partial-layer) streams
+                    # reconstruct like the oracle, and fully-decoded
+                    # ones keep the exact (mag + 0.5) midpoint.
                     if roishift:
-                        # maxshift ROI: magnitudes above 2^shift are
-                        # region-of-interest samples, scaled back down
+                        # maxshift ROI exactly as opj: threshold and
+                        # downshift applied in the 2x domain
                         thr = 1 << roishift
                         mags = np.abs(arr)
                         arr = np.where(mags >= thr,
@@ -762,13 +768,12 @@ class Jp2Image:
                     if not reversible:
                         rb = depth + b.gain
                         delta = 2.0 ** (rb - b.eps) * (1.0 + b.mu / 2048.0)
-                        mags = np.abs(arr).astype(np.float64)
-                        fa = np.where(
-                            arr != 0,
-                            np.sign(arr) * (mags + 0.5) * delta, 0.0)
-                        band_arrays.append(fa)
+                        band_arrays.append(
+                            arr.astype(np.float64) * (0.5 * delta))
                     else:
-                        band_arrays.append(arr)
+                        # value / 2 with C truncation toward zero
+                        band_arrays.append(
+                            np.sign(arr) * (np.abs(arr) >> 1))
                 rrect = res["rect"]
                 if r == 0:
                     ll = band_arrays[0]

@@ -673,10 +673,10 @@ def decode_codeblock(data: bytes, w: int, h: int, band: int,
             raise DecodingFailedError(
                 f"JPEG 2000: codeblock outside decodable profile ({rc})")
         return out
-    if mb - missing_bitplanes > 31:
+    if mb - missing_bitplanes > 30:
         from ..errors import DecodingFailedError
         raise DecodingFailedError(
-            "JPEG 2000: magnitude bitplanes exceed 31")
+            "JPEG 2000: magnitude bitplanes exceed 30")
     return _decode_codeblock_py(data, w, h, band, missing_bitplanes,
                                 numpasses, mb, style, segs)
 
@@ -745,6 +745,7 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
     sig = np.zeros((h, w), np.uint8)    # significant
     sgn = np.zeros((h, w), np.int8)     # sign: +1 / -1 once significant
     vis = np.zeros((h, w), np.uint8)    # coded in current bitplane
+    lastp = np.zeros((h, w), np.int8)   # lowest plane decoded per coef
     nb = mb - missing_bitplanes  # number of bitplanes actually coded
     if nb <= 0 or numpasses <= 0:
         return mag
@@ -800,10 +801,12 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                         if raw.bit():
                             sig[y, x] = 1
                             mag[y, x] |= bit
+                            lastp[y, x] = p
                             sgn[y, x] = -1 if raw.bit() else 1
                     elif mq.decode(_zc_context(band, hn, vn, dn)):
                         sig[y, x] = 1
                         mag[y, x] |= bit
+                        lastp[y, x] = p
                         decode_sign(x, y)
 
     def mrp(p, first_ref, is_raw):
@@ -820,6 +823,7 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                     if is_raw:
                         if raw.bit():
                             mag[y, x] |= bit
+                        lastp[y, x] = p
                         vis[y, x] = 1
                         continue
                     if first_ref[y, x]:
@@ -830,6 +834,7 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                         cx = 16
                     if mq.decode(cx):
                         mag[y, x] |= bit
+                    lastp[y, x] = p
                     vis[y, x] = 1
 
     def cleanup(p):
@@ -859,6 +864,7 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                         # first significant sample of the run
                         sig[y, x] = 1
                         mag[y, x] |= bit
+                        lastp[y, x] = p
                         decode_sign(x, y)
                         y += 1
                 for yy in range(y, min(y0 + 4, h)):
@@ -869,6 +875,7 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
                     if mq.decode(_zc_context(band, hn, vn, dn)):
                         sig[yy, x] = 1
                         mag[yy, x] |= bit
+                        lastp[yy, x] = p
                         decode_sign(x, yy)
                 x += 1
         vis[:] = 0
@@ -909,4 +916,11 @@ def _decode_codeblock_py(data: bytes, w: int, h: int, band: int,
             if passtype == 3:
                 passtype = 0
                 bpno -= 1
-    return mag * np.where(sgn < 0, -1, 1).astype(np.int32)
+    # opj-parity reconstruction domain: value_2x = 2*mag + 2^lastp for
+    # decoded coefficients (the uncertainty midpoint sits at the LAST
+    # decoded plane — for truncated streams this differs from a flat
+    # +0.5 by up to a factor 2^lastp and is what the oracle does)
+    out2x = np.where(mag != 0,
+                     2 * mag.astype(np.int64)
+                     + (np.int64(1) << lastp.astype(np.int64)), 0)
+    return (out2x * np.where(sgn < 0, -1, 1)).astype(np.int32)

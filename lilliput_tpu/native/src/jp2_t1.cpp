@@ -215,7 +215,7 @@ struct T1 {
     bool vsc;
     std::vector<int32_t> mag;
     std::vector<uint8_t> sig, vis, first_ref;
-    std::vector<int8_t> sgn;
+    std::vector<int8_t> sgn, lastp;
     MqDec mq;
     RawDec raw;
 
@@ -263,11 +263,13 @@ struct T1 {
                         if (raw.bit()) {
                             sig[i] = 1;
                             mag[i] |= bit;
+                            lastp[i] = static_cast<int8_t>(p);
                             sgn[i] = raw.bit() ? -1 : 1;
                         }
                     } else if (mq.decode(zc_context(band, hn, vn, dn))) {
                         sig[i] = 1;
                         mag[i] |= bit;
+                        lastp[i] = static_cast<int8_t>(p);
                         decode_sign(x, y);
                     }
                 }
@@ -285,6 +287,7 @@ struct T1 {
                     if (!sig[i] || vis[i]) continue;
                     if (is_raw) {
                         if (raw.bit()) mag[i] |= bit;
+                        lastp[i] = static_cast<int8_t>(p);
                         vis[i] = 1;
                         continue;
                     }
@@ -298,6 +301,7 @@ struct T1 {
                         cx = 16;
                     }
                     if (mq.decode(cx)) mag[i] |= bit;
+                    lastp[i] = static_cast<int8_t>(p);
                     vis[i] = 1;
                 }
             }
@@ -327,6 +331,7 @@ struct T1 {
                         int i = y * w + x;
                         sig[i] = 1;
                         mag[i] |= bit;
+                        lastp[i] = static_cast<int8_t>(p);
                         decode_sign(x, y);
                         y += 1;
                     }
@@ -339,6 +344,7 @@ struct T1 {
                     if (mq.decode(zc_context(band, hn, vn, dn))) {
                         sig[i] = 1;
                         mag[i] |= bit;
+                        lastp[i] = static_cast<int8_t>(p);
                         decode_sign(x, yy);
                     }
                 }
@@ -667,12 +673,13 @@ extern "C" int lp_jp2_t1_decode2(const uint8_t* data, int32_t len,
     t1.vis.assign(nsamp, 0);
     t1.first_ref.assign(nsamp, 1);
     t1.sgn.assign(nsamp, 0);
+    t1.lastp.assign(nsamp, 0);
     int nb = mb - zero_planes;
     if (nb <= 0 || numpasses <= 0 || n_segs <= 0) {
         std::memset(out, 0, nsamp * sizeof(int32_t));
         return 0;
     }
-    if (nb > 31) return -2;
+    if (nb > 30) return -2;  // 2x-domain output needs one spare bit
     t1.mq.reset_ctx();
     const bool segsym = (style & kStySegsym) != 0;
     int bpno = nb - 1;
@@ -703,8 +710,13 @@ extern "C" int lp_jp2_t1_decode2(const uint8_t* data, int32_t len,
             }
         }
     }
+    // opj-parity reconstruction domain: 2*mag + 2^(last decoded
+    // plane) — the uncertainty midpoint for truncated streams (the
+    // caller halves / scales by delta/2)
     for (size_t i = 0; i < nsamp; i++) {
-        out[i] = t1.sgn[i] < 0 ? -t1.mag[i] : t1.mag[i];
+        int32_t m = t1.mag[i];
+        int32_t v = m ? 2 * m + (1 << t1.lastp[i]) : 0;
+        out[i] = t1.sgn[i] < 0 ? -v : v;
     }
     return 0;
 }

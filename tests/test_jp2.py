@@ -109,6 +109,30 @@ def test_lossy_97():
     np.testing.assert_array_equal(_dec(b)[:, :, :3], _pil(b)[:, :, ::-1])
 
 
+def test_lossy_multirate_multilayer_sweep():
+    """Lossy 9/7 depth: OpenJPEG-encoded codestreams across a rate
+    sweep and multi-layer configurations must decode identically to
+    cv2's decode of the same bytes (the reference's own path) — not
+    just the single fixture the round-3 suite pinned."""
+    import cv2
+    base = (np.mgrid[0:96, 0:112][0] * 5 % 256).astype(np.uint8)
+    img = np.stack([base, np.roll(base, 7, 1), 255 - base], -1)
+    for rates in ([5], [20], [80], [40, 10], [60, 25, 8], [100, 50, 20, 5]):
+        for mct in (0, 1):
+            b = _enc(img, irreversible=True, quality_mode="rates",
+                     quality_layers=rates, mct=mct)
+            ref = cv2.imdecode(np.frombuffer(b, np.uint8),
+                               cv2.IMREAD_UNCHANGED)
+            got = _dec(b)[:, :, :3]
+            p = _psnr(got, ref)
+            assert p >= (50 if not mct else 45), (rates, mct, p)
+    # dB-mode layering exercises a different allocator in OpenJPEG
+    b = _enc(img, irreversible=True, quality_mode="dB",
+             quality_layers=[28, 35, 42])
+    ref = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_UNCHANGED)
+    assert _psnr(_dec(b)[:, :, :3], ref) >= 45
+
+
 def test_precincts():
     img = np.random.default_rng(6).integers(0, 256, (70, 66, 3), np.uint8)
     b = _enc(img, precinct_size=(64, 64))
