@@ -209,6 +209,82 @@ def jp2_t1_exercise(lib):
             pass
 
 
+def jp2_t1_encode_exercise(lib):
+    """Tier-1 ENCODER paths (lp_jp2_t1_encode): every coding style,
+    degenerate geometries, and segment-aware decode of the output —
+    memory safety for the round-4 encode half."""
+    from lilliput_tpu.codecs import jp2_t1 as T1
+    rng = np.random.default_rng(1)
+    for style in (0x00, 0x01, 0x04, 0x08, 0x05, 0x2F):
+        for (h, w, amp) in ((64, 64, 30000), (1, 1, 1), (3, 64, 255),
+                            (17, 5, 7)):
+            coefs = rng.integers(-amp, amp + 1, (h, w)).astype(np.int32)
+            mb = max(int(np.abs(coefs).max()).bit_length(), 1) + 2
+            segs, np_, zp = T1.encode_codeblock(coefs, 2, mb, style)
+            data = b"".join(s for s, _ in segs)
+            meta = [(len(s), p) for s, p in segs]
+            out = T1.decode_codeblock(data, w, h, 2, zp, np_, mb,
+                                      style, meta)
+            rec = np.sign(out) * (np.abs(out) >> 1)
+            assert np.array_equal(rec, coefs)
+    # hostile segment metadata straight into the C++ decoder
+    blob = rng.bytes(256)
+    for meta in ([(300, 5)], [(10, 0), (10, 200)], [(0, 1)] * 64,
+                 [(256, 1), (1, 1)]):
+        try:
+            T1.decode_codeblock(blob, 32, 32, 1, 0,
+                                sum(p for _, p in meta), 20, 0x05, meta)
+        except Exception:
+            pass
+
+
+def av1_encode_exercise(lib):
+    """lp_av1_encode (round-4 AVIF encode): every format, degenerate
+    sizes, undersized output caps, and multi-frame — memory safety for
+    the aom driver."""
+    from lilliput_tpu.codecs import avif_enc
+    if not avif_enc.available():
+        return
+    rng = np.random.default_rng(2)
+    for (h, w, fmt) in ((16, 16, 0), (1, 1, 2), (17, 13, 1),
+                        (8, 8, 3)):
+        cw = (w + 1) // 2 if fmt == 0 else w
+        ch = (h + 1) // 2 if fmt == 0 else h
+        n = h * w + (0 if fmt == 2 else 2 * cw * ch)
+        planes = rng.integers(0, 256, n, dtype=np.uint8)
+        avif_enc._encode_frames(planes, w, h, fmt, 1, [1], 30, 8,
+                                fmt == 3, 1)
+    # undersized caps must fail cleanly, not overflow
+    import ctypes as c
+    u8p = c.POINTER(c.c_uint8)
+    i64p = c.POINTER(c.c_int64)
+    planes = rng.integers(0, 256, 64 * 64 * 3, dtype=np.uint8)
+    out = np.empty(16, np.uint8)
+    sizes = np.zeros(1, np.int64)
+    durs = np.array([1], np.int64)
+    rc = lib.lp_av1_encode(planes.ctypes.data_as(u8p), 64, 64, 1, 1,
+                           30, durs.ctypes.data_as(i64p), 30, 8, 0, 1,
+                           1, out.ctypes.data_as(u8p), out.size,
+                           sizes.ctypes.data_as(i64p), 1)
+    assert rc < 0
+    # OBU split + muxer + PIL decode under ASan (jax-free: ASan's
+    # __cxa_throw interceptor trips on jaxlib's own C++ exceptions, so
+    # the smoke feeds the shim pre-made planes instead of bgr_to_yuv)
+    import io
+
+    from PIL import Image
+    h = w = 24
+    y = rng.integers(0, 256, h * w, dtype=np.uint8)
+    uv = rng.integers(0, 256, 2 * ((h + 1) // 2) * ((w + 1) // 2),
+                      dtype=np.uint8)
+    pkts = avif_enc._encode_frames(np.concatenate([y, uv]), w, h, 0, 1,
+                                   [1], 30, 8, False, 1)
+    seq, sample = avif_enc._split_obus(b"".join(pkts))
+    b = avif_enc.mux_still(w, h, 0, sample,
+                           avif_enc._build_av1c(seq, 0))
+    assert Image.open(io.BytesIO(b)).size == (w, h)
+
+
 def main():
     lib = binding.load()
     gif_roundtrip(lib)
@@ -217,6 +293,8 @@ def main():
     jpeg_restart_parallel(lib)
     jpeg_fast_hostile(lib)
     jp2_t1_exercise(lib)
+    jp2_t1_encode_exercise(lib)
+    av1_encode_exercise(lib)
     print("asan smoke OK")
 
 
