@@ -101,6 +101,39 @@ def main():
             os.environ["LILLIPUT_JPEG_HUFF"] = prev_huff
     host_decode_libjpeg_ips = batch / min(lj_times)
 
+    # progressive (SOF2) source A/B: the own multi-scan decoder vs libjpeg
+    # on the same content re-encoded progressive (mozjpeg-class traffic)
+    import io as _io
+
+    from PIL import Image as _Image
+    _im = _Image.open(_io.BytesIO(buf))
+    _im.load()
+    _bio = _io.BytesIO()
+    _im.save(_bio, format="JPEG", quality=85, progressive=True)
+    pbufs = [_bio.getvalue()] * batch
+    ppipe = JpegTranscodePipeline(pbufs[0], 256, 256, quality=85)
+    ppipe.decode_entropy(pbufs, pool=True)  # warm
+    pdec_times = []
+    for _ in range(host_iters):
+        t0 = time.time()
+        ppipe.decode_entropy(pbufs, pool=True)
+        pdec_times.append(time.time() - t0)
+    host_decode_prog_ips = batch / min(pdec_times)
+    os.environ["LILLIPUT_JPEG_HUFF"] = "libjpeg"
+    try:
+        ppipe.decode_entropy(pbufs, pool=True)  # rewarm
+        plj_times = []
+        for _ in range(host_iters):
+            t0 = time.time()
+            ppipe.decode_entropy(pbufs, pool=True)
+            plj_times.append(time.time() - t0)
+    finally:
+        if prev_huff is None:
+            os.environ.pop("LILLIPUT_JPEG_HUFF", None)
+        else:
+            os.environ["LILLIPUT_JPEG_HUFF"] = prev_huff
+    host_decode_prog_libjpeg_ips = batch / min(plj_times)
+
     out_dev = pipe.device_step(*coefs, donate=False)
     out_np = [np.asarray(a) for a in out_dev]
     pipe.encode_entropy(*out_np)  # warm
@@ -609,6 +642,12 @@ def main():
             "host_decode_speedup_same_run": round(
                 host_decode_ips / host_decode_libjpeg_ips, 3),
             "host_decode_stage_breakdown": host_stages,
+            "host_decode_progressive_images_per_sec": round(
+                host_decode_prog_ips, 2),
+            "host_decode_progressive_libjpeg_images_per_sec": round(
+                host_decode_prog_libjpeg_ips, 2),
+            "host_decode_progressive_speedup_same_run": round(
+                host_decode_prog_ips / host_decode_prog_libjpeg_ips, 3),
             "host_encode_images_per_sec": round(host_encode_ips, 2),
             "host_cores": host_cores,
             "e2e_bound_images_per_sec": round(e2e_bound, 2),

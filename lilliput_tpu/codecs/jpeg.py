@@ -383,11 +383,12 @@ class JpegDecoder(Decoder):
         rc = -10
         fast_used = False
         workers = intra_decode_workers()
-        if not info.progressive and use_fast_huff():
-            # own baseline Huffman decoder (jpeg_huff.cpp): decodes straight
-            # into the destination arrays, bit-identical to libjpeg (gated
-            # in tests/test_jpeg_huff.py), threads across restart segments.
-            # Declines (-10) on anything non-baseline -> libjpeg fallback.
+        if use_fast_huff():
+            # own Huffman decoder (jpeg_huff.cpp): decodes straight into
+            # the destination arrays, bit-identical to libjpeg (gated in
+            # tests/test_jpeg_huff.py), threads across restart segments.
+            # Handles baseline AND progressive (SOF2 multi-scan); declines
+            # (-10) on anything else -> libjpeg fallback.
             rc = self._lib.lp_jpeg_decode_coefs_fast(
                 _u8ptr(self._buf), self._buf.size, ptrs,
                 qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

@@ -1,4 +1,4 @@
-// From-scratch baseline JPEG Huffman coefficient decoder (host hot path).
+// From-scratch JPEG Huffman coefficient decoder (host hot path).
 //
 // decode_entropy is the serving e2e wall (BENCH_r03: 211 imgs/s/core vs
 // 17k+ device). Profiling (tools/profile_host.py) put 3.2 ms of the
@@ -9,19 +9,27 @@
 // (memchr over the 0xFF bytes), then a 64-bit bit reader entropy-decodes
 // blocks DIRECTLY into the caller's destination slice.
 //
-// Scope: baseline sequential DCT, 8-bit, single interleaved scan (the
-// overwhelmingly dominant web-JPEG profile). Anything else — progressive,
-// arithmetic coding, multi-scan, 12-bit, or any structural anomaly —
-// returns LP_HUFF_DECLINE and the caller falls back to the libjpeg path
-// (lp_jpeg_decode_coefs), so hostile/exotic inputs keep byte-for-byte the
-// behavior they had before. Valid baseline files decode BIT-IDENTICALLY
-// to libjpeg (gated in tests/test_jpeg_huff.py against the full corpus).
+// Scope: 8-bit Huffman JPEG, both profiles that exist on the web —
+//   * baseline/extended sequential (SOF0/SOF1), single interleaved scan:
+//     the original fast path, window-direct, restart-threaded;
+//   * progressive (SOF2), any spectral-selection / successive-
+//     approximation scan script: multi-scan state machine below, decoding
+//     the same four scan types libjpeg's jdphuff.c does (DC first/refine,
+//     AC first/refine with EOB runs and correction bits, ITU T.81 §G.1.2)
+//     into full-geometry planes, bit-identically.
+// Anything else — arithmetic coding, hierarchical, lossless, 12-bit, or
+// any structural anomaly — returns LP_HUFF_DECLINE and the caller falls
+// back to the libjpeg path (lp_jpeg_decode_coefs), so hostile/exotic
+// inputs keep byte-for-byte the behavior they had before. Valid files
+// decode BIT-IDENTICALLY to libjpeg (gated in tests/test_jpeg_huff.py
+// against the full corpus plus synthetic scan-script matrices).
 //
 // Restart intervals double as the parallelism seam: RSTn resets the bit
-// buffer and DC predictors, so segments decode independently — threads
-// take contiguous segment ranges and write into disjoint MCU rows of the
-// same destination (any DRI, not just the row-aligned ones the synthetic
-// slice splitter lp_jpeg_decode_coefs_parallel requires).
+// buffer and DC predictors (and the EOB run, in progressive scans), so
+// segments decode independently — threads take contiguous segment ranges
+// and write into disjoint MCU rows of the same destination (any DRI, not
+// just the row-aligned ones the synthetic slice splitter
+// lp_jpeg_decode_coefs_parallel requires).
 //
 // Reference analog: /root/reference/opencv.cpp:93-188 decodes JPEGs through
 // OpenCV's libjpeg wrapper (full IDCT on CPU); here the host touches only
@@ -43,12 +51,16 @@ namespace {
 
 constexpr int kDecline = -10;  // caller falls back to libjpeg
 
-// zigzag position -> natural (row-major) position, ISO/IEC 10918-1 fig A.6
-const uint8_t kNat[64] = {
+// zigzag position -> natural (row-major) position, ISO/IEC 10918-1 fig A.6.
+// Padded to 80 entries with 63 exactly like libjpeg's jpeg_natural_order:
+// progressive AC scans index it at k = Se + run (≤ 78) on corrupt-ish
+// streams, and bit-identity with libjpeg requires landing on coef 63.
+const uint8_t kNat[80] = {
     0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    63, 63, 63, 63, 63, 63, 63, 63, 63, 63, 63, 63, 63, 63, 63, 63};
 
 inline int32_t huff_extend(int32_t v, int s) {
     return v < (1 << (s - 1)) ? v - (1 << s) + 1 : v;
@@ -123,7 +135,7 @@ bool build_huff(const uint8_t counts[16], const uint8_t* vals, int nvals,
             // unambiguous because a real literal of s>0 bits is never 0.
             // DC: zero diff. Entry is just (run << 4) | code_len, nonzero
             // because l >= 1.
-            if (is_ac && r != 0 && r != 15) continue;  // undefined symbol
+            if (is_ac && r != 0 && r != 15) continue;  // EOBn: two-step path
             for (int w = lo; w < hi; w++)
                 t->fast_ac[w] = static_cast<int16_t>((r << 4) | l);
             continue;
@@ -171,6 +183,7 @@ struct Comp {
 
 struct Frame {
     int width = 0, height = 0, ncomp = 0;
+    bool progressive = false;
     Comp comp[4];
     int hmax = 1, vmax = 1;
     int mcus_x = 0, mcus_y = 0, nmcu = 0;
@@ -179,6 +192,126 @@ struct Frame {
     uint16_t qt[4][64] = {};
     bool qt_seen[4] = {};
 };
+
+// One SOS header (scan order preserved; ci = frame component indices).
+struct Scan {
+    int ns = 0;
+    int ci[4] = {};
+    int td[4] = {}, ta[4] = {};
+    int Ss = 0, Se = 63, Ah = 0, Al = 0;
+};
+
+// ---------------------------------------------------------------------------
+// marker segment parsers shared by the pre-scan loop and the progressive
+// inter-scan loop (DHT/DQT/DRI may legally appear between scans and
+// redefine tables mid-file)
+// ---------------------------------------------------------------------------
+
+bool parse_dht(Frame& f, const uint8_t* seg, size_t slen) {
+    size_t q = 0;
+    while (q + 17 <= slen) {
+        const int tc = seg[q] >> 4, th = seg[q] & 15;
+        if (tc > 1 || th > 3) return false;
+        int nv = 0;
+        for (int i = 0; i < 16; i++) nv += seg[q + 1 + i];
+        if (q + 17 + static_cast<size_t>(nv) > slen) return false;
+        HuffTable* t = tc ? &f.ac[th] : &f.dc[th];
+        if (!build_huff(seg + q + 1, seg + q + 17, nv, t, tc == 1))
+            return false;
+        q += 17 + nv;
+    }
+    return q == slen;
+}
+
+bool parse_dqt(Frame& f, const uint8_t* seg, size_t slen) {
+    size_t q = 0;
+    while (q < slen) {
+        const int pq = seg[q] >> 4, tq = seg[q] & 15;
+        if (pq > 1 || tq > 3) return false;
+        const size_t n = 1 + (pq ? 128 : 64);
+        if (q + n > slen) return false;
+        for (int i = 0; i < 64; i++) {
+            const uint16_t v =
+                pq ? static_cast<uint16_t>((seg[q + 1 + 2 * i] << 8) |
+                                           seg[q + 2 + 2 * i])
+                   : seg[q + 1 + i];
+            f.qt[tq][kNat[i]] = v;  // store natural order
+        }
+        f.qt_seen[tq] = true;
+        q += n;
+    }
+    return true;
+}
+
+bool parse_sos(const Frame& f, const uint8_t* seg, size_t slen, Scan* sc) {
+    if (slen < 6) return false;
+    const int ns = seg[0];
+    if (ns < 1 || ns > 4) return false;
+    if (slen != 1 + 2 * static_cast<size_t>(ns) + 3) return false;
+    sc->ns = ns;
+    for (int i = 0; i < ns; i++) {
+        const int id = seg[1 + 2 * i];
+        int c = -1;
+        for (int j = 0; j < f.ncomp; j++)
+            if (f.comp[j].id == id) {
+                c = j;
+                break;
+            }
+        if (c < 0) return false;
+        for (int j = 0; j < i; j++)
+            if (sc->ci[j] == c) return false;  // duplicate component
+        sc->ci[i] = c;
+        sc->td[i] = seg[2 + 2 * i] >> 4;
+        sc->ta[i] = seg[2 + 2 * i] & 15;
+        if (sc->td[i] > 3 || sc->ta[i] > 3) return false;
+    }
+    const uint8_t* tail = seg + 1 + 2 * ns;
+    sc->Ss = tail[0];
+    sc->Se = tail[1];
+    sc->Ah = tail[2] >> 4;
+    sc->Al = tail[2] & 15;
+    return true;
+}
+
+// Destuff one scan's entropy data starting at buf[start]: strip 0xFF00
+// stuffing, record restart boundaries (RSTn must cycle in order), stop at
+// the first non-RST marker, reported via *end_marker with *next_pos at its
+// 0xFF byte. Returns 0 or kDecline.
+int destuff_scan(const uint8_t* buf, size_t len, size_t start,
+                 std::vector<uint8_t>& clean, std::vector<size_t>& segs,
+                 uint8_t* end_marker, size_t* next_pos) {
+    const uint8_t* q = buf + start;
+    const uint8_t* bend = buf + len;
+    int next_rst = 0;
+    while (q < bend) {
+        const uint8_t* ff =
+            static_cast<const uint8_t*>(std::memchr(q, 0xFF, bend - q));
+        if (!ff) return kDecline;  // no terminating marker
+        clean.insert(clean.end(), q, ff);
+        if (ff + 1 >= bend) return kDecline;
+        const uint8_t m = ff[1];
+        if (m == 0x00) {
+            clean.push_back(0xFF);
+            q = ff + 2;
+        } else if (m == 0xFF) {
+            q = ff + 1;  // fill byte
+        } else if (m >= 0xD0 && m <= 0xD7) {
+            if (m != 0xD0 + next_rst) return kDecline;  // out of sync
+            next_rst = (next_rst + 1) & 7;
+            segs.push_back(clean.size());
+            q = ff + 2;
+        } else {
+            *end_marker = m;
+            *next_pos = static_cast<size_t>(ff - buf);
+            return 0;
+        }
+    }
+    return kDecline;
+}
+
+// ---------------------------------------------------------------------------
+// baseline path: single interleaved scan, window-direct, restart-threaded
+// ---------------------------------------------------------------------------
 
 // Decode MCUs [m0, m1) of one restart segment into dst. Returns 0 or <0.
 //
@@ -365,22 +498,470 @@ int decode_mcus(const Frame& f, const uint8_t* seg_start,
     return used > 8 * (seg_end - seg_start) ? -24 : 0;
 }
 
+// ---------------------------------------------------------------------------
+// progressive path (SOF2): the four scan types of ITU T.81 §G.1.2,
+// bit-identical to libjpeg's jdphuff.c over full-geometry planes
+// ---------------------------------------------------------------------------
+
+// Struct-based reader for the (colder) progressive scan decoders; same
+// Giesen-variant-4 refill as the baseline macros. Runs past the segment
+// end read as zero bits, exactly like libjpeg's marker-hit padding; the
+// caller checks overrun() and declines, so truncated segments route to
+// libjpeg rather than silently diverging.
+struct BitReader {
+    const uint8_t* bp;
+    const uint8_t* const start;
+    const uint8_t* const end;
+    uint64_t bb = 0;
+    int bc = 0;
+    int64_t used = 0;
+    BitReader(const uint8_t* s, const uint8_t* e) : bp(s), start(s), end(e) {}
+    inline void refill() {
+        if (end - bp >= 8) {
+            uint64_t v;
+            std::memcpy(&v, bp, 8);
+            bb |= __builtin_bswap64(v) >> bc;
+            bp += (63 - bc) >> 3;
+            bc |= 56;
+        } else {
+            while (bc <= 56) {
+                const uint64_t b = (bp < end) ? *bp++ : 0;
+                bb |= b << (56 - bc);
+                bc += 8;
+            }
+        }
+    }
+    inline void skip(int n) {
+        bb <<= n;
+        bc -= n;
+        used += n;
+    }
+    inline int32_t bits(int n) {  // n in [1, 16]
+        if (bc < n) refill();
+        const int32_t v = static_cast<int32_t>(bb >> (64 - n));
+        skip(n);
+        return v;
+    }
+    inline int decode(const HuffTable& t) {  // symbol or -1
+        if (bc < 32) refill();
+        const uint16_t e = t.lookup[static_cast<uint32_t>(bb >> 56)];
+        if (e) {
+            skip(e >> 8);
+            return e & 0xFF;
+        }
+        int l = 9;
+        int32_t code = static_cast<int32_t>(bb >> (64 - 9));
+        for (;;) {
+            if (code <= t.maxcode[l]) break;
+            if (++l > 16) return -1;
+            code = static_cast<int32_t>(bb >> (64 - l));
+        }
+        skip(l);
+        const int idx = code + t.valoffset[l];
+        return (idx < 0 || idx > 255) ? -1 : t.vals[idx];
+    }
+    bool overrun() const { return used > 8 * (end - start); }
+};
+
+// Per-scan MCU geometry + interleaved block schedule.
+struct ScanGeom {
+    int smx = 0, smy = 0, nmcu = 0;
+    struct PB {
+        uint8_t i, dx, dy;  // i = index into scan comps
+    } sched[64];
+    int nsched = 0;
+};
+
+bool scan_geometry(const Frame& f, const Scan& sc, ScanGeom* g) {
+    if (sc.ns == 1) {
+        const Comp& cc = f.comp[sc.ci[0]];
+        g->smx = cc.bw;
+        g->smy = cc.bh;
+        g->sched[0] = {0, 0, 0};
+        g->nsched = 1;
+    } else {
+        g->smx = (f.width + 8 * f.hmax - 1) / (8 * f.hmax);
+        g->smy = (f.height + 8 * f.vmax - 1) / (8 * f.vmax);
+        g->nsched = 0;
+        for (int i = 0; i < sc.ns; i++) {
+            const Comp& cc = f.comp[sc.ci[i]];
+            if (g->nsched + cc.h * cc.v > 64) return false;
+            for (int dy = 0; dy < cc.v; dy++)
+                for (int dx = 0; dx < cc.h; dx++)
+                    g->sched[g->nsched++] = {static_cast<uint8_t>(i),
+                                             static_cast<uint8_t>(dx),
+                                             static_cast<uint8_t>(dy)};
+        }
+    }
+    g->nmcu = g->smx * g->smy;
+    return g->nmcu > 0;
+}
+
+// DC first scans (Ss=0, Ah=0): diff-coded DC, stored << Al. Interleaved
+// scans traverse the padded MCU grid; dummy pad blocks update the
+// predictor but are not stored (the planes are true-geometry).
+int prog_dc_first(const Frame& f, const Scan& sc, const ScanGeom& g,
+                  BitReader& br, int16_t** planes, int m0, int m1) {
+    int32_t pred[4] = {0, 0, 0, 0};
+    for (int m = m0; m < m1; m++) {
+        const int mx = m % g.smx;
+        const int my = m / g.smx;
+        for (int b = 0; b < g.nsched; b++) {
+            const ScanGeom::PB pb = g.sched[b];
+            const Comp& cc = f.comp[sc.ci[pb.i]];
+            const HuffTable& dt = f.dc[sc.td[pb.i]];
+            if (br.bc < 32) br.refill();
+            const int16_t fd =
+                dt.fast_ac[static_cast<uint32_t>(br.bb >> 55)];
+            if (fd) {
+                br.skip(fd & 15);
+                pred[pb.i] += fd >> 8;
+            } else {
+                const int s = br.decode(dt);
+                if (s < 0 || s > 15) return -30;
+                if (s) pred[pb.i] += huff_extend(br.bits(s), s);
+            }
+            const int bx = sc.ns == 1 ? mx : mx * cc.h + pb.dx;
+            const int by = sc.ns == 1 ? my : my * cc.v + pb.dy;
+            if (bx < cc.bw && by < cc.bh)
+                planes[sc.ci[pb.i]]
+                      [(static_cast<size_t>(by) * cc.bw + bx) * 64] =
+                    static_cast<int16_t>(pred[pb.i] << sc.Al);
+        }
+    }
+    return 0;
+}
+
+// DC refinement scans (Ss=0, Ah>0): one appended bit per block, OR-ed at
+// position Al. No Huffman decode at all; pad blocks still consume a bit.
+int prog_dc_refine(const Frame& f, const Scan& sc, const ScanGeom& g,
+                   BitReader& br, int16_t** planes, int m0, int m1) {
+    const int16_t p1 = static_cast<int16_t>(1 << sc.Al);
+    for (int m = m0; m < m1; m++) {
+        const int mx = m % g.smx;
+        const int my = m / g.smx;
+        for (int b = 0; b < g.nsched; b++) {
+            const ScanGeom::PB pb = g.sched[b];
+            const Comp& cc = f.comp[sc.ci[pb.i]];
+            const int bit = br.bits(1);
+            const int bx = sc.ns == 1 ? mx : mx * cc.h + pb.dx;
+            const int by = sc.ns == 1 ? my : my * cc.v + pb.dy;
+            if (bit && bx < cc.bw && by < cc.bh)
+                planes[sc.ci[pb.i]]
+                      [(static_cast<size_t>(by) * cc.bw + bx) * 64] |= p1;
+        }
+    }
+    return 0;
+}
+
+// AC first scans (Ss>0, Ah=0, ns=1): spectral band [Ss, Se] with EOB runs
+// (EOBn symbols cover 2^n..2^(n+1)-1 following all-zero bands).
+int prog_ac_first(const Frame& f, const Scan& sc, const ScanGeom& g,
+                  BitReader& br, int16_t** planes, int m0, int m1) {
+    const Comp& cc = f.comp[sc.ci[0]];
+    const HuffTable& at = f.ac[sc.ta[0]];
+    int16_t* const plane = planes[sc.ci[0]];
+    uint32_t eobrun = 0;
+    for (int m = m0; m < m1; m++) {
+        if (eobrun) {
+            eobrun--;
+            continue;
+        }
+        const int bx = m % g.smx;
+        const int by = m / g.smx;
+        int16_t* const blk =
+            plane + (static_cast<size_t>(by) * cc.bw + bx) * 64;
+        for (int k = sc.Ss; k <= sc.Se; k++) {
+            if (br.bc < 32) br.refill();
+            const int16_t fa =
+                at.fast_ac[static_cast<uint32_t>(br.bb >> 55)];
+            if (fa) {
+                br.skip(fa & 15);
+                const int v = fa >> 8;
+                const int r = (fa >> 4) & 15;
+                if (v) {
+                    k += r;
+                    blk[kNat[k]] = static_cast<int16_t>(v << sc.Al);
+                    continue;
+                }
+                if (r == 15) {
+                    k += 15;  // ZRL
+                    continue;
+                }
+                break;  // EOB0: run of exactly 1, this block done
+            }
+            const int rs = br.decode(at);
+            if (rs < 0) return -31;
+            const int r = rs >> 4, s = rs & 15;
+            if (s) {
+                k += r;
+                blk[kNat[k]] = static_cast<int16_t>(
+                    huff_extend(br.bits(s), s) << sc.Al);
+            } else {
+                if (r != 15) {
+                    eobrun = 1u << r;
+                    if (r) eobrun += static_cast<uint32_t>(br.bits(r));
+                    eobrun--;  // this block is the run's first member
+                    break;
+                }
+                k += 15;  // ZRL
+            }
+        }
+    }
+    return 0;
+}
+
+// AC refinement scans (Ss>0, Ah>0, ns=1): §G.1.2.3 correction-bit
+// algorithm — every already-nonzero coefficient traversed consumes one
+// appended bit; runs position new ±1<<Al values over ZERO-history slots
+// only. Mirrors jdphuff.c decode_mcu_AC_refine exactly (including the
+// padded natural-order landing slot on corrupt-ish streams).
+int prog_ac_refine(const Frame& f, const Scan& sc, const ScanGeom& g,
+                   BitReader& br, int16_t** planes, int m0, int m1) {
+    const Comp& cc = f.comp[sc.ci[0]];
+    const HuffTable& at = f.ac[sc.ta[0]];
+    int16_t* const plane = planes[sc.ci[0]];
+    const int16_t p1 = static_cast<int16_t>(1 << sc.Al);
+    const int16_t n1 = static_cast<int16_t>(-1 << sc.Al);
+    uint32_t eobrun = 0;
+    for (int m = m0; m < m1; m++) {
+        const int bx = m % g.smx;
+        const int by = m / g.smx;
+        int16_t* const blk =
+            plane + (static_cast<size_t>(by) * cc.bw + bx) * 64;
+        int k = sc.Ss;
+        if (eobrun == 0) {
+            for (; k <= sc.Se; k++) {
+                const int rs = br.decode(at);
+                if (rs < 0) return -32;
+                int r = rs >> 4;
+                const int s = rs & 15;
+                int16_t newval = 0;
+                if (s) {
+                    // s != 1 is corrupt; libjpeg warns and proceeds as if
+                    // s == 1, so we do the same for bit-identity
+                    newval = br.bits(1) ? p1 : n1;
+                } else if (r != 15) {
+                    eobrun = 1u << r;
+                    if (r) eobrun += static_cast<uint32_t>(br.bits(r));
+                    break;  // correction-bit tail handles [k, Se]
+                }
+                // advance r zero-history positions, emitting correction
+                // bits for every nonzero-history coefficient on the way
+                while (k <= sc.Se) {
+                    int16_t* const cp = blk + kNat[k];
+                    if (*cp) {
+                        if (br.bits(1) && (*cp & p1) == 0)
+                            *cp += *cp >= 0 ? p1 : n1;
+                    } else {
+                        if (--r < 0) break;
+                    }
+                    k++;
+                }
+                if (newval) blk[kNat[k]] = newval;
+            }
+        }
+        if (eobrun) {
+            // inside an EOB run only correction bits appear
+            for (; k <= sc.Se; k++) {
+                int16_t* const cp = blk + kNat[k];
+                if (*cp) {
+                    if (br.bits(1) && (*cp & p1) == 0)
+                        *cp += *cp >= 0 ? p1 : n1;
+                }
+            }
+            eobrun--;
+        }
+    }
+    return 0;
+}
+
+// Progressive multi-scan state machine: decode the already-parsed first
+// scan, then keep walking markers (DHT/DQT/DRI may redefine state between
+// scans) until EOI. Planes are full geometry: caller arrays directly when
+// win == null, else a persistent thread-local scratch with a window
+// copy-out — refinement-scan PARSING depends on every traversed block's
+// coefficient history, so window-direct storage is structurally
+// impossible here (unlike the baseline single pass).
+int run_progressive(Frame& f, const Scan& first, size_t first_scan_start,
+                    const uint8_t* buf, size_t len, int16_t** coefs,
+                    uint16_t* qtables, const int32_t* win) {
+    int16_t* planes[4] = {};
+    static thread_local std::vector<int16_t> scratch;
+    {
+        size_t total = 0;
+        for (int c = 0; c < f.ncomp; c++)
+            total += static_cast<size_t>(f.comp[c].bw) * f.comp[c].bh * 64;
+        if (win) {
+            if (scratch.size() < total) scratch.resize(total);
+            std::memset(scratch.data(), 0, total * sizeof(int16_t));
+            size_t off = 0;
+            for (int c = 0; c < f.ncomp; c++) {
+                planes[c] = scratch.data() + off;
+                off += static_cast<size_t>(f.comp[c].bw) * f.comp[c].bh * 64;
+            }
+        } else {
+            for (int c = 0; c < f.ncomp; c++) {
+                planes[c] = coefs[c];
+                std::memset(planes[c], 0,
+                            static_cast<size_t>(f.comp[c].bw) * f.comp[c].bh *
+                                64 * sizeof(int16_t));
+            }
+        }
+    }
+
+    Scan sc = first;
+    size_t scan_start = first_scan_start;
+    std::vector<uint8_t> clean;
+    std::vector<size_t> segs;
+    bool done = false;
+    while (!done) {
+        // ---- validate scan parameters (hard libjpeg errors -> decline,
+        // so the fallback reproduces libjpeg's rejection behavior)
+        if (sc.Al > 13) return kDecline;
+        if (sc.Ah != 0 && sc.Ah != sc.Al + 1) return kDecline;
+        const bool dc_band = sc.Ss == 0;
+        if (dc_band) {
+            if (sc.Se != 0) return kDecline;
+            if (sc.Ah == 0)
+                for (int i = 0; i < sc.ns; i++)
+                    if (!f.dc[sc.td[i]].present) return kDecline;
+        } else {
+            if (sc.ns != 1 || sc.Se < sc.Ss || sc.Se > 63) return kDecline;
+            if (!f.ac[sc.ta[0]].present) return kDecline;
+        }
+        ScanGeom g;
+        if (!scan_geometry(f, sc, &g)) return kDecline;
+
+        // ---- destuff this scan's entropy data
+        clean.clear();
+        segs.clear();
+        segs.push_back(0);
+        uint8_t endm = 0;
+        size_t next_pos = 0;
+        int rc = destuff_scan(buf, len, scan_start, clean, segs, &endm,
+                              &next_pos);
+        if (rc != 0) return rc;
+        segs.push_back(clean.size());
+        const int ri = f.restart_interval;
+        const size_t n_segs = segs.size() - 1;
+        const size_t expect =
+            ri > 0 ? static_cast<size_t>((g.nmcu + ri - 1) / ri) : 1;
+        if (n_segs != expect) return kDecline;
+
+        // ---- decode (restart segments reset DC preds + the EOB run)
+        for (size_t s = 0; s < n_segs; s++) {
+            const int m0 = static_cast<int>(s) * (ri > 0 ? ri : g.nmcu);
+            const int m1 = ri > 0 ? std::min(g.nmcu, m0 + ri) : g.nmcu;
+            BitReader br(clean.data() + segs[s], clean.data() + segs[s + 1]);
+            if (dc_band)
+                rc = sc.Ah == 0
+                         ? prog_dc_first(f, sc, g, br, planes, m0, m1)
+                         : prog_dc_refine(f, sc, g, br, planes, m0, m1);
+            else
+                rc = sc.Ah == 0
+                         ? prog_ac_first(f, sc, g, br, planes, m0, m1)
+                         : prog_ac_refine(f, sc, g, br, planes, m0, m1);
+            if (rc != 0) return rc;
+            if (br.overrun()) return -34;  // truncated segment -> libjpeg
+        }
+
+        // ---- walk markers to the next SOS (or EOI)
+        size_t pos = next_pos;
+        bool have_next = false;
+        while (pos + 2 <= len) {
+            if (buf[pos] != 0xFF) return kDecline;
+            const uint8_t m = buf[pos + 1];
+            if (m == 0xFF) {
+                pos++;
+                continue;
+            }
+            if (m == 0xD9) {  // EOI
+                done = true;
+                break;
+            }
+            if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) return kDecline;
+            if (pos + 4 > len) return kDecline;
+            const size_t seglen =
+                (static_cast<size_t>(buf[pos + 2]) << 8) | buf[pos + 3];
+            if (seglen < 2 || pos + 2 + seglen > len) return kDecline;
+            const uint8_t* seg = buf + pos + 4;
+            const size_t slen = seglen - 2;
+            if (m == 0xC4) {
+                if (!parse_dht(f, seg, slen)) return kDecline;
+            } else if (m == 0xDB) {
+                if (!parse_dqt(f, seg, slen)) return kDecline;
+            } else if (m == 0xDD) {
+                if (slen != 2) return kDecline;
+                f.restart_interval = (seg[0] << 8) | seg[1];
+            } else if (m == 0xDA) {
+                if (!parse_sos(f, seg, slen, &sc)) return kDecline;
+                scan_start = pos + 2 + seglen;
+                have_next = true;
+            } else if ((m >= 0xC0 && m <= 0xCF) || m == 0xDC || m == 0xDE ||
+                       m == 0xDF) {
+                return kDecline;  // second SOF / DNL / DHP / EXP
+            }
+            pos += 2 + seglen;
+            if (have_next) break;
+        }
+        if (!done && !have_next) return kDecline;  // ran off the end
+    }
+
+    // ---- outputs: qtables reflect every DQT seen (they may arrive
+    // between scans), window copy-out when windowed
+    for (int t = 0; t < 4; t++) {
+        if (f.qt_seen[t])
+            std::memcpy(qtables + t * 64, f.qt[t], 64 * sizeof(uint16_t));
+        else
+            std::memset(qtables + t * 64, 0, 64 * sizeof(uint16_t));
+    }
+    if (win) {
+        for (int c = 0; c < f.ncomp; c++) {
+            const Comp& cc = f.comp[c];
+            for (int r = 0; r < cc.wh; r++) {
+                int16_t* dst = coefs[c] + static_cast<size_t>(r) * cc.ww * 64;
+                const int sy = cc.wy0 + r;
+                if (sy >= cc.bh) {  // luma window may cover the MCU pad row
+                    std::memset(dst, 0,
+                                static_cast<size_t>(cc.ww) * 64 *
+                                    sizeof(int16_t));
+                    continue;
+                }
+                std::memcpy(dst,
+                            planes[c] +
+                                (static_cast<size_t>(sy) * cc.bw + cc.wx0) *
+                                    64,
+                            static_cast<size_t>(cc.ww) * 64 *
+                                sizeof(int16_t));
+            }
+        }
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Baseline-profile coefficient decode straight into caller arrays.
+// Huffman-profile coefficient decode straight into caller arrays
+// (baseline single-scan and progressive multi-scan; see file header).
 //   coefs:   per-component int16[bh*bw*64] (true block geometry, natural
 //            coefficient order — same layout lp_jpeg_decode_coefs fills)
 //   qtables: uint16[4*64] natural order (zeros for absent tables)
-//   nthreads: restart-segment threading (<=1 = serial)
+//   nthreads: restart-segment threading (<=1 = serial; baseline scans
+//            only — progressive files rarely carry restart markers and
+//            decode serially regardless)
 //   win:     optional per-component block windows, int32[4*4] as
 //            {y0, x0, h, w} rows: coefs[c] is then a (h, w, 64) array of
 //            blocks [y0, y0+h) x [x0, x0+w) — the serving Fit-crop path
 //            (mcu_decode_window) decodes DIRECTLY into the window instead
-//            of staging through full-geometry scratch. Window rows at or
-//            past the component's true block height are zero-filled (the
-//            luma window may include the MCU pad row).
+//            of staging through full-geometry scratch (baseline), or
+//            copies the window out of a thread-local full-geometry
+//            scratch (progressive, whose refinement parsing needs every
+//            block's history). Window rows at or past the component's
+//            true block height are zero-filled (the luma window may
+//            include the MCU pad row).
 // Returns 0 ok; -10 declined (caller MUST fall back to libjpeg); other
 // negatives = anomalous stream (caller should also fall back so the
 // error behavior stays libjpeg's).
@@ -389,6 +970,7 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
                              int32_t nthreads, const int32_t* win) {
     if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return kDecline;
     Frame f;
+    Scan scan;
     bool sof_seen = false, sos_seen = false;
     size_t scan_start = 0;
 
@@ -411,6 +993,9 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
         const uint8_t* seg = buf + pos + 4;
         const size_t slen = seglen - 2;
         switch (m) {
+            case 0xC2:  // SOF2: progressive, Huffman
+                f.progressive = true;
+                [[fallthrough]];
             case 0xC0:
             case 0xC1: {  // SOF0/1: baseline (extended) sequential, Huffman
                 if (sof_seen || slen < 6) return kDecline;
@@ -436,7 +1021,6 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
                 sof_seen = true;
                 break;
             }
-            case 0xC2:  // progressive
             case 0xC3:
             case 0xC5:
             case 0xC6:
@@ -451,65 +1035,34 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
             case 0xDE:  // DHP
             case 0xDF:  // EXP
                 return kDecline;
-            case 0xC4: {  // DHT
-                size_t q = 0;
-                while (q + 17 <= slen) {
-                    const int tc = seg[q] >> 4, th = seg[q] & 15;
-                    if (tc > 1 || th > 3) return kDecline;
-                    int nv = 0;
-                    for (int i = 0; i < 16; i++) nv += seg[q + 1 + i];
-                    if (q + 17 + nv > slen) return kDecline;
-                    HuffTable* t = tc ? &f.ac[th] : &f.dc[th];
-                    if (!build_huff(seg + q + 1, seg + q + 17, nv, t,
-                                    tc == 1))
-                        return kDecline;
-                    q += 17 + nv;
-                }
-                if (q != slen) return kDecline;
+            case 0xC4:
+                if (!parse_dht(f, seg, slen)) return kDecline;
                 break;
-            }
-            case 0xDB: {  // DQT
-                size_t q = 0;
-                while (q < slen) {
-                    const int pq = seg[q] >> 4, tq = seg[q] & 15;
-                    if (pq > 1 || tq > 3) return kDecline;
-                    const size_t n = 1 + (pq ? 128 : 64);
-                    if (q + n > slen) return kDecline;
-                    for (int i = 0; i < 64; i++) {
-                        const uint16_t v =
-                            pq ? static_cast<uint16_t>(
-                                     (seg[q + 1 + 2 * i] << 8) |
-                                     seg[q + 2 + 2 * i])
-                               : seg[q + 1 + i];
-                        f.qt[tq][kNat[i]] = v;  // store natural order
-                    }
-                    f.qt_seen[tq] = true;
-                    q += n;
-                }
+            case 0xDB:
+                if (!parse_dqt(f, seg, slen)) return kDecline;
                 break;
-            }
             case 0xDD: {  // DRI
                 if (slen != 2) return kDecline;
                 f.restart_interval = (seg[0] << 8) | seg[1];
                 break;
             }
             case 0xDA: {  // SOS
-                if (!sof_seen || slen < 4) return kDecline;
-                const int ns = seg[0];
-                if (ns != f.ncomp) return kDecline;  // non-interleaved scan
-                if (slen != 1 + 2 * static_cast<size_t>(ns) + 3)
-                    return kDecline;
-                // component ids in scan order must match frame order (the
-                // universal case; permuted scans fall back)
-                for (int c = 0; c < ns; c++) {
-                    if (seg[1 + 2 * c] != f.comp[c].id) return kDecline;
-                    f.comp[c].td = seg[2 + 2 * c] >> 4;
-                    f.comp[c].ta = seg[2 + 2 * c] & 15;
-                    if (f.comp[c].td > 3 || f.comp[c].ta > 3) return kDecline;
+                if (!sof_seen) return kDecline;
+                if (!parse_sos(f, seg, slen, &scan)) return kDecline;
+                if (!f.progressive) {
+                    // baseline fast path handles exactly the universal
+                    // form: one interleaved scan, components in frame
+                    // order, full spectral band
+                    if (scan.ns != f.ncomp) return kDecline;
+                    for (int c = 0; c < scan.ns; c++) {
+                        if (scan.ci[c] != c) return kDecline;
+                        f.comp[c].td = scan.td[c];
+                        f.comp[c].ta = scan.ta[c];
+                    }
+                    if (scan.Ss != 0 || scan.Se != 63 || scan.Ah != 0 ||
+                        scan.Al != 0)
+                        return kDecline;
                 }
-                const uint8_t* tail = seg + 1 + 2 * ns;
-                if (tail[0] != 0 || tail[1] != 63 || tail[2] != 0)
-                    return kDecline;  // Ss/Se/AhAl must be baseline
                 scan_start = pos + 2 + seglen;
                 sos_seen = true;
                 break;
@@ -522,7 +1075,7 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
     }
     if (!sos_seen) return kDecline;
 
-    // geometry + table availability
+    // geometry + (baseline) table availability + window validation
     for (int c = 0; c < f.ncomp; c++) {
         Comp& cc = f.comp[c];
         cc.bw = static_cast<int>(
@@ -531,7 +1084,9 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
         cc.bh = static_cast<int>(
             (static_cast<long>(f.height) * cc.v + 8L * f.vmax - 1) /
             (8L * f.vmax));
-        if (!f.dc[cc.td].present || !f.ac[cc.ta].present) return kDecline;
+        if (!f.progressive &&
+            (!f.dc[cc.td].present || !f.ac[cc.ta].present))
+            return kDecline;
         if (win) {
             cc.wy0 = win[4 * c];
             cc.wx0 = win[4 * c + 1];
@@ -545,6 +1100,11 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
             cc.ww = cc.bw;
         }
     }
+
+    if (f.progressive)
+        return run_progressive(f, scan, scan_start, buf, len, coefs,
+                               qtables, win);
+
     if (f.ncomp == 1) {
         // single-component scan: MCU = one block over the unpadded grid
         f.mcus_x = f.comp[0].bw;
@@ -562,35 +1122,12 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
     std::vector<size_t> segs;  // start offset of each segment in `clean`
     segs.push_back(0);
     {
-        const uint8_t* q = buf + scan_start;
-        const uint8_t* bend = buf + len;
-        int next_rst = 0;
-        bool eoi = false;
-        while (q < bend) {
-            const uint8_t* ff = static_cast<const uint8_t*>(
-                std::memchr(q, 0xFF, bend - q));
-            if (!ff) return kDecline;  // no EOI
-            clean.insert(clean.end(), q, ff);
-            if (ff + 1 >= bend) return kDecline;
-            const uint8_t m = ff[1];
-            if (m == 0x00) {
-                clean.push_back(0xFF);
-                q = ff + 2;
-            } else if (m == 0xFF) {
-                q = ff + 1;  // fill byte
-            } else if (m >= 0xD0 && m <= 0xD7) {
-                if (m != 0xD0 + next_rst) return kDecline;  // out of sync
-                next_rst = (next_rst + 1) & 7;
-                segs.push_back(clean.size());
-                q = ff + 2;
-            } else if (m == 0xD9) {
-                eoi = true;
-                break;
-            } else {
-                return kDecline;  // DNL / another scan: not single-scan
-            }
-        }
-        if (!eoi) return kDecline;
+        uint8_t endm = 0;
+        size_t next_pos = 0;
+        int rc = destuff_scan(buf, len, scan_start, clean, segs, &endm,
+                              &next_pos);
+        if (rc != 0) return rc;
+        if (endm != 0xD9) return kDecline;  // DNL / another scan
     }
     segs.push_back(clean.size());
 

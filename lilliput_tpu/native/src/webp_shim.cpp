@@ -350,4 +350,122 @@ void lp_webp_enc_free(void* h) {
     delete e;
 }
 
+// Oracle for the device-side WebP YUV conversion: run libwebp's own lossy
+// import (ImportYUVAFromRGBA — per-pixel fixed-point Y, gamma-corrected
+// 2x2 chroma downsample) on BGRA/BGR pixels and export the planes.
+// tests/test_webp.py gates ops/color.py:bgra_to_webp_yuv420 bit-exactly
+// against this, which is what makes lp_webp_encode_yuv byte-identical to
+// the BGRA encode path.
+//   y: uint8[h*w]; u, v: uint8[ceil(h/2)*ceil(w/2)]; a: uint8[h*w] or null
+//      (filled 255 when the source has no alpha plane)
+int lp_webp_bgra_to_yuv(const uint8_t* px, int32_t w, int32_t h,
+                        int32_t channels, uint8_t* y, uint8_t* u, uint8_t* v,
+                        uint8_t* a) {
+    WebPPicture pic;
+    if (!WebPPictureInit(&pic)) return -1;
+    if (!import_picture(&pic, px, w, h, channels, /*use_argb=*/false)) {
+        WebPPictureFree(&pic);
+        return -2;
+    }
+    const int uvw = (w + 1) / 2, uvh = (h + 1) / 2;
+    for (int r = 0; r < h; r++)
+        std::memcpy(y + static_cast<size_t>(r) * w,
+                    pic.y + static_cast<size_t>(r) * pic.y_stride, w);
+    for (int r = 0; r < uvh; r++) {
+        std::memcpy(u + static_cast<size_t>(r) * uvw,
+                    pic.u + static_cast<size_t>(r) * pic.uv_stride, uvw);
+        std::memcpy(v + static_cast<size_t>(r) * uvw,
+                    pic.v + static_cast<size_t>(r) * pic.uv_stride, uvw);
+    }
+    if (a) {
+        if (pic.a)
+            for (int r = 0; r < h; r++)
+                std::memcpy(a + static_cast<size_t>(r) * w,
+                            pic.a + static_cast<size_t>(r) * pic.a_stride, w);
+        else
+            std::memset(a, 255, static_cast<size_t>(w) * h);
+    }
+    WebPPictureFree(&pic);
+    return 0;
+}
+
+// Still lossy encode straight from YUV420(A) planes (the device-converted
+// serving fast path: 1.5 B/px over D2H instead of 4, and libwebp skips
+// its import conversion). Byte-identical to the BGRA path because the
+// planes are bit-identical to what the import would have produced (gated
+// in tests). Lossless (quality>100) needs ARGB input — callers must
+// route that through lp_webp_enc_add; this entry rejects it.
+//   opts: (key, value) pairs as in lp_webp_enc_flush; icc optional.
+// Returns bytes written to out (cap-limited), -2 if cap too small, -1 on
+// failure, -3 if opts select lossless.
+long lp_webp_encode_yuv(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                        const uint8_t* a, int32_t w, int32_t h,
+                        const int32_t* opts, int32_t nopts,
+                        const uint8_t* icc, int32_t icc_len, uint8_t* out,
+                        size_t cap) {
+    WebPConfig config;
+    if (!WebPConfigPreset(&config, WEBP_PRESET_DEFAULT, 100.0f)) return -1;
+    apply_opts(&config, opts, nopts);
+    if (config.lossless) return -3;
+    WebPPicture pic;
+    if (!WebPPictureInit(&pic)) return -1;
+    pic.width = w;
+    pic.height = h;
+    pic.use_argb = 0;
+    pic.colorspace = a ? WEBP_YUV420A : WEBP_YUV420;
+    if (!WebPPictureAlloc(&pic)) return -1;
+    const int uvw = (w + 1) / 2, uvh = (h + 1) / 2;
+    for (int r = 0; r < h; r++)
+        std::memcpy(pic.y + static_cast<size_t>(r) * pic.y_stride,
+                    y + static_cast<size_t>(r) * w, w);
+    for (int r = 0; r < uvh; r++) {
+        std::memcpy(pic.u + static_cast<size_t>(r) * pic.uv_stride,
+                    u + static_cast<size_t>(r) * uvw, uvw);
+        std::memcpy(pic.v + static_cast<size_t>(r) * pic.uv_stride,
+                    v + static_cast<size_t>(r) * uvw, uvw);
+    }
+    if (a)
+        for (int r = 0; r < h; r++)
+            std::memcpy(pic.a + static_cast<size_t>(r) * pic.a_stride,
+                        a + static_cast<size_t>(r) * w, w);
+    WebPMemoryWriter wr;
+    WebPMemoryWriterInit(&wr);
+    pic.writer = WebPMemoryWrite;
+    pic.custom_ptr = &wr;
+    const bool ok = WebPEncode(&config, &pic) == 1;
+    WebPPictureFree(&pic);
+    if (!ok) {
+        WebPMemoryWriterClear(&wr);
+        return -1;
+    }
+    long result = -1;
+    if (icc && icc_len > 0) {
+        // remux with the ICC chunk, same as the flush path
+        WebPData assembled{wr.mem, wr.size};
+        WebPMux* mux = WebPMuxCreate(&assembled, 0);
+        if (mux) {
+            WebPData icc_data{icc, static_cast<size_t>(icc_len)};
+            WebPMuxSetChunk(mux, "ICCP", &icc_data, 1);
+            WebPData final_data{nullptr, 0};
+            if (WebPMuxAssemble(mux, &final_data) == WEBP_MUX_OK) {
+                if (final_data.size <= cap) {
+                    std::memcpy(out, final_data.bytes, final_data.size);
+                    result = static_cast<long>(final_data.size);
+                } else {
+                    result = -2;
+                }
+                WebPDataClear(&final_data);
+            }
+            WebPMuxDelete(mux);
+        }
+    } else if (wr.size <= cap) {
+        std::memcpy(out, wr.mem, wr.size);
+        result = static_cast<long>(wr.size);
+    } else {
+        result = -2;
+    }
+    WebPMemoryWriterClear(&wr);
+    return result;
+}
+
 }  // extern "C"

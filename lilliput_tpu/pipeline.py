@@ -1026,15 +1026,19 @@ class JpegTranscodePipeline(_ServingPipelineBase):
             arr = np.frombuffer(bufs[i], np.uint8)
             qtables = np.zeros((4, 64), np.uint16)
             rc = -10
-            if not info.progressive and J.use_fast_huff():
-                # own baseline Huffman decoder (jpeg_huff.cpp, bit-identical
-                # to libjpeg): no internal whole-image virtual array, no
-                # copy-out pass — measured 1.5x the libjpeg call on the
-                # bench fixture (tools/profile_host.py). Threads across
-                # restart segments when the batch underfills the pool.
-                # In window mode it decodes DIRECTLY into the batch window
-                # slice (out-of-window blocks parse but never store), so
-                # the full-geometry scratch + crop copy is skipped.
+            if J.use_fast_huff():
+                # own Huffman decoder (jpeg_huff.cpp, bit-identical to
+                # libjpeg, baseline AND progressive): no internal
+                # whole-image virtual array, no copy-out pass — measured
+                # 1.5x the libjpeg call on the bench fixture
+                # (tools/profile_host.py). Threads across restart segments when
+                # the batch underfills the pool. In window mode baseline
+                # decodes DIRECTLY into the batch window slice
+                # (out-of-window blocks parse but never store) so the
+                # full-geometry scratch + crop copy is skipped;
+                # progressive stages through a C-side thread-local
+                # full-geometry scratch (refinement parsing needs every
+                # block's history) and copies the window out.
                 comps = (ys[i],) if gray else (ys[i], cbs[i], crs[i])
                 ptrs = (_i16p * len(comps))(
                     *[c.ctypes.data_as(_i16p) for c in comps])

@@ -81,11 +81,7 @@ def test_corpus_bit_identity(path):
     info = _info_of(buf)
     if info is None:
         pytest.skip("not decodable by libjpeg either")
-    if info.progressive:
-        rc, _, _ = _decode(buf, fast=True)
-        assert rc != 0, "fast decoder must decline progressive sources"
-    else:
-        _assert_identical(buf)
+    _assert_identical(buf)  # baseline and progressive both decode natively
 
 
 def _synth(w, h, subsampling, quality, gray=False, optimize=False,
@@ -158,6 +154,120 @@ def test_restart_markers_and_threading(rows):
     assert rc4 == 0
     assert all(np.array_equal(a, b) for a, b in zip(c1, c4))
     assert np.array_equal(q1, q4)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): multi-scan spectral-selection / successive-
+# approximation decode must also be bit-identical to libjpeg (jdphuff.c).
+# PIL/cv2 emit libjpeg's jpeg_simple_progression() 10-scan script, which
+# exercises all four scan types: DC first (interleaved, Al=1), DC refine
+# (Ah=1), AC first (per-component bands with EOB runs), AC refine
+# (correction bits).
+# ---------------------------------------------------------------------------
+
+def _synth_prog(w, h, subsampling=2, quality=85, gray=False, optimize=False,
+                seed=0):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (max(1, h // 8), max(1, w // 8), 3),
+                        np.uint8)
+    im = Image.fromarray(base).resize((w, h))
+    if gray:
+        im = im.convert("L")
+    bio = io.BytesIO()
+    kw = dict(quality=quality, progressive=True, optimize=optimize)
+    if not gray:
+        kw["subsampling"] = subsampling
+    im.save(bio, format="JPEG", **kw)
+    return bio.getvalue()
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 8), (33, 17), (100, 76),
+                                 (257, 129)])
+@pytest.mark.parametrize("sub", [0, 1, 2])  # 4:4:4, 4:2:2, 4:2:0
+def test_progressive_geometries(w, h, sub):
+    buf = _synth_prog(w, h, sub, seed=w * h + sub)
+    assert _info_of(buf).progressive
+    _assert_identical(buf)
+
+
+@pytest.mark.parametrize("quality", [5, 50, 95, 100])
+def test_progressive_qualities(quality):
+    # q100 exercises long literal sizes past the fused fast_ac window;
+    # optimize=True emits custom per-scan Huffman tables (DHT between
+    # scans redefining table slots mid-file)
+    _assert_identical(_synth_prog(120, 90, 2, quality, optimize=True,
+                                  seed=quality))
+
+
+def test_progressive_gray():
+    _assert_identical(_synth_prog(77, 41, gray=True))
+
+
+@pytest.mark.parametrize("rows", [1, 3])
+def test_progressive_restart_markers(rows):
+    # restart markers inside progressive scans reset DC predictors AND
+    # the EOB run per segment
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 unavailable")
+    rng = np.random.default_rng(rows)
+    img = rng.integers(0, 256, (120, 200, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", img, [
+        cv2.IMWRITE_JPEG_QUALITY, 85,
+        cv2.IMWRITE_JPEG_PROGRESSIVE, 1,
+        cv2.IMWRITE_JPEG_RST_INTERVAL, rows])
+    assert ok
+    buf = enc.tobytes()
+    info = _info_of(buf)
+    assert info.progressive and info.restart_interval > 0
+    _assert_identical(buf)
+
+
+def test_progressive_window_mode_identity(monkeypatch):
+    """Fit-crop pipelines route progressive sources through the C-side
+    thread-local full-geometry scratch + window copy-out; output must be
+    byte-identical to the libjpeg scratch-then-crop path."""
+    import io as _io
+    from PIL import Image
+    from bench import _ensure_fixture
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+    im = Image.open(_io.BytesIO(_ensure_fixture()))
+    im.load()
+    bio = _io.BytesIO()
+    im.save(bio, format="JPEG", quality=85, progressive=True)
+    pbuf = bio.getvalue()
+    assert _info_of(pbuf).progressive
+    pipe = JpegTranscodePipeline(pbuf, 256, 256, quality=85)
+    assert pipe._window is not None, "fixture/dst must trigger window mode"
+    fast = pipe.decode_entropy([pbuf] * 2)
+    monkeypatch.setenv("LILLIPUT_JPEG_HUFF", "libjpeg")
+    slow = pipe.decode_entropy([pbuf] * 2)
+    for a, b in zip(fast, slow):
+        assert np.array_equal(a, b)
+
+
+def test_progressive_corrupt_streams_decline_or_match():
+    buf = _synth_prog(64, 96, seed=7)
+    rng = np.random.default_rng(0)
+    cases = [buf[: len(buf) // 3], buf[: 2 * len(buf) // 3], buf[:-2]]
+    for _ in range(40):
+        b = bytearray(buf)
+        i = int(rng.integers(2, len(b)))
+        b[i] ^= int(1 << rng.integers(0, 8))
+        cases.append(bytes(b))
+    for case in cases:
+        if _info_of(case) is None:
+            continue
+        rc_f, cf, _ = _decode(case, fast=True)
+        if rc_f != 0:
+            continue  # declined -> caller falls back to libjpeg
+        rc_l, cl, _ = _decode(case, fast=False)
+        if rc_l != 0:
+            continue  # fast tolerated what libjpeg rejects: acceptable
+        for a, b in zip(cl, cf):
+            assert np.array_equal(a, b)
 
 
 def test_corrupt_streams_decline_or_match():

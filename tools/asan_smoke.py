@@ -139,12 +139,22 @@ def jpeg_fast_hostile(lib):
     ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_RST_INTERVAL, 1])
     assert ok
     base = enc.tobytes()
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_PROGRESSIVE, 1,
+                                         cv2.IMWRITE_JPEG_RST_INTERVAL, 1])
+    assert ok
+    prog = enc.tobytes()  # multi-scan state machine under the same abuse
     i16p = ctypes.POINTER(ctypes.c_int16)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
-    cases = [base, base[: len(base) // 2], base[:-2], base[:24]]
+    cases = [base, base[: len(base) // 2], base[:-2], base[:24],
+             prog, prog[: len(prog) // 2], prog[:-2]]
     for _ in range(60):
         m = bytearray(base)
+        for _ in range(3):
+            m[int(rng.integers(2, len(m)))] = int(rng.integers(0, 256))
+        cases.append(bytes(m))
+    for _ in range(60):
+        m = bytearray(prog)
         for _ in range(3):
             m[int(rng.integers(2, len(m)))] = int(rng.integers(0, 256))
         cases.append(bytes(m))
