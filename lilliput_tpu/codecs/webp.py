@@ -52,6 +52,15 @@ binding.register_signature(
     "lp_webp_enc_flush",
     [ctypes.c_void_p, _i32p, ctypes.c_int32, _u8p, ctypes.c_size_t], ctypes.c_long)
 binding.register_signature("lp_webp_enc_free", [ctypes.c_void_p], None)
+binding.register_signature(
+    "lp_webp_bgra_to_yuv",
+    [_u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _u8p, _u8p, _u8p,
+     _u8p], ctypes.c_int)
+binding.register_signature(
+    "lp_webp_encode_yuv",
+    [_u8p, _u8p, _u8p, _u8p, ctypes.c_int32, ctypes.c_int32, _i32p,
+     ctypes.c_int32, _u8p, ctypes.c_int32, _u8p, ctypes.c_size_t],
+    ctypes.c_long)
 
 
 def _u8(a: np.ndarray):
@@ -153,6 +162,36 @@ def encode_webp_pixels(px: np.ndarray, opts: Optional[Dict[int, int]] = None,
         return out[:n].tobytes()
     finally:
         lib.lp_webp_enc_free(h)
+
+
+def encode_webp_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                    opts: Optional[Dict[int, int]] = None,
+                    icc: Optional[bytes] = None) -> bytes:
+    """Still lossy WebP encode from device-converted YUV420 planes (the
+    serving fast path: the device ships 1.5 B/px of planes instead of
+    4 B/px packed BGRA, and libwebp skips its import conversion).
+
+    Byte-identical to encode_webp_pixels on the same source pixels
+    because ops.color.webp_yuv420_from_packed is bit-exact to libwebp's
+    own import (both gated in tests/test_webp.py). Lossless (quality >
+    100) needs ARGB input — callers route that through
+    encode_webp_pixels; the shim rejects it here (-3)."""
+    lib = binding.load()
+    o = WebpEncoder._opts_array(opts or {})
+    op = o.ctypes.data_as(_i32p) if o.size else None
+    h, w = y.shape
+    y = np.ascontiguousarray(y)
+    u = np.ascontiguousarray(u)
+    v = np.ascontiguousarray(v)
+    icc_arr = (np.frombuffer(icc, np.uint8) if icc else np.zeros(0, np.uint8))
+    out = np.empty(w * h * 4 + (1 << 20) + icc_arr.size, np.uint8)
+    n = lib.lp_webp_encode_yuv(
+        _u8(y), _u8(u), _u8(v), None, w, h, op, o.size,
+        _u8(icc_arr) if icc_arr.size else None, icc_arr.size,
+        _u8(out), out.size)
+    if n < 0:
+        raise DecodingFailedError(f"webp yuv encode failed ({n})")
+    return out[:n].tobytes()
 
 
 class WebpEncoder(Encoder):

@@ -242,3 +242,92 @@ def hdr_to_sdr(rgb: jax.Array, transfer: str = "pq",
                      12.92 * mapped,
                      1.055 * jnp.power(mapped, 1.0 / 2.4) - 0.055)
     return jnp.clip(jnp.round(srgb * 255.0), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# libwebp-exact YUV420 conversion (device side of the WebP still fast path)
+# ---------------------------------------------------------------------------
+
+def _webp_gamma_tables():
+    """libwebp 1.2.x picture_csp_enc.c gamma tables (InitGammaTables):
+    chroma downsampling is gamma-corrected — u8 -> 12-bit linear via a
+    256-entry pow(0.80) table, 2x2 sum, then back through a 129-entry
+    inverse table with 9-bit linear interpolation. Reconstructed from the
+    reference formulas and gated BIT-EXACTLY against the system libwebp's
+    own import (shim lp_webp_bgra_to_yuv oracle) in tests/test_webp.py."""
+    GAMMA_FIX, GAMMA_TAB_FIX = 12, 7
+    scale_max = (1 << GAMMA_FIX) - 1                      # 4095
+    tab_size = 1 << GAMMA_TAB_FIX                         # 128
+    g2l = np.array([int((v / 255.0) ** 0.80 * scale_max + 0.5)
+                    for v in range(256)], np.int64)
+    scale = tab_size / scale_max
+    l2g = np.array([int(255.0 * (scale * v) ** (1.0 / 0.80) + 0.5)
+                    for v in range(tab_size + 1)], np.int64)
+    # selection-dot-friendly u8 column splits (values are 12/13-bit; bf16
+    # one-hot dots are exact only on u8 columns — recombine hi*256+lo)
+    g2l_cols = np.stack([g2l >> 8, g2l & 255], -1).astype(np.uint8)
+    # row t of the pair table carries (l2g[t], l2g[t+1])
+    l2g_pairs = np.stack([l2g[:-1] >> 8, l2g[:-1] & 255,
+                          l2g[1:] >> 8, l2g[1:] & 255], -1).astype(np.uint8)
+    return g2l_cols, l2g_pairs
+
+
+_WEBP_G2L_COLS, _WEBP_L2G_PAIRS = _webp_gamma_tables()
+
+
+@jax.jit
+def webp_yuv420_from_packed(packed: jax.Array):
+    """Packed BGRA int32 (..., H, W) -> libwebp-import-identical YUV420.
+
+    Returns (y (..., H, W) u8, u, v (..., ceil(H/2), ceil(W/2)) u8) with
+    EXACTLY the values libwebp's own lossy import (ImportYUVAFromRGBA,
+    /root/reference webp.cpp:707-751's encode path) would produce from the
+    same pixels: per-pixel fixed-point RGBToY, gamma-corrected 2x2 chroma
+    accumulation (SUM4/SUM2 edge-duplication semantics fold into plain 2x2
+    sums over an edge-replicated pad), VP8ClipUV. That bit-identity is
+    what lets the serving still path ship 1.5 B/px of planes over D2H
+    instead of 4 B/px of BGRA with byte-identical .webp output (gated in
+    tests against the shim oracle and end-to-end).
+
+    All arithmetic is int32-exact; table lookups are u8-column selection
+    dots (ops.palette.lut_select), never gathers (~6 ns/element on TPU).
+    """
+    from .palette import lut_select
+    packed = packed.astype(jnp.int32)
+    b = packed & 0xFF
+    g = (packed >> 8) & 0xFF
+    r = (packed >> 16) & 0xFF
+    yv = (16839 * r + 33059 * g + 6420 * b
+          + ((16 << 16) + (1 << 15))) >> 16
+    y_out = yv.astype(jnp.uint8)
+
+    h, w = packed.shape[-2], packed.shape[-1]
+    pad = [(0, 0)] * (packed.ndim - 2) + [(0, h & 1), (0, w & 1)]
+    g2l = jnp.asarray(_WEBP_G2L_COLS)
+    l2g = jnp.asarray(_WEBP_L2G_PAIRS)
+
+    def mapped_sum(chan):
+        # u8 -> 12-bit linear (hi/lo selection columns), 2x2 block sum
+        cpad = jnp.pad(chan, pad, mode="edge")
+        two = lut_select(g2l, cpad).astype(jnp.int32)
+        lin = two[..., 0] * 256 + two[..., 1]
+        s = (lin[..., 0::2, 0::2] + lin[..., 0::2, 1::2]
+             + lin[..., 1::2, 0::2] + lin[..., 1::2, 1::2])
+        # LinearToGamma(s, 0): 9-bit interpolation over the pair table
+        tab_pos = s >> 9
+        x = s & 511
+        pair = lut_select(l2g, tab_pos).astype(jnp.int32)
+        v0 = pair[..., 0] * 256 + pair[..., 1]
+        v1 = pair[..., 2] * 256 + pair[..., 3]
+        return (v1 * x + v0 * (512 - x) + 64) >> 7
+
+    ru, gu, bu = mapped_sum(r), mapped_sum(g), mapped_sum(b)
+
+    def clip_uv(uv):
+        # non-negative before the shift for all u8 inputs (see VP8ClipUV)
+        return jnp.clip((uv + ((1 << 17) + (128 << 18))) >> 18,
+                        0, 255).astype(jnp.uint8)
+
+    u_out = clip_uv(-9719 * ru - 19081 * gu + 28800 * bu)
+    v_out = clip_uv(28800 * ru - 24116 * gu - 4684 * bu)
+    return y_out, u_out, v_out

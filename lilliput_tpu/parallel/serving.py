@@ -64,30 +64,41 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         self._repl = NamedSharding(self.mesh, P())
         g = self.geom
         emit = self._emit
+        # yuv420: fused fn emits packed pixels, conversion fuses into the
+        # same sharded program (elementwise + selection dots partition
+        # cleanly under GSPMD)
+        femit = "pixels" if emit == "yuv420" else emit
+
+        def _post(out):
+            if emit != "yuv420":
+                return out
+            from ..ops.color import webp_yuv420_from_packed
+            return webp_yuv420_from_packed(
+                out[0] if isinstance(out, tuple) else out)
         if self.ncomp == 1:
             from ..pipeline import fused_jpeg_fit_transcode_gray
 
             def fn(yc, qy, eqy):
-                return fused_jpeg_fit_transcode_gray(
+                return _post(fused_jpeg_fit_transcode_gray(
                     yc, qy, eqy, src_w=g.width, src_h=g.height,
                     dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
                     orientation=self.orientation,
-                    window=self.window_static, emit=emit)
+                    window=self.window_static, emit=femit))
         elif self.chroma_mode == "direct":
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
-                return fused_jpeg_fit_transcode_ycc(
+                return _post(fused_jpeg_fit_transcode_ycc(
                     yc, cb, cr, qy, qc, eqy, eqc,
                     src_w=g.width, src_h=g.height,
                     dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
-                    window=self.window_static, emit=emit)
+                    window=self.window_static, emit=femit))
         else:
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
-                return fused_jpeg_fit_transcode(
+                return _post(fused_jpeg_fit_transcode(
                     yc, cb, cr, qy, qc, eqy, eqc,
                     src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
                     dst_w=dst_w, dst_h=dst_h, method=self.method,
                     orientation=self.orientation,
-                    window=self.window_static, emit=emit)
+                    window=self.window_static, emit=femit))
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
 
     def device_step(self, ys, cbs=None, crs=None, qty=None, qtc=None,
@@ -171,10 +182,17 @@ class ShardedStillPipeline(StillTranscodePipeline):
         self._repl = NamedSharding(self.mesh, P())
 
         def fn(px, eqy, eqc):
-            return fused_still_fit_transcode(
+            emit = self._emit
+            out = fused_still_fit_transcode(
                 px, eqy, eqc, src_w=self.src_w, src_h=self.src_h,
                 dst_w=dst_w, dst_h=dst_h, method=self.method,
-                orientation=self.orientation, emit=self._emit)
+                orientation=self.orientation,
+                emit="pixels" if emit == "yuv420" else emit)
+            if emit == "yuv420":
+                from ..ops.color import webp_yuv420_from_packed
+                return webp_yuv420_from_packed(
+                    out[0] if isinstance(out, tuple) else out)
+            return out
 
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
 

@@ -560,8 +560,31 @@ class _ServingPipelineBase:
     @property
     def _emit(self) -> str:
         """Device-step output mode derived from output_format (shared by
-        every subclass so they cannot drift)."""
-        return "coefs" if self.output_format == ".jpeg" else "pixels"
+        every subclass so they cannot drift): 'coefs' for JPEG output,
+        'yuv420' for opaque lossy WebP output (the device converts with
+        libwebp's exact import arithmetic and ships 1.5 B/px of planes
+        over D2H instead of 4 B/px packed BGRA — ops.color
+        .webp_yuv420_from_packed, byte-identical .webp output, gated in
+        tests; LILLIPUT_WEBP_YUV=0 restores the BGRA path), else
+        'pixels' (packed BGRA int32)."""
+        if self.output_format == ".jpeg":
+            return "coefs"
+        if self.output_format == ".webp" and self._webp_yuv_ok():
+            return "yuv420"
+        return "pixels"
+
+    def _webp_yuv_ok(self) -> bool:
+        """YUV420 device conversion applies to OPAQUE lossy WebP stills:
+        alpha-keeping sources stay BGRA (libwebp's alpha-weighted chroma
+        accumulation is a different arithmetic), and lossless (q>100)
+        needs ARGB input."""
+        if os.environ.get("LILLIPUT_WEBP_YUV", "1") in ("0", "false", "off"):
+            return False
+        if self._pixel_channels(".webp") != 3:
+            return False
+        from .framebuffer import WEBP_QUALITY
+        return int(self.encode_options.get(WEBP_QUALITY,
+                                           int(self.quality))) <= 100
 
     # -- abstract stages ------------------------------------------------------
 
@@ -696,11 +719,42 @@ class _ServingPipelineBase:
                 list(ex.map(one, range(b)))
         return outs  # type: ignore[return-value]
 
+    def encode_yuv(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                   iccs: Optional[Sequence[bytes]] = None,
+                   workers: Optional[int] = None) -> List[bytes]:
+        """Host still-encode stage for the WebP yuv420 device emit:
+        libwebp encodes straight from the device-converted planes
+        (byte-identical to the BGRA path — see _emit). Threaded like
+        encode_pixels."""
+        from .codecs.webp import encode_webp_yuv
+        from .framebuffer import WEBP_QUALITY
+        b = y.shape[0]
+        outs: List[Optional[bytes]] = [None] * b
+
+        def one(i: int):
+            icc = (iccs[i] if iccs is not None else b"") or None
+            o = dict(self.encode_options)
+            o.setdefault(WEBP_QUALITY, int(self.quality))
+            outs[i] = encode_webp_yuv(y[i], u[i], v[i], o, icc)
+
+        n_workers = (workers if workers is not None
+                     else min(8, os.cpu_count() or 1))
+        if n_workers <= 1 or b <= 1:
+            for i in range(b):
+                one(i)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as ex:
+                list(ex.map(one, range(b)))
+        return outs  # type: ignore[return-value]
+
     def _encode_outputs(self, arrs: Sequence[np.ndarray],
                         iccs: Optional[Sequence[bytes]]) -> List[bytes]:
         """Dispatch the host encode stage by output format."""
         if self.output_format == ".jpeg":
             return self.encode_entropy(*arrs, iccs=iccs)
+        if self.output_format == ".webp" and len(arrs) == 3:
+            return self.encode_yuv(*arrs, iccs=iccs)  # yuv420 emit
         return self.encode_pixels(arrs[0], iccs=iccs)
 
     # -- end to end -----------------------------------------------------------
@@ -1123,6 +1177,10 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         the destination size for webp/png output."""
         g = self.geom
         emit = self._emit
+        # yuv420 is a post-pass over the fused fn's packed pixels (the
+        # conversion program is tiny; keeping it a separate jit leaves
+        # every fused fn untouched)
+        fused_emit = "pixels" if emit == "yuv420" else emit
         # donation only helps when an output can alias a donated input;
         # pixel outputs (int32) can never reuse the int16 coefficient
         # buffers, so skip the donating variants (avoids per-shape XLA
@@ -1137,7 +1195,7 @@ class JpegTranscodePipeline(_ServingPipelineBase):
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 dct_scale=self.dct_scale, orientation=self.orientation,
-                window=self.window_static, emit=emit)
+                window=self.window_static, emit=fused_emit)
         elif self.chroma_mode == "direct":
             if not self._direct_ok():
                 raise DecodingFailedError(
@@ -1150,7 +1208,7 @@ class JpegTranscodePipeline(_ServingPipelineBase):
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 dct_scale=self.dct_scale, window=self.window_static,
-                emit=emit)
+                emit=fused_emit)
         else:
             fn = (_fused_jpeg_fit_donating if donate
                   else fused_jpeg_fit_transcode)
@@ -1161,7 +1219,11 @@ class JpegTranscodePipeline(_ServingPipelineBase):
                 src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 method=self.method, orientation=self.orientation,
-                window=self.window_static, emit=emit)
+                window=self.window_static, emit=fused_emit)
+        if emit == "yuv420":
+            from .ops.color import webp_yuv420_from_packed
+            return webp_yuv420_from_packed(
+                out[0] if isinstance(out, tuple) else out)
         return out if isinstance(out, tuple) else (out,)
 
     # -- end to end --------------------------------------------------------------
@@ -1359,11 +1421,17 @@ class StillTranscodePipeline(_ServingPipelineBase):
         `donate` is accepted for signature parity with the JPEG pipelines
         but is a no-op: the u8 pixel input can never alias the outputs."""
         del donate
+        emit = self._emit
         out = fused_still_fit_transcode(
             jnp.asarray(px), self.enc_qt_y, self.enc_qt_c,
             src_w=self.src_w, src_h=self.src_h,
             dst_w=self.dst_w, dst_h=self.dst_h, method=self.method,
-            orientation=self.orientation, emit=self._emit)
+            orientation=self.orientation,
+            emit="pixels" if emit == "yuv420" else emit)
+        if emit == "yuv420":
+            from .ops.color import webp_yuv420_from_packed
+            return webp_yuv420_from_packed(
+                out[0] if isinstance(out, tuple) else out)
         return out if isinstance(out, tuple) else (out,)
 
 

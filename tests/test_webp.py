@@ -138,3 +138,131 @@ def test_extended_encode_options_accepted():
     assert enc.encode(fb, opts) is None
     out = enc.encode(None, opts)
     assert PIL_Image.open(io.BytesIO(out)).size == (fb.width, fb.height)
+
+
+# ---------------------------------------------------------------------------
+# WebP yuv420 device emit (serving still fast path): the device converts
+# packed BGRA to YUV420 with libwebp's EXACT import arithmetic (per-pixel
+# fixed-point RGBToY + gamma-corrected 2x2 chroma accumulation), so the
+# host encodes from planes (1.5 B/px D2H instead of 4) with BYTE-IDENTICAL
+# .webp output. Oracle: shim lp_webp_bgra_to_yuv = libwebp's own importer.
+# ---------------------------------------------------------------------------
+
+def _yuv_oracle(px):
+    import ctypes
+    lib = binding.load()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    h, w, ch = px.shape
+    y = np.empty(h * w, np.uint8)
+    u = np.empty(((h + 1) // 2) * ((w + 1) // 2), np.uint8)
+    v = np.empty_like(u)
+    px = np.ascontiguousarray(px)
+    rc = lib.lp_webp_bgra_to_yuv(
+        px.ctypes.data_as(u8p), w, h, ch, y.ctypes.data_as(u8p),
+        u.ctypes.data_as(u8p), v.ctypes.data_as(u8p), None)
+    assert rc == 0
+    return (y.reshape(h, w), u.reshape((h + 1) // 2, (w + 1) // 2),
+            v.reshape((h + 1) // 2, (w + 1) // 2))
+
+
+def _pack(px):
+    return (px[..., 0].astype(np.int32) | (px[..., 1].astype(np.int32) << 8)
+            | (px[..., 2].astype(np.int32) << 16) | np.int32(-16777216))
+
+
+@pytest.mark.parametrize("h,w", [(2, 2), (1, 1), (5, 7), (64, 64), (33, 47),
+                                 (256, 256)])
+def test_webp_yuv_device_conversion_matches_libwebp_import(h, w):
+    from lilliput_tpu.ops.color import webp_yuv420_from_packed
+    rng = np.random.default_rng(h * 1000 + w)
+    px = rng.integers(0, 256, (h, w, 3), np.uint8)
+    dy, du, dv = [np.asarray(a) for a in
+                  webp_yuv420_from_packed(_pack(px)[None])]
+    oy, ou, ov = _yuv_oracle(px)
+    assert np.array_equal(dy[0], oy)
+    assert np.array_equal(du[0], ou)
+    assert np.array_equal(dv[0], ov)
+
+
+def test_webp_yuv_device_conversion_value_sweep():
+    # every u8 value through the gamma tables (uniform 2x2 blocks)
+    from lilliput_tpu.ops.color import webp_yuv420_from_packed
+    px = np.zeros((2, 512, 3), np.uint8)
+    for v in range(256):
+        px[:, 2 * v:2 * v + 2] = v
+    dy, du, dv = [np.asarray(a) for a in
+                  webp_yuv420_from_packed(_pack(px)[None])]
+    oy, ou, ov = _yuv_oracle(px)
+    assert np.array_equal(dy[0], oy)
+    assert np.array_equal(du[0], ou)
+    assert np.array_equal(dv[0], ov)
+
+
+def test_webp_yuv_encode_byte_identity():
+    from lilliput_tpu.codecs.webp import encode_webp_pixels, encode_webp_yuv
+    from lilliput_tpu.ops.color import webp_yuv420_from_packed
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (33, 47, 3), np.uint8)
+    y, u, v = [np.asarray(a) for a in webp_yuv420_from_packed(_pack(px))]
+    icc = b"\x00" * 64
+    for opts in ({WEBP_QUALITY: 85}, {WEBP_QUALITY: 50}):
+        assert encode_webp_yuv(y, u, v, opts) == encode_webp_pixels(px, opts)
+        assert (encode_webp_yuv(y, u, v, opts, icc)
+                == encode_webp_pixels(px, opts, icc))
+
+
+def test_webp_yuv_encode_rejects_lossless():
+    from lilliput_tpu.codecs.webp import encode_webp_yuv
+    from lilliput_tpu.errors import DecodingFailedError
+    y = np.zeros((8, 8), np.uint8)
+    u = v = np.zeros((4, 4), np.uint8)
+    with pytest.raises(DecodingFailedError):
+        encode_webp_yuv(y, u, v, {WEBP_QUALITY: 101})
+
+
+def test_pipeline_webp_yuv_byte_identity(monkeypatch):
+    """JpegTranscodePipeline .webp output must be byte-identical with the
+    yuv420 emit (default) and the BGRA escape hatch, and lossless options
+    must route to the BGRA path."""
+    from bench import _ensure_fixture
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+    buf = _ensure_fixture()
+    pipe = JpegTranscodePipeline(buf, 96, 96, quality=85,
+                                 output_format=".webp")
+    assert pipe._emit == "yuv420"
+    fast = pipe.transcode([buf] * 2)
+    monkeypatch.setenv("LILLIPUT_WEBP_YUV", "0")
+    slow_pipe = JpegTranscodePipeline(buf, 96, 96, quality=85,
+                                      output_format=".webp")
+    assert slow_pipe._emit == "pixels"
+    assert slow_pipe.transcode([buf] * 2) == fast
+    monkeypatch.delenv("LILLIPUT_WEBP_YUV")
+    lossless = JpegTranscodePipeline(buf, 96, 96, quality=85,
+                                     output_format=".webp",
+                                     encode_options={WEBP_QUALITY: 101})
+    assert lossless._emit == "pixels"
+
+
+def test_still_pipeline_webp_yuv_byte_identity(monkeypatch):
+    """Pixel-domain (PNG-source) serving: same identity; alpha sources
+    must stay on the BGRA path (libwebp's alpha-weighted chroma is a
+    different arithmetic)."""
+    from lilliput_tpu.pipeline import StillTranscodePipeline
+    from lilliput_tpu.codecs.png import encode_png_pixels
+    rng = np.random.default_rng(2)
+    png = encode_png_pixels(rng.integers(0, 256, (60, 80, 3), np.uint8), 6)
+    sp = StillTranscodePipeline(png, 40, 30, quality=85,
+                                output_format=".webp")
+    assert sp._emit == "yuv420"
+    fast = sp.transcode([png] * 2)
+    monkeypatch.setenv("LILLIPUT_WEBP_YUV", "0")
+    sp2 = StillTranscodePipeline(png, 40, 30, quality=85,
+                                 output_format=".webp")
+    assert sp2.transcode([png] * 2) == fast
+    monkeypatch.delenv("LILLIPUT_WEBP_YUV")
+    apng = encode_png_pixels(rng.integers(0, 256, (60, 80, 4), np.uint8), 6)
+    ap = StillTranscodePipeline(apng, 40, 30, quality=85,
+                                output_format=".webp")
+    assert ap._emit == "pixels"  # alpha source keeps BGRA
+    out = ap.transcode([apng])
+    assert out[0][:4] == b"RIFF"

@@ -295,6 +295,36 @@ def av1_encode_exercise(lib):
     assert Image.open(io.BytesIO(b)).size == (w, h)
 
 
+def webp_yuv_exercise(lib):
+    """WebP YUV fast-path entries (lp_webp_bgra_to_yuv oracle +
+    lp_webp_encode_yuv), incl. odd geometries and the lossless-reject
+    path — leak/overflow coverage for the round-4 still fast path."""
+    import ctypes
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rng = np.random.default_rng(4)
+    for (h, w, ch) in [(33, 47, 3), (1, 1, 3), (8, 8, 4), (5, 7, 4)]:
+        px = np.ascontiguousarray(
+            rng.integers(0, 256, (h, w, ch), np.uint8))
+        y = np.empty(h * w, np.uint8)
+        u = np.empty(((h + 1) // 2) * ((w + 1) // 2), np.uint8)
+        v = np.empty_like(u)
+        a = np.empty(h * w, np.uint8)
+        assert lib.lp_webp_bgra_to_yuv(
+            px.ctypes.data_as(u8p), w, h, ch, y.ctypes.data_as(u8p),
+            u.ctypes.data_as(u8p), v.ctypes.data_as(u8p),
+            a.ctypes.data_as(u8p)) == 0
+        out = np.empty(w * h * 4 + (1 << 20), np.uint8)
+        for q in (85, 101):  # 101 -> lossless: must reject (-3), no leak
+            opts = np.array([64, q], np.int32)
+            n = lib.lp_webp_encode_yuv(
+                y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),
+                v.ctypes.data_as(u8p), None, w, h,
+                opts.ctypes.data_as(i32p), opts.size, None, 0,
+                out.ctypes.data_as(u8p), out.size)
+            assert (n > 0) if q <= 100 else (n == -3), (q, n)
+
+
 def main():
     lib = binding.load()
     gif_roundtrip(lib)
@@ -305,6 +335,7 @@ def main():
     jp2_t1_exercise(lib)
     jp2_t1_encode_exercise(lib)
     av1_encode_exercise(lib)
+    webp_yuv_exercise(lib)
     print("asan smoke OK")
 
 

@@ -202,8 +202,54 @@ def main() -> int:
         assert o[:2] == b"\xff\xd8"
         return {}
 
+    # --- WebP yuv420 device emit (selection-dot gamma tables on-chip) ------
+    def webp_yuv():
+        import ctypes
+        from lilliput_tpu import binding
+        from lilliput_tpu.ops.color import webp_yuv420_from_packed
+        from lilliput_tpu.pipeline import JpegTranscodePipeline
+        import cv2
+        lib = binding.load()
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rng = np.random.default_rng(7)
+        # on-chip conversion must bit-match libwebp's importer at odd shapes
+        for (h, w) in [(33, 47), (1, 1), (64, 64)]:
+            px = rng.integers(0, 256, (h, w, 3), np.uint8)
+            packed = (px[..., 0].astype(np.int32)
+                      | (px[..., 1].astype(np.int32) << 8)
+                      | (px[..., 2].astype(np.int32) << 16))
+            dy, du, dv = [np.asarray(a) for a in
+                          webp_yuv420_from_packed(packed[None])]
+            oy = np.empty(h * w, np.uint8)
+            ou = np.empty(((h + 1) // 2) * ((w + 1) // 2), np.uint8)
+            ov = np.empty_like(ou)
+            pxc = np.ascontiguousarray(px)
+            assert lib.lp_webp_bgra_to_yuv(
+                pxc.ctypes.data_as(u8p), w, h, 3, oy.ctypes.data_as(u8p),
+                ou.ctypes.data_as(u8p), ov.ctypes.data_as(u8p), None) == 0
+            assert np.array_equal(dy[0], oy.reshape(h, w)), (h, w)
+            assert np.array_equal(
+                du[0], ou.reshape((h + 1) // 2, (w + 1) // 2)), (h, w)
+            assert np.array_equal(
+                dv[0], ov.reshape((h + 1) // 2, (w + 1) // 2)), (h, w)
+        # serving output bytes identical to the BGRA escape hatch
+        img = cv2.resize(rng.integers(0, 256, (10, 10, 3), np.uint8),
+                         (100, 76), interpolation=cv2.INTER_CUBIC)
+        buf = cv2.imencode(".jpg", img)[1].tobytes()
+        fast = JpegTranscodePipeline(buf, 48, 48,
+                                     output_format=".webp").transcode([buf])
+        os.environ["LILLIPUT_WEBP_YUV"] = "0"
+        try:
+            slow = JpegTranscodePipeline(
+                buf, 48, 48, output_format=".webp").transcode([buf])
+        finally:
+            del os.environ["LILLIPUT_WEBP_YUV"]
+        assert fast == slow
+        return {}
+
     run("jpeg_serving_small+gray", jpeg_serving)
     run("still_input_serving", still_serving)
+    run("webp_yuv420_emit", webp_yuv)
     run("gif_batch_anim", gif_batch)
     run("gif_anim_group", gif_anim_group)
     run("webp_batch_anim", webp_batch)
