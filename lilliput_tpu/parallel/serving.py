@@ -64,17 +64,14 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
         self._repl = NamedSharding(self.mesh, P())
         g = self.geom
         emit = self._emit
-        # yuv420: fused fn emits packed pixels, conversion fuses into the
-        # same sharded program (elementwise + selection dots partition
-        # cleanly under GSPMD)
+        # yuv420: fused fn emits packed pixels, the shared emit_post
+        # conversion fuses into the same sharded program (elementwise +
+        # selection dots partition cleanly under GSPMD)
         femit = "pixels" if emit == "yuv420" else emit
 
         def _post(out):
-            if emit != "yuv420":
-                return out
-            from ..ops.color import webp_yuv420_from_packed
-            return webp_yuv420_from_packed(
-                out[0] if isinstance(out, tuple) else out)
+            from ..pipeline import emit_post
+            return emit_post(out, emit)
         if self.ncomp == 1:
             from ..pipeline import fused_jpeg_fit_transcode_gray
 
@@ -182,17 +179,14 @@ class ShardedStillPipeline(StillTranscodePipeline):
         self._repl = NamedSharding(self.mesh, P())
 
         def fn(px, eqy, eqc):
+            from ..pipeline import emit_post
             emit = self._emit
             out = fused_still_fit_transcode(
                 px, eqy, eqc, src_w=self.src_w, src_h=self.src_h,
                 dst_w=dst_w, dst_h=dst_h, method=self.method,
                 orientation=self.orientation,
                 emit="pixels" if emit == "yuv420" else emit)
-            if emit == "yuv420":
-                from ..ops.color import webp_yuv420_from_packed
-                return webp_yuv420_from_packed(
-                    out[0] if isinstance(out, tuple) else out)
-            return out
+            return emit_post(out, emit)
 
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
 

@@ -124,6 +124,20 @@ def _normalize_output_format(output_format: str) -> str:
     return fmt
 
 
+def emit_post(out, emit: str):
+    """Shared device-step epilogue: normalize the fused fn's output to a
+    tuple, applying the yuv420 post-pass (packed BGRA -> libwebp-exact
+    YUV420 planes) when that emit mode is active. Used by every serving
+    device step — local and sharded — so the conversion cannot drift
+    between copies. Call with the same `emit` snapshot that selected the
+    fused fn's (static) emit argument."""
+    if emit == "yuv420":
+        from .ops.color import webp_yuv420_from_packed
+        return webp_yuv420_from_packed(
+            out[0] if isinstance(out, tuple) else out)
+    return out if isinstance(out, tuple) else (out,)
+
+
 def _pack_pixels(bpl, gpl, rpl):
     """Three (..., H, W) channel planes (exact u8 values, any numeric
     storage) -> packed BGRA int32 — the serving pixel-output form (bitcast
@@ -1220,11 +1234,7 @@ class JpegTranscodePipeline(_ServingPipelineBase):
                 dst_w=self.dst_w, dst_h=self.dst_h,
                 method=self.method, orientation=self.orientation,
                 window=self.window_static, emit=fused_emit)
-        if emit == "yuv420":
-            from .ops.color import webp_yuv420_from_packed
-            return webp_yuv420_from_packed(
-                out[0] if isinstance(out, tuple) else out)
-        return out if isinstance(out, tuple) else (out,)
+        return emit_post(out, emit)
 
     # -- end to end --------------------------------------------------------------
 
@@ -1428,11 +1438,7 @@ class StillTranscodePipeline(_ServingPipelineBase):
             dst_w=self.dst_w, dst_h=self.dst_h, method=self.method,
             orientation=self.orientation,
             emit="pixels" if emit == "yuv420" else emit)
-        if emit == "yuv420":
-            from .ops.color import webp_yuv420_from_packed
-            return webp_yuv420_from_packed(
-                out[0] if isinstance(out, tuple) else out)
-        return out if isinstance(out, tuple) else (out,)
+        return emit_post(out, emit)
 
 
 class AnimatedTranscodePipeline:

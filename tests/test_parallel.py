@@ -114,6 +114,9 @@ def test_sharded_webp_output_matches_single():
                                   output_format=".webp")
     single = JpegTranscodePipeline(buf, 64, 64, quality=80,
                                    output_format=".webp")
+    # both fronts must ride the yuv420 device emit (the conversion's
+    # selection dots partition under GSPMD — this test is the evidence)
+    assert sharded._emit == "yuv420" and single._emit == "yuv420"
     with mesh:
         got = sharded.transcode(bufs)
     assert got == single.transcode(bufs)
