@@ -46,6 +46,9 @@
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -711,11 +714,68 @@ int prog_ac_first(const Frame& f, const Scan& sc, const ScanGeom& g,
     return 0;
 }
 
+#if defined(__BMI2__)
+// Natural-position byte -> zigzag-index bit permutation tables for the
+// nonzero-mask build below (8 x 256 x 8 B = 16 KB, L1/L2-resident).
+struct ZigTables {
+    uint64_t byte_map[8][256];
+    ZigTables() {
+        uint8_t zig[64];
+        for (int k = 0; k < 64; k++) zig[kNat[k]] = static_cast<uint8_t>(k);
+        for (int b = 0; b < 8; b++)
+            for (int m = 0; m < 256; m++) {
+                uint64_t v = 0;
+                for (int j = 0; j < 8; j++)
+                    if (m & (1 << j)) v |= 1ull << zig[8 * b + j];
+                byte_map[b][m] = v;
+            }
+    }
+};
+
+// Zigzag-ordered nonzero mask of one coefficient block: bit k set iff
+// blk[kNat[k]] != 0. SSE compare+movemask builds the natural-order mask
+// branch-free; the byte tables permute it to zigzag order.
+inline uint64_t zig_nonzero(const int16_t* blk, const ZigTables& zt) {
+    uint64_t nat = 0;
+    const __m128i z = _mm_setzero_si128();
+    for (int i = 0; i < 4; i++) {
+        const __m128i a = _mm_loadu_si128(
+            reinterpret_cast<const __m128i*>(blk + 16 * i));
+        const __m128i b = _mm_loadu_si128(
+            reinterpret_cast<const __m128i*>(blk + 16 * i + 8));
+        const uint32_t m = static_cast<uint32_t>(_mm_movemask_epi8(
+            _mm_packs_epi16(_mm_cmpeq_epi16(a, z), _mm_cmpeq_epi16(b, z))));
+        nat |= static_cast<uint64_t>(~m & 0xFFFFu) << (16 * i);
+    }
+    uint64_t zig = 0;
+    for (int b = 0; b < 8; b++)
+        zig |= zt.byte_map[b][(nat >> (8 * b)) & 0xFF];
+    return zig;
+}
+
+inline uint64_t bit_range(int a, int b) {  // bits [a, b] inclusive; 0 if b<a
+    if (b < a) return 0;
+    return (~0ull >> (63 - b)) & (~0ull << a);
+}
+#endif  // __BMI2__
+
 // AC refinement scans (Ss>0, Ah>0, ns=1): §G.1.2.3 correction-bit
 // algorithm — every already-nonzero coefficient traversed consumes one
 // appended bit; runs position new ±1<<Al values over ZERO-history slots
 // only. Mirrors jdphuff.c decode_mcu_AC_refine exactly (including the
 // padded natural-order landing slot on corrupt-ish streams).
+//
+// These scans are ~83% of progressive decode time (the final full-
+// precision luma refinement alone is ~45%), so on BMI2 hosts the band
+// walk is mask-driven instead of positional: a per-block zigzag nonzero
+// bitmask lets zero-history runs resolve with one PDEP/TZCNT (the
+// (r+1)-th zero bit) and correction bits iterate ONLY the nonzero
+// positions (TZCNT loop) instead of touching all 63 band slots with
+// data-dependent branches. Within one scan a block's traversal never
+// revisits a position at or before a new value's landing slot, so the
+// block-entry mask snapshot stays valid for the whole block (newly
+// placed values still update it for exactness on corrupt streams).
+// The positional form below (#else) is the portable reference.
 int prog_ac_refine(const Frame& f, const Scan& sc, const ScanGeom& g,
                    BitReader& br, int16_t** planes, int m0, int m1) {
     const Comp& cc = f.comp[sc.ci[0]];
@@ -724,6 +784,71 @@ int prog_ac_refine(const Frame& f, const Scan& sc, const ScanGeom& g,
     const int16_t p1 = static_cast<int16_t>(1 << sc.Al);
     const int16_t n1 = static_cast<int16_t>(-1 << sc.Al);
     uint32_t eobrun = 0;
+#if defined(__BMI2__)
+    static const ZigTables zt;
+    const uint64_t band = bit_range(sc.Ss, sc.Se);
+    for (int m = m0; m < m1; m++) {
+        const int bx = m % g.smx;
+        const int by = m / g.smx;
+        int16_t* const blk =
+            plane + (static_cast<size_t>(by) * cc.bw + bx) * 64;
+        uint64_t zig = zig_nonzero(blk, zt);
+
+        // correction bits for the nonzero positions in cnz, in order
+        // (a ≤32-bit grouped-lookahead variant measured no faster — the
+        // serial bb/bc dependency chain, not the refill checks, is the
+        // remaining cost)
+        auto correct = [&](uint64_t cnz) {
+            while (cnz) {
+                const int p = __builtin_ctzll(cnz);
+                cnz &= cnz - 1;
+                int16_t* const cp = blk + kNat[p];
+                if (br.bits(1) && (*cp & p1) == 0)
+                    *cp += *cp >= 0 ? p1 : n1;
+            }
+        };
+
+        if (eobrun) {  // whole block inside an EOB run: tail only
+            correct(zig & band);
+            eobrun--;
+            continue;
+        }
+        int k = sc.Ss;
+        while (k <= sc.Se) {
+            const int rs = br.decode(at);
+            if (rs < 0) return -32;
+            const int r = rs >> 4;
+            const int s = rs & 15;
+            int16_t newval = 0;
+            if (s) {
+                // s != 1 is corrupt; libjpeg warns and proceeds as if
+                // s == 1, so we do the same for bit-identity
+                newval = br.bits(1) ? p1 : n1;
+            } else if (r != 15) {
+                eobrun = 1u << r;
+                if (r) eobrun += static_cast<uint32_t>(br.bits(r));
+                break;  // correction-bit tail handles [k, Se]
+            }
+            // land on the (r+1)-th zero-history slot in [k, Se] (band
+            // end + 1 when the run outruns the band, = libjpeg's padded
+            // natural-order landing), correcting the nonzero positions
+            // passed on the way
+            const uint64_t range = bit_range(k, sc.Se);
+            const uint64_t sel = _pdep_u64(1ull << r, ~zig & range);
+            const int stop = sel ? __builtin_ctzll(sel) : sc.Se + 1;
+            correct(zig & bit_range(k, stop - 1));
+            if (newval) {
+                blk[kNat[stop]] = newval;
+                if (stop < 64) zig |= 1ull << stop;
+            }
+            k = stop + 1;
+        }
+        if (eobrun) {
+            correct(zig & bit_range(k, sc.Se));
+            eobrun--;
+        }
+    }
+#else
     for (int m = m0; m < m1; m++) {
         const int bx = m % g.smx;
         const int by = m / g.smx;
@@ -773,6 +898,7 @@ int prog_ac_refine(const Frame& f, const Scan& sc, const ScanGeom& g,
             eobrun--;
         }
     }
+#endif
     return 0;
 }
 
