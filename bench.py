@@ -421,6 +421,39 @@ def main():
         except Exception:
             anim_host = None
 
+    # still-INPUT host decode bound (the pixel-domain analog of the JPEG
+    # host stages): PNG 1080p through the serving host stage — libdeflate
+    # inflate + SSE2 unfilter + numpy swizzle into the batch array
+    still_host = None
+    if os.environ.get("BENCH_STILL_HOST", "1") != "0":
+        try:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            from lilliput_tpu.pipeline import StillTranscodePipeline
+            _im = _Image.open(_io.BytesIO(buf))
+            _im.load()
+            _pio = _io.BytesIO()
+            _im.save(_pio, format="PNG")
+            _png = _pio.getvalue()
+            spipe = StillTranscodePipeline(_png, 256, 256, quality=85)
+            spipe.decode_pixels([_png] * 4)  # warm
+            _rates = []
+            for _ in range(max(host_iters, 3)):
+                t0 = time.time()
+                spipe.decode_pixels([_png] * 4)
+                _rates.append(4 / (time.time() - t0))
+            still_host = {
+                "png_1080p_decode_images_per_sec_per_core": round(
+                    max(_rates), 1),
+                "note": ("serving host stage (decode_pixels): inflate + "
+                         "unfilter + swizzle + batch store; per-image "
+                         "independent, scales with cores"),
+            }
+        except Exception:
+            still_host = None
+
     # single-image device latency: the per-step time of a 16-deep data-
     # dependent chain of batch-1 transforms (a lone step is ~sub-ms, far
     # below the tunnel RTT's jitter, so it must be amortized to measure)
@@ -624,6 +657,7 @@ def main():
             "anim_gif_device_frames_per_sec": (
                 round(anim_fps, 2) if anim_fps else None),
             "anim_host": anim_host,
+            "still_host": still_host,
             "pallas_megakernel_vs_xla_max_abs_diff": pallas_vs_xla,
             "tpu_vs_cpu_decode_max_abs_diff": tpu_vs_cpu,
             "small_geometry_compile_ok": small_ok,

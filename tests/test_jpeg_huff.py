@@ -204,6 +204,21 @@ def test_progressive_gray():
     _assert_identical(_synth_prog(77, 41, gray=True))
 
 
+def test_progressive_cmyk():
+    # 4-component progressive: the interleaved DC scans carry 4 comps,
+    # the AC band chains run per component
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    im = Image.fromarray(
+        rng.integers(0, 256, (40, 56, 3), np.uint8)).convert("CMYK")
+    bio = io.BytesIO()
+    im.save(bio, format="JPEG", quality=85, progressive=True)
+    buf = bio.getvalue()
+    assert _info_of(buf).num_components == 4
+    assert _info_of(buf).progressive
+    _assert_identical(buf)
+
+
 @pytest.mark.parametrize("rows", [1, 3])
 def test_progressive_restart_markers(rows):
     # restart markers inside progressive scans reset DC predictors AND

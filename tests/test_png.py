@@ -357,3 +357,59 @@ def test_truncated_iccp_profile_dropped():
     iccp_ok = _chunk(b"iCCP", b"name\x00\x00" + whole)
     buf_ok = base[:33] + iccp_ok + base[33:]
     assert PngDecoder(buf_ok).icc() == b"\x00" * 4096
+
+
+def test_unfilter_simd_matches_reference():
+    """lp_png_unfilter's SSE2 fast path (bpp 3/4 — per-pixel vector math
+    for Sub/Avg/Paeth, full-vector Up) must be bit-identical to the
+    portable recurrence on randomized filter-type mixes, including the
+    1-pixel vector tails and first-row degenerate cases."""
+    from lilliput_tpu import binding
+    from lilliput_tpu.codecs.png import _unfilter
+    lib = binding.load()
+    rng = np.random.default_rng(42)
+
+    def reference(raw, rows, stride, bpp):
+        out = np.zeros(rows * stride, np.int32)
+        prev = None
+        for y in range(rows):
+            src = raw[y * (stride + 1):(y + 1) * (stride + 1)]
+            ft = src[0]
+            src = src[1:].astype(np.int32)
+            dst = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(dst[x - bpp]) if x >= bpp else 0
+                b = int(prev[x]) if prev is not None else 0
+                c = (int(prev[x - bpp])
+                     if (prev is not None and x >= bpp) else 0)
+                if ft == 0:
+                    v = src[x]
+                elif ft == 1:
+                    v = src[x] + a
+                elif ft == 2:
+                    v = src[x] + b
+                elif ft == 3:
+                    v = src[x] + ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c))
+                    v = src[x] + pred
+                dst[x] = v & 0xFF
+            out[y * stride:(y + 1) * stride] = dst
+            prev = dst
+        return out.astype(np.uint8)
+
+    for (rows, w, bpp) in [(7, 11, 3), (5, 9, 4), (3, 3, 3), (12, 64, 3),
+                           (12, 64, 4), (1, 4, 3), (2, 2, 4), (4, 1, 4)]:
+        stride = w * bpp
+        for _ in range(4):
+            raw = np.empty(rows * (stride + 1), np.uint8)
+            for y in range(rows):
+                raw[y * (stride + 1)] = rng.integers(0, 5)
+                raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)] = (
+                    rng.integers(0, 256, stride, np.uint8))
+            got = _unfilter(lib, raw, rows, stride, bpp)
+            assert np.array_equal(got, reference(raw, rows, stride, bpp)), (
+                rows, w, bpp)
