@@ -189,18 +189,22 @@ class BmpDecoder(Decoder):
             px = jnp.stack([_mask_extract(val, bm), _mask_extract(val, gm),
                             _mask_extract(val, rm)], axis=-1)
         elif bpp == 24:
+            # BMP rows are already BGR: pure data movement stays numpy
+            # (reshape/flip are views; the former eager-jnp copies cost
+            # ~10 ms/1080p on the pinned-CPU serving path)
             rows = self._rows_raw()
-            px = jnp.asarray(rows[:, :w * 3].reshape(h, w, 3))
+            px = rows[:, :w * 3].reshape(h, w, 3)
         elif bpp == 32:
             rows = self._rows_raw()
-            px = jnp.asarray(rows[:, :w * 4].reshape(h, w, 4))
+            px = rows[:, :w * 4].reshape(h, w, 4)
         else:
             raise DecodingFailedError(f"unsupported BMP bpp {bpp}")
 
-        if not self._top_down and self._compression not in (1, 2):
-            px = jnp.flip(px, axis=0)
-        elif self._compression in (1, 2):
-            px = jnp.flip(px, axis=0)
+        flip = ((not self._top_down and self._compression not in (1, 2))
+                or self._compression in (1, 2))
+        if flip:
+            px = (np.flip(px, axis=0) if isinstance(px, np.ndarray)
+                  else jnp.flip(px, axis=0))
         fb.array = px
         fb.duration = 0.0
         fb.x_offset = fb.y_offset = 0

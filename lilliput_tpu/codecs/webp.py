@@ -123,7 +123,10 @@ class WebpDecoder(Decoder):
         px = np.empty((h, w, self._channels), np.uint8)
         if self._lib.lp_webp_frame_pixels(self._h, _u8(px), self._channels, w, h) != 0:
             raise DecodingFailedError("webp frame decode failed")
-        fb.array = jnp.asarray(px)
+        # libwebp already produced contiguous BGR(A); stay numpy — an
+        # eager jnp copy here costs a 6 MB round trip per 1080p frame on
+        # the pinned-CPU serving path and the consumer converts anyway
+        fb.array = px
         fb.duration = dur_ms / 1000.0
         fb.x_offset, fb.y_offset = x, y
         fb.dispose = DisposeMethod(dispose)   # 0 none / 1 background (1:1)
