@@ -242,40 +242,55 @@ class GifDecoder(Decoder):
 
         cw, ch = self._w, self._hgt
         bg = self._anim_info()[3:7]  # r,g,b,a
-        bg_bgra = jnp.asarray(np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8))
+        bg_bgra = np.array([bg[2], bg[1], bg[0], bg[3]], np.uint8)
 
-        if self._canvas is None:
-            self._canvas = jnp.zeros((ch, cw, 4), jnp.uint8)
+        # Streaming canvas compositing is NUMPY: these are rect fills,
+        # copies, and a 256-entry LUT gather — pure host data movement,
+        # and the eager-jnp form measured ~540 ms/1080p frame of lazy
+        # evaluation on the pinned-CPU serving path (vs ~15 ms here).
+        # The BATCHED animation paths keep the device ops
+        # (ops.palette.composite_animation / composite_indexed_frame) —
+        # this per-frame walk must stay byte-identical to them (gated by
+        # tests comparing batched vs streaming outputs). Copy-on-write:
+        # fb.array handed out each frame must never mutate later, so each
+        # decode_to composes a fresh canvas copy.
+        canvas = (np.zeros((ch, cw, 4), np.uint8) if self._canvas is None
+                  else np.array(self._canvas, np.uint8, copy=True))
 
         # apply PREVIOUS frame's disposal (giflib.cpp:400-489)
         if self._have_first:
             pl, pt, pw, ph = self._clip_rect(*self._prev_rect)
             if self._prev_disposal == _GIF_DISPOSE_BACKGROUND and pw > 0 and ph > 0:
-                mask = np.zeros((ch, cw), bool)
-                mask[pt:pt + ph, pl:pl + pw] = True
-                self._canvas = P.clear_rect_to(self._canvas, jnp.asarray(mask), bg_bgra)
+                canvas[pt:pt + ph, pl:pl + pw] = bg_bgra
             elif self._prev_disposal == _GIF_DISPOSE_PREVIOUS and pw > 0 and ph > 0:
-                mask = np.zeros((ch, cw), bool)
-                mask[pt:pt + ph, pl:pl + pw] = True
                 # giflib's prev_frame_bgra is zero-initialized and only saved
                 # from the second frame on (giflib.cpp:491-494), so a
                 # first-frame DISPOSE_PREVIOUS restores transparent black
-                saved = (self._prev_canvas if self._prev_canvas is not None
-                         else jnp.zeros_like(self._canvas))
-                self._canvas = P.restore_rect(self._canvas, jnp.asarray(mask),
-                                              saved)
+                if self._prev_canvas is not None:
+                    canvas[pt:pt + ph, pl:pl + pw] = \
+                        np.asarray(self._prev_canvas)[pt:pt + ph, pl:pl + pw]
+                else:
+                    canvas[pt:pt + ph, pl:pl + pw] = 0
             # save canvas AFTER disposal, BEFORE drawing (giflib.cpp:491-494)
-            self._prev_canvas = self._canvas
+            self._prev_canvas = canvas.copy()
 
         # composite_indexed_frame bounds-checks via lut row count
         # (giflib.cpp:530-533), so slice the LUT to the effective palette
         lut = lut256[:max(m.pal_count, 1)]
 
         have_trans = m.trans_idx >= 0
-        self._canvas = P.composite_indexed_frame(
-            self._canvas, jnp.asarray(full_idx), jnp.asarray(drawn),
-            jnp.asarray(lut), jnp.int32(m.trans_idx if have_trans else 255),
-            have_trans, bg_bgra, not self._have_first)
+        if not self._have_first:
+            canvas[:] = bg_bgra  # first frame starts from the background
+        if fw > 0 and fh > 0:
+            # `drawn` is exactly the clipped rect, so composite the slice
+            sl = np.s_[ft:ft + fh, fl:fl + fw]
+            idx_r = full_idx[sl].astype(np.int32)
+            valid = idx_r < lut.shape[0]
+            if have_trans:
+                valid &= idx_r != m.trans_idx
+            color = lut[np.minimum(idx_r, lut.shape[0] - 1)]
+            np.copyto(canvas[sl], color, where=valid[..., None])
+        self._canvas = canvas
 
         # partial-frame transparency forcing (giflib.cpp:548-560)
         partial = (fw < cw or fh < ch or fl != 0 or ft != 0)
