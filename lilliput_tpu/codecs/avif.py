@@ -350,11 +350,18 @@ class AvifDecoder(Decoder):
                 raise
             mode = "RGBA" if self._im.mode in ("RGBA", "LA", "PA") else "RGB"
             arr = np.asarray(self._im.convert(mode))
-            if mode == "RGBA":
-                bgr = arr[:, :, [2, 1, 0, 3]]
-            else:
-                bgr = arr[:, :, ::-1]
-            px = jnp.asarray(np.ascontiguousarray(bgr))
+            # contiguous BGR(A) via per-channel column assignment, kept
+            # numpy: the former reversed-view ascontiguousarray + eager
+            # jnp copy pair is the data-movement sink the PNG/WebP/GIF
+            # decoders dropped (the serving path pins decode to CPU)
+            ch = 4 if mode == "RGBA" else 3
+            bgr = np.empty(arr.shape[:-1] + (ch,), np.uint8)
+            bgr[..., 0] = arr[..., 2]
+            bgr[..., 1] = arr[..., 1]
+            bgr[..., 2] = arr[..., 0]
+            if ch == 4:
+                bgr[..., 3] = arr[..., 3]
+            px = bgr
             if self._tone_map and self._is_hdr:
                 # 8-bit fallback tone map (PIL surfaces the coded signal)
                 primaries = {9: "bt2020", 12: "p3", 1: "bt709"}.get(
