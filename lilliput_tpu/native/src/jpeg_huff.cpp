@@ -782,7 +782,8 @@ int prog_ac_refine(const Frame& f, const Scan& sc, const ScanGeom& g,
     const HuffTable& at = f.ac[sc.ta[0]];
     int16_t* const plane = planes[sc.ci[0]];
     const int16_t p1 = static_cast<int16_t>(1 << sc.Al);
-    const int16_t n1 = static_cast<int16_t>(-1 << sc.Al);
+    // negated positive shift: `-1 << Al` is UB pre-C++20 (trips UBSan)
+    const int16_t n1 = static_cast<int16_t>(-(1 << sc.Al));
     uint32_t eobrun = 0;
 #if defined(__BMI2__)
     static const ZigTables zt;
@@ -914,6 +915,21 @@ int run_progressive(Frame& f, const Scan& first, size_t first_scan_start,
                     uint16_t* qtables, const int32_t* win) {
     int16_t* planes[4] = {};
     static thread_local std::vector<int16_t> scratch;
+    // Bound the retained scratch on EVERY exit path: one oversized
+    // progressive input must not pin its full-geometry coefficient
+    // arrays (hundreds of MB for very large images) in every pool thread
+    // that touched it. 8 MB covers the 1080p serving class; larger
+    // decodes give the memory back.
+    struct ScratchTrim {
+        std::vector<int16_t>& v;
+        ~ScratchTrim() {
+            constexpr size_t kMaxRetained = (8u << 20) / sizeof(int16_t);
+            if (v.capacity() > kMaxRetained) {
+                v.clear();
+                v.shrink_to_fit();
+            }
+        }
+    } trim{scratch};
     {
         size_t total = 0;
         for (int c = 0; c < f.ncomp; c++)
@@ -1006,7 +1022,13 @@ int run_progressive(Frame& f, const Scan& first, size_t first_scan_start,
                 done = true;
                 break;
             }
-            if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) return kDecline;
+            // TEM/RSTn here are stream corruption; a stray SOI mid-stream
+            // has no length field either (treating it as length-prefixed
+            // would read entropy bytes as a length and could land on a
+            // parseable SOS where libjpeg hard-errors) — decline all three
+            // so the libjpeg fallback preserves error behavior.
+            if (m == 0x01 || m == 0xD8 || (m >= 0xD0 && m <= 0xD7))
+                return kDecline;
             if (pos + 4 > len) return kDecline;
             const size_t seglen =
                 (static_cast<size_t>(buf[pos + 2]) << 8) | buf[pos + 3];

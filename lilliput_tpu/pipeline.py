@@ -602,9 +602,16 @@ class _ServingPipelineBase:
 
     # -- abstract stages ------------------------------------------------------
 
-    def _host_decode(self, bufs: Sequence[bytes]):
+    def _host_decode(self, bufs: Sequence[bytes],
+                     errors: Optional[Dict[int, Exception]] = None):
         """Host decode stage: returns (device_step args tuple, per-image
-        ICC profiles)."""
+        ICC profiles). When `errors` is a dict, per-item decode failures
+        are ISOLATED: the failing item's exception lands in errors[i],
+        its batch lane is zero-filled (a benign all-black lane rides the
+        device step; its output bytes are discarded), and healthy
+        co-batched items are unaffected. With errors=None the first
+        failure raises — the contract for direct stage callers that hold
+        returned arrays."""
         raise NotImplementedError
 
     def device_step(self, *args, donate: bool = True):
@@ -773,34 +780,69 @@ class _ServingPipelineBase:
 
     # -- end to end -----------------------------------------------------------
 
-    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
+    @staticmethod
+    def _resolve_errors(out: List[bytes], errors: Dict[int, Exception],
+                        return_exceptions: bool) -> List[bytes]:
+        """Apply the serving-front failure contract (shared with
+        AnimatedTranscodePipeline.transcode): failed items are counted in
+        Metrics, then either attached to their own slots
+        (return_exceptions=True) or the first one re-raises after healthy
+        items finished — one corrupt buffer never fails its co-batched
+        requests' work (reference parity: one decoder per request,
+        lilliput.go:129, so batch-wide failure coupling cannot exist)."""
+        if not errors:
+            return out
+        from .utils import metrics
+        metrics.incr("serving.poison_isolated", len(errors))
+        if not return_exceptions:
+            raise errors[min(errors)]
+        for i, e in errors.items():
+            out[i] = e  # type: ignore[assignment]
+        return out
+
+    def transcode(self, bufs: Sequence[bytes],
+                  return_exceptions: bool = False) -> List[bytes]:
+        """Transcode a batch. Per-item decode failures are ISOLATED: a
+        corrupt buffer cannot fail its healthy co-batched requests (its
+        lane is zero-filled through the device step and its output
+        discarded). With return_exceptions=True the failing items' slots
+        hold the exception objects; with the default False the first
+        failure re-raises after healthy items finish — the same contract
+        as AnimatedTranscodePipeline.transcode."""
         from .utils import StageTimer, metrics
+        errors: Dict[int, Exception] = {}
         with StageTimer("entropy_decode"):
-            args, iccs = self._host_decode(bufs)
+            args, iccs = self._host_decode(bufs, errors)
         with StageTimer("device"):
             arrs = [np.asarray(a) for a in self.device_step(*args)]
         with StageTimer("encode"):
             out = self._encode_outputs(arrs, iccs)
-        metrics.incr("images_transcoded", len(bufs))
-        return out
+        metrics.incr("images_transcoded", len(bufs) - len(errors))
+        return self._resolve_errors(out, errors, return_exceptions)
 
-    def transcode_pipelined(self, batches: Sequence[Sequence[bytes]]) -> List[List[bytes]]:
+    def transcode_pipelined(self, batches: Sequence[Sequence[bytes]],
+                            return_exceptions: bool = False
+                            ) -> List[List[bytes]]:
         """Double-buffered: host decode for batch i+1 overlaps device batch i
-        (JAX dispatch is asynchronous; np.asarray blocks on completion)."""
+        (JAX dispatch is asynchronous; np.asarray blocks on completion).
+        Failure isolation matches transcode(): per-item within each batch."""
         results = []
-        pending = None  # (device arrays, per-image ICC profiles)
+        pending = None  # (device arrays, ICC profiles, per-item errors)
         for bufs in batches:
-            args, iccs = self._host_decode(bufs)
+            errors: Dict[int, Exception] = {}
+            args, iccs = self._host_decode(bufs, errors)
             dev = self.device_step(*args)
             if pending is not None:
-                pdev, piccs = pending
-                results.append(self._encode_outputs(
-                    [np.asarray(a) for a in pdev], piccs))
-            pending = (dev, iccs)
+                pdev, piccs, perr = pending
+                results.append(self._resolve_errors(self._encode_outputs(
+                    [np.asarray(a) for a in pdev], piccs), perr,
+                    return_exceptions))
+            pending = (dev, iccs, errors)
         if pending is not None:
-            pdev, piccs = pending
-            results.append(self._encode_outputs(
-                [np.asarray(a) for a in pdev], piccs))
+            pdev, piccs, perr = pending
+            results.append(self._resolve_errors(self._encode_outputs(
+                [np.asarray(a) for a in pdev], piccs), perr,
+                return_exceptions))
         return results
 
 
@@ -991,7 +1033,8 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         return out
 
     def decode_entropy(self, bufs: Sequence[bytes],
-                       workers: Optional[int] = None, pool: bool = False):
+                       workers: Optional[int] = None, pool: bool = False,
+                       errors: Optional[Dict[int, Exception]] = None):
         """Huffman-decode a batch into stacked coefficient + qtable arrays.
 
         Returns (ys, cbs, crs, qt_y, qt_c) with qt_* of shape (B, 64) — each
@@ -1002,6 +1045,13 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         pool=True reuses the previous-but-one batch's destination arrays
         (see _pooled) — the serving paths' default; direct callers that
         hold returned arrays across calls must keep pool=False.
+
+        errors: when a dict, per-item failures are ISOLATED (the serving
+        contract): a corrupt buffer's exception lands in errors[i] and its
+        lane is zero-filled — coefficients AND qtables, so pooled reuse
+        cannot leak a previous request's data through the failed slot —
+        instead of failing the whole batch. errors=None (default) raises
+        on the first bad buffer.
 
         The entropy shims release the GIL inside ctypes calls, so a small
         thread pool scales entropy decode across host cores (the reference's
@@ -1154,6 +1204,21 @@ class JpegTranscodePipeline(_ServingPipelineBase):
             if not gray:
                 qtc[i] = qtables[info.comp_quant_tbl[1]]
 
+        if errors is not None:
+            decode_one = one
+
+            def one(i: int):
+                try:
+                    decode_one(i)
+                except Exception as e:  # noqa: BLE001 — isolate per item
+                    errors[i] = e
+                    ys[i] = 0            # benign all-zero lane; also wipes
+                    qty[i] = 0           # pooled previous-batch data
+                    if not gray:
+                        cbs[i] = 0
+                        crs[i] = 0
+                        qtc[i] = 0
+
         if n_workers <= 1 or b <= 1:
             for i in range(b):
                 one(i)
@@ -1238,12 +1303,14 @@ class JpegTranscodePipeline(_ServingPipelineBase):
 
     # -- end to end --------------------------------------------------------------
 
-    def _host_decode(self, bufs: Sequence[bytes]):
+    def _host_decode(self, bufs: Sequence[bytes],
+                     errors: Optional[Dict[int, Exception]] = None):
         """Host stage: entropy decode + ICC collection (a cheap APP2
         header walk per source, so color profiles survive the transcode —
         reference Transform parity)."""
-        coefs = self.decode_entropy(bufs, pool=True)
-        iccs = [J.read_icc(b) for b in bufs]
+        coefs = self.decode_entropy(bufs, pool=True, errors=errors)
+        iccs = [b"" if errors is not None and i in errors
+                else J.read_icc(buf) for i, buf in enumerate(bufs)]
         return coefs, iccs
 
 
@@ -1386,10 +1453,16 @@ class StillTranscodePipeline(_ServingPipelineBase):
         return arr, (d.icc() or b"")
 
     def decode_pixels(self, bufs: Sequence[bytes],
-                      workers: Optional[int] = None):
+                      workers: Optional[int] = None,
+                      errors: Optional[Dict[int, Exception]] = None):
         """Decode a batch into one (B, H, W, C) u8 array + per-image ICC
         profiles. Threaded like decode_entropy: the entropy codecs
-        (zlib/libwebp/dav1d/...) release the GIL."""
+        (zlib/libwebp/dav1d/...) release the GIL.
+
+        errors: when a dict, per-item failures are ISOLATED (the serving
+        contract — see JpegTranscodePipeline.decode_entropy): a corrupt
+        buffer's exception lands in errors[i] and its lane zero-fills;
+        errors=None (default) raises on the first bad buffer."""
         b = len(bufs)
         batch = np.empty((b, self.src_h, self.src_w, self.channels),
                          np.uint8)
@@ -1399,6 +1472,17 @@ class StillTranscodePipeline(_ServingPipelineBase):
             arr, icc = self._decode_one(bufs[i])
             batch[i] = arr
             iccs[i] = icc
+
+        if errors is not None:
+            decode_one = one
+
+            def one(i: int):
+                try:
+                    decode_one(i)
+                except Exception as e:  # noqa: BLE001 — isolate per item
+                    errors[i] = e
+                    batch[i] = 0   # benign black lane (np.empty scratch)
+                    iccs[i] = b""
 
         n_workers = (workers if workers is not None
                      else min(8, os.cpu_count() or 1))
@@ -1411,8 +1495,9 @@ class StillTranscodePipeline(_ServingPipelineBase):
                 list(ex.map(one, range(b)))
         return batch, iccs
 
-    def _host_decode(self, bufs: Sequence[bytes]):
-        batch, iccs = self.decode_pixels(bufs)
+    def _host_decode(self, bufs: Sequence[bytes],
+                     errors: Optional[Dict[int, Exception]] = None):
+        batch, iccs = self.decode_pixels(bufs, errors=errors)
         return (batch,), iccs
 
     def _pixel_channels(self, fmt: str) -> int:
@@ -1575,6 +1660,8 @@ class AnimatedTranscodePipeline:
             for i, r in zip(rest, results):
                 out[i] = r
         if errors:
+            from .utils import metrics
+            metrics.incr("serving.poison_isolated", len(errors))
             if return_exceptions:
                 for i, e in errors.items():
                     out[i] = e  # type: ignore[assignment]
@@ -1797,17 +1884,46 @@ class MultiGeometryPipeline:
         return {"warmed": n, "compiled_new": len(self._pipes) - before,
                 "seconds": round(_time.time() - t0, 3)}
 
-    def transcode(self, bufs: Sequence[bytes]) -> List[bytes]:
-        """Group by geometry, batch each group, restore input order."""
+    def transcode(self, bufs: Sequence[bytes],
+                  return_exceptions: bool = False) -> List[bytes]:
+        """Group by geometry, batch each group, restore input order.
+
+        Per-item failures are ISOLATED end to end: a buffer that fails
+        ROUTING (unrecognized format, unsupported subsampling, header
+        parse failure — anything _pipe_for raises) or fails inside its
+        group's batch (every group runs with return_exceptions=True, the
+        per-front isolation contract) affects only its own slot. With
+        return_exceptions=True failing slots hold the exceptions; with
+        the default False the first failure re-raises after every healthy
+        item finished."""
+        from .utils import metrics
         groups = {}
+        errors: Dict[int, Exception] = {}
+        routing_failures = 0
         for i, buf in enumerate(bufs):
-            pipe = self._pipe_for(buf)
+            try:
+                pipe = self._pipe_for(buf)
+            except Exception as e:  # noqa: BLE001 — isolate per item
+                errors[i] = e
+                routing_failures += 1
+                continue
             groups.setdefault(id(pipe), (pipe, []))[1].append(i)
         out: List[Optional[bytes]] = [None] * len(bufs)
         for pipe, idxs in groups.values():
-            results = pipe.transcode([bufs[i] for i in idxs])
+            results = pipe.transcode([bufs[i] for i in idxs],
+                                     return_exceptions=True)
             for i, r in zip(idxs, results):
-                out[i] = r
+                if isinstance(r, Exception):
+                    errors[i] = r
+                else:
+                    out[i] = r
+        if routing_failures:
+            # group-level isolation already counts its own failures
+            metrics.incr("serving.poison_isolated", routing_failures)
+        if errors and not return_exceptions:
+            raise errors[min(errors)]
+        for i, e in errors.items():
+            out[i] = e  # type: ignore[assignment]
         return out  # type: ignore[return-value]
 
 

@@ -272,3 +272,25 @@ def test_sharded_multigeometry_front():
     with mesh:
         got = sharded.transcode(bufs)
     assert got == single.transcode(bufs)
+
+
+def test_sharded_poison_isolation():
+    """The sharded fronts inherit the serving poison-isolation contract
+    (VERDICT r4 #1): one corrupt buffer in a dp-sharded batch fails only
+    its own slot; healthy items stay byte-identical to the single-device
+    pipeline."""
+    import bench as B
+    from lilliput_tpu.parallel import ShardedJpegPipeline
+    from lilliput_tpu.pipeline import JpegTranscodePipeline
+
+    buf = B._ensure_fixture()
+    mesh = make_mesh(8)
+    sharded = ShardedJpegPipeline(buf, 96, 96, quality=80, mesh=mesh)
+    single = JpegTranscodePipeline(buf, 96, 96, quality=80)
+    ref = single.transcode([buf, buf])
+    with mesh:
+        outs = sharded.transcode([buf, buf[:100], buf],
+                                 return_exceptions=True)
+    assert outs[0] == ref[0]
+    assert outs[2] == ref[1]
+    assert isinstance(outs[1], Exception)

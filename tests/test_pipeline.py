@@ -142,9 +142,9 @@ def test_pipelined_overlap_structure():
     events = []
     orig_dec, orig_enc = pipe.decode_entropy, pipe.encode_entropy
 
-    def dec(bufs, workers=None, pool=False):
+    def dec(bufs, workers=None, pool=False, errors=None):
         events.append("dec")
-        return orig_dec(bufs, workers=workers, pool=pool)
+        return orig_dec(bufs, workers=workers, pool=pool, errors=errors)
 
     def enc(*a, **kw):
         events.append("enc")
@@ -890,3 +890,81 @@ def test_warm_persistent_cache_cold_start(tmp_path):
     assert files2 == files1, (
         f"second process compiled new programs: {set(files2) - set(files1)}")
     assert rep2["warm"]["warmed"] == 2
+
+
+def test_poison_isolation_jpeg_front():
+    """One corrupt buffer in a batch must fail only its own slot (VERDICT
+    r4 #1): healthy co-batched items transcode byte-identically to solo
+    runs, the failing slot carries its exception, and the isolation is
+    visible in the serving.poison_isolated counter. Matches the per-request
+    failure scoping of the reference (one decoder per request,
+    lilliput.go:129)."""
+    from lilliput_tpu.errors import DecodingFailedError
+    from lilliput_tpu.utils.metrics import metrics
+    g1, g2 = _jpeg(320, 200, 11), _jpeg(320, 200, 12)
+    pipe = JpegTranscodePipeline(g1, 64, 64, quality=85)
+    solo1 = pipe.transcode([g1])[0]
+    solo2 = pipe.transcode([g2])[0]
+    for poison in (_jpeg(320, 200, 13)[:100],        # truncated scan
+                   _jpeg(640, 360, 14),              # geometry mismatch
+                   b"\xff\xd8\xff\xe0garbage"):      # unparseable header
+        metrics.reset()
+        outs = pipe.transcode([g1, poison, g2], return_exceptions=True)
+        assert outs[0] == solo1
+        assert outs[2] == solo2
+        assert isinstance(outs[1], DecodingFailedError)
+        snap = metrics.snapshot()["counters"]
+        assert snap.get("serving.poison_isolated") == 1
+        # default mode still raises (after healthy work completed)
+        with pytest.raises(DecodingFailedError):
+            pipe.transcode([g1, poison, g2])
+
+
+def test_poison_isolation_jpeg_pooled_no_leak():
+    """A failed lane in a POOLED coefficient batch must not leak the
+    previous batch's coefficients: the isolated slot zero-fills, so even
+    if its (discarded) output were observed it encodes black."""
+    g = _jpeg(320, 200, 21)
+    other = _jpeg(320, 200, 22)
+    pipe = JpegTranscodePipeline(g, 48, 48, quality=85)
+    # populate the pool slots with real coefficient data
+    pipe.transcode([g, other])
+    pipe.transcode([g, other])
+    errors = {}
+    arrs = pipe.decode_entropy([g, other[:80]], pool=True, errors=errors)
+    assert list(errors) == [1]
+    assert not np.any(arrs[0][1])          # luma lane wiped
+    assert not np.any(arrs[3][1])          # qtable lane wiped
+
+
+def test_poison_isolation_multigeometry_routing():
+    """MultiGeometryPipeline: buffers that fail ROUTING (unrecognized
+    format / unparseable header) and buffers that fail inside a group are
+    both isolated to their own slots across a mixed batch."""
+    from lilliput_tpu.errors import DecodingFailedError, InvalidImageError
+    b1, b2 = _jpeg(320, 200, 31), _jpeg(640, 360, 32)
+    mp = MultiGeometryPipeline(64, 64, quality=85)
+    solo1 = mp.transcode([b1])[0]
+    solo2 = mp.transcode([b2])[0]
+    bufs = [b1, b"not an image at all", b2, b1[:90]]
+    outs = mp.transcode(bufs, return_exceptions=True)
+    assert outs[0] == solo1
+    assert outs[2] == solo2
+    assert isinstance(outs[1], InvalidImageError)
+    assert isinstance(outs[3], (DecodingFailedError, InvalidImageError))
+    with pytest.raises(Exception):
+        mp.transcode(bufs)
+
+
+def test_poison_isolation_transcode_pipelined():
+    """The double-buffered path carries the same per-item contract: a
+    poisoned batch in the stream fails only its own slots."""
+    g1, g2 = _jpeg(320, 200, 41), _jpeg(320, 200, 42)
+    pipe = JpegTranscodePipeline(g1, 64, 64, quality=85)
+    want = pipe.transcode([g1, g2])
+    res = pipe.transcode_pipelined(
+        [[g1, g2], [g1, g1[:70], g2]], return_exceptions=True)
+    assert res[0] == want
+    assert res[1][0] == want[0]
+    assert res[1][2] == want[1]
+    assert isinstance(res[1][1], Exception)

@@ -270,3 +270,43 @@ def test_warm_still_specs():
     after = metrics.snapshot()["counters"].get(
         "serving.geometry_compiles", 0)
     assert after == before  # both signatures were pre-warmed
+
+
+def test_poison_isolation_still_front():
+    """One corrupt PNG in a pixel-domain serving batch must fail only its
+    own slot (VERDICT r4 #1) — same contract as the JPEG front."""
+    img1, img2 = _smooth(96, 128, 3, 1), _smooth(96, 128, 3, 2)
+    b1, b2 = _png(img1), _png(img2)
+    pipe = StillTranscodePipeline(b1, 40, 40, quality=90)
+    # reference: a same-size all-healthy batch (the still path's batched
+    # resize is lane-independent at fixed batch shape; unlike the JPEG
+    # coefficient path it is not bit-stable ACROSS batch sizes)
+    want = pipe.transcode([b1, b1, b2])
+    for poison in (b1[:60],                       # truncated IDAT
+                   _png(_smooth(50, 50, 3, 3)),   # geometry mismatch
+                   b"garbage bytes"):             # unrecognized format
+        outs = pipe.transcode([b1, poison, b2], return_exceptions=True)
+        assert outs[0] == want[0]
+        assert outs[2] == want[2]
+        assert isinstance(outs[1], Exception)
+        with pytest.raises(Exception):
+            pipe.transcode([b1, poison, b2])
+
+
+def test_poison_isolation_multigeometry_mixed_formats():
+    """Mixed JPEG + PNG traffic with poison in both domains: every healthy
+    item transcodes, each poison attaches to its own slot."""
+    img = _smooth(80, 120, 3, 5)
+    png_buf = _png(img)
+    jpg_buf = _streaming(png_buf, 80, 120, ".jpeg")  # make a real JPEG
+    mp = MultiGeometryPipeline(32, 32, quality=85)
+    # PNG group lands in a 2-lane batch (healthy + zero-filled poison
+    # lane): reference it with a same-size healthy batch
+    want_p = mp.transcode([png_buf, png_buf])[0]
+    solo_j = mp.transcode([jpg_buf])[0]
+    bufs = [png_buf, png_buf[:50], jpg_buf, b"\x00" * 40]
+    outs = mp.transcode(bufs, return_exceptions=True)
+    assert outs[0] == want_p
+    assert outs[2] == solo_j
+    assert isinstance(outs[1], Exception)
+    assert isinstance(outs[3], Exception)
