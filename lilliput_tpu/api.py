@@ -70,11 +70,15 @@ def new_decoder(buf: bytes, tone_mapping_enabled: bool = True) -> Decoder:
         # OpenCV-fallthrough format (reference decodes BMP via grfmt_bmp)
         from .codecs.bmp import BmpDecoder
         return BmpDecoder(buf)
-    from .codecs.pnm import is_pnm
+    from .codecs.pnm import is_pam, is_pnm
     if is_pnm(buf):
         # OpenCV-fallthrough format (netpbm via grfmt_pxm)
         from .codecs.pnm import PnmDecoder
         return PnmDecoder(buf)
+    if is_pam(buf):
+        # OpenCV-fallthrough format (PAM/P7 via grfmt_pam)
+        from .codecs.pnm import PamDecoder
+        return PamDecoder(buf)
     from .codecs.sunras import is_sunras
     if is_sunras(buf):
         # OpenCV-fallthrough format (Sun Raster via grfmt_sunras)
@@ -135,6 +139,9 @@ def new_encoder(ext: str, decoded_by: Optional[Decoder] = None,
     if e in (".pbm", ".pgm", ".ppm", ".pnm"):
         from .codecs.pnm import PnmEncoder
         return PnmEncoder(decoded_by, icc_override=icc_override, subtype=e)
+    if e == ".pam":
+        from .codecs.pnm import PamEncoder
+        return PamEncoder(decoded_by, icc_override=icc_override)
     if e in (".jp2", ".j2k"):
         from .codecs.jp2 import Jp2Encoder
         return Jp2Encoder(decoded_by, icc_override=icc_override)
