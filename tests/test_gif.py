@@ -618,3 +618,69 @@ def test_animation_inputs_workers_identical():
         assert np.array_equal(np.asarray(i1[k]), np.asarray(i4[k])), k
     for a, b in zip(m1, m4):
         assert a.trans_idx == b.trans_idx and a.delay_cs == b.delay_cs
+
+
+def _first_frame(buf, monkeypatch, fast):
+    monkeypatch.setenv("LILLIPUT_GIF_FASTFIRST", "1" if fast else "0")
+    d = GifDecoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    arr = np.asarray(fb.array).copy()
+    meta = d.frame_meta
+    state = (d._have_first, d._prev_disposal, d._prev_rect, meta.trans_idx)
+    return arr, fb.duration, fb.dispose, state, d
+
+
+@pytest.mark.parametrize("name", ["party-discord.gif", "dispose_bgnd.gif",
+                                  "restore_previous.gif", "no-loop.gif",
+                                  "ferry_sunset.gif",
+                                  "duplicate_number_of_loops.gif"])
+def test_first_frame_fast_path_byte_identical(name, monkeypatch):
+    """The still-serving first-frame fast path (one packed-u32 LUT gather,
+    VERDICT r4 #4) must be byte-identical to the generic compositing path
+    on every corpus GIF — pixels, frame timing/disposal metadata, AND the
+    decoder state later frames build on."""
+    buf = open(f"{TD}/{name}", "rb").read()
+    fast, dur_f, disp_f, st_f, df = _first_frame(buf, monkeypatch, True)
+    slow, dur_s, disp_s, st_s, ds = _first_frame(buf, monkeypatch, False)
+    np.testing.assert_array_equal(fast, slow)
+    assert (dur_f, disp_f, st_f) == (dur_s, disp_s, st_s)
+    # SECOND frame must also match: the fast path's canvas/disposal state
+    # feeds the generic path for frame 2
+    if df.frame_count() > 1:
+        fb_f, fb_s = Framebuffer(), Framebuffer()
+        monkeypatch.setenv("LILLIPUT_GIF_FASTFIRST", "1")
+        df.decode_to(fb_f)
+        monkeypatch.setenv("LILLIPUT_GIF_FASTFIRST", "0")
+        ds.decode_to(fb_s)
+        np.testing.assert_array_equal(np.asarray(fb_f.array),
+                                      np.asarray(fb_s.array))
+
+
+def test_first_frame_fast_path_partial_rect_and_transparency(monkeypatch):
+    """Synthesized adversarial cases: frame rect smaller than the canvas
+    (background shows through + transparency forcing) and a transparent
+    index inside the palette."""
+    from PIL import Image
+
+    def mk(trans):
+        # 10x8 canvas, 4x3 frame at (5, 2): PIL writes the logical screen
+        # from the first frame, so build the GIF by hand
+        pal = bytes([i for v in range(8) for i in (v * 30, v * 20, v * 10)])
+        img = Image.frombytes("P", (4, 3), bytes(range(8)) + bytes(4))
+        img.putpalette(pal)
+        b = io.BytesIO()
+        img.save(b, "GIF", transparency=2 if trans else None)
+        raw = bytearray(b.getvalue())
+        # widen logical screen to 10x8 and offset the image descriptor
+        raw[6:10] = (10).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        i = raw.index(0x2C)  # image separator
+        raw[i + 1:i + 5] = (5).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        return bytes(raw)
+
+    for trans in (False, True):
+        buf = mk(trans)
+        fast, dur_f, disp_f, st_f, _ = _first_frame(buf, monkeypatch, True)
+        slow, dur_s, disp_s, st_s, _ = _first_frame(buf, monkeypatch, False)
+        np.testing.assert_array_equal(fast, slow)
+        assert (dur_f, disp_f, st_f) == (dur_s, disp_s, st_s)
