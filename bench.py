@@ -468,6 +468,24 @@ def main():
                 _grates.append(4 / (time.time() - t0))
             still_host["gif_1080p_decode_images_per_sec_per_core"] = round(
                 max(_grates), 1)
+            # AVIF SDR serving host decode (VERDICT r4 #3): the own path
+            # (ISOBMFF walk + dav1d + libyuv-exact conversion) — PIL is
+            # no longer on the runtime path
+            from lilliput_tpu.codecs import avif_enc as _avif_enc
+            if _avif_enc.available():
+                _bgr = _np.asarray(_im)[:, :, ::-1]
+                _avif = _avif_enc.encode(
+                    [_np.ascontiguousarray(_bgr[:, :, ::-1])], [0],
+                    quality=60, speed=8)
+                apipe = StillTranscodePipeline(_avif, 256, 256, quality=85)
+                apipe.decode_pixels([_avif] * 4)  # warm
+                _arates = []
+                for _ in range(max(host_iters, 3)):
+                    t0 = time.time()
+                    apipe.decode_pixels([_avif] * 4)
+                    _arates.append(4 / (time.time() - t0))
+                still_host["avif_1080p_decode_images_per_sec_per_core"] = \
+                    round(max(_arates), 1)
         except Exception:
             still_host = None
 

@@ -37,6 +37,17 @@ binding.register_signature(
     [ctypes.c_void_p, ctypes.c_int32, _u8p, ctypes.c_int32, ctypes.c_int32],
     ctypes.c_int)
 binding.register_signature("lp_av_raw_frame_free", [ctypes.c_void_p], None)
+binding.register_signature(
+    "lp_av_stream_open", [ctypes.c_char_p, _u8p, ctypes.c_int32],
+    ctypes.c_void_p)
+binding.register_signature(
+    "lp_av_stream_next",
+    [ctypes.c_void_p, _u8p, ctypes.c_size_t, _i32p], ctypes.c_int)
+binding.register_signature(
+    "lp_av_stream_plane",
+    [ctypes.c_void_p, ctypes.c_int32, _u8p, ctypes.c_int32, ctypes.c_int32],
+    ctypes.c_int)
+binding.register_signature("lp_av_stream_free", [ctypes.c_void_p], None)
 
 AV_CODEC_ID_AV1 = 0x8000 + 0x7FFF  # unused; decode is selected by name
 
@@ -77,6 +88,13 @@ class StillItems:
     # the PRIMARY item's colr payload when of nclx type ("nclx" + 7 bytes);
     # ipma-scoped so an alpha item's colr can never be misattributed
     nclx: Optional[bytes] = None
+    # the PRIMARY item's ICC profile (colr of prof/rICC type), ipma-scoped
+    icc: bytes = b""
+    # the PRIMARY item's ispe (coded width, height), or None
+    ispe: Optional[Tuple[int, int]] = None
+    # Exif item payload (TIFF bytes, the 4-byte tiff-offset header
+    # stripped), or b""
+    exif: bytes = b""
 
 
 def parse_still_items(buf: bytes) -> Optional[StillItems]:
@@ -217,96 +235,160 @@ def parse_still_items(buf: bytes) -> Optional[StillItems]:
         return None
     clap_raw = prop_of(primary_id, b"clap")
     clap = struct.unpack(">8i", clap_raw[:32]) if clap_raw and len(clap_raw) >= 32 else None
-    # an item may carry BOTH colr/prof (ICC) and colr/nclx — take the nclx one
+    # an item may carry BOTH colr/prof (ICC) and colr/nclx — keep both
     nclx = None
+    icc = b""
     for k in assoc.get(primary_id, []):
         if 1 <= k <= len(props) and props[k - 1][0] == b"colr":
             pl = props[k - 1][1]
-            if pl[:4] == b"nclx" and len(pl) >= 11:
+            if pl[:4] == b"nclx" and len(pl) >= 11 and nclx is None:
                 nclx = pl
-                break
+            elif pl[:4] in (b"prof", b"rICC") and not icc:
+                icc = pl[4:]
+    ispe_raw = prop_of(primary_id, b"ispe")
+    ispe = (tuple(struct.unpack(">II", ispe_raw[4:12]))
+            if ispe_raw and len(ispe_raw) >= 12 else None)
+    # Exif item: iinf type "Exif"; payload = u32 tiff-header offset + data
+    exif = b""
+    for iid, ityp in item_types.items():
+        if ityp == b"Exif":
+            raw = item_data(iid)
+            if raw and len(raw) >= 4:
+                off = int.from_bytes(raw[:4], "big")
+                if 0 <= off <= len(raw) - 4:
+                    exif = raw[4 + off:]
+            break
     return StillItems(
         color_data=color,
         color_av1c=prop_of(primary_id, b"av1C") or b"",
         alpha_data=item_data(alpha_id),
         alpha_av1c=prop_of(alpha_id, b"av1C") if alpha_id else None,
         clap=clap,
-        nclx=nclx)
+        nclx=nclx,
+        icc=icc,
+        ispe=ispe,
+        exif=exif)
 
 
-def parse_track_samples(buf: bytes) -> Optional[Tuple[List[bytes], bytes]]:
-    """(per-frame OBU payloads, av1C) from the avis pict track."""
+@dataclasses.dataclass
+class Track:
+    samples: List[bytes]
+    av1c: bytes
+    width: int = 0
+    height: int = 0
+    icc: bytes = b""
+    is_alpha: bool = False
+
+
+def _parse_one_track(buf: bytes, s: int, e: int) -> Optional[Track]:
+    mdia = _child(buf, s, e, b"mdia")
+    if not mdia:
+        return None
+    hdlr = _child(buf, *mdia, b"hdlr")
+    # auxv = auxiliary video (the alpha track's handler type)
+    if hdlr and buf[hdlr[0] + 8:hdlr[0] + 12] not in (b"pict", b"vide",
+                                                      b"auxv"):
+        return None
+    minf = _child(buf, *mdia, b"minf")
+    if not minf:
+        return None
+    stbl = _child(buf, *minf, b"stbl")
+    if not stbl:
+        return None
+    stsd = _child(buf, *stbl, b"stsd")
+    av1c = b""
+    width = height = 0
+    icc = b""
+    if stsd:
+        # fullbox + entry_count, first entry is the sample description
+        for t2, s2, e2 in _iter_boxes(buf, stsd[0] + 8, stsd[1]):
+            if t2 == b"av01":
+                # visual sample entry header = 78 bytes, then boxes
+                width = int.from_bytes(buf[s2 + 24:s2 + 26], "big")
+                height = int.from_bytes(buf[s2 + 26:s2 + 28], "big")
+                c = _child(buf, s2 + 78, e2, b"av1C")
+                if c:
+                    av1c = buf[c[0]:c[1]]
+                for t3, s3, e3 in _iter_boxes(buf, s2 + 78, e2):
+                    if (t3 == b"colr"
+                            and buf[s3:s3 + 4] in (b"prof", b"rICC")):
+                        icc = buf[s3 + 4:e3]
+            break
+    if not av1c:
+        return None
+    stsz = _child(buf, *stbl, b"stsz")
+    stco = _child(buf, *stbl, b"stco")
+    co64 = _child(buf, *stbl, b"co64")
+    stsc = _child(buf, *stbl, b"stsc")
+    if not stsz or not stsc or not (stco or co64):
+        return None
+    p = stsz[0] + 4
+    sample_size, count = struct.unpack(">II", buf[p:p + 8])
+    sizes = ([sample_size] * count if sample_size
+             else list(struct.unpack(f">{count}I", buf[p + 8:p + 8 + 4 * count])))
+    if co64:
+        p = co64[0] + 4
+        (n,) = struct.unpack(">I", buf[p:p + 4])
+        chunk_offsets = list(struct.unpack(f">{n}Q", buf[p + 4:p + 4 + 8 * n]))
+    else:
+        p = stco[0] + 4
+        (n,) = struct.unpack(">I", buf[p:p + 4])
+        chunk_offsets = list(struct.unpack(f">{n}I", buf[p + 4:p + 4 + 4 * n]))
+    p = stsc[0] + 4
+    (n,) = struct.unpack(">I", buf[p:p + 4])
+    stsc_entries = [struct.unpack(">III", buf[p + 4 + i * 12:p + 16 + i * 12])
+                    for i in range(n)]
+    # expand sample->chunk map
+    samples: List[bytes] = []
+    si = 0
+    for ci in range(len(chunk_offsets)):
+        spc = 1
+        for first, per, _desc in stsc_entries:
+            if ci + 1 >= first:
+                spc = per
+        off = chunk_offsets[ci]
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            samples.append(buf[off:off + sizes[si]])
+            off += sizes[si]
+            si += 1
+    if not samples:
+        return None
+    # an alpha track references the color track via tref/auxl
+    tref = _child(buf, s, e, b"tref")
+    is_alpha = bool(tref and _child(buf, *tref, b"auxl"))
+    return Track(samples=samples, av1c=av1c, width=width, height=height,
+                 icc=icc, is_alpha=is_alpha)
+
+
+def parse_tracks(buf: bytes) -> Optional[Tuple[Track, Optional[Track]]]:
+    """(color track, alpha track or None) from an avis animation."""
     moov = _child(buf, 0, len(buf), b"moov")
     if not moov:
         return None
+    color = alpha = None
     for t, s, e in _iter_boxes(buf, *moov):
         if t != b"trak":
             continue
-        mdia = _child(buf, s, e, b"mdia")
-        if not mdia:
+        tr = _parse_one_track(buf, s, e)
+        if tr is None:
             continue
-        hdlr = _child(buf, *mdia, b"hdlr")
-        if hdlr and buf[hdlr[0] + 8:hdlr[0] + 12] not in (b"pict", b"vide"):
-            continue
-        stbl = _child(buf, *mdia, b"minf")
-        if not stbl:
-            continue
-        stbl = _child(buf, *stbl, b"stbl")
-        if not stbl:
-            continue
-        stsd = _child(buf, *stbl, b"stsd")
-        av1c = b""
-        if stsd:
-            # fullbox + entry_count, first entry is the sample description
-            for t2, s2, e2 in _iter_boxes(buf, stsd[0] + 8, stsd[1]):
-                if t2 == b"av01":
-                    # visual sample entry header = 78 bytes, then boxes
-                    c = _child(buf, s2 + 78, e2, b"av1C")
-                    if c:
-                        av1c = buf[c[0]:c[1]]
-                break
-        if not av1c:
-            continue
-        stsz = _child(buf, *stbl, b"stsz")
-        stco = _child(buf, *stbl, b"stco")
-        co64 = _child(buf, *stbl, b"co64")
-        stsc = _child(buf, *stbl, b"stsc")
-        if not stsz or not stsc or not (stco or co64):
-            continue
-        p = stsz[0] + 4
-        sample_size, count = struct.unpack(">II", buf[p:p + 8])
-        sizes = ([sample_size] * count if sample_size
-                 else list(struct.unpack(f">{count}I", buf[p + 8:p + 8 + 4 * count])))
-        if co64:
-            p = co64[0] + 4
-            (n,) = struct.unpack(">I", buf[p:p + 4])
-            chunk_offsets = list(struct.unpack(f">{n}Q", buf[p + 4:p + 4 + 8 * n]))
-        else:
-            p = stco[0] + 4
-            (n,) = struct.unpack(">I", buf[p:p + 4])
-            chunk_offsets = list(struct.unpack(f">{n}I", buf[p + 4:p + 4 + 4 * n]))
-        p = stsc[0] + 4
-        (n,) = struct.unpack(">I", buf[p:p + 4])
-        stsc_entries = [struct.unpack(">III", buf[p + 4 + i * 12:p + 16 + i * 12])
-                        for i in range(n)]
-        # expand sample->chunk map
-        samples: List[bytes] = []
-        si = 0
-        for ci in range(len(chunk_offsets)):
-            spc = 1
-            for first, per, _desc in stsc_entries:
-                if ci + 1 >= first:
-                    spc = per
-            off = chunk_offsets[ci]
-            for _ in range(spc):
-                if si >= len(sizes):
-                    break
-                samples.append(buf[off:off + sizes[si]])
-                off += sizes[si]
-                si += 1
-        if samples:
-            return samples, av1c
-    return None
+        if tr.is_alpha and alpha is None:
+            alpha = tr
+        elif not tr.is_alpha and color is None:
+            color = tr
+    if color is None:
+        return None
+    return color, alpha
+
+
+def parse_track_samples(buf: bytes) -> Optional[Tuple[List[bytes], bytes]]:
+    """(per-frame OBU payloads, av1C) from the avis pict COLOR track."""
+    tracks = parse_tracks(buf)
+    if tracks is None:
+        return None
+    return tracks[0].samples, tracks[0].av1c
 
 
 def parse_loop_count(buf: bytes) -> int:
@@ -372,6 +454,106 @@ class RawPlanes:
 def _av1c_extradata(av1c: bytes) -> bytes:
     """lavc's AV1 decoder takes the av1C payload verbatim as extradata."""
     return av1c
+
+
+class Av1StreamDecoder:
+    """Stateful AV1 sample-stream decoder (lp_av_stream_* shim): AVIF
+    animation samples are inter-coded, so frames must decode in order
+    against live decoder state — the stateless decode_av1_planes below
+    can only handle keyframes (stills)."""
+
+    def __init__(self, av1c: bytes):
+        self._lib = binding.load()
+        if not hasattr(self._lib, "lp_av_stream_open"):
+            raise RuntimeError("stream decoder unavailable")
+        extradata = np.frombuffer(av1c, np.uint8) if av1c else None
+        self._h = self._lib.lp_av_stream_open(
+            b"libdav1d",
+            extradata.ctypes.data_as(_u8p)
+            if extradata is not None and extradata.size else None,
+            extradata.size if extradata is not None else 0)
+        if not self._h:
+            self._h = self._lib.lp_av_stream_open(
+                b"av1",
+                extradata.ctypes.data_as(_u8p)
+                if extradata is not None and extradata.size else None,
+                extradata.size if extradata is not None else 0)
+        if not self._h:
+            raise RuntimeError("no AV1 decoder available")
+
+    def _collect(self, info) -> Optional[RawPlanes]:
+        w, hh = info[0], info[1]
+        planes, cw, ch = info[5], info[6], info[7]
+        depth, prim, trc, bps = info[8], info[9], info[10], info[11]
+        dt = np.uint16 if bps == 2 else np.uint8
+
+        def plane(idx, pw, ph):
+            out = np.empty((ph, pw), dt)
+            rc = self._lib.lp_av_stream_plane(
+                self._h, idx, out.ctypes.data_as(_u8p), pw * bps, ph)
+            return out if rc == 0 else None
+
+        y = plane(0, w, hh)
+        if y is None:
+            return None
+        u = plane(1, cw, ch) if planes >= 3 else None
+        v = plane(2, cw, ch) if planes >= 3 else None
+        return RawPlanes(y=y, u=u, v=v, width=w, height=hh, depth=depth,
+                         full_range=(info[4] == 2), matrix=info[3],
+                         primaries=prim, trc=trc)
+
+    def feed(self, sample: Optional[bytes]) -> List[RawPlanes]:
+        """Feed one coded sample (None = flush) and return the frames
+        that became ready (0 or more). Raises on decode failure."""
+        info = (ctypes.c_int32 * 12)()
+        out: List[RawPlanes] = []
+        if sample is not None:
+            pkt = np.frombuffer(sample, np.uint8)
+            rc = self._lib.lp_av_stream_next(
+                self._h, pkt.ctypes.data_as(_u8p), pkt.size, info)
+            if rc == 0:
+                rp = self._collect(info)
+                if rp is None:
+                    raise RuntimeError("plane read failed")
+                out.append(rp)
+            elif rc != 1:
+                raise RuntimeError(f"AV1 stream decode failed ({rc})")
+            return out
+        while True:  # flush: drain decoder delay
+            rc = self._lib.lp_av_stream_next(self._h, None, 0, info)
+            if rc == 0:
+                rp = self._collect(info)
+                if rp is None:
+                    raise RuntimeError("plane read failed")
+                out.append(rp)
+            elif rc in (1, 2):
+                return out
+            else:
+                raise RuntimeError(f"AV1 stream flush failed ({rc})")
+
+    def decode_all(self, samples: List[bytes]) -> List[RawPlanes]:
+        """Decode every sample; raises on any decode failure (callers
+        treat a short animation as corrupt, not truncated-silently)."""
+        out: List[RawPlanes] = []
+        for smp in samples:
+            out.extend(self.feed(smp))
+        if len(out) < len(samples):
+            out.extend(self.feed(None))
+        if len(out) != len(samples):
+            raise RuntimeError(
+                f"AV1 stream returned {len(out)}/{len(samples)} frames")
+        return out
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.lp_av_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover — belt and braces
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def decode_av1_planes(av1c: bytes, obus: bytes) -> Optional[RawPlanes]:

@@ -209,65 +209,132 @@ def _cicp_is_hdr(cicp) -> bool:
 # decoder
 # ---------------------------------------------------------------------------
 
+def _av1c_depth(av1c: bytes) -> int:
+    """Coded bit depth from the av1C config record (byte 2:
+    seq_tier(1) high_bitdepth(1) twelve_bit(1) ...)."""
+    if len(av1c) < 3:
+        return 8
+    b = av1c[2]
+    if not (b & 0x40):
+        return 8
+    return 12 if (b & 0x20) else 10
+
+
+def _avif_native_default() -> bool:
+    """Own decode path (ISOBMFF walk + dav1d + libyuv-exact conversion)
+    is the default; LILLIPUT_AVIF=pil restores the PIL/libavif
+    delegation (test oracle + escape hatch, VERDICT r4 #3)."""
+    import os
+    return os.environ.get("LILLIPUT_AVIF", "native").lower() != "pil"
+
+
 class AvifDecoder(Decoder):
+    """AVIF decode on the framework's OWN stack by default: ISOBMFF
+    item/track walk (av1_raw.py) -> dav1d via the ffmpeg shim -> the
+    libyuv-bit-exact YUV->BGR conversion (yuv_rgb.py) -> device tone map
+    for HDR. PIL/libavif remains only as the escape hatch
+    (LILLIPUT_AVIF=pil), the oracle in tests, and the fallback for
+    corners the native path declines (10/12-bit SDR output, exotic
+    matrices) — reference parity: lilliput drives libavif/dav1d directly
+    (avif.cpp:255-601)."""
+
     def __init__(self, buf: bytes, tone_mapping_enabled: bool = True):
-        if not _HAVE_PIL_AVIF:
-            raise InvalidImageError("AVIF support unavailable")
         self._raw = buf
-        try:
-            self._im = _PILImage.open(io.BytesIO(buf))
-            self._im.load()
-        except Exception as e:
-            raise InvalidImageError(f"not a valid AVIF: {e}") from e
         self._tone_map = tone_mapping_enabled
         self._cicp = parse_cicp(buf)
         self._is_hdr = _cicp_is_hdr(self._cicp)
-        self._frames = getattr(self._im, "n_frames", 1)
         self._durations, _ = parse_avis_timing(buf)
         self._next = 0
+        self._im = None          # PIL handle, created lazily on fallback
 
-        # CLAP offsets + loop count from our own ISOBMFF walk
         from . import av1_raw as AR
+        self._AR = AR
         self._loops = AR.parse_loop_count(buf)
         self._clap_off = (0, 0)
         self._still_items = None
-        self._track = None
+        self._tracks = None
         try:
             self._still_items = AR.parse_still_items(buf)
         except Exception:
             self._still_items = None
+        try:
+            self._tracks = AR.parse_tracks(buf)
+        except Exception:
+            self._tracks = None
         if self._still_items and self._still_items.clap:
             c = self._still_items.clap
             # int(horizOffN / horizOffD) — C truncation (avif.cpp:500-522)
             if c[5] and c[7]:
                 self._clap_off = (int(c[4] / c[5]), int(c[6] / c[7]))
 
-        # 10/12-bit HDR path: decode the AV1 payloads ourselves via the
-        # ffmpeg shim (libdav1d) so the device tone-maps full-precision
-        # planes instead of PIL's 8-bit RGB (the round-1 quality gap)
+        # geometry/frame count from the own walk; PIL only if it failed
+        self._native_meta = False
+        if self._tracks is not None:
+            color, alpha = self._tracks
+            self._frames = len(color.samples)
+            self._w, self._h = color.width, color.height
+            self._has_alpha = alpha is not None
+            self._depth = _av1c_depth(color.av1c)
+            self._native_meta = self._w > 0 and self._h > 0
+        elif self._still_items is not None and self._still_items.ispe:
+            self._frames = 1
+            self._w, self._h = self._still_items.ispe
+            self._has_alpha = self._still_items.alpha_data is not None
+            self._depth = _av1c_depth(self._still_items.color_av1c)
+            self._native_meta = self._w > 0 and self._h > 0
+        if not self._native_meta or not _avif_native_default():
+            im = self._pil()     # raises InvalidImageError if unparseable
+            self._frames = getattr(im, "n_frames", 1)
+            self._w, self._h = im.size
+            self._has_alpha = im.mode in ("RGBA", "LA", "PA")
+            self._depth = 8
+
+        # full-precision HDR path (device tone map on native-depth planes)
         self._use_raw = False
         if self._tone_map and self._is_hdr:
+            self._use_raw = (
+                (self._tracks is not None and self._tracks[0].av1c != b"")
+                or (self._still_items is not None
+                    and bool(self._still_items.color_av1c)))
+        # incremental animated stream decoders (created on first frame)
+        self._cdec = self._adec = None
+        self._cfifo: list = []
+        self._afifo: list = []
+        self._fed = 0
+
+    def _pil(self):
+        """Lazy PIL handle (fallback/escape hatch only)."""
+        if self._im is None:
+            if not _HAVE_PIL_AVIF:
+                raise InvalidImageError("AVIF support unavailable")
             try:
-                if self._frames > 1:
-                    self._track = AR.parse_track_samples(buf)
-                    self._use_raw = self._track is not None
-                else:
-                    self._use_raw = (self._still_items is not None
-                                     and bool(self._still_items.color_av1c))
-            except Exception:
-                self._use_raw = False
+                self._im = _PILImage.open(io.BytesIO(self._raw))
+                self._im.load()
+            except Exception as e:
+                raise InvalidImageError(f"not a valid AVIF: {e}") from e
+        return self._im
 
     def header(self) -> ImageHeader:
-        channels = 4 if self._im.mode in ("RGBA", "LA", "PA") else 3
         orientation = ImageOrientation.TOP_LEFT
-        try:
-            o = self._im.getexif().get(0x0112)
-            if o and 1 <= int(o) <= 8:
-                orientation = ImageOrientation(int(o))
-        except Exception:
-            pass
-        return ImageHeader(width=self._im.size[0], height=self._im.size[1],
-                           channels=channels, orientation=orientation,
+        exif = self._still_items.exif if self._still_items else b""
+        if exif:
+            from .jpeg import _parse_tiff_orientation
+            try:
+                o = _parse_tiff_orientation(exif)
+                if 1 <= o <= 8:
+                    orientation = ImageOrientation(o)
+            except Exception:
+                pass
+        elif self._im is not None:
+            try:
+                o = self._im.getexif().get(0x0112)
+                if o and 1 <= int(o) <= 8:
+                    orientation = ImageOrientation(int(o))
+            except Exception:
+                pass
+        return ImageHeader(width=self._w, height=self._h,
+                           channels=4 if self._has_alpha else 3,
+                           orientation=orientation,
                            num_frames=self._frames,
                            content_length=len(self._raw))
 
@@ -284,25 +351,79 @@ class AvifDecoder(Decoder):
         # Rec709 substitution for tone-mapped HDR output (avif.cpp:415-427)
         if self._tone_map and self._is_hdr:
             return REC709_PROFILE
-        return self._im.info.get("icc_profile", b"") or b""
+        if self._still_items is not None and self._still_items.icc:
+            return self._still_items.icc
+        if self._tracks is not None and self._tracks[0].icc:
+            return self._tracks[0].icc
+        if self._native_meta and _avif_native_default():
+            return b""
+        return self._pil().info.get("icc_profile", b"") or b""
+
+    def _next_planes(self):
+        """(color RawPlanes, alpha RawPlanes or None) for frame
+        self._next. Stills decode their items statelessly; animations
+        feed the stateful stream decoders incrementally (samples are
+        inter-coded, so frames decode strictly in order)."""
+        AR = self._AR
+        if self._frames > 1 and self._tracks is not None:
+            color, alpha = self._tracks
+            if self._next >= len(color.samples):
+                return None, None
+            if self._cdec is None:
+                self._cdec = AR.Av1StreamDecoder(color.av1c)
+                if alpha is not None:
+                    self._adec = AR.Av1StreamDecoder(alpha.av1c)
+            while not self._cfifo or (self._adec and not self._afifo):
+                if self._fed < len(color.samples):
+                    self._cfifo.extend(self._cdec.feed(
+                        color.samples[self._fed]))
+                    if self._adec is not None:
+                        self._afifo.extend(self._adec.feed(
+                            alpha.samples[self._fed]
+                            if self._fed < len(alpha.samples) else None))
+                    self._fed += 1
+                else:
+                    self._cfifo.extend(self._cdec.feed(None))
+                    if self._adec is not None:
+                        self._afifo.extend(self._adec.feed(None))
+                    if not self._cfifo:
+                        return None, None
+                    break
+            return (self._cfifo.pop(0),
+                    self._afifo.pop(0) if self._afifo else None)
+        if self._still_items:
+            rp = AR.decode_av1_planes(self._still_items.color_av1c,
+                                      self._still_items.color_data)
+            ap = None
+            if rp is not None and self._still_items.alpha_data is not None:
+                ap = AR.decode_av1_planes(
+                    self._still_items.alpha_av1c or b"",
+                    self._still_items.alpha_data)
+            return rp, ap
+        return None, None
+
+    def _decode_native_sdr(self) -> Optional[np.ndarray]:
+        """Own SDR path: dav1d planes -> libyuv-bit-exact BGR(A) u8
+        (yuv_rgb.py; identical bytes to the PIL/libavif oracle, gated in
+        tests). 8-bit only — deeper SDR output falls back to PIL."""
+        from .yuv_rgb import supported_matrix, yuv_to_bgr_u8
+        rp, ap = self._next_planes()
+        if rp is None or rp.depth != 8 or not supported_matrix(rp.matrix):
+            return None
+        if ap is not None and (ap.depth != 8 or ap.y is None):
+            return None
+        return yuv_to_bgr_u8(rp.y, rp.u, rp.v, rp.matrix, rp.full_range,
+                             self._h, self._w,
+                             alpha=ap.y if ap is not None else None)
 
     def _decode_raw_hdr(self) -> Optional[jnp.ndarray]:
         """Full-precision HDR decode: AV1 planes at native depth -> device
         YUV->R'G'B' -> tone map. Returns BGR(A) u8 or None on failure."""
-        from . import av1_raw as AR
-        if self._frames > 1 and self._track:
-            samples, av1c = self._track
-            if self._next >= len(samples):
-                return None
-            rp = AR.decode_av1_planes(av1c, samples[self._next])
-        elif self._still_items:
-            rp = AR.decode_av1_planes(self._still_items.color_av1c,
-                                      self._still_items.color_data)
-        else:
-            return None
+        AR = self._AR
+        rp, ap_pl = self._next_planes()
         if rp is None:
             return None
-        w, h = self._im.size
+        w, h = self._w, self._h
         y = jnp.asarray(rp.y)
         if rp.u is not None and rp.v is not None:
             u, v = jnp.asarray(rp.u), jnp.asarray(rp.v)
@@ -321,31 +442,34 @@ class AvifDecoder(Decoder):
         transfer = "pq" if trc == CICP_TRANSFER_PQ else "hlg"
         sdr = COLOR.hdr_to_sdr(rgb, transfer=transfer, primaries=primaries)
         bgr = sdr[..., ::-1]
-        # still-image auxiliary alpha item (monochrome AV1 stream)
-        if (self._frames == 1 and self._still_items
-                and self._still_items.alpha_data is not None):
-            ap = AR.decode_av1_planes(self._still_items.alpha_av1c or b"",
-                                      self._still_items.alpha_data)
-            if ap is not None:
-                maxv = float((1 << ap.depth) - 1)
-                a = jnp.clip(jnp.round(
-                    jnp.asarray(ap.y).astype(jnp.float32)[
-                        ..., :h, :w] * (255.0 / maxv)), 0, 255).astype(jnp.uint8)
-                return jnp.concatenate([bgr, a[..., None]], axis=-1)
+        # auxiliary alpha (item or track; monochrome AV1 stream)
+        if ap_pl is not None and ap_pl.y is not None:
+            maxv = float((1 << ap_pl.depth) - 1)
+            a = jnp.clip(jnp.round(
+                jnp.asarray(ap_pl.y).astype(jnp.float32)[
+                    ..., :h, :w] * (255.0 / maxv)), 0, 255).astype(jnp.uint8)
+            return jnp.concatenate([bgr, a[..., None]], axis=-1)
+        del AR
         return bgr
 
     def decode_to(self, fb: Framebuffer) -> None:
         if self._next >= self._frames:
             raise EOFError()
         px = None
-        if self._use_raw:
-            try:
-                px = self._decode_raw_hdr()
-            except Exception:
-                px = None
+        if _avif_native_default():
+            if self._use_raw:
+                try:
+                    px = self._decode_raw_hdr()
+                except Exception:
+                    px = None
+            elif not (self._tone_map and self._is_hdr):
+                try:
+                    px = self._decode_native_sdr()
+                except Exception:
+                    px = None
         if px is None:
             try:
-                self._im.seek(self._next)
+                self._pil().seek(self._next)
             except EOFError:
                 raise
             mode = "RGBA" if self._im.mode in ("RGBA", "LA", "PA") else "RGB"
@@ -386,13 +510,28 @@ class AvifDecoder(Decoder):
     def skip_frame(self) -> None:
         if self._next >= self._frames:
             raise EOFError()
+        if self._cdec is not None:
+            # incremental stream decode: later frames reference this one,
+            # so a skipped frame still feeds the decoders
+            try:
+                self._next_planes()
+            except Exception:
+                pass
         self._next += 1
 
     def close(self) -> None:
-        try:
-            self._im.close()
-        except Exception:
-            pass
+        for dec in (self._cdec, self._adec):
+            if dec is not None:
+                try:
+                    dec.close()
+                except Exception:
+                    pass
+        self._cdec = self._adec = None
+        if self._im is not None:
+            try:
+                self._im.close()
+            except Exception:
+                pass
 
 
 def _set_avis_repetitions(buf: bytes, loops: int) -> bytes:
@@ -492,13 +631,12 @@ class AvifEncoder(Encoder):
         quality = int(self._opts.get(AVIF_QUALITY, 60))
         speed = int(self._opts.get(AVIF_SPEED, 6))
         # first-party path: libaom-av1 through our ffmpeg shim + own
-        # ISOBMFF muxer (codecs/avif_enc.py). Animated-with-alpha
-        # stays on the PIL/libavif delegation for now.
+        # ISOBMFF muxer (codecs/avif_enc.py) — stills AND animations,
+        # alpha included (auxl item / auxv track pairing). PIL/libavif
+        # remains only as the exception fallback + LILLIPUT_AVIF_ENC=pil
+        # escape hatch.
         from . import avif_enc
-        anim_alpha = (len(self._frames) > 1
-                      and any(f.ndim == 3 and f.shape[2] == 4
-                              for f in self._frames))
-        if avif_enc.available() and not anim_alpha:
+        if avif_enc.available():
             try:
                 durs = self._durations if len(self._frames) > 1 else [0]
                 out = avif_enc.encode(

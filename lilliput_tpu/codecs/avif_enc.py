@@ -284,12 +284,16 @@ def _av01_sample_entry(w: int, h: int, av1c: bytes, fmt: int) -> bytes:
 def mux_animation(w: int, h: int, fmt: int, samples: List[bytes],
                   durations_ms: List[int], av1c: bytes, loop_count: int,
                   icc: Optional[bytes] = None,
-                  first_frame_meta: bool = True) -> bytes:
+                  first_frame_meta: bool = True,
+                  alpha_samples: Optional[List[bytes]] = None,
+                  av1c_alpha: Optional[bytes] = None) -> bytes:
     """avis container: still meta for the first frame (compatibility,
-    like libavif) + one pict track. loop_count semantics mirror the
-    decoder's parse_loop_count / avif.cpp:401-413: mvhd.duration =
-    track_duration * (loop_count + 1), infinite (0) writes the
-    unknown-duration sentinel."""
+    like libavif) + one pict track, plus an auxv alpha track when
+    alpha_samples is given (tref/auxl to the color track — exactly the
+    structure libavif writes and av1_raw.parse_tracks reads back).
+    loop_count semantics mirror the decoder's parse_loop_count /
+    avif.cpp:401-413: mvhd.duration = track_duration * (loop_count + 1),
+    infinite (0) writes the unknown-duration sentinel."""
     ftyp = _box(b"ftyp", b"avis" + struct.pack(">I", 0)
                 + b"avisavifmif1miafmsf1iso8")
     track_dur = sum(durations_ms)
@@ -299,30 +303,17 @@ def mux_animation(w: int, h: int, fmt: int, samples: List[bytes],
             movie_dur = 0xFFFFFFFF
     else:
         movie_dur = 0xFFFFFFFF  # infinite
+    n_tracks = 2 if alpha_samples else 1
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
         ">IIII", 0, 0, _TIMESCALE, movie_dur)
         + struct.pack(">IHH", 0x00010000, 0x0100, 0)
         + b"\0" * 8
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                       0x40000000)
-        + b"\0" * 24 + struct.pack(">I", 2))
-    tkhd = _full(b"tkhd", 0, 3, struct.pack(
-        ">IIIII", 0, 0, 1, 0, track_dur)
-        + b"\0" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
-        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
-                      0x40000000)
-        + struct.pack(">II", w << 16, h << 16))
-    mdhd = _full(b"mdhd", 0, 0, struct.pack(
-        ">IIIIHH", 0, 0, _TIMESCALE, track_dur, 0x55C4, 0))
-    hdlr = _full(b"hdlr", 0, 0,
-                 struct.pack(">I", 0) + b"pict" + b"\0" * 12 + b"\0")
-    vmhd = _full(b"vmhd", 0, 1, b"\0" * 8)
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
-                 + _full(b"url ", 0, 1, b""))
-    dinf = _box(b"dinf", dref)
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
-                 + _av01_sample_entry(w, h, av1c, fmt))
-    # stts with run-length compression of equal durations
+        + b"\0" * 24 + struct.pack(">I", n_tracks + 1))
+
+    # stts with run-length compression of equal durations (shared: the
+    # alpha track carries the same timing as the color track)
     runs = []
     for d in durations_ms:
         if runs and runs[-1][1] == d:
@@ -331,37 +322,61 @@ def mux_animation(w: int, h: int, fmt: int, samples: List[bytes],
             runs.append([1, d])
     stts = _full(b"stts", 0, 0, struct.pack(">I", len(runs))
                  + b"".join(struct.pack(">II", n, d) for (n, d) in runs))
-    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1,
-                                            len(samples), 1))
-    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, len(samples))
-                 + b"".join(struct.pack(">I", len(sm))
-                            for sm in samples))
     stss = _full(b"stss", 0, 0, struct.pack(">II", 1, 1))
-    stco_placeholder = _full(b"stco", 0, 0, struct.pack(">II", 1, 0))
 
-    def assemble(chunk_offset: int, meta: bytes) -> bytes:
+    def trak(track_id: int, handler: bytes, tfmt: int, tav1c: bytes,
+             tsamples: List[bytes], chunk_offset: int,
+             tref: bytes = b"") -> bytes:
+        tkhd = _full(b"tkhd", 0, 3, struct.pack(
+            ">IIIII", 0, 0, track_id, 0, track_dur)
+            + b"\0" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", w << 16, h << 16))
+        mdhd = _full(b"mdhd", 0, 0, struct.pack(
+            ">IIIIHH", 0, 0, _TIMESCALE, track_dur, 0x55C4, 0))
+        hdlr = _full(b"hdlr", 0, 0,
+                     struct.pack(">I", 0) + handler + b"\0" * 12 + b"\0")
+        vmhd = _full(b"vmhd", 0, 1, b"\0" * 8)
+        dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                     + _full(b"url ", 0, 1, b""))
+        dinf = _box(b"dinf", dref)
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _av01_sample_entry(w, h, tav1c, tfmt))
+        stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1,
+                                                len(tsamples), 1))
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, len(tsamples))
+                     + b"".join(struct.pack(">I", len(sm))
+                                for sm in tsamples))
         stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
         stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
         minf = _box(b"minf", vmhd + dinf + stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
-        trak = _box(b"trak", tkhd + mdia)
-        moov = _box(b"moov", mvhd + trak)
+        return _box(b"trak", tkhd + tref + mdia)
+
+    color_len = sum(len(s) for s in samples)
+
+    def assemble(chunk_offset: int, meta: bytes) -> bytes:
+        traks = trak(1, b"pict", fmt, av1c, samples, chunk_offset)
+        if alpha_samples:
+            tref = _box(b"tref", _box(b"auxl", struct.pack(">I", 1)))
+            traks += trak(2, b"auxv", 2, av1c_alpha or b"",
+                          alpha_samples, chunk_offset + color_len,
+                          tref=tref)
+        moov = _box(b"moov", mvhd + traks)
         return ftyp + meta + moov
 
-    seq0, sample0 = _split_obus(samples[0])
-    del seq0, sample0
     meta = b""
     if first_frame_meta:
         meta = _meta_box(w, h, len(samples[0]), 0, fmt, icc, av1c,
                          None, 0)
     head = assemble(0, meta)
-    mdat_payload = b"".join(samples)
+    mdat_payload = b"".join(samples) + b"".join(alpha_samples or [])
     chunk_offset = len(head) + 8
     if first_frame_meta:
         meta = _meta_box(w, h, len(samples[0]), 0, fmt, icc, av1c,
                          None, chunk_offset)
     head = assemble(chunk_offset, meta)
-    del stco_placeholder
     return head + _box(b"mdat", mdat_payload)
 
 
@@ -430,15 +445,20 @@ def encode(frames_rgba: List[np.ndarray], durations_ms: List[float],
             av1c_a = _build_av1c(aseq, 2)
         return mux_still(w, h, fmt, sample, av1c, alpha_obus, av1c_a,
                          icc)
-    # animation: all frames share geometry/format; alpha animations
-    # fall back to the caller (PIL path) for now
+    # animation: all frames share geometry/format; alpha planes (if any)
+    # encode as a second monochrome AV1 stream in an auxv track
     frame_planes = [planes0]
+    alpha_planes = [alpha0] if alpha0 is not None else None
     for f in frames_bgra[1:]:
         fm, pl, al, ww, hh = _prep_planes(f, lossless)
         if fm != fmt or ww != w or hh != h:
             raise DecodingFailedError(
                 "AVIF encoder: mixed frame formats in animation")
-        del al
+        if (al is not None) != (alpha_planes is not None):
+            raise DecodingFailedError(
+                "AVIF encoder: mixed alpha presence in animation")
+        if alpha_planes is not None:
+            alpha_planes.append(al)
         frame_planes.append(pl)
     durs = [max(int(round(d)), 1) for d in durations_ms]
     pkts = _encode_frames(np.concatenate(frame_planes), w, h, fmt,
@@ -449,5 +469,17 @@ def encode(frames_rgba: List[np.ndarray], durations_ms: List[float],
     seq, first_sample = _split_obus(pkts[0])
     av1c = _build_av1c(seq, fmt)
     samples = [first_sample] + [_split_obus(p)[1] for p in pkts[1:]]
+    alpha_samples = av1c_a = None
+    if alpha_planes is not None:
+        apkts = _encode_frames(
+            np.concatenate([a.ravel() for a in alpha_planes]), w, h, 2,
+            len(alpha_planes), durs, crf, cpu, lossless, 0)
+        if len(apkts) != len(alpha_planes):
+            raise DecodingFailedError(
+                "AVIF encoder: alpha packet count mismatch")
+        aseq, afirst = _split_obus(apkts[0])
+        av1c_a = _build_av1c(aseq, 2)
+        alpha_samples = [afirst] + [_split_obus(p)[1] for p in apkts[1:]]
     return mux_animation(w, h, fmt, samples, durs, av1c, loop_count,
-                         icc)
+                         icc, alpha_samples=alpha_samples,
+                         av1c_alpha=av1c_a)

@@ -1,0 +1,225 @@
+"""libyuv-exact 8-bit YUV -> BGR(A) conversion for the own AVIF SDR path.
+
+The reference decodes AVIF through libavif, whose 8-bit YUV->RGB rides
+libyuv's 6-bit fixed-point kernels (reference vendors libavif+libyuv,
+/root/reference/avif.cpp:255-601 + deps/). PIL's libavif wheel does the
+same, so matching libyuv EXACTLY makes this framework's own
+dav1d-plane-based SDR decode bit-identical to both — gated against the
+PIL oracle in tests/test_avif.py.
+
+Every rule here was pinned EMPIRICALLY against this host's PIL/libavif
+(see tests): the per-pixel kernel is
+
+    y32 = (y * 0x0101 * YG) >> 16
+    B   = clamp((y32 + UB*u - UB*128 + YGB) >> 6)
+    G   = clamp((y32 - UG*u - VG*v + (UG+VG)*128 + YGB) >> 6)
+    R   = clamp((y32 + VR*v - VR*128 + YGB) >> 6)
+
+with YG/YGB = 16320/32 (full range) or 18997/-1160 (limited), and
+UV coefficients round(c*64) of the matrix coefficients (UB clamped at
+128 — libyuv's SIMD range constraint, kept for exactness). Chroma
+upsampling (AVIF_CHROMA_UPSAMPLING_AUTOMATIC = bilinear) is libyuv's
+single-pass kernel: (9*self + 3*horiz + 3*vert + diag + 8) >> 4 with
+edge replication, EXCEPT the odd-width last column, which libyuv leaves
+horizontally unfiltered ((3*self + vert + 2) >> 2); odd-height last rows
+ARE vertically filtered against the replicated row (asymmetry measured,
+not designed). 4:2:2 filters horizontally only; 4:4:4 and monochrome
+need no resampling.
+
+Host numpy by design: this is a per-image serving decode stage (like the
+PNG unfilter / GIF first-frame gather), feeding the batched device tail.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+# (UB, UG, VG, VR) = round(64 * matrix-coefficient), UB clamped at 128.
+# Derived from Kr/Kb exactly as libyuv documents its constants; the 601
+# sets were additionally solved uniquely from PIL output (tests).
+_COEFS = {
+    # matrix-family key: (limited, full)
+    "601": ((128, 25, 52, 102), (113, 22, 46, 90)),
+    "709": ((128, 14, 34, 115), (119, 12, 30, 101)),
+    "2020": ((128, 12, 42, 107), (120, 11, 37, 94)),
+}
+
+# AVCOL_SPC_* / CICP matrix-coefficient -> family. Unspecified (2) maps
+# to 601 (libavif's fallback). 0 = identity (GBR), handled separately.
+_MATRIX_FAMILY = {
+    1: "709",
+    2: "601", 4: "601", 5: "601", 6: "601", 7: "601",
+    9: "2020", 10: "2020",
+}
+
+
+def supported_matrix(matrix: int) -> bool:
+    return matrix == 0 or matrix in _MATRIX_FAMILY
+
+
+_SIG_DONE = False
+
+
+def _yuv_to_bgr_native(y, u, v, matrix, full_range, h, w, alpha):
+    """C++ kernel dispatch; returns None when the shim is unavailable."""
+    global _SIG_DONE
+    import ctypes as c
+
+    from .. import binding
+    if not _SIG_DONE:
+        u8p = c.POINTER(c.c_uint8)
+        binding.register_signature(
+            "lp_yuv_to_bgr",
+            [u8p, c.c_int32, u8p, u8p, c.c_int32, c.c_int32, c.c_int32,
+             c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+             c.c_int32, c.c_int32, c.c_int32, c.c_int32, u8p, c.c_int32,
+             u8p, c.c_int32], c.c_int)
+        _SIG_DONE = True
+    try:
+        lib = binding.load()
+    except Exception:
+        return None
+    if not hasattr(lib, "lp_yuv_to_bgr"):
+        return None
+    u8p = c.POINTER(c.c_uint8)
+
+    def p(a):
+        return a.ctypes.data_as(u8p) if a is not None else None
+
+    y = np.ascontiguousarray(y)
+    if matrix == 0 and u is not None:
+        sub = 4
+        u = np.ascontiguousarray(u)
+        v = np.ascontiguousarray(v)
+        cs, cw, ch = u.shape[1], u.shape[1], u.shape[0]
+        ub = ug = vg = vr = yg = ygb = 0
+    elif u is None or v is None:
+        sub = 3
+        cs = cw = ch = 0
+        ub, ug, vg, vr, yg, ygb = _constants(matrix, full_range)
+    else:
+        u = np.ascontiguousarray(u)
+        v = np.ascontiguousarray(v)
+        ch, cw = u.shape
+        cs = cw
+        if cw < w and ch < h:
+            sub = 2
+        elif cw < w:
+            sub = 1
+        else:
+            sub = 0
+        ub, ug, vg, vr, yg, ygb = _constants(matrix, full_range)
+    out_ch = 4 if alpha is not None else 3
+    if alpha is not None:
+        alpha = np.ascontiguousarray(alpha)
+    out = np.empty((h, w, out_ch), np.uint8)
+    rc = lib.lp_yuv_to_bgr(
+        p(y), y.shape[1], p(u), p(v), cs, cw, ch, sub, w, h,
+        ub, ug, vg, vr, yg, ygb, p(alpha),
+        alpha.shape[1] if alpha is not None else 0, p(out), out_ch)
+    return out if rc == 0 else None
+
+
+def _constants(matrix: int, full_range: bool):
+    fam = _MATRIX_FAMILY.get(matrix, "601")
+    ub, ug, vg, vr = _COEFS[fam][1 if full_range else 0]
+    yg, ygb = (16320, 32) if full_range else (18997, -1160)
+    return ub, ug, vg, vr, yg, ygb
+
+
+def _upsample2x2(c: np.ndarray, h: int, w: int) -> np.ndarray:
+    """4:2:0 chroma -> (h, w) int32, libyuv bilinear (see module doc)."""
+    a = c.astype(np.int32)
+    p = np.pad(a, 1, mode="edge")
+    c0 = p[1:-1, 1:-1]
+    L, R = p[1:-1, :-2], p[1:-1, 2:]
+    T, B = p[:-2, 1:-1], p[2:, 1:-1]
+    TL, TR = p[:-2, :-2], p[:-2, 2:]
+    BL, BR = p[2:, :-2], p[2:, 2:]
+    out = np.empty((2 * a.shape[0], 2 * a.shape[1]), np.int32)
+    out[0::2, 0::2] = (9 * c0 + 3 * L + 3 * T + TL + 8) >> 4
+    out[0::2, 1::2] = (9 * c0 + 3 * R + 3 * T + TR + 8) >> 4
+    out[1::2, 0::2] = (9 * c0 + 3 * L + 3 * B + BL + 8) >> 4
+    out[1::2, 1::2] = (9 * c0 + 3 * R + 3 * B + BR + 8) >> 4
+    out = out[:h, :w]
+    if w % 2 == 1 and w == 2 * a.shape[1] - 1:
+        # odd-width last column: horizontally unfiltered (measured)
+        tb = np.empty((2 * a.shape[0],), np.int32)
+        tb[0::2] = (3 * c0[:, -1] + T[:, -1] + 2) >> 2
+        tb[1::2] = (3 * c0[:, -1] + B[:, -1] + 2) >> 2
+        out[:, -1] = tb[:h]
+    return out
+
+
+def _upsample2x1(c: np.ndarray, h: int, w: int) -> np.ndarray:
+    """4:2:2 chroma -> (h, w) int32, horizontal-only libyuv bilinear."""
+    a = c.astype(np.int32)
+    L = np.concatenate([a[:, :1], a[:, :-1]], 1)
+    R = np.concatenate([a[:, 1:], a[:, -1:]], 1)
+    out = np.empty((a.shape[0], 2 * a.shape[1]), np.int32)
+    out[:, 0::2] = (3 * a + L + 2) >> 2
+    out[:, 1::2] = (3 * a + R + 2) >> 2
+    out = out[:h, :w]
+    if w % 2 == 1 and w == 2 * a.shape[1] - 1:
+        out[:, -1] = a[:h, -1]   # odd-width last column: unfiltered
+    return out
+
+
+def yuv_to_bgr_u8(y: np.ndarray, u: Optional[np.ndarray],
+                  v: Optional[np.ndarray], matrix: int, full_range: bool,
+                  h: int, w: int,
+                  alpha: Optional[np.ndarray] = None) -> np.ndarray:
+    """8-bit planes -> (h, w, 3|4) BGR(A) u8, bit-identical to libyuv's
+    conversion of the same planes (and therefore to PIL/libavif).
+
+    y: (>=h, >=w) u8 (dav1d may pad to even dims; the window is
+    top-left). u/v: subsampled or full chroma, or None (monochrome).
+    alpha: optional (>=h, >=w) u8 plane copied into channel 3.
+
+    Dispatches to the C++ row kernel (native/src/yuv_bgr.cpp, ~15x the
+    numpy form at 1080p); this function body below is the bit-identical
+    Python REFERENCE, forced with LILLIPUT_YUV_RGB=py and cross-checked
+    against the C++ in tests (the jp2_t1 pattern).
+    """
+    import os
+    if os.environ.get("LILLIPUT_YUV_RGB", "native") != "py":
+        out = _yuv_to_bgr_native(y, u, v, matrix, full_range, h, w, alpha)
+        if out is not None:
+            return out
+    yv = y[:h, :w].astype(np.int32)
+    if matrix == 0 and u is not None:
+        # identity (GBR): planes are G, B, R verbatim
+        out = np.empty((h, w, 3 + (alpha is not None)), np.uint8)
+        out[..., 0] = u[:h, :w]          # B
+        out[..., 1] = y[:h, :w]          # G
+        out[..., 2] = v[:h, :w]          # R
+        if alpha is not None:
+            out[..., 3] = alpha[:h, :w]
+        return out
+    ub, ug, vg, vr, yg, ygb = _constants(matrix, full_range)
+    y32 = (yv * (0x0101 * yg)) >> 16
+    if u is None or v is None:
+        uu = vv = np.full((h, w), 128, np.int32)
+    else:
+        ch, cw = u.shape
+        if cw < w and ch < h:          # 4:2:0
+            uu = _upsample2x2(u, h, w)
+            vv = _upsample2x2(v, h, w)
+        elif cw < w:                   # 4:2:2 (full-height chroma)
+            uu = _upsample2x1(u, h, w)
+            vv = _upsample2x1(v, h, w)
+        else:                          # 4:4:4
+            uu = u[:h, :w].astype(np.int32)
+            vv = v[:h, :w].astype(np.int32)
+    out = np.empty((h, w, 3 + (alpha is not None)), np.uint8)
+    np.clip((y32 + ub * uu + (ygb - ub * 128)) >> 6, 0, 255,
+            out=out[..., 0], casting="unsafe")                      # B
+    np.clip((y32 - ug * uu - vg * vv + ((ug + vg) * 128 + ygb)) >> 6,
+            0, 255, out=out[..., 1], casting="unsafe")              # G
+    np.clip((y32 + vr * vv + (ygb - vr * 128)) >> 6, 0, 255,
+            out=out[..., 2], casting="unsafe")                      # R
+    if alpha is not None:
+        out[..., 3] = alpha[:h, :w]
+    return out

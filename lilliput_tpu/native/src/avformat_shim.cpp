@@ -615,6 +615,101 @@ extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
 }
 
 int lp_av_raw_frame_plane(void* h, int32_t idx, uint8_t* out,
+                          int32_t row_bytes, int32_t rows);
+void lp_av_raw_frame_free(void* h);
+
+// ---------------------------------------------------------------------------
+// Stateful raw stream decoder: open once, feed coded frames sequentially.
+// AVIF animation samples are INTER-coded (each references prior frames),
+// so the stateless one-shot decoder above cannot decode frame n alone;
+// this keeps the codec context alive across samples (the own AVIF SDR
+// animated path, reference parity with avif.cpp's avifDecoderNextImage).
+// ---------------------------------------------------------------------------
+
+void* lp_av_stream_open(const char* codec_name, const uint8_t* extradata,
+                        int32_t extradata_len) {
+    if (extradata_len > 10240) return nullptr;
+    const AVCodec* dec = nullptr;
+    if (codec_name && codec_name[0])
+        dec = avcodec_find_decoder_by_name(codec_name);
+    if (!dec) dec = avcodec_find_decoder(AV_CODEC_ID_AV1);
+    if (!dec) return nullptr;
+    auto* rf = new (std::nothrow) RawFrame();
+    if (!rf) return nullptr;
+    rf->ctx = avcodec_alloc_context3(dec);
+    if (!rf->ctx) { delete rf; return nullptr; }
+    if (extradata_len > 0) {
+        rf->ctx->extradata = static_cast<uint8_t*>(
+            av_mallocz(extradata_len + AV_INPUT_BUFFER_PADDING_SIZE));
+        std::memcpy(rf->ctx->extradata, extradata, extradata_len);
+        rf->ctx->extradata_size = extradata_len;
+    }
+    rf->ctx->thread_count = 1;  // sequential serving decode, no delay
+    if (avcodec_open2(rf->ctx, dec, nullptr) != 0) {
+        avcodec_free_context(&rf->ctx);
+        delete rf;
+        return nullptr;
+    }
+    rf->frame = av_frame_alloc();
+    return rf;
+}
+
+// Feed one coded sample (or null to flush) and try to receive one frame.
+// Returns 0 = frame ready (out12 filled as in lp_av_raw_frame_decode;
+// read planes with lp_av_stream_plane), 1 = decoder needs more input,
+// 2 = end of stream, <0 = error.
+int lp_av_stream_next(void* h, const uint8_t* pkt_data, size_t pkt_len,
+                      int32_t* out12) {
+    auto* rf = static_cast<RawFrame*>(h);
+    if (pkt_data && pkt_len > 0) {
+        AVPacket* pkt = av_packet_alloc();
+        uint8_t* buf = static_cast<uint8_t*>(
+            av_malloc(pkt_len + AV_INPUT_BUFFER_PADDING_SIZE));
+        if (!buf) { av_packet_free(&pkt); return -1; }
+        std::memcpy(buf, pkt_data, pkt_len);
+        std::memset(buf + pkt_len, 0, AV_INPUT_BUFFER_PADDING_SIZE);
+        av_packet_from_data(pkt, buf, static_cast<int>(pkt_len));
+        int r = avcodec_send_packet(rf->ctx, pkt);
+        av_packet_free(&pkt);
+        if (r < 0 && r != AVERROR(EAGAIN)) return -2;
+    } else {
+        avcodec_send_packet(rf->ctx, nullptr);  // flush
+    }
+    av_frame_unref(rf->frame);
+    int r = avcodec_receive_frame(rf->ctx, rf->frame);
+    if (r == AVERROR(EAGAIN)) return 1;
+    if (r == AVERROR_EOF) return 2;
+    if (r < 0) return -3;
+    const AVFrame* f = rf->frame;
+    const AVPixFmtDescriptor* desc =
+        av_pix_fmt_desc_get(static_cast<AVPixelFormat>(f->format));
+    int planes = 0;
+    for (int i = 0; i < AV_NUM_DATA_POINTERS; i++)
+        if (f->data[i]) planes = i + 1;
+    out12[0] = f->width;
+    out12[1] = f->height;
+    out12[2] = f->format;
+    out12[3] = f->colorspace;
+    out12[4] = f->color_range;
+    out12[5] = planes;
+    out12[6] = desc ? AV_CEIL_RSHIFT(f->width, desc->log2_chroma_w) : f->width;
+    out12[7] = desc ? AV_CEIL_RSHIFT(f->height, desc->log2_chroma_h)
+                    : f->height;
+    out12[8] = desc ? desc->comp[0].depth : 8;
+    out12[9] = f->color_primaries;
+    out12[10] = f->color_trc;
+    out12[11] = desc && desc->comp[0].depth > 8 ? 2 : 1;
+    return 0;
+}
+
+int lp_av_stream_plane(void* h, int32_t idx, uint8_t* out, int32_t row_bytes,
+                       int32_t rows) {
+    return lp_av_raw_frame_plane(h, idx, out, row_bytes, rows);
+}
+
+void lp_av_stream_free(void* h) { lp_av_raw_frame_free(h); }
+
+int lp_av_raw_frame_plane(void* h, int32_t idx, uint8_t* out,
                           int32_t row_bytes, int32_t rows) {
     auto* rf = static_cast<RawFrame*>(h);
     const AVFrame* f = rf->frame;

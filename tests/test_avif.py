@@ -430,3 +430,124 @@ def test_parse_cicp_prefers_color_trak_over_alpha_trak():
     assert parse_cicp(ftyp + box(b"moov", color + alpha)) == (1, 13, 6, 1)
     # only an alpha track: the moov-wide fallback still surfaces its nclx
     assert parse_cicp(ftyp + box(b"moov", alpha)) == (9, 16, 9, 1)
+
+
+# ---------------------------------------------------------------------------
+# Own SDR decode path (VERDICT r4 #3): ISOBMFF walk + dav1d + libyuv-exact
+# YUV->BGR must be BIT-IDENTICAL to the PIL/libavif oracle. PIL is only the
+# oracle + LILLIPUT_AVIF=pil escape hatch from this round on.
+
+def _decode_all(buf, monkeypatch, mode):
+    monkeypatch.setenv("LILLIPUT_AVIF", mode)
+    d = AvifDecoder(buf)
+    h = d.header()
+    frames = []
+    for _ in range(h.num_frames):
+        fb = Framebuffer()
+        d.decode_to(fb)
+        frames.append(np.asarray(fb.array).copy())
+    icc = d.icc()
+    d.close()
+    return h, frames, icc
+
+
+@pytest.mark.parametrize("name", ["paris_icc_exif_xmp.avif",
+                                  "colors_sdr_srgb.avif",
+                                  "spinning-globe-unknown-loop-count.avif",
+                                  "colors-animated-8bpc-alpha-exif-xmp.avif"])
+def test_native_sdr_decode_bit_exact_vs_pil(name, monkeypatch):
+    """Every corpus SDR fixture — 4:4:4 full-range, 4:2:0 limited-range
+    odd-dims inter-coded animation, alpha track animation — decodes
+    bit-identically on the own path, with matching header metadata and
+    ICC bytes."""
+    buf = open(f"{TD}/{name}", "rb").read()
+    hn, fn, iccn = _decode_all(buf, monkeypatch, "native")
+    hp, fp, iccp = _decode_all(buf, monkeypatch, "pil")
+    assert (hn.width, hn.height, hn.channels, int(hn.orientation),
+            hn.num_frames) == (hp.width, hp.height, hp.channels,
+                               int(hp.orientation), hp.num_frames)
+    assert iccn == iccp
+    assert len(fn) == len(fp)
+    for a, b in zip(fn, fp):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("case", [
+    ("4:2:0", (64, 66, 3)), ("4:2:0", (61, 67, 3)),
+    ("4:2:2", (40, 42, 3)), ("4:2:2", (41, 45, 3)),
+    ("4:4:4", (33, 35, 3)), ("4:0:0", (30, 34)),
+    ("4:2:0", (32, 36, 4)),
+], ids=["420even", "420odd", "422even", "422odd", "444odd", "mono",
+        "alpha420"])
+def test_native_sdr_synthesized_bit_exact(case, monkeypatch):
+    """Synthesized coverage of every subsampling/parity/alpha combination
+    the libyuv-exact conversion handles (yuv_rgb.py rules were pinned
+    from these shapes)."""
+    sub, shape = case
+    rng = np.random.default_rng(hash(case[0] + str(shape)) % 2**32)
+    img = rng.integers(0, 256, shape, np.uint8)
+    b = io.BytesIO()
+    PIL_Image.fromarray(img).save(b, "AVIF", quality=85, subsampling=sub,
+                                  speed=10)
+    buf = b.getvalue()
+    _, fn, _ = _decode_all(buf, monkeypatch, "native")
+    _, fp, _ = _decode_all(buf, monkeypatch, "pil")
+    np.testing.assert_array_equal(fn[0], fp[0])
+
+
+def test_native_decode_uses_no_pil(monkeypatch):
+    """The own path must not touch PIL at all on a healthy SDR decode
+    (PIL demoted to escape hatch, reference avif.cpp:255-601 parity)."""
+    import lilliput_tpu.codecs.avif as AV
+    monkeypatch.setenv("LILLIPUT_AVIF", "native")
+
+    def boom(*a, **k):
+        raise AssertionError("PIL touched on the native path")
+
+    monkeypatch.setattr(AV, "_PILImage", type("X", (), {"open": boom}))
+    buf = open(f"{TD}/spinning-globe-unknown-loop-count.avif", "rb").read()
+    d = AvifDecoder(buf)
+    h = d.header()
+    assert h.num_frames == 72
+    fb = Framebuffer()
+    d.decode_to(fb)
+    assert fb.to_numpy().shape == (545, 545, 3)
+    assert d.icc() == b""
+    d.close()
+
+
+def test_yuv_rgb_cpp_matches_python_reference(monkeypatch):
+    """The C++ conversion kernel (native/src/yuv_bgr.cpp) must stay
+    bit-identical to the Python reference in yuv_rgb.py across every
+    subsampling/parity/range/matrix combination — the jp2_t1 pattern:
+    C++ for speed, Python as the pinned reference, test as the gate."""
+    from lilliput_tpu.codecs.yuv_rgb import yuv_to_bgr_u8
+    rng = np.random.default_rng(11)
+    cases = []
+    for (h, w) in ((16, 16), (17, 19), (31, 33), (8, 64)):
+        chh, cwh = (h + 1) // 2, (w + 1) // 2
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        a = rng.integers(0, 256, (h, w), np.uint8)
+        cases += [
+            ("420", y, rng.integers(0, 256, (chh, cwh), np.uint8),
+             rng.integers(0, 256, (chh, cwh), np.uint8), a),
+            ("422", y, rng.integers(0, 256, (h, cwh), np.uint8),
+             rng.integers(0, 256, (h, cwh), np.uint8), None),
+            ("444", y, rng.integers(0, 256, (h, w), np.uint8),
+             rng.integers(0, 256, (h, w), np.uint8), a),
+            ("mono", y, None, None, None),
+            ("identity", y, rng.integers(0, 256, (h, w), np.uint8),
+             rng.integers(0, 256, (h, w), np.uint8), a),
+        ]
+    for name, y, u, v, a in cases:
+        h, w = y.shape
+        combos = ([(0, True)] if name == "identity" else
+                  [(1, True), (1, False), (5, False), (6, True),
+                   (9, False), (2, True)])
+        for matrix, fr in combos:
+            monkeypatch.setenv("LILLIPUT_YUV_RGB", "py")
+            ref = yuv_to_bgr_u8(y, u, v, matrix, fr, h, w, alpha=a)
+            monkeypatch.setenv("LILLIPUT_YUV_RGB", "native")
+            got = yuv_to_bgr_u8(y, u, v, matrix, fr, h, w, alpha=a)
+            np.testing.assert_array_equal(
+                got, ref, err_msg=f"{name} m{matrix} fr{fr} {h}x{w}")

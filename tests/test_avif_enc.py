@@ -146,3 +146,60 @@ def test_own_decode_roundtrip_animated():
     d.decode_to(fb)
     assert abs(fb.duration - 0.05) < 1e-6
     assert _psnr(fb.to_numpy()[:, :, :3], frames[0][:, :, ::-1]) >= 38
+
+
+def test_animated_alpha_own_muxer():
+    """Animated-with-alpha encodes on the OWN muxer (auxv track + auxl
+    tref — VERDICT r4 #3's second half): the PIL/libavif oracle reads
+    back RGBA frames with the right count/durations, and the own decoder
+    bit-matches the oracle."""
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (6, 8, 4), np.uint8)
+    frames = []
+    for i in range(4):
+        f = np.array(PIL_Image.fromarray(base).resize(
+            (48, 40), PIL_Image.BILINEAR), copy=True)
+        f[:, :, 3] = np.clip(f[:, :, 3].astype(int) + i * 7, 0, 255)
+        frames.append(f)
+    out = avif_enc.encode(frames, [100, 200, 100, 300], quality=90,
+                          speed=10, loop_count=3)
+    im = PIL_Image.open(io.BytesIO(out))
+    assert im.mode == "RGBA" and im.n_frames == 4
+    durs = []
+    for i in range(4):
+        im.seek(i)
+        got = np.asarray(im.convert("RGBA"))   # load() populates info
+        durs.append(im.info.get("duration"))
+        assert _psnr(got, frames[i]) > 28
+    assert durs == [100, 200, 100, 300]
+    d = new_decoder(out)
+    h = d.header()
+    assert (h.width, h.height, h.channels, h.num_frames) == (48, 40, 4, 4)
+    assert d.loop_count() == 3
+    im.seek(0)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    np.testing.assert_array_equal(
+        np.asarray(fb.array),
+        np.asarray(im.convert("RGBA"))[..., [2, 1, 0, 3]])
+
+
+def test_animated_alpha_encoder_no_pil(monkeypatch):
+    """The AvifEncoder front must not fall back to PIL for animated
+    alpha anymore."""
+    import lilliput_tpu.codecs.avif as AV
+    monkeypatch.setattr(
+        AV, "_PILImage",
+        type("X", (), {"fromarray": staticmethod(
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("PIL touched")))}))
+    enc = new_encoder(".avif")
+    rng = np.random.default_rng(10)
+    for i in range(3):
+        fb = Framebuffer(rng.integers(0, 256, (24, 32, 4), np.uint8))
+        fb.duration = 0.05
+        enc.encode(fb, {AVIF_QUALITY: 80, AVIF_SPEED: 10})
+    out = enc.encode(None, {})
+    assert out[4:8] == b"ftyp"
+    im = PIL_Image.open(io.BytesIO(out))
+    assert im.n_frames == 3 and im.mode == "RGBA"

@@ -325,6 +325,87 @@ def webp_yuv_exercise(lib):
             assert (n > 0) if q <= 100 else (n == -3), (q, n)
 
 
+
+def yuv_bgr_exercise(lib):
+    """lp_yuv_to_bgr (the libyuv-exact AVIF SDR conversion): every
+    subsampling mode, odd dims, alpha, plus hostile zero/mismatched
+    geometry (must return error codes, not read out of bounds)."""
+    import ctypes
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    from lilliput_tpu.codecs.yuv_rgb import _yuv_to_bgr_native  # registers
+    rng = np.random.default_rng(7)
+    for (h, w) in ((16, 16), (17, 19), (1, 1)):
+        chh, cwh = (h + 1) // 2, (w + 1) // 2
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        a = rng.integers(0, 256, (h, w), np.uint8)
+        for u, v in ((rng.integers(0, 256, (chh, cwh), np.uint8),
+                      rng.integers(0, 256, (chh, cwh), np.uint8)),
+                     (rng.integers(0, 256, (h, cwh), np.uint8),
+                      rng.integers(0, 256, (h, cwh), np.uint8)),
+                     (rng.integers(0, 256, (h, w), np.uint8),
+                      rng.integers(0, 256, (h, w), np.uint8)),
+                     (None, None)):
+            for alpha in (None, a):
+                for matrix in (0, 1, 6, 9):
+                    if matrix == 0 and (
+                            u is None or u.shape != (h, w)):
+                        # identity needs full-res planes: the shim must
+                        # REJECT subsampled chroma (rc=-3), not read OOB
+                        if u is not None:
+                            assert _yuv_to_bgr_native(
+                                y, u, v, 0, True, h, w, alpha) is None
+                        continue
+                    out = _yuv_to_bgr_native(y, u, v, matrix, True, h, w,
+                                             alpha)
+                    assert out is not None
+    # hostile: invalid sizes / missing planes return error codes
+    assert lib.lp_yuv_to_bgr(None, 0, None, None, 0, 0, 0, 0, 0, 0,
+                             0, 0, 0, 0, 0, 0, None, 0, None, 3) == -1
+    yy = np.zeros((4, 4), np.uint8)
+    out = np.empty((4, 4, 4), np.uint8)
+    assert lib.lp_yuv_to_bgr(
+        yy.ctypes.data_as(u8p), 4, None, None, 0, 0, 0, 2, 4, 4,
+        128, 25, 52, 102, 18997, -1160, None, 0,
+        out.ctypes.data_as(u8p), 4) == -2
+
+
+def av1_stream_exercise(lib):
+    """lp_av_stream_* lifecycle: open/feed/flush/free on a real encoded
+    stream plus hostile packets (garbage OBUs must error, not crash).
+    jax-free: planes are fed to the aom shim pre-made (see
+    av1_encode_exercise)."""
+    from lilliput_tpu.codecs import av1_raw as AR
+    from lilliput_tpu.codecs import avif_enc
+    if not avif_enc.available() or not hasattr(lib, "lp_av_stream_open"):
+        return
+    rng = np.random.default_rng(8)
+    h, w = 16, 24
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    fsz = h * w + 2 * cw * ch
+    planes = rng.integers(0, 256, 3 * fsz, dtype=np.uint8)
+    pkts = avif_enc._encode_frames(planes, w, h, 0, 3, [40, 40, 40],
+                                   30, 8, False, 0)
+    seq, first = avif_enc._split_obus(pkts[0])
+    samples = [first] + [avif_enc._split_obus(p)[1] for p in pkts[1:]]
+    buf = avif_enc.mux_animation(w, h, 0, samples, [40, 40, 40],
+                                 avif_enc._build_av1c(seq, 0), 0)
+    tracks = AR.parse_tracks(buf)
+    assert tracks is not None
+    dec = AR.Av1StreamDecoder(tracks[0].av1c)
+    got = dec.decode_all(tracks[0].samples)
+    assert len(got) == 3
+    dec.close()
+    dec.close()  # double close is a no-op
+    # hostile packets into a fresh stream
+    dec = AR.Av1StreamDecoder(tracks[0].av1c)
+    for pkt in (b"\x00" * 16, b"\xff" * 64, b"\x12", b""):
+        try:
+            dec.feed(pkt or None)
+        except RuntimeError:
+            pass
+    dec.close()
+
+
 def main():
     lib = binding.load()
     gif_roundtrip(lib)
@@ -336,6 +417,8 @@ def main():
     jp2_t1_encode_exercise(lib)
     av1_encode_exercise(lib)
     webp_yuv_exercise(lib)
+    yuv_bgr_exercise(lib)
+    av1_stream_exercise(lib)
     print("asan smoke OK")
 
 
