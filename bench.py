@@ -657,6 +657,83 @@ def main():
         except Exception as e:  # never fail the bench on the host probe
             host_scaling = {"error": repr(e)}
 
+    # --- roofline accounting (VERDICT r4 #2): relate each mode's imgs/s
+    # to what the silicon could do. Bytes are a MINIMUM-TRAFFIC model
+    # (each input byte read once, each intermediate written+read once,
+    # each output written once + D2H) from the actual benched shapes;
+    # FLOPs count the matmul MACs (IDCT/fDCT 8x8 dots + the two-pass
+    # AREA resize contractions). Peaks: TPU v5e ~819 GB/s HBM, ~197
+    # TFLOPS bf16 (public v5e litepod specs). A mode at a high % of
+    # peak BW is bandwidth-bound — faster needs fewer bytes, not better
+    # kernels; dips between rounds can be attributed by comparing
+    # attained GB/s instead of raw imgs/s.
+    roofline = None
+    try:
+        HBM_PEAK_GBS = 819.0
+        MXU_PEAK_TFLOPS = 197.0
+        x0, y0w, rw, rh = pipe.window_static
+        dw, dh = pipe.dst_w, pipe.dst_h
+        h2d = sum(int(np.prod(c.shape[1:])) for c in coefs) * 2
+        out_coef = (dh // 8) * (dw // 8) * 64 * 2 + 2 * ((dh // 16)
+                                                         * (dw // 16)
+                                                         * 64 * 2)
+        nblk_win = sum(int(np.prod(c.shape[1:3])) for c in coefs[:3])
+        nblk_dst = (dh // 8) * (dw // 8) + 2 * (dh // 16) * (dw // 16)
+        # per-8x8-block IDCT/fDCT = two (8x8)x(8x8) dots = 2*512 MACs
+        idct_f = nblk_win * 2 * 512 * 2
+        fdct_f = nblk_dst * 2 * 512 * 2
+        # AREA resize as two matmul passes per plane (w-contract then h)
+        def resize_f(ch_scale, sw, sh):
+            return int(ch_scale * 2 * (sw * sh * dw + dh * sh * dw))
+
+        def entry(ips, planes_bytes, inter_bytes, flops, h2d_b=h2d):
+            total = (h2d_b + 2 * planes_bytes + 2 * inter_bytes
+                     + 2 * out_coef)
+            return {
+                "model_bytes_per_image": int(total),
+                "model_gflops_per_image": round(flops / 1e9, 3),
+                "attained_GBps": round(total * ips / 1e9, 1),
+                "pct_hbm_peak": round(100 * total * ips / 1e9
+                                      / HBM_PEAK_GBS, 1),
+                "pct_mxu_peak": round(100 * flops * ips / 1e12
+                                      / MXU_PEAK_TFLOPS, 2),
+            }
+
+        roofline = {
+            "hbm_peak_GBps": HBM_PEAK_GBS,
+            "mxu_peak_tflops_bf16": MXU_PEAK_TFLOPS,
+            "note": ("minimum-traffic model from benched shapes: H2D "
+                     "coefficient window + decoded planes (write+read) "
+                     "+ resize intermediate (write+read) + output "
+                     "coefficients (write+D2H); FLOPs = matmul MACs*2 "
+                     "(IDCT/fDCT + 2-pass AREA). Real HBM traffic is "
+                     ">= model (relayouts, padding); pct_hbm_peak is "
+                     "therefore a LOWER bound on utilization"),
+            "mode_rgb_parity": entry(
+                rgb_ips, 3 * rw * rh, 4 * 3 * dw * rh,
+                idct_f + fdct_f + resize_f(3, rw, rh)),
+            "mode_ycc_direct": entry(
+                ycc_ips, int(1.5 * rw * rh), int(4 * 1.5 * dw * rh),
+                idct_f + fdct_f + resize_f(1.5, rw, rh)),
+            "mode_ycc_dct_scale2": entry(
+                scaled_ips, int(1.5 * (rw // 2) * (rh // 2)),
+                int(4 * 1.5 * dw * (rh // 2)),
+                nblk_win * 2 * 128 * 2 + fdct_f
+                + resize_f(1.5, rw // 2, rh // 2),
+                h2d_b=(coefs[0].nbytes + coefs[1].nbytes
+                       + coefs[2].nbytes) // batch // 4
+                + coefs[3].nbytes // batch + coefs[4].nbytes // batch),
+        }
+        if still_ips:
+            # pixel source: 1080p u8x3 in (device-synthesized here, H2D
+            # on a real host), resize intermediate, coef out
+            roofline["mode_still_input"] = entry(
+                still_ips, 0, 4 * 3 * dw * 1080,
+                fdct_f + resize_f(3, 1920, 1080),
+                h2d_b=1920 * 1080 * 3)
+    except Exception as e:
+        roofline = {"error": repr(e)}
+
     # --- optional measured e2e through the tunnel (off by default) --------
     e2e_ips = None
     if e2e_batches > 0:
@@ -726,6 +803,7 @@ def main():
                          "cores — this harness host has host_cores core(s)"),
             "e2e_images_per_sec_via_tunnel": e2e_ips,
             "host_scaling": host_scaling,
+            "roofline": roofline,
             "backend": _backend_name(),
         },
     }

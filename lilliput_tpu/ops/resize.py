@@ -405,6 +405,115 @@ def _banded_plane_contract(s: jax.Array, mat: np.ndarray,
     return jnp.concatenate(parts, axis=axis)
 
 
+def _fused_exact_enabled() -> bool:
+    """LILLIPUT_FUSED_EXACT=1 switches the fused serving tails from the
+    embedded-matrix AREA contraction (±1 u8 vs streaming, f32
+    reassociation) to the sequential-tap form below, which reproduces the
+    STREAMING path's (cv2's) f32 tap order exactly — promoting
+    fused-vs-streaming to BYTE-IDENTICAL. Default decided by the on-chip
+    A/B (VERDICT r4 #6); see BASELINE.md."""
+    return os.environ.get("LILLIPUT_FUSED_EXACT", "0") not in (
+        "0", "false", "off")
+
+
+def _sel_matrix(dst: int, src: int, idx: np.ndarray) -> np.ndarray:
+    m = np.zeros((dst, src), np.float32)
+    m[np.arange(dst), idx] = 1.0
+    return m
+
+
+def resize_area_window_exact(plane: jax.Array, off_x: int, w: int,
+                             dst_w: int, off_y: int, h: int, dst_h: int):
+    """Sequential-tap INTER_AREA of the crop [off_y:off_y+h,
+    off_x:off_x+w) of a (..., H, W) plane, bit-identical to cropping then
+    running the STREAMING `resize` (and therefore to cv2): same f32 tap
+    ORDER, same per-product rounding (_rounded_product), with the
+    streaming path's gathers turned into exact 0/1 selection dots (each
+    output element is a single copied product, so the dot introduces no
+    rounding and MXU-serializing gathers never appear). Integer-ratio
+    geometries use 0/1 summing dots (exact integer totals < 2^24 in f32,
+    order-free) plus the streaming path's own scale/round form.
+
+    Returns (..., dst_h, dst_w) f32 whose clip(round(.)) equals the
+    streaming u8 output, or None when an axis upscales (the
+    embedded-matrix form keeps its documented ±1 tier there)."""
+    if w < dst_w or h < dst_h:
+        return None
+    W, H = plane.shape[-1], plane.shape[-2]
+    s = plane.astype(jnp.float32)
+    if T.area_is_fast(w, h, dst_w, dst_h):
+        fx, fy = w // dst_w, h // dst_h
+        mx = np.zeros((dst_w, W), np.float32)
+        my = np.zeros((dst_h, H), np.float32)
+        for d in range(dst_w):
+            mx[d, off_x + d * fx:off_x + (d + 1) * fx] = 1.0
+        for e in range(dst_h):
+            my[e, off_y + e * fy:off_y + (e + 1) * fy] = 1.0
+        tot = _banded_plane_contract(
+            _banded_plane_contract(s, mx, axis=-1), my, axis=-2)
+        if fx == 2 and fy == 2:
+            # streaming: (total + 2) >> 2 (round-half-up); emit the final
+            # integer so the caller's round() is a no-op
+            return jnp.floor((tot + 2.0) * np.float32(0.25))
+        return tot * np.float32(1.0 / (fx * fy))
+    xi, xw = T.area_tables(w, dst_w)
+    yi, yw = T.area_tables(h, dst_h)
+    z = _runtime_zero_bits(s)
+    acc = None
+    for k in range(xi.shape[1]):
+        t = _banded_plane_contract(
+            s, _sel_matrix(dst_w, W, off_x + xi[:, k]), axis=-1)
+        p = _rounded_product(t, jnp.asarray(xw[:, k]), z)
+        acc = p if acc is None else acc + p
+    out = None
+    for k in range(yi.shape[1]):
+        t = _banded_plane_contract(
+            acc, _sel_matrix(dst_h, H, off_y + yi[:, k]), axis=-2)
+        p = _rounded_product(t, jnp.asarray(yw[:, k])[:, None], z)
+        out = p if out is None else out + p
+    return out
+
+
+def resize_area_exact(img: jax.Array, dst_w: int, dst_h: int):
+    """Interleaved (..., H, W, C) counterpart of resize_area_window_exact
+    (no crop embedding — callers pass the cropped array, like the
+    streaming path): byte-identical to `resize(img, ..., AREA)` for
+    downscales, selection dots instead of gathers. None on upscale."""
+    src_h, src_w = img.shape[-3], img.shape[-2]
+    if src_w < dst_w or src_h < dst_h:
+        return None
+    s = img.astype(jnp.float32)
+    if T.area_is_fast(src_w, src_h, dst_w, dst_h):
+        fx, fy = src_w // dst_w, src_h // dst_h
+        mx = np.zeros((dst_w, src_w), np.float32)
+        my = np.zeros((dst_h, src_h), np.float32)
+        for d in range(dst_w):
+            mx[d, d * fx:(d + 1) * fx] = 1.0
+        for e in range(dst_h):
+            my[e, e * fy:(e + 1) * fy] = 1.0
+        tot = _banded_contract(_banded_contract(s, mx, axis=-2), my,
+                               axis=-3)
+        if fx == 2 and fy == 2:
+            return jnp.floor((tot + 2.0) * np.float32(0.25))
+        return tot * np.float32(1.0 / (fx * fy))
+    xi, xw = T.area_tables(src_w, dst_w)
+    yi, yw = T.area_tables(src_h, dst_h)
+    z = _runtime_zero_bits(s)
+    acc = None
+    for k in range(xi.shape[1]):
+        t = _banded_contract(s, _sel_matrix(dst_w, src_w, xi[:, k]),
+                             axis=-2)
+        p = _rounded_product(t, jnp.asarray(xw[:, k])[:, None], z)
+        acc = p if acc is None else acc + p
+    out = None
+    for k in range(yi.shape[1]):
+        t = _banded_contract(acc, _sel_matrix(dst_h, src_h, yi[:, k]),
+                             axis=-3)
+        p = _rounded_product(t, jnp.asarray(yw[:, k])[:, None, None], z)
+        out = p if out is None else out + p
+    return out
+
+
 def area_matrix_embedded(window: int, off: int, length: int,
                          dst: int) -> np.ndarray:
     """(dst, window) AREA axis matrix with the crop [off, off+length) folded

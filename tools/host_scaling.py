@@ -111,6 +111,85 @@ def _pool_run(fn, work, procs: int, reps: int = 2):
     return wall, max(r[0] for r in results)
 
 
+def _spin(stop, out):
+    n = 0
+    while not stop[0]:
+        n += 1
+    out[0] = n
+
+
+def _thread_probe(buf: bytes, per_proc: int) -> dict:
+    """GIL residency of the production THREADED decode dataflow.
+
+    Runs a pure-python spinner thread concurrently with a decode loop
+    and compares its progress to an uncontended baseline. On one core a
+    fully GIL-releasing decode gives the spinner ~half the CPU
+    (gil_free_share ~0.5); staging that holds the GIL starves it. The
+    derived gil_held_fraction is the Amdahl serial fraction for thread
+    pools — crossover_cores() folds it into a 'threaded' projection so
+    the multi-core claim carries the thread-vs-process discount."""
+    import threading
+    assert _PIPE is not None
+    bufs = [buf] * per_proc
+    _PIPE.decode_entropy(bufs, workers=1)  # warm
+
+    # spinner baseline (alone)
+    stop = [False]
+    out = [0]
+    t = threading.Thread(target=_spin, args=(stop, out))
+    t0 = time.time()
+    t.start()
+    time.sleep(0.4)
+    stop[0] = True
+    t.join()
+    r_alone = out[0] / (time.time() - t0)
+
+    # spinner while decode runs on another thread
+    stop = [False]
+    out = [0]
+    t = threading.Thread(target=_spin, args=(stop, out))
+    t0 = time.time()
+    t.start()
+    reps = 0
+    while time.time() - t0 < 0.6:
+        _PIPE.decode_entropy(bufs, workers=1)
+        reps += 1
+    stop[0] = True
+    dt = time.time() - t0
+    t.join()
+    r_during = out[0] / dt
+    s = r_during / max(r_alone, 1e-9)
+    # linear model: s == 0.5 -> GIL never held, s == 0 -> always held.
+    # s > 0.5 means the cgroup granted >1 CPU during the window (real
+    # thread concurrency observed) — clamps to 0 held.
+    gil_held = max(0.0, min(1.0, 1.0 - s / 0.5))
+    # threaded aggregate for the record (flat on 1 core by construction);
+    # warm each batch size first — fresh mmap-backed coefficient arrays
+    # otherwise charge their first-touch page faults to the largest P
+    agg = {}
+    for p in (1, 2, 4):
+        batch = [buf] * per_proc * p
+        _PIPE.decode_entropy(batch, workers=p, pool=True)  # warm pages
+        best = None
+        for _ in range(2):
+            tt0 = time.time()
+            _PIPE.decode_entropy(batch, workers=p, pool=True)
+            dtp = time.time() - tt0
+            best = dtp if best is None else min(best, dtp)
+        agg[str(p)] = round(per_proc * p / best, 2)
+    return {
+        "spinner_rate_alone": round(r_alone, 0),
+        "spinner_rate_during_decode": round(r_during, 0),
+        "gil_free_share": round(s, 3),
+        "gil_held_fraction": round(gil_held, 3),
+        "decode_images_per_sec_at_threads": agg,
+        "decode_reps_measured": reps,
+        "note": ("gil_free_share 0.5 = 1-core ideal (decode never holds "
+                 "the GIL); gil_held_fraction is the Amdahl serial "
+                 "fraction applied to the threaded crossover"),
+    }
+
+
 def _cpu_availability(window_s: float = 0.3) -> float:
     """Attainable CPU fraction right now: process CPU time / wall over a
     busy-wait window. On this shared harness the cgroup throttles hard
@@ -159,6 +238,18 @@ def measure(buf: bytes | None = None, per_proc: int = 24,
             "efficiency_vs_1proc": round(ips / base_enc, 3),
             "pool_wall_s": round(wall, 3),
             "slowest_worker_s": round(wmax, 3)}
+    # --- threaded-dataflow probe (VERDICT r4 #7) -------------------------
+    # The serving pipelines run decode_entropy on a THREAD pool, not the
+    # fork pool measured above; python-side staging holds the GIL. On a
+    # 1-core harness thread throughput is flat by construction, so the
+    # honest signal is GIL residency: a pure-python spinner thread's
+    # progress while a decode loop runs measures how much of the decode
+    # wall time the GIL is actually free (ctypes shim calls release it;
+    # numpy staging does not). gil_free share s: 0.5 is the 1-core ideal
+    # (fair CPU split, decode never holds the GIL); 0 means the decode
+    # path serializes threads completely. gil_held_fraction = the Amdahl
+    # serial fraction used for the threaded crossover projection.
+    res["threaded"] = _thread_probe(buf, per_proc)
     if ship_probe:
         # IPC artifact: same decode but shipping the coefficient arrays
         # back through the pool pipe (NOT the production dataflow)
@@ -183,14 +274,35 @@ def measure(buf: bytes | None = None, per_proc: int = 24,
 
 def crossover_cores(scaling: dict, device_rates: dict) -> dict:
     """Cores needed for the host pipeline (decode+encode in series on the
-    same cores) to match each serving mode's device rate."""
+    same cores) to match each serving mode's device rate.
+
+    Two projections per mode: process-pool (measured fork efficiency as
+    the per-core discount) and THREAD-pool (the production dataflow —
+    Amdahl with the measured gil_held_fraction: aggregate(N) =
+    base / (g + (1-g)/N); when the target exceeds base/g no thread count
+    suffices and the entry says so — run processes instead)."""
     import math
     d1 = scaling["decode"]["1"]["aggregate_images_per_sec"]
     e1 = scaling["encode"]["1"]["aggregate_images_per_sec"]
     eff = max(scaling.get("decode_efficiency_at_max_procs", 1.0), 1e-6)
-    percore = 1.0 / (1.0 / d1 + 1.0 / e1) * eff
-    return {mode: math.ceil(rate / percore)
-            for mode, rate in device_rates.items()}
+    base = 1.0 / (1.0 / d1 + 1.0 / e1)
+    percore = base * eff
+    out = {mode: math.ceil(rate / percore)
+           for mode, rate in device_rates.items()}
+    g = scaling.get("threaded", {}).get("gil_held_fraction")
+    if g is not None:
+        th = {}
+        for mode, rate in device_rates.items():
+            # solve base*eff / (g + (1-g)/N) >= rate for N (the same
+            # per-core fork discount applies; Amdahl adds GIL serialization)
+            beff = base * eff
+            if rate >= beff / max(g, 1e-9):
+                th[mode] = "unreachable_threaded_use_processes"
+            else:
+                th[mode] = math.ceil((1.0 - g) / (beff / rate - g))
+        out["threaded"] = th
+        out["threaded_gil_held_fraction"] = g
+    return out
 
 
 def _ensure_buf():
