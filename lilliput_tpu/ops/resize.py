@@ -412,6 +412,7 @@ def _fused_exact_enabled() -> bool:
     STREAMING path's (cv2's) f32 tap order exactly — promoting
     fused-vs-streaming to BYTE-IDENTICAL. Default decided by the on-chip
     A/B (VERDICT r4 #6); see BASELINE.md."""
+    import os
     return os.environ.get("LILLIPUT_FUSED_EXACT", "0") not in (
         "0", "false", "off")
 
@@ -512,6 +513,35 @@ def resize_area_exact(img: jax.Array, dst_w: int, dst_h: int):
         p = _rounded_product(t, jnp.asarray(yw[:, k])[:, None, None], z)
         out = p if out is None else out + p
     return out
+
+
+def resize_area_plane_embedded(plane: jax.Array, off_x: int, w: int,
+                               dst_w: int, off_y: int, h: int,
+                               dst_h: int) -> jax.Array:
+    """The fused tails' plane resize with the crop folded in: the exact
+    sequential-tap form when LILLIPUT_FUSED_EXACT=1 (byte-identical to
+    streaming), else the embedded-matrix contraction (±1 tier)."""
+    if _fused_exact_enabled():
+        out = resize_area_window_exact(plane, off_x, w, dst_w, off_y, h,
+                                       dst_h)
+        if out is not None:
+            return out
+    return resize_area_plane_mat(plane,
+                                 area_matrix_embedded(plane.shape[-1],
+                                                      off_x, w, dst_w),
+                                 area_matrix_embedded(plane.shape[-2],
+                                                      off_y, h, dst_h))
+
+
+def resize_area_mxu_or_exact(img: jax.Array, dst_w: int,
+                             dst_h: int) -> jax.Array:
+    """Interleaved fused-tail resize: exact sequential-tap form under
+    LILLIPUT_FUSED_EXACT=1 (downscales), else resize_area_mxu (±1)."""
+    if _fused_exact_enabled():
+        out = resize_area_exact(img, dst_w, dst_h)
+        if out is not None:
+            return out
+    return resize_area_mxu(img, dst_w, dst_h)
 
 
 def area_matrix_embedded(window: int, off: int, length: int,

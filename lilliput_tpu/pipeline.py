@@ -261,17 +261,15 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                     lead = planes[0].shape[:-4]
                     cbh_pad, cbw = planes[0].shape[-4], planes[0].shape[-2]
                     from .ops import pallas_kernels as PK
-                    mw = R.area_matrix_embedded(
-                        cbw * 16, left - x0, w, dst_w)
-                    mh = R.area_matrix_embedded(
-                        cbh_pad * 16, top - y0, h, dst_h)
                     out = []
                     for pb in planes:
                         blk = pb.reshape(-1, 2 * cbh_pad, 2 * cbw, 64)
                         p = PK._blocks_to_plane_xla(
                             blk, 2 * cbh_pad, 2 * cbw)
                         out.append(jnp.clip(jnp.round(
-                            R.resize_area_plane_mat(p, mw, mh)), 0, 255))
+                            R.resize_area_plane_embedded(
+                                p, left - x0, w, dst_w,
+                                top - y0, h, dst_h)), 0, 255))
                     if emit == "pixels":
                         px = _pack_pixels(out[0], out[1], out[2])
                         return px.reshape(lead + px.shape[1:])
@@ -292,7 +290,8 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
                 planes = [p.astype(jnp.uint8)
                           for p in K.packed_to_planes(cp)]
                 out = [jnp.clip(jnp.round(
-                    R.resize_area_mxu_plane(p, dst_w, dst_h)), 0, 255)
+                    R.resize_area_plane_embedded(
+                        p, 0, w, dst_w, 0, h, dst_h)), 0, 255)
                     for p in planes]
                 if emit == "pixels":
                     return _pack_pixels(out[0], out[1], out[2])
@@ -309,7 +308,7 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
         left, top, w, h = fit_rect(eff_w, eff_h, dst_w, dst_h)
         cropped = bgr[..., top:top + h, left:left + w, :]
     if method == R.AREA:
-        resized = R.resize_area_mxu(cropped, dst_w, dst_h)
+        resized = R.resize_area_mxu_or_exact(cropped, dst_w, dst_h)
     else:
         resized = R.resize(cropped, dst_w, dst_h, method)
     if emit == "pixels":
@@ -439,10 +438,9 @@ def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
         tx, ty = left - x0, top - y0
         if s == 1:
             y8 = K.dequant_idct_u8(ywin, qt_y)
-            mwl = R.area_matrix_embedded(y8.shape[-1], tx, w, dst_w)
-            mhl = R.area_matrix_embedded(y8.shape[-2], ty, h, dst_h)
             yr = jnp.clip(jnp.round(
-                R.resize_area_plane_mat(y8, mwl, mhl)), 0, 255)
+                R.resize_area_plane_embedded(y8, tx, w, dst_w,
+                                             ty, h, dst_h)), 0, 255)
         else:
             y = jnp.clip(jnp.round(
                 K.dequant_idct_scaled(ywin, qt_y, 8 // s)),
@@ -495,7 +493,7 @@ def _fused_still_fit_impl(px, enc_qt_y, enc_qt_c, src_w: int, src_h: int,
     left, top, w, h = fit_rect(eff_w, eff_h, dst_w, dst_h)
     cropped = px[..., top:top + h, left:left + w, :]
     if method == R.AREA:
-        resized = R.resize_area_mxu(cropped, dst_w, dst_h)
+        resized = R.resize_area_mxu_or_exact(cropped, dst_w, dst_h)
     else:
         resized = R.resize(cropped, dst_w, dst_h, method)
     c = px.shape[-1]

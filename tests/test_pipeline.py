@@ -968,3 +968,62 @@ def test_poison_isolation_transcode_pipelined():
     assert res[1][0] == want[0]
     assert res[1][2] == want[1]
     assert isinstance(res[1][1], Exception)
+
+
+def _clear_fused_caches():
+    import lilliput_tpu.pipeline as P
+    for f in (P.fused_jpeg_fit_transcode, P.fused_jpeg_fit_transcode_ycc,
+              P._fused_jpeg_fit_donating, P.fused_still_fit_transcode,
+              P.fused_jpeg_fit_transcode_gray, P._fused_jpeg_fit_gray_donating):
+        f.clear_cache()
+
+
+@pytest.mark.parametrize("geom", [(640, 360, 64, 64), (512, 512, 128, 128),
+                                  (256, 256, 128, 128), (320, 199, 48, 36)])
+def test_fused_exact_byte_identical_to_streaming(geom, monkeypatch):
+    """LILLIPUT_FUSED_EXACT=1 (VERDICT r4 #6): the fused serving path's
+    sequential-tap AREA resize reproduces the streaming path's f32 tap
+    order exactly, promoting fused-vs-streaming from ±1 u8 to
+    BYTE-IDENTICAL output files — covering the general-tap scale, the
+    integer-ratio fast path, and the 2x2 specialization. Compared via
+    lossless .png outputs so the equality includes every stage."""
+    from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod, new_decoder
+    w, h, dw, dh = geom
+    buf = _jpeg(w, h, seed=(w ^ h) & 127, q=88)
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".png", width=dw, height=dh,
+        resize_method=ResizeMethod.FIT, encode_timeout=600.0))
+
+    def run(env):
+        _clear_fused_caches()
+        monkeypatch.setenv("LILLIPUT_FUSED_EXACT", env)
+        pipe = JpegTranscodePipeline(buf, dw, dh, quality=85,
+                                     output_format=".png")
+        return pipe.transcode([buf])[0]
+
+    exact = run("1")
+    assert exact == streaming, "exact fused path must match streaming bytes"
+    # default path keeps its documented ±1 tier
+    loose = run("0")
+    monkeypatch.delenv("LILLIPUT_FUSED_EXACT")
+    _clear_fused_caches()
+    a = cv2.imdecode(np.frombuffer(loose, np.uint8), cv2.IMREAD_COLOR)
+    b = cv2.imdecode(np.frombuffer(streaming, np.uint8), cv2.IMREAD_COLOR)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_fused_exact_gray_byte_identical(monkeypatch):
+    from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod, new_decoder
+    buf = _gray_jpeg(400, 300, seed=5)
+    streaming = ImageOps(8192).transform(new_decoder(buf), ImageOptions(
+        file_type=".png", width=80, height=60,
+        resize_method=ResizeMethod.FIT, encode_timeout=600.0))
+    _clear_fused_caches()
+    monkeypatch.setenv("LILLIPUT_FUSED_EXACT", "1")
+    try:
+        pipe = JpegTranscodePipeline(buf, 80, 60, quality=85,
+                                     output_format=".png")
+        assert pipe.transcode([buf])[0] == streaming
+    finally:
+        monkeypatch.delenv("LILLIPUT_FUSED_EXACT")
+        _clear_fused_caches()

@@ -310,3 +310,22 @@ def test_poison_isolation_multigeometry_mixed_formats():
     assert outs[2] == solo_j
     assert isinstance(outs[1], Exception)
     assert isinstance(outs[3], Exception)
+
+
+def test_fused_exact_still_byte_identical(monkeypatch):
+    """LILLIPUT_FUSED_EXACT=1 on the pixel-domain serving front: fused
+    still transcode output becomes byte-identical to the streaming
+    ImageOps path (VERDICT r4 #6 tier promotion)."""
+    import lilliput_tpu.pipeline as P
+    img = _smooth(300, 420, 3, 8)
+    buf = _png(img)
+    streaming = _streaming(buf, 70, 50, ".png")
+    P.fused_still_fit_transcode.clear_cache()
+    monkeypatch.setenv("LILLIPUT_FUSED_EXACT", "1")
+    try:
+        pipe = StillTranscodePipeline(buf, 70, 50, quality=85,
+                                      output_format=".png")
+        assert pipe.transcode([buf])[0] == streaming
+    finally:
+        monkeypatch.delenv("LILLIPUT_FUSED_EXACT")
+        P.fused_still_fit_transcode.clear_cache()
