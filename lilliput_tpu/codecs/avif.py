@@ -1,5 +1,6 @@
-"""AVIF codec: libavif (through PIL's plugin) for AV1 entropy/recon, own
-ISOBMFF metadata parsing, device-side HDR->SDR tone mapping.
+"""AVIF codec: own ISOBMFF walk + dav1d (via the ffmpeg shim) for decode,
+libaom for encode, device-side HDR->SDR tone mapping. PIL/libavif is a
+test oracle and the LILLIPUT_AVIF=pil escape hatch only.
 
 Capability parity with the reference AVIF path (avif.cpp/avif.go): static +
 animated (avis) decode, per-frame durations (stts box, ms timescale), loop
@@ -8,11 +9,12 @@ with Rec709 substitution for tone-mapped HDR output (avif.cpp:415-427),
 CICP-based HDR detection (PQ=16/HLG=18 transfer in the colr/nclx box), and
 quality/speed encode options on the ms timescale.
 
-HDR note: the AV1 decode surfaces an 8-bit PQ/HLG-coded signal here (the
-transfer function is not applied by the YUV->RGB stage), so the fused device
-kernel ops/color.py:hdr_to_sdr (PQ/HLG linearize -> primaries to BT.709 ->
-Reinhard -> sRGB) operates on that signal; a native 10-bit libavif shim can
-later lift precision without changing the pipeline shape.
+SDR decode converts dav1d planes at ANY depth (8/10/12-bit) through the
+empirically pinned libavif/libyuv ruleset (yuv_rgb.planes_to_bgr_u8) —
+bit-identical to PIL/libavif output, gated in tests. HDR sources with
+tone mapping enabled take the full-precision device path instead
+(_decode_raw_hdr): native-depth YUV -> R'G'B' -> PQ/HLG linearize ->
+primaries to BT.709 -> Reinhard -> sRGB (ops/color.py:hdr_to_sdr).
 """
 
 from __future__ import annotations
@@ -232,11 +234,12 @@ class AvifDecoder(Decoder):
     """AVIF decode on the framework's OWN stack by default: ISOBMFF
     item/track walk (av1_raw.py) -> dav1d via the ffmpeg shim -> the
     libyuv-bit-exact YUV->BGR conversion (yuv_rgb.py) -> device tone map
-    for HDR. PIL/libavif remains only as the escape hatch
-    (LILLIPUT_AVIF=pil), the oracle in tests, and the fallback for
-    corners the native path declines (10/12-bit SDR output, exotic
-    matrices) — reference parity: lilliput drives libavif/dav1d directly
-    (avif.cpp:255-601)."""
+    for HDR. SDR output is converted at every depth (8/10/12-bit,
+    yuv_rgb.planes_to_bgr_u8). PIL/libavif remains only as the escape
+    hatch (LILLIPUT_AVIF=pil), the oracle in tests, and the fallback
+    for corners the native path declines (exotic matrices like YCgCo,
+    mixed-depth alpha items) — reference parity: lilliput drives
+    libavif/dav1d directly (avif.cpp:255-601)."""
 
     def __init__(self, buf: bytes, tone_mapping_enabled: bool = True):
         self._raw = buf
@@ -403,18 +406,23 @@ class AvifDecoder(Decoder):
         return None, None
 
     def _decode_native_sdr(self) -> Optional[np.ndarray]:
-        """Own SDR path: dav1d planes -> libyuv-bit-exact BGR(A) u8
-        (yuv_rgb.py; identical bytes to the PIL/libavif oracle, gated in
-        tests). 8-bit only — deeper SDR output falls back to PIL."""
-        from .yuv_rgb import supported_matrix, yuv_to_bgr_u8
+        """Own SDR path: dav1d planes -> libavif-bit-exact BGR(A) u8
+        (yuv_rgb.py; identical bytes to the PIL/libavif oracle, gated
+        in tests) at every depth — 8/10/12-bit planes all convert
+        through the empirically pinned ruleset (planes_to_bgr_u8).
+        Only a mixed-depth alpha item or an exotic matrix declines to
+        the PIL fallback."""
+        from .yuv_rgb import planes_to_bgr_u8, supported_matrix
         rp, ap = self._next_planes()
-        if rp is None or rp.depth != 8 or not supported_matrix(rp.matrix):
+        if rp is None or not supported_matrix(rp.matrix):
             return None
-        if ap is not None and (ap.depth != 8 or ap.y is None):
+        if ap is not None and ap.y is None:
             return None
-        return yuv_to_bgr_u8(rp.y, rp.u, rp.v, rp.matrix, rp.full_range,
-                             self._h, self._w,
-                             alpha=ap.y if ap is not None else None)
+        return planes_to_bgr_u8(
+            rp.y, rp.u, rp.v, rp.depth, rp.matrix, rp.full_range,
+            self._h, self._w,
+            alpha=ap.y if ap is not None else None,
+            alpha_depth=ap.depth if ap is not None else None)
 
     def _decode_raw_hdr(self) -> Optional[jnp.ndarray]:
         """Full-precision HDR decode: AV1 planes at native depth -> device

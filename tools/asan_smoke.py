@@ -293,6 +293,30 @@ def av1_encode_exercise(lib):
     b = avif_enc.mux_still(w, h, 0, sample,
                            avif_enc._build_av1c(seq, 0))
     assert Image.open(io.BytesIO(b)).size == (w, h)
+    # high-bit-depth surface (round-5 fixture generator): 10/12-bit
+    # planes across formats incl. 4:2:2 (fmt 4) + invalid depth/fmt
+    for (depth, fmt, hh, ww) in ((10, 0, 17, 13), (12, 4, 8, 9),
+                                 (10, 2, 1, 1), (12, 1, 5, 5)):
+        cw = (ww + 1) // 2 if fmt in (0, 4) else ww
+        chh = (hh + 1) // 2 if fmt == 0 else hh
+        n = hh * ww + (0 if fmt == 2 else 2 * cw * chh)
+        p16 = rng.integers(0, 1 << depth, n,
+                           dtype=np.uint16).view(np.uint8)
+        out = np.empty(n * 8 + (1 << 20), np.uint8)
+        sizes = np.zeros(16, np.int64)
+        rc = lib.lp_av1_encode_hbd(
+            p16.ctypes.data_as(u8p), ww, hh, fmt, depth, 1, 1, 1, 30,
+            durs.ctypes.data_as(i64p), 0, 8, 1, 1, 1,
+            out.ctypes.data_as(u8p), out.size,
+            sizes.ctypes.data_as(i64p), 16)
+        assert rc > 0, (depth, fmt, rc)
+    for (depth, fmt) in ((9, 0), (10, 5), (16, 1)):  # must decline
+        rc = lib.lp_av1_encode_hbd(
+            planes.ctypes.data_as(u8p), 8, 8, fmt, depth, -1, -1, 1,
+            30, durs.ctypes.data_as(i64p), 0, 8, 0, 1, 1,
+            out.ctypes.data_as(u8p), out.size,
+            sizes.ctypes.data_as(i64p), 16)
+        assert rc < 0, (depth, fmt, rc)
 
 
 def webp_yuv_exercise(lib):
