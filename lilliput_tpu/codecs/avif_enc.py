@@ -100,7 +100,8 @@ def encode_still_hbd(y: np.ndarray, u: Optional[np.ndarray],
                      v: Optional[np.ndarray], depth: int, matrix: int,
                      full_range: bool,
                      alpha: Optional[np.ndarray] = None,
-                     lossless: bool = True, cpu_used: int = 8) -> bytes:
+                     lossless: bool = True, cpu_used: int = 8,
+                     primaries: int = 1) -> bytes:
     """Synthesize a still AVIF at arbitrary depth/subsampling/matrix/
     range — the fixture generator for the >8-bit SDR decode pinning
     tests (the product encode surface stays 8-bit, matching the
@@ -155,7 +156,7 @@ def encode_still_hbd(y: np.ndarray, u: Optional[np.ndarray],
         av1c_alpha = _build_av1c(aseq, 2, depth)
     return mux_still(w, h, fmt, color_obus, av1c_color, alpha_obus,
                      av1c_alpha, depth=depth,
-                     cicp=(1, 13, matrix, full_range))
+                     cicp=(primaries, 13, matrix, full_range))
 
 
 # ---------------------------------------------------------------------------

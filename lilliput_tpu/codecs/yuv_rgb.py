@@ -62,6 +62,119 @@ def supported_matrix(matrix: int) -> bool:
     return matrix == 0 or matrix in _MATRIX_FAMILY
 
 
+# --- libavif built-in float path (matrices with no libyuv kernel) --------
+#
+# YCgCo (8) and chromaticity-derived NCL (12) ride libavif's float
+# converter. Empirically pinned (tests/test_avif.py): unorm tables at
+# NATIVE depth, chroma bilinear-upsampled in float unorm space with the
+# 2D 9331 kernel evaluated left-to-right ((9c+3h+3v+d)*(1/16); 4:2:2
+# duplicates rows through the same kernel), YCgCo via t=Y-Cg, generic
+# matrices via kr/kb, out = (uint8)(clip01(c)*255+0.5), alpha
+# round-scaled. For matrix 12 libavif first maps primaries {1,2}->709,
+# {5,6}->601, {9}->2020 onto the FIXED-POINT kernels; all other
+# primaries derive kr/kb from the CIE coordinates (XYZ -> kr=kb=0,
+# reserved/unknown -> BT.709 coordinates).
+
+_M12_FAMILY_MATRIX = {1: 1, 2: 1, 5: 5, 6: 5, 9: 9}
+
+# CICP colour primaries -> (xR,yR, xG,yG, xB,yB, xW,yW)
+_PRIM_COORDS = {
+    1: (0.64, 0.33, 0.30, 0.60, 0.15, 0.06, 0.3127, 0.3290),
+    4: (0.67, 0.33, 0.21, 0.71, 0.14, 0.08, 0.310, 0.316),
+    5: (0.64, 0.33, 0.29, 0.60, 0.15, 0.06, 0.3127, 0.3290),
+    6: (0.630, 0.340, 0.310, 0.595, 0.155, 0.070, 0.3127, 0.3290),
+    7: (0.630, 0.340, 0.310, 0.595, 0.155, 0.070, 0.3127, 0.3290),
+    8: (0.681, 0.319, 0.243, 0.692, 0.145, 0.049, 0.310, 0.316),
+    9: (0.708, 0.292, 0.170, 0.797, 0.131, 0.046, 0.3127, 0.3290),
+    11: (0.680, 0.320, 0.265, 0.690, 0.150, 0.060, 0.314, 0.351),
+    12: (0.680, 0.320, 0.265, 0.690, 0.150, 0.060, 0.3127, 0.3290),
+    22: (0.630, 0.340, 0.295, 0.605, 0.155, 0.077, 0.3127, 0.3290),
+}
+
+
+def _derived_kr_kb(primaries: int) -> Tuple[float, float]:
+    """kr/kb from CIE chromaticities (libavif's derivation; pinned
+    bit-exact through the float model for primaries 4,7,8,10,11,12,22
+    and the reserved->709 fallback)."""
+    if primaries == 10:              # CIE XYZ: degenerate -> kr=kb=0
+        return 0.0, 0.0
+    xR, yR, xG, yG, xB, yB, xW, yW = _PRIM_COORDS.get(
+        primaries, _PRIM_COORDS[1])
+    M = np.array([[xR / yR, xG / yG, xB / yB],
+                  [1.0, 1.0, 1.0],
+                  [(1 - xR - yR) / yR, (1 - xG - yG) / yG,
+                   (1 - xB - yB) / yB]])
+    S = np.linalg.solve(M, np.array([xW / yW, 1.0, (1 - xW - yW) / yW]))
+    s = S.sum()
+    return float(S[0] / s), float(S[2] / s)
+
+
+def _upsample_float(cf: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Float bilinear in unorm space, libavif built-in: the 2D 9331
+    kernel summed left-to-right; 4:2:2 rides the same kernel with
+    duplicated rows (vert/diag collapse onto self/horiz)."""
+    f = np.float32
+    if cf.shape[0] >= h:             # 4:2:2 — horizontal only
+        L = np.concatenate([cf[:, :1], cf[:, :-1]], 1)
+        R = np.concatenate([cf[:, 1:], cf[:, -1:]], 1)
+        out = np.empty((cf.shape[0], 2 * cf.shape[1]), f)
+        out[:, 0::2] = (f(9) * cf + f(3) * L + f(3) * cf + L) * f(1 / 16)
+        out[:, 1::2] = (f(9) * cf + f(3) * R + f(3) * cf + R) * f(1 / 16)
+        return out[:h, :w]
+    p = np.pad(cf, 1, mode="edge")
+    c0 = p[1:-1, 1:-1]
+    L, R = p[1:-1, :-2], p[1:-1, 2:]
+    T, B = p[:-2, 1:-1], p[2:, 1:-1]
+    TL, TR = p[:-2, :-2], p[:-2, 2:]
+    BL, BR = p[2:, :-2], p[2:, 2:]
+    out = np.empty((2 * cf.shape[0], 2 * cf.shape[1]), f)
+    out[0::2, 0::2] = (f(9) * c0 + f(3) * L + f(3) * T + TL) * f(1 / 16)
+    out[0::2, 1::2] = (f(9) * c0 + f(3) * R + f(3) * T + TR) * f(1 / 16)
+    out[1::2, 0::2] = (f(9) * c0 + f(3) * L + f(3) * B + BL) * f(1 / 16)
+    out[1::2, 1::2] = (f(9) * c0 + f(3) * R + f(3) * B + BR) * f(1 / 16)
+    return out[:h, :w]
+
+
+def _builtin_float_bgr(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                       depth: int, matrix: int, full_range: bool,
+                       h: int, w: int, kr: float, kb: float,
+                       alpha: Optional[np.ndarray]) -> np.ndarray:
+    f = np.float32
+    if full_range:
+        by, ry = 0.0, float((1 << depth) - 1)
+        ruv = float((1 << depth) - 1)
+    else:
+        by, ry = float(16 << (depth - 8)), float(219 << (depth - 8))
+        ruv = float(224 << (depth - 8))
+    half = float(1 << (depth - 1))
+    Y = (y[:h, :w].astype(f) - f(by)) / f(ry)
+    Cb = (u.astype(f) - f(half)) / f(ruv)
+    Cr = (v.astype(f) - f(half)) / f(ruv)
+    if Cb.shape != (h, w):
+        Cb, Cr = _upsample_float(Cb, h, w), _upsample_float(Cr, h, w)
+    else:
+        Cb, Cr = Cb[:h, :w], Cr[:h, :w]
+    if matrix == 8:                   # YCgCo: Cb=Cg, Cr=Co
+        t = Y - Cb
+        G = Y + Cb
+        R = t + Cr
+        B = t - Cr
+    else:
+        krf, kbf = f(kr), f(kb)
+        kg = f(1) - krf - kbf
+        R = Y + (f(2) * (f(1) - krf)) * Cr
+        B = Y + (f(2) * (f(1) - kbf)) * Cb
+        G = Y - (f(2) * ((krf * (f(1) - krf) * Cr)
+                         + (kbf * (f(1) - kbf) * Cb))) / kg
+    out = np.empty((h, w, 3 + (alpha is not None)), np.uint8)
+    for i, C in enumerate((B, G, R)):
+        out[..., i] = (np.clip(C, f(0), f(1)) * f(255)
+                       + f(0.5)).astype(np.uint8)
+    if alpha is not None:
+        out[..., 3] = _round_scale_u8(alpha[:h, :w], depth)
+    return out
+
+
 _SIG_DONE = False
 
 
@@ -182,7 +295,8 @@ def planes_to_bgr_u8(y: np.ndarray, u: Optional[np.ndarray],
                      v: Optional[np.ndarray], depth: int, matrix: int,
                      full_range: bool, h: int, w: int,
                      alpha: Optional[np.ndarray] = None,
-                     alpha_depth: Optional[int] = None):
+                     alpha_depth: Optional[int] = None,
+                     primaries: int = 1):
     """Depth-general SDR plane conversion, bit-identical to PIL/libavif
     1.3 (libyuv 1909). Returns (h, w, 3|4) BGR(A) u8, or None when the
     combination isn't covered (caller falls back to PIL).
@@ -207,15 +321,41 @@ def planes_to_bgr_u8(y: np.ndarray, u: Optional[np.ndarray],
       plane is always round-scaled.
     - Identity (GBR): every channel round-scaled.
     """
-    if depth == 8:
-        if alpha is not None and alpha_depth not in (None, 8):
-            return None
-        return yuv_to_bgr_u8(y, u, v, matrix, full_range, h, w,
-                             alpha=alpha)
-    if depth not in (10, 12) or not supported_matrix(matrix):
+    if depth not in (8, 10, 12):
         return None
     if alpha is not None and alpha_depth not in (None, depth):
         return None                       # mixed-depth alpha: decline
+    builtin_gray = False                  # mono via built-in float path
+    if matrix == 8:
+        if not full_range:
+            return None                   # PIL/libavif reject this too
+        if u is not None:
+            return _builtin_float_bgr(y, u, v, depth, matrix,
+                                      full_range, h, w, 0.0, 0.0, alpha)
+        builtin_gray = True
+    elif matrix == 12:
+        fam = _M12_FAMILY_MATRIX.get(primaries)
+        if fam is not None:
+            matrix = fam                  # fixed-point kernel family
+        elif u is not None:
+            kr, kb = _derived_kr_kb(primaries)
+            return _builtin_float_bgr(y, u, v, depth, matrix,
+                                      full_range, h, w, kr, kb, alpha)
+        else:
+            builtin_gray = True
+    elif not supported_matrix(matrix):
+        return None
+    if builtin_gray:
+        # mono with no kernel family: rational gray + round-scaled alpha
+        out = _mono_rational_u8(y[:h, :w], depth,
+                                full_range)[..., None].repeat(
+            3 + (alpha is not None), -1)
+        if alpha is not None:
+            out[..., 3] = _round_scale_u8(alpha[:h, :w], depth)
+        return out
+    if depth == 8:
+        return yuv_to_bgr_u8(y, u, v, matrix, full_range, h, w,
+                             alpha=alpha)
     sh = depth - 8
     if matrix == 0 and u is not None:
         out = np.empty((h, w, 3 + (alpha is not None)), np.uint8)

@@ -561,7 +561,8 @@ def test_yuv_rgb_cpp_matches_python_reference(monkeypatch):
 # the YUV->BGR conversion ruleset (yuv_rgb.planes_to_bgr_u8 docstring).
 # ---------------------------------------------------------------------------
 
-def _hbd_fixture(depth, sub, full, matrix, use_alpha, h=33, w=47, seed=7):
+def _hbd_fixture(depth, sub, full, matrix, use_alpha, h=33, w=47, seed=7,
+                 primaries=1):
     from lilliput_tpu.codecs import avif_enc as E
     rng = np.random.default_rng(seed)
     mx = (1 << depth) - 1
@@ -580,7 +581,8 @@ def _hbd_fixture(depth, sub, full, matrix, use_alpha, h=33, w=47, seed=7):
     a = rng.integers(0, mx + 1, (h, w)).astype(dt) if use_alpha else None
     m = 0 if sub == "identity" else matrix
     return E.encode_still_hbd(y, u, v, depth, matrix=m,
-                              full_range=full, alpha=a)
+                              full_range=full, alpha=a,
+                              primaries=primaries)
 
 
 # one case per pinned rule branch (depth, sub, full_range, matrix, alpha)
@@ -635,3 +637,46 @@ def test_native_decode_12bit_pq_no_tonemap_bit_exact(monkeypatch):
         return out
 
     np.testing.assert_array_equal(dec("native"), dec("pil"))
+
+
+# matrices with no libyuv kernel: YCgCo (8) and chromaticity-derived
+# NCL (12) ride libavif's built-in float path — pinned in
+# yuv_rgb._builtin_float_bgr (unorm at native depth, float 9331
+# upsample, derived kr/kb per primaries; matrix 12 with primaries
+# {1,2,5,6,9} maps onto the fixed-point kernel families instead).
+_EXOTIC_CASES = [
+    (8, "420", True, 8, 1, True),      # YCgCo + alpha, 8-bit
+    (10, "444", True, 8, 1, False),    # YCgCo 10-bit
+    (12, "420", True, 8, 1, True),     # YCgCo 12-bit 4:2:0
+    (8, "444", True, 12, 12, False),   # derived NCL, P3 primaries
+    (12, "422", True, 12, 12, True),   # derived NCL high depth + alpha
+    (8, "444", True, 12, 10, False),   # XYZ primaries -> kr=kb=0
+    (10, "420", True, 12, 1, True),    # m12 family-mapped to 709 kernel
+    (8, "444", False, 12, 5, False),   # m12 family-mapped 601, limited
+    (10, "mono", False, 12, 12, True),  # built-in gray + round alpha
+]
+
+
+@pytest.mark.parametrize(
+    "depth,sub,full,matrix,prim,alpha", _EXOTIC_CASES,
+    ids=[f"d{d}-{s}-{'full' if f else 'lim'}-m{m}-p{p}-{'A' if a else 'noA'}"
+         for d, s, f, m, p, a in _EXOTIC_CASES])
+def test_native_sdr_exotic_matrix_bit_exact(depth, sub, full, matrix,
+                                            prim, alpha, monkeypatch):
+    buf = _hbd_fixture(depth, sub, full, matrix, alpha, primaries=prim)
+    _, fn, _ = _decode_all(buf, monkeypatch, "native")
+    _, fp, _ = _decode_all(buf, monkeypatch, "pil")
+    np.testing.assert_array_equal(fn[0], fp[0])
+
+
+def test_ycgco_limited_rejected_like_libavif(monkeypatch):
+    """Limited-range YCgCo fails in libavif's reformat ('Reformat
+    failed'); the own path declines it so the PIL fallback raises the
+    same way — error parity, not a silent wrong decode."""
+    buf = _hbd_fixture(8, "420", False, 8, False)
+    monkeypatch.setenv("LILLIPUT_AVIF", "native")
+    d = AvifDecoder(buf)
+    fb = Framebuffer()
+    with pytest.raises(Exception):
+        d.decode_to(fb)
+    d.close()
