@@ -306,6 +306,12 @@ class AvifDecoder(Decoder):
         self._cfifo: list = []
         self._afifo: list = []
         self._fed = 0
+        # Latched when the native stream can no longer be trusted to be
+        # frame-synchronized with self._next (a feed raised mid-loop, or
+        # the alpha track ran dry while color frames remain). Every
+        # subsequent frame rides the PIL fallback, whose seek() is
+        # absolute — correct output, never a shifted frame.
+        self._stream_dead = False
 
     def _pil(self):
         """Lazy PIL handle (fallback/escape hatch only)."""
@@ -371,29 +377,43 @@ class AvifDecoder(Decoder):
         inter-coded, so frames decode strictly in order)."""
         AR = self._AR
         if self._frames > 1 and self._tracks is not None:
+            if self._stream_dead:
+                return None, None
             color, alpha = self._tracks
             if self._next >= len(color.samples):
                 return None, None
-            if self._cdec is None:
-                self._cdec = AR.Av1StreamDecoder(color.av1c)
-                if alpha is not None:
-                    self._adec = AR.Av1StreamDecoder(alpha.av1c)
-            while not self._cfifo or (self._adec and not self._afifo):
-                if self._fed < len(color.samples):
-                    self._cfifo.extend(self._cdec.feed(
-                        color.samples[self._fed]))
-                    if self._adec is not None:
-                        self._afifo.extend(self._adec.feed(
-                            alpha.samples[self._fed]
-                            if self._fed < len(alpha.samples) else None))
-                    self._fed += 1
-                else:
-                    self._cfifo.extend(self._cdec.feed(None))
-                    if self._adec is not None:
-                        self._afifo.extend(self._adec.feed(None))
-                    if not self._cfifo:
-                        return None, None
-                    break
+            try:
+                if self._cdec is None:
+                    self._cdec = AR.Av1StreamDecoder(color.av1c)
+                    if alpha is not None:
+                        self._adec = AR.Av1StreamDecoder(alpha.av1c)
+                while not self._cfifo or (self._adec and not self._afifo):
+                    if self._fed < len(color.samples):
+                        self._cfifo.extend(self._cdec.feed(
+                            color.samples[self._fed]))
+                        if self._adec is not None:
+                            self._afifo.extend(self._adec.feed(
+                                alpha.samples[self._fed]
+                                if self._fed < len(alpha.samples) else None))
+                        self._fed += 1
+                    else:
+                        self._cfifo.extend(self._cdec.feed(None))
+                        if self._adec is not None:
+                            self._afifo.extend(self._adec.feed(None))
+                        if not self._cfifo:
+                            self._stream_dead = True
+                            return None, None
+                        break
+            except Exception:
+                # A feed raised after sibling feeds may have extended a
+                # FIFO: frame/position sync is unprovable from here on.
+                self._stream_dead = True
+                return None, None
+            if self._adec is not None and not self._afifo:
+                # alpha track ran dry while color frames remain: emitting
+                # alpha-less frames would change channel count mid-stream
+                self._stream_dead = True
+                return None, None
             return (self._cfifo.pop(0),
                     self._afifo.pop(0) if self._afifo else None)
         if self._still_items:
@@ -440,7 +460,6 @@ class AvifDecoder(Decoder):
     def _decode_raw_hdr(self) -> Optional[jnp.ndarray]:
         """Full-precision HDR decode: AV1 planes at native depth -> device
         YUV->R'G'B' -> tone map. Returns BGR(A) u8 or None on failure."""
-        AR = self._AR
         rp, ap_pl = self._next_planes()
         if rp is None:
             return None
@@ -470,7 +489,6 @@ class AvifDecoder(Decoder):
                 jnp.asarray(ap_pl.y).astype(jnp.float32)[
                     ..., :h, :w] * (255.0 / maxv)), 0, 255).astype(jnp.uint8)
             return jnp.concatenate([bgr, a[..., None]], axis=-1)
-        del AR
         return bgr
 
     def decode_to(self, fb: Framebuffer) -> None:
@@ -531,9 +549,16 @@ class AvifDecoder(Decoder):
     def skip_frame(self) -> None:
         if self._next >= self._frames:
             raise EOFError()
-        if self._cdec is not None:
-            # incremental stream decode: later frames reference this one,
-            # so a skipped frame still feeds the decoders
+        # The stateful stream decoders deliver frames in FIFO order, so a
+        # skipped frame must consume one native frame exactly when
+        # decode_to would — including BEFORE the first decode (gating on
+        # self._cdec alone shifted every later frame by the number of
+        # leading skips). Later frames are inter-coded against this one,
+        # so the skipped sample still feeds the decoders.
+        if (self._frames > 1 and self._tracks is not None
+                and _avif_native_default()
+                and (self._use_raw
+                     or not (self._tone_map and self._is_hdr))):
             try:
                 self._next_planes()
             except Exception:

@@ -697,6 +697,11 @@ void* lp_av_stream_open(const char* codec_name, const uint8_t* extradata,
     if (extradata_len > 0) {
         rf->ctx->extradata = static_cast<uint8_t*>(
             av_mallocz(extradata_len + AV_INPUT_BUFFER_PADDING_SIZE));
+        if (!rf->ctx->extradata) {
+            avcodec_free_context(&rf->ctx);
+            delete rf;
+            return nullptr;
+        }
         std::memcpy(rf->ctx->extradata, extradata, extradata_len);
         rf->ctx->extradata_size = extradata_len;
     }
@@ -707,6 +712,11 @@ void* lp_av_stream_open(const char* codec_name, const uint8_t* extradata,
         return nullptr;
     }
     rf->frame = av_frame_alloc();
+    if (!rf->frame) {
+        avcodec_free_context(&rf->ctx);
+        delete rf;
+        return nullptr;
+    }
     return rf;
 }
 
@@ -717,25 +727,47 @@ void* lp_av_stream_open(const char* codec_name, const uint8_t* extradata,
 int lp_av_stream_next(void* h, const uint8_t* pkt_data, size_t pkt_len,
                       int32_t* out12) {
     auto* rf = static_cast<RawFrame*>(h);
+    bool have_frame = false;
     if (pkt_data && pkt_len > 0) {
         AVPacket* pkt = av_packet_alloc();
+        if (!pkt) return -1;
         uint8_t* buf = static_cast<uint8_t*>(
             av_malloc(pkt_len + AV_INPUT_BUFFER_PADDING_SIZE));
         if (!buf) { av_packet_free(&pkt); return -1; }
         std::memcpy(buf, pkt_data, pkt_len);
         std::memset(buf + pkt_len, 0, AV_INPUT_BUFFER_PADDING_SIZE);
-        av_packet_from_data(pkt, buf, static_cast<int>(pkt_len));
+        if (av_packet_from_data(pkt, buf, static_cast<int>(pkt_len)) < 0) {
+            av_free(buf);
+            av_packet_free(&pkt);
+            return -1;
+        }
         int r = avcodec_send_packet(rf->ctx, pkt);
+        if (r == AVERROR(EAGAIN)) {
+            // Decoder output queue is full: drain the pending frame
+            // FIRST, then re-send — dropping the packet here would lose
+            // a coded frame (one temporal unit can yield >1 frame). The
+            // drained frame is returned now; the re-sent packet's frame
+            // surfaces on a later call, preserving FIFO order.
+            av_frame_unref(rf->frame);
+            if (avcodec_receive_frame(rf->ctx, rf->frame) < 0) {
+                av_packet_free(&pkt);
+                return -2;
+            }
+            have_frame = true;
+            r = avcodec_send_packet(rf->ctx, pkt);
+        }
         av_packet_free(&pkt);
-        if (r < 0 && r != AVERROR(EAGAIN)) return -2;
+        if (r < 0) return -2;
     } else {
         avcodec_send_packet(rf->ctx, nullptr);  // flush
     }
-    av_frame_unref(rf->frame);
-    int r = avcodec_receive_frame(rf->ctx, rf->frame);
-    if (r == AVERROR(EAGAIN)) return 1;
-    if (r == AVERROR_EOF) return 2;
-    if (r < 0) return -3;
+    if (!have_frame) {
+        av_frame_unref(rf->frame);
+        int r = avcodec_receive_frame(rf->ctx, rf->frame);
+        if (r == AVERROR(EAGAIN)) return 1;
+        if (r == AVERROR_EOF) return 2;
+        if (r < 0) return -3;
+    }
     const AVFrame* f = rf->frame;
     const AVPixFmtDescriptor* desc =
         av_pix_fmt_desc_get(static_cast<AVPixelFormat>(f->format));

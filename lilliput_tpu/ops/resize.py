@@ -515,13 +515,84 @@ def resize_area_exact(img: jax.Array, dst_w: int, dst_h: int):
     return out
 
 
+def resize_linear_window_exact_u8(plane: jax.Array, off_x: int, w: int,
+                                  dst_w: int, off_y: int, h: int,
+                                  dst_h: int) -> jax.Array:
+    """Crop-embedded INTER_AREA *upscale* (cv::resize: any upscaling axis
+    switches the WHOLE resize to fixed-point bilinear with area
+    coordinates) of u8-valued planes, byte-identical to cropping then
+    running the streaming `resize(..., AREA)`. The Q11 integer kernel
+    (_linear_u8) is order-free, so unlike the downscale f32 form no tap
+    sequencing is needed — the gathers become exact 0/1 selection dots
+    (u8 levels and Q11 horizontal sums are < 2^24, so the f32 dot is
+    exact) and the arithmetic between them is the same int32
+    VResizeLinear expression. Returns integer-valued f32 in [0, 255]
+    (the callers' clip(round(.)) is a no-op)."""
+    W, H = plane.shape[-1], plane.shape[-2]
+    sx, ax0, ax1 = T.linear_tables(w, dst_w, area_mode=True, clamp=True)
+    sy, ay0, ay1 = T.linear_tables(h, dst_h, area_mode=True, clamp=False)
+    sx_r = np.minimum(sx + 1, w - 1)
+    sy0 = np.clip(sy, 0, h - 1)
+    sy1 = np.clip(sy + 1, 0, h - 1)
+    s = plane.astype(jnp.float32)
+    g0 = _banded_plane_contract(s, _sel_matrix(dst_w, W, off_x + sx),
+                                axis=-1)
+    g1 = _banded_plane_contract(s, _sel_matrix(dst_w, W, off_x + sx_r),
+                                axis=-1)
+    hrow = (g0.astype(jnp.int32) * jnp.asarray(ax0)
+            + g1.astype(jnp.int32) * jnp.asarray(ax1))
+    hf = hrow.astype(jnp.float32)
+    s0 = _banded_plane_contract(hf, _sel_matrix(dst_h, H, off_y + sy0),
+                                axis=-2).astype(jnp.int32)
+    s1 = _banded_plane_contract(hf, _sel_matrix(dst_h, H, off_y + sy1),
+                                axis=-2).astype(jnp.int32)
+    b0 = jnp.asarray(ay0)[:, None]
+    b1 = jnp.asarray(ay1)[:, None]
+    out = (((b0 * (s0 >> 4)) >> 16) + ((b1 * (s1 >> 4)) >> 16) + 2) >> 2
+    return jnp.clip(out, 0, 255).astype(jnp.float32)
+
+
+def resize_linear_exact_u8(img: jax.Array, dst_w: int,
+                           dst_h: int) -> jax.Array:
+    """Interleaved (..., H, W, C) counterpart of
+    resize_linear_window_exact_u8 (no crop embedding): byte-identical to
+    `resize(img, ..., AREA)` when an axis upscales."""
+    src_h, src_w = img.shape[-3], img.shape[-2]
+    sx, ax0, ax1 = T.linear_tables(src_w, dst_w, area_mode=True,
+                                   clamp=True)
+    sy, ay0, ay1 = T.linear_tables(src_h, dst_h, area_mode=True,
+                                   clamp=False)
+    sx_r = np.minimum(sx + 1, src_w - 1)
+    sy0 = np.clip(sy, 0, src_h - 1)
+    sy1 = np.clip(sy + 1, 0, src_h - 1)
+    s = img.astype(jnp.float32)
+    g0 = _banded_contract(s, _sel_matrix(dst_w, src_w, sx), axis=-2)
+    g1 = _banded_contract(s, _sel_matrix(dst_w, src_w, sx_r), axis=-2)
+    hrow = (g0.astype(jnp.int32) * jnp.asarray(ax0)[:, None]
+            + g1.astype(jnp.int32) * jnp.asarray(ax1)[:, None])
+    hf = hrow.astype(jnp.float32)
+    s0 = _banded_contract(hf, _sel_matrix(dst_h, src_h, sy0),
+                          axis=-3).astype(jnp.int32)
+    s1 = _banded_contract(hf, _sel_matrix(dst_h, src_h, sy1),
+                          axis=-3).astype(jnp.int32)
+    b0 = jnp.asarray(ay0)[:, None, None]
+    b1 = jnp.asarray(ay1)[:, None, None]
+    out = (((b0 * (s0 >> 4)) >> 16) + ((b1 * (s1 >> 4)) >> 16) + 2) >> 2
+    return jnp.clip(out, 0, 255).astype(jnp.float32)
+
+
 def resize_area_plane_embedded(plane: jax.Array, off_x: int, w: int,
                                dst_w: int, off_y: int, h: int,
                                dst_h: int) -> jax.Array:
     """The fused tails' plane resize with the crop folded in: the exact
     sequential-tap form when LILLIPUT_FUSED_EXACT=1 (byte-identical to
-    streaming), else the embedded-matrix contraction (±1 tier)."""
+    streaming — downscales via the f32 tap-order form, upscaling
+    geometries via the integer bilinear form), else the embedded-matrix
+    contraction (±1 tier)."""
     if _fused_exact_enabled():
+        if w < dst_w or h < dst_h:
+            return resize_linear_window_exact_u8(plane, off_x, w, dst_w,
+                                                 off_y, h, dst_h)
         out = resize_area_window_exact(plane, off_x, w, dst_w, off_y, h,
                                        dst_h)
         if out is not None:
@@ -535,9 +606,12 @@ def resize_area_plane_embedded(plane: jax.Array, off_x: int, w: int,
 
 def resize_area_mxu_or_exact(img: jax.Array, dst_w: int,
                              dst_h: int) -> jax.Array:
-    """Interleaved fused-tail resize: exact sequential-tap form under
-    LILLIPUT_FUSED_EXACT=1 (downscales), else resize_area_mxu (±1)."""
+    """Interleaved fused-tail resize: exact sequential-tap (downscale) /
+    integer-bilinear (upscale) forms under LILLIPUT_FUSED_EXACT=1, else
+    resize_area_mxu (±1)."""
     if _fused_exact_enabled():
+        if img.shape[-2] < dst_w or img.shape[-3] < dst_h:
+            return resize_linear_exact_u8(img, dst_w, dst_h)
         out = resize_area_exact(img, dst_w, dst_h)
         if out is not None:
             return out

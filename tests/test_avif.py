@@ -516,6 +516,38 @@ def test_native_decode_uses_no_pil(monkeypatch):
     d.close()
 
 
+@pytest.mark.parametrize("name", ["spinning-globe-unknown-loop-count.avif",
+                                  "colors-animated-8bpc-alpha-exif-xmp.avif"])
+def test_skip_frame_keeps_animated_stream_in_sync(name, monkeypatch):
+    """skip_frame must consume a native stream frame exactly when
+    decode_to would — INCLUDING before the first decode (regression:
+    gating the consume on self._cdec shifted every later frame by the
+    number of leading skips: skip+decode returned frame 0's pixels as
+    frame 1). Skips are also exercised mid-stream and on the alpha-track
+    fixture."""
+    monkeypatch.setenv("LILLIPUT_AVIF", "native")
+    buf = open(f"{TD}/{name}", "rb").read()
+
+    ref = AvifDecoder(buf)
+    want = []
+    for _ in range(4):
+        fb = Framebuffer()
+        ref.decode_to(fb)
+        want.append(np.asarray(fb.array).copy())
+    ref.close()
+
+    d = AvifDecoder(buf)
+    d.skip_frame()                       # leading skip (pre-first-decode)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    np.testing.assert_array_equal(np.asarray(fb.array), want[1])
+    d.skip_frame()                       # mid-stream skip
+    fb2 = Framebuffer()
+    d.decode_to(fb2)
+    np.testing.assert_array_equal(np.asarray(fb2.array), want[3])
+    d.close()
+
+
 def test_yuv_rgb_cpp_matches_python_reference(monkeypatch):
     """The C++ conversion kernel (native/src/yuv_bgr.cpp) must stay
     bit-identical to the Python reference in yuv_rgb.py across every

@@ -1012,6 +1012,47 @@ def test_fused_exact_byte_identical_to_streaming(geom, monkeypatch):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("geom", [(64, 48, 128, 96),    # pure upscale
+                                  (320, 199, 400, 80),  # mixed: W up, H down
+                                  (100, 90, 100, 180)])  # H up, W same
+def test_fused_exact_upscale_byte_identical(geom, monkeypatch):
+    """LILLIPUT_FUSED_EXACT=1 covers UPSCALING geometries too: cv::resize
+    switches INTER_AREA to the fixed-point bilinear (area-coordinate)
+    kernel when any axis upscales, and the fused tails reproduce that
+    integer kernel exactly via selection dots
+    (resize_linear_window_exact_u8). The streaming oracle is built by
+    hand (decode -> fit_rect crop -> streaming resize) because ImageOps'
+    Fit clamps to the source size and never upscales."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu import new_decoder
+    from lilliput_tpu.framebuffer import Framebuffer
+    from lilliput_tpu.ops import resize as R
+    from lilliput_tpu.pipeline import fit_rect
+    w, h, dw, dh = geom
+    buf = _jpeg(w, h, seed=(w ^ h) & 127, q=88)
+
+    d = new_decoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    src = np.asarray(fb.array)
+    left, top, cw, chh = fit_rect(w, h, dw, dh)
+    crop = src[top:top + chh, left:left + cw]
+    want = np.asarray(R.resize(jnp.asarray(crop), dw, dh, R.AREA))
+
+    _clear_fused_caches()
+    monkeypatch.setenv("LILLIPUT_FUSED_EXACT", "1")
+    try:
+        pipe = JpegTranscodePipeline(buf, dw, dh, quality=85,
+                                     output_format=".png")
+        out = pipe.transcode([buf])[0]
+    finally:
+        monkeypatch.delenv("LILLIPUT_FUSED_EXACT")
+        _clear_fused_caches()
+    got = cv2.imdecode(np.frombuffer(out, np.uint8), cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_exact_gray_byte_identical(monkeypatch):
     from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod, new_decoder
     buf = _gray_jpeg(400, 300, seed=5)
