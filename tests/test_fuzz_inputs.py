@@ -14,6 +14,15 @@ FIXTURES = [
     "/root/reference/data/firefox.png",
     "/root/reference/testdata/party-discord.gif",
     "/root/reference/testdata/tears_of_steel_icc.webp",
+    # round 5: AVIF decodes first-party by default (own ISOBMFF walk +
+    # dav1d shim) — the item/track offsets parsed from hostile bytes
+    # feed a C ABI, so the fuzz gate must cover still, animated
+    # (stateful stream decoder) and HDR (tone-map path) inputs, plus
+    # the video probe's in-memory ISOBMFF walk.
+    "/root/reference/testdata/colors_sdr_srgb.avif",
+    "/root/reference/testdata/colors-animated-8bpc-alpha-exif-xmp.avif",
+    "/root/reference/testdata/hdr_color_preservation.avif",
+    "/root/reference/testdata/big_buck_bunny_480p_10s_std.mp4",
 ]
 
 OK_ERRORS = (LilliputError, EOFError, ValueError)
