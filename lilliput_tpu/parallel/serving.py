@@ -22,10 +22,18 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# NOTE: the sharded steps close over the UNJITTED _impl functions, not
+# the module-level jitted wrappers: the fused decode dispatch reads the
+# force_split_decode global at TRACE time, and an inner jit'd call is
+# cached by jax per (function, avals, statics) — the global is not in
+# that key, so sharing the jitted objects with the single-chip/bench
+# paths could reuse a megakernel trace inside the GSPMD program (or
+# silently downgrade later single-chip traces to the split path).
+# Tracing the impls fresh inside each instance's own jit keeps the
+# multi-chip and single-chip trace caches fully independent.
 from ..pipeline import (JpegTranscodePipeline, StillTranscodePipeline,
-                        fused_jpeg_fit_transcode,
-                        fused_jpeg_fit_transcode_ycc,
-                        fused_still_fit_transcode)
+                        _fused_jpeg_fit_gray_impl, _fused_jpeg_fit_impl,
+                        _fused_jpeg_fit_ycc_impl, _fused_still_fit_impl)
 from ..utils.metrics import metrics
 from .mesh import make_mesh
 
@@ -73,30 +81,34 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
             from ..pipeline import emit_post
             return emit_post(out, emit)
         if self.ncomp == 1:
-            from ..pipeline import fused_jpeg_fit_transcode_gray
-
             def fn(yc, qy, eqy):
-                return _post(fused_jpeg_fit_transcode_gray(
+                return _post(_fused_jpeg_fit_gray_impl(
                     yc, qy, eqy, src_w=g.width, src_h=g.height,
                     dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
-                    orientation=self.orientation,
+                    method=self.method, orientation=self.orientation,
                     window=self.window_static, emit=femit))
         elif self.chroma_mode == "direct":
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
-                return _post(fused_jpeg_fit_transcode_ycc(
+                return _post(_fused_jpeg_fit_ycc_impl(
                     yc, cb, cr, qy, qc, eqy, eqc,
                     src_w=g.width, src_h=g.height,
                     dst_w=dst_w, dst_h=dst_h, dct_scale=self.dct_scale,
                     window=self.window_static, emit=femit))
         else:
             def fn(yc, cb, cr, qy, qc, eqy, eqc):
-                return _post(fused_jpeg_fit_transcode(
+                return _post(_fused_jpeg_fit_impl(
                     yc, cb, cr, qy, qc, eqy, eqc,
                     src_w=g.width, src_h=g.height, h2=g.h2, v2=g.v2,
                     dst_w=dst_w, dst_h=dst_h, method=self.method,
                     orientation=self.orientation,
                     window=self.window_static, emit=femit))
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
+        # constant encode qtables: replicate ONCE (device_step previously
+        # round-tripped the committed jnp arrays D2H then re-uploaded them
+        # on every batch — a blocking transfer per step for constant data)
+        self._eqy_repl = jax.device_put(self.enc_qt_y_np, self._repl)
+        self._eqc_repl = (jax.device_put(self.enc_qt_c_np, self._repl)
+                          if self.ncomp == 3 else None)
 
     def device_step(self, ys, cbs=None, crs=None, qty=None, qtc=None,
                     donate: bool = True):
@@ -130,19 +142,16 @@ class ShardedJpegPipeline(JpegTranscodePipeline):
             batch = (p(ys), p(qty)) if pad else (ys, qty)
             args = [put_coef(batch[0]),
                     jax.device_put(batch[1], self._batch_sharding)]
-            eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
             with split:
-                out = self._step(*args, eqy)
+                out = self._step(*args, self._eqy_repl)
         else:
             batch = ((p(ys), p(cbs), p(crs), p(qty), p(qtc)) if pad
                      else (ys, cbs, crs, qty, qtc))
             args = ([put_coef(a) for a in batch[:3]]
                     + [jax.device_put(a, self._batch_sharding)
                        for a in batch[3:]])
-            eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
-            eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
             with split:
-                out = self._step(*args, eqy, eqc)
+                out = self._step(*args, self._eqy_repl, self._eqc_repl)
         if not isinstance(out, tuple):
             out = (out,)   # pixel mode: the fused fn returns a bare array
         if pad:
@@ -181,7 +190,7 @@ class ShardedStillPipeline(StillTranscodePipeline):
         def fn(px, eqy, eqc):
             from ..pipeline import emit_post
             emit = self._emit
-            out = fused_still_fit_transcode(
+            out = _fused_still_fit_impl(
                 px, eqy, eqc, src_w=self.src_w, src_h=self.src_h,
                 dst_w=dst_w, dst_h=dst_h, method=self.method,
                 orientation=self.orientation,
@@ -189,6 +198,8 @@ class ShardedStillPipeline(StillTranscodePipeline):
             return emit_post(out, emit)
 
         self._step = jax.jit(fn, out_shardings=self._batch_sharding)
+        self._eqy_repl = jax.device_put(self.enc_qt_y_np, self._repl)
+        self._eqc_repl = jax.device_put(self.enc_qt_c_np, self._repl)
 
     def device_step(self, px, donate: bool = True):
         del donate  # sharded placement governs buffers
@@ -205,9 +216,7 @@ class ShardedStillPipeline(StillTranscodePipeline):
             if self._sp > 1:
                 metrics.incr("serving.sp_fallback_dp_only")
         px_d = jax.device_put(np.ascontiguousarray(px), sharding)
-        eqy = jax.device_put(np.asarray(self.enc_qt_y), self._repl)
-        eqc = jax.device_put(np.asarray(self.enc_qt_c), self._repl)
-        out = self._step(px_d, eqy, eqc)
+        out = self._step(px_d, self._eqy_repl, self._eqc_repl)
         if not isinstance(out, tuple):
             out = (out,)   # pixel mode: the fused fn returns a bare array
         if pad:

@@ -419,13 +419,14 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
 
 def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
                               dst_w: int, dst_h: int, dct_scale: int = 1,
-                              orientation: int = 1, window=None,
-                              emit: str = "coefs"):
+                              method: str = R.AREA, orientation: int = 1,
+                              window=None, emit: str = "coefs"):
     """Grayscale Fit transcode: luma coefficients -> quantized luma encode
     coefficients (1-component JPEG in and out, like the reference's
     Transform over grayscale sources). Same structure as the color paths:
     u8 quantization in the IDCT einsum epilogue, crop folded into the
-    resize matrices, optional DCT-domain reduced decode."""
+    resize matrices (AREA), streaming-kernel resample for LINEAR/CUBIC,
+    optional DCT-domain reduced decode (AREA-only, gated in __init__)."""
     s = dct_scale
     if orientation == 1:
         left, top, w, h = fit_rect(src_w, src_h, dst_w, dst_h)
@@ -436,7 +437,15 @@ def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
             x0 = y0 = 0
             ywin = yc
         tx, ty = left - x0, top - y0
-        if s == 1:
+        if s == 1 and method != R.AREA:
+            # LINEAR/CUBIC: decode the window to u8 and run the streaming
+            # resize kernels on the crop (same dispatch the color path
+            # takes at pipeline.py:313 — bit-identical resample math)
+            y8 = K.dequant_idct_u8(ywin, qt_y).astype(jnp.uint8)
+            cropped = y8[..., ty:ty + h, tx:tx + w][..., None]
+            yr = R.resize(cropped, dst_w, dst_h,
+                          method)[..., 0].astype(jnp.float32)
+        elif s == 1:
             y8 = K.dequant_idct_u8(ywin, qt_y)
             yr = jnp.clip(jnp.round(
                 R.resize_area_plane_embedded(y8, tx, w, dst_w,
@@ -458,7 +467,7 @@ def _fused_jpeg_fit_gray_impl(yc, qt_y, enc_qt_y, src_w: int, src_h: int,
                         else (src_w, src_h))
         left, top, w, h = fit_rect(eff_w, eff_h, dst_w, dst_h)
         cropped = gray[..., top:top + h, left:left + w, :]
-        yr = R.resize(cropped, dst_w, dst_h, R.AREA)[..., 0].astype(
+        yr = R.resize(cropped, dst_w, dst_h, method)[..., 0].astype(
             jnp.float32)
     if emit == "pixels":
         return _pack_pixels(yr, yr, yr)
@@ -528,7 +537,7 @@ fused_still_fit_transcode = jax.jit(
 
 
 _GRAY_STATICS = ("src_w", "src_h", "dst_w", "dst_h", "dct_scale",
-                 "orientation", "window", "emit")
+                 "method", "orientation", "window", "emit")
 
 fused_jpeg_fit_transcode_gray = jax.jit(
     _fused_jpeg_fit_gray_impl, static_argnames=_GRAY_STATICS)
@@ -876,6 +885,11 @@ class JpegTranscodePipeline(_ServingPipelineBase):
             raise ValueError("dct_scale must be 1, 2 or 4")
         if dct_scale != 1 and chroma_mode != "direct":
             raise ValueError("dct_scale needs chroma_mode='direct'")
+        if dct_scale != 1 and method != R.AREA:
+            # the reduced decode's fractional crop geometry only has an
+            # AREA-matrix form (color enforces this via _direct_ok; the
+            # grayscale coercion below must not slip past it)
+            raise ValueError("dct_scale>1 requires method=AREA")
         self.chroma_mode = chroma_mode
         self.dct_scale = dct_scale
         d = J.JpegDecoder(sample)
@@ -943,13 +957,21 @@ class JpegTranscodePipeline(_ServingPipelineBase):
         self.enc_qt_y = jnp.asarray(eql)
         self.enc_qt_c = jnp.asarray(eqc)
 
+    @staticmethod
+    def direct_eligible(geom, orientation: int, dst_w: int, dst_h: int,
+                        method: str) -> bool:
+        """chroma_mode='direct' preconditions — THE one copy of the
+        predicate (this class, the sharded subclass and
+        MultiGeometryPipeline's eligibility check all call it, so the
+        builder can never construct a direct pipeline whose device_step
+        would reject its own mode)."""
+        return (geom.h2 and geom.v2 and orientation == 1
+                and dst_w % 2 == 0 and dst_h % 2 == 0
+                and method == R.AREA)
+
     def _direct_ok(self) -> bool:
-        """chroma_mode='direct' preconditions (shared by this class, the
-        sharded subclass and MultiGeometryPipeline's eligibility check)."""
-        g = self.geom
-        return (g.h2 and g.v2 and self.orientation == 1
-                and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
-                and self.method == R.AREA)
+        return self.direct_eligible(self.geom, self.orientation,
+                                    self.dst_w, self.dst_h, self.method)
 
     # -- host entropy stages --------------------------------------------------
 
@@ -1271,7 +1293,8 @@ class JpegTranscodePipeline(_ServingPipelineBase):
                 jnp.asarray(ys), jnp.asarray(qty), self.enc_qt_y,
                 src_w=g.width, src_h=g.height,
                 dst_w=self.dst_w, dst_h=self.dst_h,
-                dct_scale=self.dct_scale, orientation=self.orientation,
+                dct_scale=self.dct_scale, method=self.method,
+                orientation=self.orientation,
                 window=self.window_static, emit=fused_emit)
         elif self.chroma_mode == "direct":
             if not self._direct_ok():
@@ -1718,7 +1741,9 @@ class MultiGeometryPipeline:
         """Animated source + animation-capable output -> the animated
         serving pipeline (reference Transform keeps the animation for
         .gif/.webp outputs); still outputs keep the first-frame stance.
-        Returns the pipeline or None for the still routes."""
+        Returns (pipeline or None for the still routes, decoder or None)
+        — a decoder built for the animation probe is handed back so the
+        still route reuses it instead of re-parsing the container."""
         from . import api as A
         if self.output_format == ".gif":
             # GIF output: GIF sources only (single-frame ones included —
@@ -1728,24 +1753,24 @@ class MultiGeometryPipeline:
                     ".gif output requires a GIF source (the GIF encoder "
                     "reuses the source palette, giflib.go parity)")
         elif self.output_format != ".webp":
-            return None
+            return None, None
         elif not (A.is_gif(buf) or A.is_webp(buf) or A.is_avif(buf)):
-            return None
+            return None, None
         else:
-            hdr = A.new_decoder(buf).header()
-            if not hdr.is_animated():
-                return None
+            d = A.new_decoder(buf)
+            if not d.header().is_animated():
+                return None, d
         if self._anim_pipe is None:
             self._anim_pipe = AnimatedTranscodePipeline(
                 self.dst_w, self.dst_h, output_format=self.output_format,
                 fit=True, encode_options=self.encode_options,
                 mesh=self.mesh)
-        return self._anim_pipe
+        return self._anim_pipe, None
 
     def _pipe_for(self, buf: bytes) -> "_ServingPipelineBase":
         from . import api as A
         from .utils.metrics import metrics
-        anim = self._animated_route(buf)
+        anim, d0 = self._animated_route(buf)
         if anim is not None:
             return anim
         if A.is_jpeg(buf):
@@ -1753,13 +1778,12 @@ class MultiGeometryPipeline:
             key = (geometry_of(info), int(J.exif_orientation(buf)))
 
             def builder() -> "_ServingPipelineBase":
-                info2 = geometry_of(info)
                 mode = (self.chroma_mode
                         if (self.chroma_mode == "direct"
-                            and info2.h2 and info2.v2
-                            and int(J.exif_orientation(buf)) == 1
-                            and self.dst_w % 2 == 0 and self.dst_h % 2 == 0
-                            and self.method == R.AREA)
+                            and JpegTranscodePipeline.direct_eligible(
+                                geometry_of(info),
+                                int(J.exif_orientation(buf)),
+                                self.dst_w, self.dst_h, self.method))
                         else "rgb")
                 kw = dict(quality=self.quality, method=self.method,
                           chroma_mode=mode,
@@ -1776,7 +1800,7 @@ class MultiGeometryPipeline:
             # non-JPEG stills: pixel-domain pipelines keyed by (format,
             # dims, channel layout, orientation) — a JPEG key is a
             # (JpegGeometry, int) 2-tuple so the key spaces never collide
-            d = A.new_decoder(buf)
+            d = d0 if d0 is not None else A.new_decoder(buf)
             hdr = d.header()
             key = ("still", type(d).__name__, int(hdr.width),
                    int(hdr.height), int(hdr.channels),
@@ -2016,18 +2040,23 @@ def _webp_anim_inputs(buf: bytes):
             raise DecodingFailedError("webp frame decode failed")
         full = np.zeros((ch, cw, 4), np.uint8)
         dm = np.zeros((ch, cw), bool)
+        # clamp like GifDecoder._clip_rect: a negative offset reduces the
+        # copy extent by the clipped-off margin (min(w, cw-x2) alone
+        # would leave the destination wider than the source slice)
         x2, y2 = max(x, 0), max(y, 0)
-        w2, h2 = min(w, cw - x2), min(h, ch - y2)
+        w2 = min(w - (x2 - x), cw - x2)
+        h2 = min(h - (y2 - y), ch - y2)
         if w2 > 0 and h2 > 0:
             full[y2:y2 + h2, x2:x2 + w2] = px[y2 - y:y2 - y + h2, x2 - x:x2 - x + w2]
             dm[y2:y2 + h2, x2:x2 + w2] = True
         pm = np.zeros((ch, cw), bool)
         if prev_rect is not None:
             px0, py0, pw0, ph0 = prev_rect
-            px0, py0 = max(px0, 0), max(py0, 0)
-            pw0, ph0 = min(pw0, cw - px0), min(ph0, ch - py0)
-            if pw0 > 0 and ph0 > 0:
-                pm[py0:py0 + ph0, px0:px0 + pw0] = True
+            qx, qy = max(px0, 0), max(py0, 0)
+            qw = min(pw0 - (qx - px0), cw - qx)
+            qh = min(ph0 - (qy - py0), ch - qy)
+            if qw > 0 and qh > 0:
+                pm[qy:qy + qh, qx:qx + qw] = True
         frames.append(full)
         drawn.append(dm)
         blends.append(blend)
@@ -2138,23 +2167,33 @@ def _avif_anim_inputs(buf: bytes):
     """Host-side assembly for AVIF: decode all frames (full-canvas, no
     compositing), pad the frame axis to the bucket. Returns
     (decoder, inputs dict, durations_s)."""
+    import contextlib
+
     from .codecs.avif import AvifDecoder
     from .framebuffer import Framebuffer
 
     dec = AvifDecoder(buf)
     frames = []
     durations = []
-    while True:
-        fb = Framebuffer()
-        try:
-            dec.decode_to(fb)
-        except EOFError:
-            break
-        frames.append(fb.array)
-        durations.append(fb.duration)
+    # Pin the decoder's jnp work (HDR tone map / raw >8-bit path) to the
+    # host CPU backend, like StillTranscodePipeline._decode_array: eager
+    # per-frame ops on the default (possibly remote) TPU device would
+    # serialize the host decode stage through the device link.
+    cpu = _host_cpu_device()
+    ctx = (jax.default_device(cpu) if cpu is not None
+           else contextlib.nullcontext())
+    with ctx:
+        while True:
+            fb = Framebuffer()
+            try:
+                dec.decode_to(fb)
+            except EOFError:
+                break
+            frames.append(np.asarray(fb.array))
+            durations.append(fb.duration)
     if not frames:
         raise DecodingFailedError("avif has no frames")
-    arrs = [np.asarray(f) for f in frames]
+    arrs = frames
     for _ in range(len(frames), P.frame_bucket(len(frames))):
         arrs.append(np.zeros_like(arrs[0]))  # bucketed compile reuse
     return dec, dict(frames=np.stack(arrs)), durations

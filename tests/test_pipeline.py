@@ -1053,6 +1053,52 @@ def test_fused_exact_upscale_byte_identical(geom, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("method", ["linear", "cubic"])
+def test_gray_pipeline_honors_resize_method(method):
+    """Grayscale pipelines must honor method= like the color paths
+    (regression: _fused_jpeg_fit_gray_impl had no method parameter and
+    silently resampled with AREA). LINEAR/CUBIC ride the streaming
+    resize kernels, so the output is bit-identical to decode -> crop ->
+    streaming resize."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu import new_decoder
+    from lilliput_tpu.framebuffer import Framebuffer
+    from lilliput_tpu.ops import resize as R
+    from lilliput_tpu.pipeline import fit_rect
+    w, h, dw, dh = 400, 300, 80, 60
+    buf = _gray_jpeg(w, h, seed=9)
+
+    d = new_decoder(buf)
+    fb = Framebuffer()
+    d.decode_to(fb)
+    src = np.asarray(fb.array)
+    if src.ndim == 3:
+        src = src[..., 0]
+    left, top, cw, chh = fit_rect(w, h, dw, dh)
+    crop = src[top:top + chh, left:left + cw]
+    want = np.asarray(R.resize(jnp.asarray(crop)[..., None], dw, dh,
+                               method)[..., 0])
+
+    pipe = JpegTranscodePipeline(buf, dw, dh, quality=85, method=method,
+                                 output_format=".png")
+    out = pipe.transcode([buf])[0]
+    got = cv2.imdecode(np.frombuffer(out, np.uint8), cv2.IMREAD_UNCHANGED)
+    if got.ndim == 3:
+        got = got[..., 0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dct_scale_requires_area_method():
+    """dct_scale's fractional crop geometry only has an AREA-matrix form;
+    the constructor must reject other methods (the gray chroma-mode
+    coercion previously slipped past _direct_ok)."""
+    buf = _jpeg(320, 200, 7)
+    with pytest.raises(ValueError):
+        JpegTranscodePipeline(buf, 64, 64, method="linear",
+                              chroma_mode="direct", dct_scale=2)
+
+
 def test_fused_exact_gray_byte_identical(monkeypatch):
     from lilliput_tpu import ImageOps, ImageOptions, ResizeMethod, new_decoder
     buf = _gray_jpeg(400, 300, seed=5)
