@@ -220,7 +220,11 @@ def _yuv_to_bgr_native(y, u, v, matrix, full_range, h, w, alpha):
         v = np.ascontiguousarray(v)
         ch, cw = u.shape
         cs = cw
-        if cw < w and ch < h:
+        # AV1 has only 4:2:0/4:2:2/4:4:4: vertical-only subsampling means
+        # a width-1 4:2:0 image (cw == w == 1), which must ride the
+        # 4:2:0 kernel — classifying it 4:4:4 walked chroma rows past
+        # the plane in the C kernel (ASan-confirmed, fixed)
+        if ch < h:
             sub = 2
         elif cw < w:
             sub = 1
@@ -384,7 +388,7 @@ def planes_to_bgr_u8(y: np.ndarray, u: Optional[np.ndarray],
     y16 = (yl << (16 - depth)) | (yl >> (2 * depth - 16))
     ch, cw = u.shape
     if depth == 10:
-        if cw < w and ch < h:
+        if ch < h:
             uu, vv = _upsample2x2(u, h, w) >> 2, _upsample2x2(v, h, w) >> 2
         elif cw < w:
             uu, vv = _upsample2x1(u, h, w) >> 2, _upsample2x1(v, h, w) >> 2
@@ -485,7 +489,7 @@ def yuv_to_bgr_u8(y: np.ndarray, u: Optional[np.ndarray],
         uu = vv = np.full((h, w), 128, np.int32)
     else:
         ch, cw = u.shape
-        if cw < w and ch < h:          # 4:2:0
+        if ch < h:                     # 4:2:0 (incl. width-1: cw == w)
             uu = _upsample2x2(u, h, w)
             vv = _upsample2x2(v, h, w)
         elif cw < w:                   # 4:2:2 (full-height chroma)

@@ -211,10 +211,15 @@ class LzwDecoder {
 
         // root strings live in a static identity table (16-byte slop for
         // the fixed-width copy), so root and dictionary emissions share
-        // ONE branch-free source-pointer path
+        // ONE branch-free source-pointer path. Sized for the LARGEST
+        // legal clear code (mcs 11 -> 2048 roots): a hostile stream with
+        // mcs 9-11 can emit root codes >= 256, which giflib writes into
+        // a GifPixelType, i.e. truncates to the low byte — the wrapped
+        // uint8 cast here reproduces that exactly (a 256-entry table
+        // read out of bounds for such codes: ASan-confirmed, fixed).
         static const auto kRoots = [] {
-            std::array<uint8_t, 256 + 16> t{};
-            for (int i = 0; i < 256; i++) t[i] = static_cast<uint8_t>(i);
+            std::array<uint8_t, 2048 + 16> t{};
+            for (int i = 0; i < 2048; i++) t[i] = static_cast<uint8_t>(i);
             return t;
         }();
 
@@ -529,9 +534,10 @@ int lp_gif_frame_ext(void* h, uint8_t* out, int32_t cap) {
 
 // Shared raster decode: LZW + deinterlace from an explicit position,
 // using a LOCAL reader so concurrent calls never share mutable state.
-static int decode_raster_at(const GifDec* d, const FrameMeta& f,
-                            size_t raster_pos, uint8_t* out) {
-    Reader r{d->r.p, d->r.len, raster_pos};
+// ONE raster decode body (LZW + deinterlace) shared by the streaming
+// walk (live reader, advances d->r) and the scan-then-parallel path
+// (positioned local reader) — any decoder fix lands in both.
+static int decode_raster(const FrameMeta& f, Reader& r, uint8_t* out) {
     int mcs = r.byte();
     if (mcs < 2 || mcs > 11) return -1;
     const size_t n = static_cast<size_t>(f.width) * f.height;
@@ -557,36 +563,20 @@ static int decode_raster_at(const GifDec* d, const FrameMeta& f,
     return ok ? 0 : -1;
 }
 
+static int decode_raster_at(const GifDec* d, const FrameMeta& f,
+                            size_t raster_pos, uint8_t* out) {
+    Reader r{d->r.p, d->r.len, raster_pos};
+    return decode_raster(f, r, out);
+}
+
 // Decode the pending frame's raster into out (w*h bytes, deinterlaced).
 int lp_gif_frame_indices(void* h, uint8_t* out) {
     auto* d = static_cast<GifDec*>(h);
     if (!d->frame_ready) return -1;
-    const FrameMeta& f = d->frame;
-    Reader& r = d->r;
-    r.pos = d->raster_pos;
-    int mcs = r.byte();
-    if (mcs < 2 || mcs > 11) return -1;
-    const size_t n = static_cast<size_t>(f.width) * f.height;
-    bool ok;
-    if (f.interlace) {
-        std::vector<uint8_t> seq(n);
-        LzwDecoder dec(r, mcs);
-        ok = dec.decode(seq.data(), n);
-        if (ok) {
-            size_t src_row = 0;
-            for (int pass = 0; pass < 4; pass++) {
-                for (int y = kInterlaceOffset[pass]; y < f.height; y += kInterlaceJump[pass]) {
-                    std::memcpy(out + static_cast<size_t>(y) * f.width,
-                                seq.data() + (src_row++) * f.width, f.width);
-                }
-            }
-        }
-    } else {
-        LzwDecoder dec(r, mcs);
-        ok = dec.decode(out, n);
-    }
+    d->r.pos = d->raster_pos;
+    const int rc = decode_raster(d->frame, d->r, out);
     d->frame_ready = false;
-    return ok ? 0 : -1;
+    return rc;
 }
 
 int lp_gif_skip_frame(void* h) {

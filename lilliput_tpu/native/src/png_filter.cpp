@@ -326,6 +326,16 @@ int lp_png_unfilter(const uint8_t* in, uint8_t* out,
 void lp_png_filter(const uint8_t* in, uint8_t* out,
                    int64_t rows, int64_t stride, int32_t bpp) {
     uint8_t* tmp = static_cast<uint8_t*>(std::malloc(stride * 5));
+    if (!tmp) {
+        // allocation failure: emit filter-0 (None) rows — a valid,
+        // merely larger PNG stream instead of a null deref
+        for (int64_t y = 0; y < rows; y++) {
+            out[y * (stride + 1)] = 0;
+            std::memcpy(out + y * (stride + 1) + 1, in + y * stride,
+                        static_cast<size_t>(stride));
+        }
+        return;
+    }
     for (int64_t y = 0; y < rows; y++) {
         const uint8_t* src = in + y * stride;
         const uint8_t* prev = y > 0 ? in + (y - 1) * stride : nullptr;

@@ -83,6 +83,10 @@ struct WebpEnc {
     std::vector<int32_t> first_opts;
     WebPAnimEncoder* anim = nullptr;
     int timestamp_ms = 0;
+    // latched on a mid-migration add failure: the buffered-first-frame
+    // state is gone, so further adds/flushes must fail instead of the
+    // still path importing from the cleared first_px vector
+    bool dead = false;
 };
 
 bool import_picture(WebPPicture* pic, const uint8_t* px, int w, int h, int ch,
@@ -242,6 +246,7 @@ int lp_webp_enc_add(void* h, const uint8_t* px, int32_t w, int32_t hgt,
                     int32_t channels, int32_t delay_ms,
                     const int32_t* opts, int32_t nopts) {
     auto* e = static_cast<WebpEnc*>(h);
+    if (e->dead) return -1;
     if (e->frames == 0) {
         e->first_px.assign(px, px + static_cast<size_t>(w) * hgt * channels);
         e->first_w = w;
@@ -252,8 +257,10 @@ int lp_webp_enc_add(void* h, const uint8_t* px, int32_t w, int32_t hgt,
         e->frames = 1;
         return 0;
     }
-    if (e->frames == 1) {
-        // second frame arrived: this is an animation
+    if (e->frames == 1 && !e->anim) {
+        // second frame arrived: this is an animation (the !anim guard
+        // keeps a retried add from creating a second encoder — leaking
+        // the first — or re-feeding the cleared first frame)
         WebPAnimEncoderOptions opt;
         if (!WebPAnimEncoderOptionsInit(&opt)) return -1;
         opt.kmin = 3;
@@ -262,12 +269,19 @@ int lp_webp_enc_add(void* h, const uint8_t* px, int32_t w, int32_t hgt,
         if (!e->anim) return -1;
         e->timestamp_ms = 0;
         if (!anim_add(e, e->first_px.data(), e->first_w, e->first_h, e->first_ch,
-                      e->first_opts.data(), static_cast<int32_t>(e->first_opts.size())))
+                      e->first_opts.data(), static_cast<int32_t>(e->first_opts.size()))) {
+            e->dead = true;
             return -1;
+        }
         e->timestamp_ms += e->first_delay;
         e->first_px.clear();
     }
-    if (!anim_add(e, px, w, hgt, channels, opts, nopts)) return -1;
+    if (!anim_add(e, px, w, hgt, channels, opts, nopts)) {
+        // the buffered first frame already migrated into the animation
+        // encoder; this handle can no longer fall back to the still path
+        e->dead = true;
+        return -1;
+    }
     e->timestamp_ms += delay_ms;
     e->frames++;
     return 0;
@@ -279,7 +293,7 @@ long lp_webp_enc_flush(void* h, const int32_t* opts, int32_t nopts,
     WebPData assembled{nullptr, 0};
     bool ok = false;
 
-    if (e->frames == 0) return -1;
+    if (e->frames == 0 || e->dead) return -1;
     if (e->frames == 1) {
         // still image
         WebPConfig config;

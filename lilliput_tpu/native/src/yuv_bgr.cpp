@@ -110,12 +110,19 @@ int lp_yuv_to_bgr(const uint8_t* y, int32_t y_stride, const uint8_t* u,
     int16_t* urow = nullptr;
     int16_t* vrow = nullptr;
     if (subsampling == 1 || subsampling == 2) {
-        if (!u || !v || cw <= 0 || ch <= 0) return -3;
+        // chroma planes must cover the subsampled grid: undersized
+        // dims would read past the plane (4:2:2 needs FULL height)
+        if (!u || !v || cw < (w + 1) / 2 ||
+            ch < (subsampling == 2 ? (h + 1) / 2 : h))
+            return -3;
         urow = new (std::nothrow) int16_t[2 * static_cast<size_t>(w)];
         if (!urow) return -4;
         vrow = urow + w;
-    } else if (subsampling == 0 && (!u || !v)) {
-        return -3;
+    } else if (subsampling == 0) {
+        // 4:4:4 needs full-resolution planes, same as the identity path
+        // (an undersized plane here walked rows past its end:
+        // ASan-confirmed, fixed)
+        if (!u || !v || cw < w || ch < h) return -3;
     }
     for (int i = 0; i < h; i++) {
         const uint8_t* yr = y + static_cast<size_t>(i) * y_stride;

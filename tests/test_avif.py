@@ -701,6 +701,24 @@ def test_native_sdr_exotic_matrix_bit_exact(depth, sub, full, matrix,
     np.testing.assert_array_equal(fn[0], fp[0])
 
 
+@pytest.mark.parametrize("geom", [(1, 7, 8, False), (1, 6, 8, True),
+                                  (7, 1, 8, False), (1, 1, 8, False),
+                                  (1, 9, 10, True)],
+                         ids=lambda g: f"{g[0]}x{g[1]}-d{g[2]}" +
+                                       ("-A" if g[3] else ""))
+def test_native_sdr_degenerate_geometry_bit_exact(geom, monkeypatch):
+    """Width-1 / height-1 4:2:0: dav1d's chroma plane has cw == w == 1
+    (or ch == h == 1), so subsampling must be classified by BOTH axes —
+    the old cw-only heuristic sent width-1 4:2:0 down the 4:4:4 path,
+    which read chroma rows past the plane in the C kernel
+    (ASan-confirmed, fixed) and crashed the numpy reference."""
+    w, h, depth, alpha = geom
+    buf = _hbd_fixture(depth, "420", True, 1, alpha, h=h, w=w)
+    _, fn, _ = _decode_all(buf, monkeypatch, "native")
+    _, fp, _ = _decode_all(buf, monkeypatch, "pil")
+    np.testing.assert_array_equal(fn[0], fp[0])
+
+
 def test_ycgco_limited_rejected_like_libavif(monkeypatch):
     """Limited-range YCgCo fails in libavif's reformat ('Reformat
     failed'); the own path declines it so the PIL fallback raises the

@@ -74,6 +74,40 @@ def test_pnm_bmp_fuzz():
             _poke(bytes(b))
 
 
+def test_gif_large_mcs_root_codes():
+    """LZW min-code-size 9-11 makes the clear code up to 2048, so a
+    hostile stream can emit 'root' codes >= 256. giflib writes those
+    into a GifPixelType (low-byte truncation); the own decoder's root
+    table must be sized for them (regression: a 256-entry identity
+    table was read out of bounds — ASan-confirmed)."""
+    import struct
+
+    def lzw(codes, bits):
+        out = bytearray()
+        acc = nb = 0
+        for c in codes:
+            acc |= c << nb
+            nb += bits
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    for mcs in (9, 10, 11):
+        clear = 1 << mcs
+        # enough repeated >=256 root codes to cover the 4x4 raster
+        data = lzw([clear] + [300] * 16 + [clear + 1], mcs + 1)
+        g = bytearray()
+        g += b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0xF0, 0, 0])
+        g += bytes(6)
+        g += b"," + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0])
+        g += bytes([mcs, len(data)]) + data + b"\x00;"
+        _poke(bytes(g))
+
+
 def test_giant_dims_rejected():
     """Synthetic headers claiming absurd dimensions must be rejected before
     any allocation explosion (GIF guard parity, giflib.go:39-52)."""

@@ -80,6 +80,44 @@ def gif_roundtrip(lib):
     lib.lp_gif_anim_info(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                          buf.size, out7.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     assert out7[1] == 16
+    # hostile large-mcs root codes: min-code-size 9-11 makes the clear
+    # code up to 2048 and a stream can emit 'root' codes >= 256 — the
+    # decoder's root table must cover them (giflib truncates to the low
+    # byte; a 256-entry table read OOB here, ASan-confirmed + fixed)
+    import struct
+    for mcs in (9, 10, 11):
+        clear = 1 << mcs
+        codes = [clear] + [300] * 16 + [clear + 1]
+        acc = nb = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nb
+            nb += mcs + 1
+            while nb >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            data.append(acc & 0xFF)
+        g = bytearray()
+        g += b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0xF0, 0, 0])
+        g += bytes(6)
+        g += b"," + struct.pack("<HHHH", 0, 0, 4, 4) + bytes([0])
+        g += bytes([mcs, len(data)]) + bytes(data) + b"\x00;"
+        gb = np.frombuffer(bytes(g), np.uint8)
+        h4 = lib.lp_gif_open(
+            gb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), gb.size,
+            info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if h4:
+            meta4 = np.zeros(10, np.int32)
+            if lib.lp_gif_next_frame(
+                    h4, meta4.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32))) == 1:
+                raw = np.empty(max(int(meta4[2]) * int(meta4[3]), 1),
+                               np.uint8)
+                lib.lp_gif_frame_indices(
+                    h4, raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            lib.lp_gif_free(h4)
 
 
 def png_filter_roundtrip(lib):
@@ -382,6 +420,22 @@ def yuv_bgr_exercise(lib):
                     out = _yuv_to_bgr_native(y, u, v, matrix, True, h, w,
                                              alpha)
                     assert out is not None
+    # undersized chroma planes must DECLINE (rc -3), not walk rows past
+    # the plane (the 4:4:4 case was an ASan-confirmed heap OOB read) —
+    # call the raw entry with a deliberately wrong subsampling code
+    yy7 = rng.integers(0, 256, (7, 1), np.uint8)
+    uu7 = rng.integers(0, 256, (4, 1), np.uint8)
+    out7 = np.empty((7, 1, 3), np.uint8)
+    for sub in (0, 1):  # 4:4:4 / 4:2:2 claims with 4-row chroma, h=7
+        assert lib.lp_yuv_to_bgr(
+            yy7.ctypes.data_as(u8p), 1, uu7.ctypes.data_as(u8p),
+            uu7.ctypes.data_as(u8p), 1, 1, 4, sub, 1, 7,
+            128, 25, 52, 102, 18997, -1160, None, 0,
+            out7.ctypes.data_as(u8p), 3) == -3
+    # width-1 4:2:0 (cw == w == 1, ch < h): the sub=2 classification —
+    # must convert, bit-identical to the numpy reference
+    n7 = _yuv_to_bgr_native(yy7, uu7, uu7, 1, True, 7, 1, None)
+    assert n7 is not None and n7.shape == (7, 1, 3)
     # hostile: invalid sizes / missing planes return error codes
     assert lib.lp_yuv_to_bgr(None, 0, None, None, 0, 0, 0, 0, 0, 0,
                              0, 0, 0, 0, 0, 0, None, 0, None, 3) == -1
