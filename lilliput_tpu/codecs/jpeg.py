@@ -155,28 +155,39 @@ def supported_subsampling(info) -> bool:
             and info.comp_v_samp[1] == info.comp_v_samp[2])
 
 
-def exif_orientation(buf: bytes) -> ImageOrientation:
-    """Extract EXIF orientation from the APP1 segment (host-side parse)."""
-    i = 2  # skip SOI
+def _iter_marker_segments(buf: bytes):
+    """Header-phase JPEG marker walk, shared by every marker reader below
+    (one copy of the hardening: 0xFF fill bytes, standalone RST/TEM/SOI
+    skip, SOS/EOI stop, seglen/overrun guards). Yields
+    (marker, payload_offset, seglen) where payload starts right after the
+    2 length bytes and spans seglen-2 bytes."""
     n = len(buf)
+    i = 2  # past SOI
     while i + 4 <= n and buf[i] == 0xFF:
         while i + 2 <= n and buf[i + 1] == 0xFF:  # 0xFF fill bytes (T.81)
             i += 1
         if i + 4 > n:
             break
         marker = buf[i + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             i += 2
             continue
-        if marker == 0xDA:  # SOS: no EXIF past here
+        if marker in (0xD9, 0xDA):  # EOI / SOS: header segments are over
             break
         seglen = int.from_bytes(buf[i + 2:i + 4], "big")
-        if marker == 0xE1 and buf[i + 4:i + 10] == b"Exif\x00\x00":
-            tiff = buf[i + 10:i + 2 + seglen]
-            o = _parse_tiff_orientation(tiff)
+        if seglen < 2 or i + 2 + seglen > n:
+            break
+        yield marker, i + 4, seglen
+        i += 2 + seglen
+
+
+def exif_orientation(buf: bytes) -> ImageOrientation:
+    """Extract EXIF orientation from the APP1 segment (host-side parse)."""
+    for marker, off, seglen in _iter_marker_segments(buf):
+        if marker == 0xE1 and buf[off:off + 6] == b"Exif\x00\x00":
+            o = _parse_tiff_orientation(buf[off + 6:off - 2 + seglen])
             if o:
                 return ImageOrientation(o)
-        i += 2 + seglen
     return ImageOrientation.TOP_LEFT
 
 
@@ -205,24 +216,16 @@ def _parse_tiff_orientation(tiff: bytes) -> int:
 
 
 def has_adobe_marker(buf: bytes) -> bool:
-    """APP14 'Adobe' marker: CMYK/YCCK samples are stored inverted."""
-    i = 2
-    n = len(buf)
-    while i + 4 <= n and buf[i] == 0xFF:
-        while i + 2 <= n and buf[i + 1] == 0xFF:  # 0xFF fill bytes (T.81)
-            i += 1
-        if i + 4 > n:
-            break
-        marker = buf[i + 1]
-        if marker == 0xDA:
-            return False
-        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
-            i += 2
-            continue
-        seglen = int.from_bytes(buf[i + 2:i + 4], "big")
-        if marker == 0xEE and buf[i + 4:i + 10] == b"Adobe\x00":
+    """APP14 'Adobe' marker: CMYK/YCCK samples are stored inverted.
+
+    libjpeg (examine_app14) matches the 5 ASCII bytes "Adobe" with a
+    12-byte payload (APP14_DATA_LEN; seglen >= 14 counting the length
+    field) — a 6-byte b"Adobe\\x00" compare would also read the
+    DCTEncodeVersion high byte, missing APP14 segments whose version
+    word is >= 0x0100 (and inverting CMYK ink values)."""
+    for marker, off, seglen in _iter_marker_segments(buf):
+        if marker == 0xEE and seglen >= 14 and buf[off:off + 5] == b"Adobe":
             return True
-        i += 2 + seglen
     return False
 
 
@@ -239,31 +242,13 @@ def read_icc(buf: bytes) -> bytes:
     (/root/reference/opencv.cpp:247-291). Returns b"" when absent or
     malformed. Used by the serving pipeline to carry the source profile
     into the transcoded output without touching the shim."""
-    n = len(buf)
-    if n < 4 or buf[0:2] != b"\xff\xd8":
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
         return b""
-    i = 2
     chunks = {}
     count = 0
-    while i + 4 <= n:
-        if buf[i] != 0xFF:
-            break
-        # skip 0xFF fill bytes (legal padding before any marker, T.81 B.1.1.2)
-        while i + 2 <= n and buf[i + 1] == 0xFF:
-            i += 1
-        if i + 4 > n:
-            break
-        marker = buf[i + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
-            i += 2
-            continue
-        if marker in (0xD9, 0xDA):  # EOI / SOS: header segments are over
-            break
-        seglen = int.from_bytes(buf[i + 2:i + 4], "big")
-        if seglen < 2 or i + 2 + seglen > n:
-            break
+    for marker, off, seglen in _iter_marker_segments(buf):
         if marker == 0xE2:
-            p = buf[i + 4:i + 2 + seglen]
+            p = buf[off:off - 2 + seglen]
             if p[:12] == _ICC_MARKER_PREFIX and len(p) >= 14:
                 seq, cnt = p[12], p[13]
                 if count == 0:
@@ -275,7 +260,6 @@ def read_icc(buf: bytes) -> bytes:
                 if cnt != count or not 1 <= seq <= count or seq in chunks:
                     return b""
                 chunks[seq] = p[14:]
-        i += 2 + seglen
     if not count or len(chunks) != count:
         return b""
     out = b"".join(chunks[s] for s in range(1, count + 1))
@@ -417,7 +401,8 @@ class JpegDecoder(Decoder):
         elif fast_used:
             # the fast decoder skips APPn payloads; the Python APP2 walk
             # returns the same concatenation libjpeg's reader does
-            self._icc = read_icc(bytes(self._buf))
+            # (self._raw is the original bytes object — no copy)
+            self._icc = read_icc(self._raw)
         else:
             self._icc = icc_buf.tobytes()
 

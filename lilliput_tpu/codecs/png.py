@@ -132,6 +132,21 @@ def _inflate_exact(idat: bytes, expected: int, lib) -> Optional[np.ndarray]:
     return out[:n]
 
 
+def _inflate_bounded(raw: bytes, expected: int, what: str) -> np.ndarray:
+    """Python-zlib fallback inflate, capped at the geometry's raw size:
+    decompressing a whole hostile stream first would allocate up to
+    ~1032x the compressed bytes (a 1x1-IHDR PNG with a 10 MB IDAT would
+    inflate to ~10 GB before any size check ran). Bytes past `expected`
+    are never needed — downstream reconstruction slices data[:need] with
+    need == expected — so the bound changes no well-formed decode."""
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(raw, max(expected, 0))
+        return np.frombuffer(out, np.uint8)
+    except zlib.error as e:
+        raise DecodingFailedError(f"{what}: {e}") from e
+
+
 def _expected_raw_size(width: int, height: int, ch: int, bit_depth: int,
                        interlace: int) -> int:
     """Exact filtered-stream size: per-row filter byte + packed samples,
@@ -366,16 +381,13 @@ class PngDecoder(Decoder):
                         for ctype, off, ln, _ in iter_chunks(self._raw)
                         if ctype == b"IDAT")
         i = self._info
-        fast = _inflate_exact(
-            idat, _expected_raw_size(i.width, i.height,
-                                     _CHANNELS[i.color_type], i.bit_depth,
-                                     i.interlace), self._lib)
+        expected = _expected_raw_size(i.width, i.height,
+                                      _CHANNELS[i.color_type], i.bit_depth,
+                                      i.interlace)
+        fast = _inflate_exact(idat, expected, self._lib)
         if fast is not None:
             return fast
-        try:
-            return np.frombuffer(zlib.decompress(idat), np.uint8)
-        except zlib.error as e:
-            raise DecodingFailedError(f"PNG inflate failed: {e}") from e
+        return _inflate_bounded(idat, expected, "PNG inflate failed")
 
     def _reconstruct_samples(self, keep16: bool = False, data=None,
                              width=None, height=None,
@@ -517,6 +529,15 @@ class PngDecoder(Decoder):
                 if cur is not None:
                     frames.append(cur)
                 f = struct.unpack(">IIIIIHHBB", self._raw[off:off + 26])
+                # APNG spec: the frame rect must lie inside the IHDR
+                # canvas. Hostile offsets otherwise surface as untyped
+                # ValueErrors from the compositing copy (or mis-stride
+                # the reconstruction into shifted garbage rows).
+                if (f[1] == 0 or f[2] == 0
+                        or f[3] + f[1] > self._info.width
+                        or f[4] + f[2] > self._info.height):
+                    raise InvalidImageError(
+                        "APNG frame rect exceeds canvas")
                 cur = ({"w": f[1], "h": f[2], "x": f[3], "y": f[4],
                         "delay_num": f[5], "delay_den": f[6],
                         "dispose": f[7], "blend": f[8]}, [])
@@ -539,16 +560,13 @@ class PngDecoder(Decoder):
         meta, chunks = frames[self._frame_idx]
         raw = b"".join(chunks)
         i = self._info
-        data = _inflate_exact(
-            raw, _expected_raw_size(meta["w"], meta["h"],
-                                    _CHANNELS[i.color_type], i.bit_depth,
-                                    i.interlace), self._lib)
+        expected = _expected_raw_size(meta["w"], meta["h"],
+                                      _CHANNELS[i.color_type], i.bit_depth,
+                                      i.interlace)
+        data = _inflate_exact(raw, expected, self._lib)
         if data is None:
-            try:
-                data = np.frombuffer(zlib.decompress(raw), np.uint8)
-            except zlib.error as e:
-                raise DecodingFailedError(
-                    f"APNG frame inflate failed: {e}") from e
+            data = _inflate_bounded(raw, expected,
+                                    "APNG frame inflate failed")
         # frames use the IHDR interlace method (APNG spec: frame data is
         # encoded like the static image, Adam7 laid out over the frame rect)
         samples = self._reconstruct_samples(
@@ -635,45 +653,50 @@ def encode_png_pixels(arr: np.ndarray, level: int = 6,
                     + arr[:, :, 2] * 0.299 + 0.5).astype(np.uint8)
         filtered = _pack_bilevel(gray)
         comp = _deflate_strategy(filtered.tobytes(), level, strategy, lib)
-
-        def chunk1(ctype: bytes, data: bytes) -> bytes:
-            body = ctype + data
-            return (struct.pack(">I", len(data)) + body
-                    + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
-
-        ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
-        out = [PNG_MAGIC, chunk1(b"IHDR", ihdr)]
-        if icc:
-            out.append(chunk1(b"iCCP",
-                              b"ICC Profile\x00\x00" + _deflate(icc, 9, lib)))
-        out.append(chunk1(b"IDAT", comp))
-        out.append(chunk1(b"IEND", b""))
-        return b"".join(out)
+        return _assemble_png(w, h, 1, 0, comp, icc, lib)
     if c == 3:
-        rgb = arr[:, :, ::-1]
+        # contiguous RGB via per-channel column assignment: the generic
+        # strided loop for the reversed-channel view measured tens of ms
+        # at 1080p (same data-movement fix as the decode path above)
+        rgb = np.empty((h, w, 3), np.uint8)
+        rgb[..., 0] = arr[..., 2]
+        rgb[..., 1] = arr[..., 1]
+        rgb[..., 2] = arr[..., 0]
         color_type = 2
     elif c == 4:
-        rgb = arr[:, :, [2, 1, 0, 3]]
+        rgb = np.empty((h, w, 4), np.uint8)
+        rgb[..., 0] = arr[..., 2]
+        rgb[..., 1] = arr[..., 1]
+        rgb[..., 2] = arr[..., 0]
+        rgb[..., 3] = arr[..., 3]
         color_type = 6
     else:
-        rgb = arr[:, :, 0:1]
+        rgb = np.ascontiguousarray(arr[:, :, 0:1])
         color_type = 0
     ch = rgb.shape[2]
-    raw = np.ascontiguousarray(rgb).reshape(h, w * ch)
+    raw = rgb.reshape(h, w * ch)
     stride = w * ch
     filtered = np.empty(h * (stride + 1), np.uint8)
-    lib.lp_png_filter(_u8ptr(np.ascontiguousarray(raw)), _u8ptr(filtered),
-                      h, stride, ch)
+    lib.lp_png_filter(_u8ptr(raw), _u8ptr(filtered), h, stride, ch)
     comp = _deflate_strategy(filtered.tobytes(), level, strategy, lib)
+    return _assemble_png(w, h, 8, color_type, comp, icc, lib)
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        body = ctype + data
-        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    out = [PNG_MAGIC, chunk(b"IHDR", ihdr)]
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    body = ctype + data
+    return (struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def _assemble_png(w: int, h: int, bit_depth: int, color_type: int,
+                  comp: bytes, icc: bytes, lib) -> bytes:
+    """Shared container tail (magic/IHDR/iCCP/IDAT/IEND) for the bilevel
+    and normal encode branches — one copy of the chunk framing."""
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    out = [PNG_MAGIC, _png_chunk(b"IHDR", ihdr)]
     if icc:
-        out.append(chunk(b"iCCP", b"ICC Profile\x00\x00" + _deflate(icc, 9, lib)))
-    out.append(chunk(b"IDAT", comp))
-    out.append(chunk(b"IEND", b""))
+        out.append(_png_chunk(
+            b"iCCP", b"ICC Profile\x00\x00" + _deflate(icc, 9, lib)))
+    out.append(_png_chunk(b"IDAT", comp))
+    out.append(_png_chunk(b"IEND", b""))
     return b"".join(out)

@@ -152,6 +152,19 @@ class ImageOps:
                 from .errors import BufTooSmallError
                 raise BufTooSmallError(
                     f"image {header.width}x{header.height} exceeds max size {self.max_size}")
+            # the reference's ResizeTo fails with ErrBufTooSmall when the
+            # REQUESTED dims exceed the preallocated max_size^2 frame
+            # buffers (ops.go / opencv.go) — without this a hostile
+            # width=65536 request would ask the device to materialize a
+            # ~17 GB array instead of raising the typed error. NO_RESIZE
+            # ignores the requested dims, like the reference.
+            if (opt.resize_method != ResizeMethod.NO_RESIZE
+                    and (opt.width > self.max_size
+                         or opt.height > self.max_size)):
+                from .errors import BufTooSmallError
+                raise BufTooSmallError(
+                    f"requested {opt.width}x{opt.height} exceeds max size "
+                    f"{self.max_size}")
 
             icc_override = None
             if opt.force_sdr:

@@ -138,6 +138,29 @@ def test_cmyk_adobe_decode():
     assert _psnr(fb.to_numpy(), ref) >= 50.0
 
 
+def test_adobe_marker_version_high_byte():
+    """libjpeg's examine_app14 matches only the 5 ASCII bytes 'Adobe'
+    (12-byte payload); a DCTEncodeVersion word with a nonzero high byte
+    (e.g. 0x0165) must still be detected — the old b'Adobe\\x00' compare
+    read into the version word and missed it, decoding such CMYK files
+    color-inverted."""
+    import io
+
+    from PIL import Image
+
+    from lilliput_tpu.codecs.jpeg import has_adobe_marker
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    bio = io.BytesIO()
+    Image.fromarray(img, mode="CMYK").save(bio, format="JPEG", quality=95)
+    buf = bytearray(bio.getvalue())
+    i = bytes(buf).find(b"Adobe")
+    assert i > 0 and has_adobe_marker(bytes(buf))
+    buf[i + 5] = 0x01  # DCTEncodeVersion high byte (was 0x00)
+    assert has_adobe_marker(bytes(buf)), \
+        "version word must not participate in the tag match"
+
+
 @pytest.mark.parametrize("subsampling,name", [(0, "444"), (1, "422"), (2, "420")])
 def test_subsampling_variants_decode(subsampling, name):
     import io

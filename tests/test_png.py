@@ -239,6 +239,45 @@ def test_trns_longer_than_palette_is_clamped():
     assert px[0, 0, 3] == 10 and px[0, 1, 3] == 20  # first two tRNS applied
 
 
+def test_idat_decompression_bounded():
+    """The Python-zlib fallback inflate is capped at the geometry's raw
+    size: a 1x1-IHDR PNG whose IDAT decompresses to megabytes must not
+    materialize the whole stream before the size check (DEFLATE expands
+    up to ~1032:1 — the unbounded zlib.decompress was an OOM-DoS)."""
+    from lilliput_tpu.codecs.png import _inflate_bounded
+    bomb = zlib.compress(b"\x00" * (32 << 20), 9)  # ~32 KB -> 32 MB claim
+    out = _inflate_bounded(bomb, 4, "test")
+    assert out.size == 4  # never inflates past the expected raw size
+    # end-to-end: 1x1 RGB with a bomb IDAT decodes the 4 needed bytes
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+    import os
+    os.environ["LILLIPUT_LIBDEFLATE"] = "0"  # force the fallback path
+    try:
+        fb = Framebuffer()
+        PngDecoder(_png(ihdr, _chunk(b"IDAT", bomb))).decode_to(fb)
+        assert fb.to_numpy().shape == (1, 1, 3)
+    finally:
+        del os.environ["LILLIPUT_LIBDEFLATE"]
+
+
+def test_apng_frame_rect_outside_canvas_raises_typed_error():
+    """Hostile fcTL offsets/dims (x+w past the IHDR canvas, zero-sized
+    rects) raise InvalidImageError at parse instead of an untyped
+    ValueError from the compositing copy (or a mis-strided decode)."""
+    from lilliput_tpu.errors import InvalidImageError
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+    actl = _chunk(b"acTL", struct.pack(">II", 1, 0))
+    raw = zlib.compress(b"\x00" * (8 * (8 * 3 + 1)))
+    for (w, h, x, y) in ((8, 8, 0xFFFFFFF0, 0), (9, 8, 0, 0),
+                         (8, 8, 1, 0), (0, 8, 0, 0)):
+        fctl = _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, w, h, x, y,
+                                           5, 100, 0, 0))
+        buf = _png(ihdr, actl, fctl, _chunk(b"IDAT", raw))
+        d = PngDecoder(buf)
+        with pytest.raises(InvalidImageError):
+            d.decode_to(Framebuffer())
+
+
 def test_apng_interlaced_frames_decode():
     """APNG frames of an interlaced PNG use the IHDR interlace method —
     both the IDAT-backed first frame (fcTL before IDAT) and fdAT frames

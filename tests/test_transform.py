@@ -169,3 +169,24 @@ def test_zero_target_dims_raise_cleanly():
         ImageOps(8192).transform(d, ImageOptions(
             file_type=".jpeg", width=0, height=0,
             resize_method=ResizeMethod.FIT))
+
+
+def test_requested_dims_exceed_max_size_raise_typed_error():
+    """ops.go/opencv.go parity: the reference's ResizeTo fails with
+    ErrBufTooSmall when the REQUESTED dims exceed the preallocated
+    max_size^2 buffers — a hostile width=65536 request must raise the
+    typed error, not ask the device for a ~17 GB array. NO_RESIZE
+    ignores the requested dims (reference parity)."""
+    from lilliput_tpu.errors import BufTooSmallError
+    buf = open(f"{DATA}/sunrise.jpg", "rb").read()
+    for method in (ResizeMethod.FIT, ResizeMethod.RESIZE):
+        with pytest.raises(BufTooSmallError):
+            ImageOps(256).transform(new_decoder(buf), ImageOptions(
+                file_type=".jpeg", width=512, height=512,
+                resize_method=method, encode_timeout=600.0))
+    # NO_RESIZE with oversized (ignored) dims still transforms
+    out = ImageOps(256).transform(new_decoder(buf), ImageOptions(
+        file_type=".png", width=99999, height=99999,
+        resize_method=ResizeMethod.NO_RESIZE, encode_timeout=600.0))
+    img = cv2.imdecode(np.frombuffer(out, np.uint8), cv2.IMREAD_UNCHANGED)
+    assert img.shape[:2] == (100, 75)  # orientation-6 source normalized
