@@ -471,10 +471,25 @@ class AvifDecoder(Decoder):
             half = np.uint16(1 << (rp.depth - 1))
             u = jnp.full(rp.y.shape, half, jnp.uint16)
             v = u
-        space = COLOR.AVCOL_SPC.get(rp.matrix, "bt2020")
-        rgb = COLOR.yuv_to_rgb_norm(y, u, v, space=space,
-                                    full_range=rp.full_range, depth=rp.depth,
-                                    out_h=h, out_w=w)
+        if rp.matrix == 0 and rp.u is not None:
+            # CICP Identity: the planes ARE G, B, R (no YCbCr inverse —
+            # AVCOL_SPC maps 0 onto bt709 for the video path's untagged
+            # streams, which is wrong for AVIF's explicit identity)
+            step = float(1 << (rp.depth - 8))
+            maxv = float((1 << rp.depth) - 1)
+            if rp.full_range:
+                bias, rng = 0.0, maxv
+            else:
+                bias, rng = 16.0 * step, 219.0 * step
+            def norm(p):
+                return jnp.clip((p[..., :h, :w].astype(jnp.float32) - bias)
+                                / rng, 0.0, 1.0)
+            rgb = jnp.stack([norm(v), norm(y), norm(u)], axis=-1)  # R,G,B
+        else:
+            space = COLOR.AVCOL_SPC.get(rp.matrix, "bt2020")
+            rgb = COLOR.yuv_to_rgb_norm(y, u, v, space=space,
+                                        full_range=rp.full_range,
+                                        depth=rp.depth, out_h=h, out_w=w)
         primaries = {9: "bt2020", 12: "p3", 1: "bt709"}.get(
             rp.primaries if rp.primaries > 0 else
             (self._cicp[0] if self._cicp else 9), "bt2020")

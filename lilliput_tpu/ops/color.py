@@ -54,8 +54,12 @@ def yuv420_to_bgr(y: jax.Array, u: jax.Array, v: jax.Array,
     uf = u.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     if uf.shape[-2:] != (out_h, out_w):
-        hf = 2 if uf.shape[-1] * 2 >= out_w else 1
-        vf_fac = 2 if uf.shape[-2] * 2 >= out_h else 1
+        # a SUBSAMPLED axis (chroma dim < output dim) upsamples 2x; a
+        # full-resolution axis must stay 1x — `shape*2 >= out` was also
+        # true for FULL-height 4:2:2 chroma, which then got vertically
+        # doubled and truncated to the top half (review finding)
+        hf = 2 if uf.shape[-1] < out_w else 1
+        vf_fac = 2 if uf.shape[-2] < out_h else 1
         uf = upsample_chroma(uf, hf, vf_fac, out_h, out_w)
         vf = upsample_chroma(vf, hf, vf_fac, out_h, out_w)
     yf = yf[..., :out_h, :out_w]
@@ -97,8 +101,10 @@ def yuv_to_rgb_norm(y: jax.Array, u: jax.Array, v: jax.Array,
     uf = u.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     if uf.shape[-2:] != (out_h, out_w):
-        hf = 2 if uf.shape[-1] * 2 >= out_w else 1
-        vfac = 2 if uf.shape[-2] * 2 >= out_h else 1
+        # subsampled axis -> 2x, full-resolution axis -> 1x (see
+        # yuv420_to_bgr: the old >= test corrupted 4:2:2 chroma)
+        hf = 2 if uf.shape[-1] < out_w else 1
+        vfac = 2 if uf.shape[-2] < out_h else 1
         uf = upsample_chroma(uf, hf, vfac, out_h, out_w)
         vf = upsample_chroma(vf, hf, vfac, out_h, out_w)
     yf = yf[..., :out_h, :out_w]
@@ -251,16 +257,20 @@ def hdr_to_sdr(rgb: jax.Array, transfer: str = "pq",
 def _webp_gamma_tables():
     """libwebp 1.2.x picture_csp_enc.c gamma tables (InitGammaTables):
     chroma downsampling is gamma-corrected — u8 -> 12-bit linear via a
-    256-entry pow(0.80) table, 2x2 sum, then back through a 129-entry
+    256-entry pow(0.80) table, 2x2 sum, then back through a 33-entry
     inverse table with 9-bit linear interpolation. Reconstructed from the
     reference formulas and gated BIT-EXACTLY against the system libwebp's
     own import (shim lp_webp_bgra_to_yuv oracle) in tests/test_webp.py."""
     GAMMA_FIX, GAMMA_TAB_FIX = 12, 7
     scale_max = (1 << GAMMA_FIX) - 1                      # 4095
-    tab_size = 1 << GAMMA_TAB_FIX                         # 128
     g2l = np.array([int((v / 255.0) ** 0.80 * scale_max + 0.5)
                     for v in range(256)], np.int64)
-    scale = tab_size / scale_max
+    scale = (1 << GAMMA_TAB_FIX) / scale_max
+    # libwebp's kLinearToGammaTab holds 1<<(GAMMA_FIX-GAMMA_TAB_FIX)+1 =
+    # 33 entries and the interpolation index (s>>9 for s <= 4*4095) can
+    # only reach rows 0..31 — a larger table would carry dead rows with
+    # values past 255 that don't exist in libwebp
+    tab_size = 1 << (GAMMA_FIX - GAMMA_TAB_FIX)           # 32
     l2g = np.array([int(255.0 * (scale * v) ** (1.0 / 0.80) + 0.5)
                     for v in range(tab_size + 1)], np.int64)
     # selection-dot-friendly u8 column splits (values are 12/13-bit; bf16

@@ -154,7 +154,14 @@ def _use_pallas() -> bool:
 def _use_megakernel() -> bool:
     """Fused decode megakernel gate: LILLIPUT_MEGAKERNEL overrides, else
     follows the Pallas gate (on-TPU default). force_split_decode (multi-
-    device sharded steps) wins over everything."""
+    device sharded steps) wins over everything.
+
+    Read at TRACE time: the flag is not part of jax's jit cache key, so
+    set it BEFORE the first decode of a given shape — flipping the env
+    var later keeps serving the already-compiled executable for shapes
+    traced earlier (restart the process, or clear_cache() the fused fns,
+    to re-trace). The sharded serving steps are immune: they trace their
+    own per-instance jit copies under force_split_decode."""
     import os
     if _force_split_depth:
         return False

@@ -403,16 +403,9 @@ def composite_indexed_frame(canvas: jax.Array, indices_full: jax.Array,
     return jnp.where(valid[..., None], color, canvas)
 
 
-@jax.jit
-def clear_rect_to(canvas: jax.Array, mask: jax.Array, color: jax.Array) -> jax.Array:
-    """Fill masked region with a color (dispose-to-background)."""
-    return jnp.where(mask[..., None], color.astype(canvas.dtype), canvas)
-
-
-@jax.jit
-def restore_rect(canvas: jax.Array, mask: jax.Array, saved: jax.Array) -> jax.Array:
-    """Restore masked region from a saved canvas (dispose-previous)."""
-    return jnp.where(mask[..., None], saved, canvas)
+# (clear_rect_to / restore_rect — trivial jnp.where dispose wrappers —
+# were removed: the batched path does disposal inside
+# composite_animation's scan and the streaming path is numpy.)
 
 
 @jax.jit

@@ -237,11 +237,17 @@ def _area(img, dst_w: int, dst_h: int):
 # Matmul-form AREA resize (MXU path for the fused serving pipeline)
 # ---------------------------------------------------------------------------
 
-def _area_axis_matrix(src: int, dst: int) -> np.ndarray:
+def _area_axis_matrix(src: int, dst: int,
+                      force_linear: bool = False) -> np.ndarray:
     """(dst, src) f32 resampling matrix for one axis with INTER_AREA taps
-    (decimation taps when downscaling, area-rule bilinear when upscaling)."""
+    (decimation taps when downscaling, area-rule bilinear when upscaling).
+
+    force_linear: cv::resize switches the WHOLE resize to bilinear when
+    ANY axis upscales — callers building a mixed up/down geometry must
+    pass True for the downscaling axis too, or the matmul path diverges
+    from the streaming `_area` by far more than the documented ±1."""
     m = np.zeros((dst, src), np.float32)
-    if src >= dst:
+    if src >= dst and not force_linear:
         idx, w = T.area_tables(src, dst)
         for d in range(dst):
             for k in range(idx.shape[1]):
@@ -277,14 +283,14 @@ def _banded_groups(mat: np.ndarray, group: int = _BAND_GROUP):
     return groups
 
 
-def _banded_contract(s: jax.Array, mat: np.ndarray, axis: int) -> jax.Array:
-    """Contract spatial `axis` (-3=h, -2=w) of (..., h, w, c) with a banded
-    (dst, src) matrix as per-group slab matmuls: each 64-output-row group
-    reads only its ~(scale*64+taps)-row source window, cutting MXU work
-    ~4x at serving shapes vs the dense form (same nonzero terms, so the
-    +-1 contract of resize_area_mxu is unchanged)."""
+def _banded_contract_eq(s: jax.Array, mat: np.ndarray, axis: int,
+                        eq: str) -> jax.Array:
+    """Shared banded-slab contraction body: each 64-output-row group reads
+    only its ~(scale*64+taps)-row source window, cutting MXU work ~4x at
+    serving shapes vs the dense form (same nonzero terms, so the +-1
+    contract of resize_area_mxu is unchanged). The einsum equation decides
+    channel-minor vs planar layout."""
     groups = _banded_groups(mat)
-    eq = "...hwc,Ww->...hWc" if axis == -2 else "...hwc,Hh->...Hwc"
     if groups is None:
         return jnp.einsum(eq, s, jnp.asarray(mat),
                           preferred_element_type=jnp.float32)
@@ -292,6 +298,12 @@ def _banded_contract(s: jax.Array, mat: np.ndarray, axis: int) -> jax.Array:
                         jnp.asarray(slab), preferred_element_type=jnp.float32)
              for lo, hi, slab in groups]
     return jnp.concatenate(parts, axis=axis)
+
+
+def _banded_contract(s: jax.Array, mat: np.ndarray, axis: int) -> jax.Array:
+    """Banded contraction of spatial `axis` (-3=h, -2=w) of (..., h, w, c)."""
+    eq = "...hwc,Ww->...hWc" if axis == -2 else "...hwc,Hh->...Hwc"
+    return _banded_contract_eq(s, mat, axis, eq)
 
 
 def area_axis_matrix_scaled(src: int, dst: int, scale: float,
@@ -394,15 +406,9 @@ def resize_area_plane_mat(plane: jax.Array, mat_w: np.ndarray,
 
 def _banded_plane_contract(s: jax.Array, mat: np.ndarray,
                            axis: int) -> jax.Array:
-    groups = _banded_groups(mat)
+    """Banded contraction of `axis` (-2=h, -1=w) of a (..., h, w) plane."""
     eq = "...hw,Ww->...hW" if axis == -1 else "...hw,Hh->...Hw"
-    if groups is None:
-        return jnp.einsum(eq, s, jnp.asarray(mat),
-                          preferred_element_type=jnp.float32)
-    parts = [jnp.einsum(eq, jax.lax.slice_in_dim(s, lo, hi, axis=axis),
-                        jnp.asarray(slab), preferred_element_type=jnp.float32)
-             for lo, hi, slab in groups]
-    return jnp.concatenate(parts, axis=axis)
+    return _banded_contract_eq(s, mat, axis, eq)
 
 
 def _fused_exact_enabled() -> bool:
@@ -444,6 +450,11 @@ def resize_area_window_exact(plane: jax.Array, off_x: int, w: int,
     s = plane.astype(jnp.float32)
     if T.area_is_fast(w, h, dst_w, dst_h):
         fx, fy = w // dst_w, h // dst_h
+        if fx * fy * 255 >= 1 << 24:
+            # block totals past 2^24 stop being exact in the f32 summing
+            # dots (fx*fy >= 65794, a >256x decimation both axes) — the
+            # byte-identity promise can't hold, decline to the ±1 form
+            return None
         mx = np.zeros((dst_w, W), np.float32)
         my = np.zeros((dst_h, H), np.float32)
         for d in range(dst_w):
@@ -486,6 +497,8 @@ def resize_area_exact(img: jax.Array, dst_w: int, dst_h: int):
     s = img.astype(jnp.float32)
     if T.area_is_fast(src_w, src_h, dst_w, dst_h):
         fx, fy = src_w // dst_w, src_h // dst_h
+        if fx * fy * 255 >= 1 << 24:   # see resize_area_window_exact
+            return None
         mx = np.zeros((dst_w, src_w), np.float32)
         my = np.zeros((dst_h, src_h), np.float32)
         for d in range(dst_w):
@@ -597,11 +610,12 @@ def resize_area_plane_embedded(plane: jax.Array, off_x: int, w: int,
                                        dst_h)
         if out is not None:
             return out
+    lin = dst_w > w or dst_h > h           # cv: any upscale -> all bilinear
     return resize_area_plane_mat(plane,
                                  area_matrix_embedded(plane.shape[-1],
-                                                      off_x, w, dst_w),
+                                                      off_x, w, dst_w, lin),
                                  area_matrix_embedded(plane.shape[-2],
-                                                      off_y, h, dst_h))
+                                                      off_y, h, dst_h, lin))
 
 
 def resize_area_mxu_or_exact(img: jax.Array, dst_w: int,
@@ -618,15 +632,16 @@ def resize_area_mxu_or_exact(img: jax.Array, dst_w: int,
     return resize_area_mxu(img, dst_w, dst_h)
 
 
-def area_matrix_embedded(window: int, off: int, length: int,
-                         dst: int) -> np.ndarray:
+def area_matrix_embedded(window: int, off: int, length: int, dst: int,
+                         force_linear: bool = False) -> np.ndarray:
     """(dst, window) AREA axis matrix with the crop [off, off+length) folded
     in: crop-then-resize collapses into ONE contraction (columns outside the
     crop get weight 0). Taps are identical to _area_axis_matrix(length, dst)
     shifted by off, both directions (upscale uses the area-rule bilinear
-    fallback like cv::resize)."""
+    fallback like cv::resize). Pass force_linear=True for BOTH axes when
+    the OTHER axis upscales (cv's joint mode switch)."""
     m = np.zeros((dst, window), np.float32)
-    m[:, off:off + length] = _area_axis_matrix(length, dst)
+    m[:, off:off + length] = _area_axis_matrix(length, dst, force_linear)
     return m
 
 
@@ -639,8 +654,10 @@ def resize_area_mxu_plane(plane: jax.Array, dst_w: int, dst_h: int) -> jax.Array
     src_h, src_w = plane.shape[-2], plane.shape[-1]
     if (src_w, src_h) == (dst_w, dst_h):
         return plane
-    return resize_area_plane_mat(plane, _area_axis_matrix(src_w, dst_w),
-                                 _area_axis_matrix(src_h, dst_h))
+    lin = dst_w > src_w or dst_h > src_h   # cv: any upscale -> all bilinear
+    return resize_area_plane_mat(plane,
+                                 _area_axis_matrix(src_w, dst_w, lin),
+                                 _area_axis_matrix(src_h, dst_h, lin))
 
 
 def resize_area_mxu(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
@@ -663,8 +680,9 @@ def resize_area_mxu(img: jax.Array, dst_w: int, dst_h: int) -> jax.Array:
     if (src_w >= dst_w and src_h >= dst_h
             and T.area_is_fast(src_w, src_h, dst_w, dst_h)):
         return _area_fast_u8(img, dst_w, dst_h) if is_u8 else _area_fast_f32(img, dst_w, dst_h)
-    wx = _area_axis_matrix(src_w, dst_w)  # (dst_w, src_w)
-    wy = _area_axis_matrix(src_h, dst_h)  # (dst_h, src_h)
+    lin = dst_w > src_w or dst_h > src_h   # cv: any upscale -> all bilinear
+    wx = _area_axis_matrix(src_w, dst_w, lin)  # (dst_w, src_w)
+    wy = _area_axis_matrix(src_h, dst_h, lin)  # (dst_h, src_h)
     s = img.astype(jnp.float32)
     h = _banded_contract(s, wx, axis=-2)
     out = _banded_contract(h, wy, axis=-3)

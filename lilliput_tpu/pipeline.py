@@ -233,8 +233,9 @@ def _fused_jpeg_fit_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
             planes = K.decode_ycc_planes_mxu(*win, qt_y, qt_c, rh, rw,
                                              h2, v2)
             if planes is not None:
-                mw = R.area_matrix_embedded(rw, left - x0, w, dst_w)
-                mh = R.area_matrix_embedded(rh, top - y0, h, dst_h)
+                lin = dst_w > w or dst_h > h
+                mw = R.area_matrix_embedded(rw, left - x0, w, dst_w, lin)
+                mh = R.area_matrix_embedded(rh, top - y0, h, dst_h, lin)
                 out = [jnp.clip(jnp.round(
                     R.resize_area_plane_mat(p, mw, mh)), 0, 255)
                     for p in planes]
@@ -365,8 +366,9 @@ def _fused_jpeg_fit_ycc_impl(yc, cb, cr, qt_y, qt_c, enc_qt_y, enc_qt_c,
         # 4) and the crop folds into the resize matrices, so neither a
         # crop slice nor a separate u8 pass exists
         y8 = K.dequant_idct_u8(ywin, qt_y)
-        mwl = R.area_matrix_embedded(y8.shape[-1], tx, w, dst_w)
-        mhl = R.area_matrix_embedded(y8.shape[-2], ty, h, dst_h)
+        lin = dst_w > w or dst_h > h
+        mwl = R.area_matrix_embedded(y8.shape[-1], tx, w, dst_w, lin)
+        mhl = R.area_matrix_embedded(y8.shape[-2], ty, h, dst_h, lin)
         yr = jnp.clip(jnp.round(
             R.resize_area_plane_mat(y8, mwl, mhl)), 0, 255)
     else:

@@ -73,3 +73,32 @@ def test_composite_first_frame_dispose_previous_restores_zeros():
         idx, drawn, luts, counts, trans, pdisp, prects, bg))
     assert np.array_equal(out[0][0, 0], (10, 20, 30, 255))
     assert np.array_equal(out[1][0, 0], (0, 0, 0, 0))  # zeros, not bg
+
+
+def test_composite_indexed_frame_matches_streaming_semantics():
+    """composite_indexed_frame is the device form of the streaming
+    numpy composite in codecs/gif.py (whose comments cite its
+    bounds-check contract): transparent and out-of-palette indices keep
+    the canvas pixel, first_frame starts from the background fill.
+    Gated here so the claimed contract is enforced, not just asserted
+    in comments (review finding: the function had no callers or tests)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    h, w, pc = 13, 17, 5
+    canvas = rng.integers(0, 256, (h, w, 4), np.uint8)
+    idx = rng.integers(0, 8, (h, w), np.uint8)       # some >= pal_count
+    drawn = rng.integers(0, 2, (h, w)).astype(bool)
+    lut = rng.integers(0, 256, (pc, 4), np.uint8)
+    bg = np.array([9, 8, 7, 255], np.uint8)
+    trans = 2
+    for first in (False, True):
+        got = np.asarray(P.composite_indexed_frame(
+            jnp.asarray(canvas), jnp.asarray(idx), jnp.asarray(drawn),
+            jnp.asarray(lut), jnp.asarray(np.int32(trans)), True,
+            jnp.asarray(bg), first))
+        base = (np.broadcast_to(bg, (h, w, 4)) if first else canvas)
+        i32 = idx.astype(np.int32)
+        valid = drawn & (i32 < pc) & (i32 != trans)
+        color = lut[np.minimum(i32, pc - 1)]
+        want = np.where(valid[..., None], color, base)
+        np.testing.assert_array_equal(got, want)

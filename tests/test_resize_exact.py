@@ -218,3 +218,28 @@ def test_mm3_plane_contract_matches_f32(case, monkeypatch):
     r_fast = np.clip(np.round(fast), 0, 255)
     r_ref = np.clip(np.round(ref), 0, 255)
     assert np.abs(r_fast - r_ref).max() <= 1
+
+
+def test_area_mxu_mixed_geometry_keeps_pm1_contract():
+    """cv::resize switches the WHOLE INTER_AREA resize to bilinear when
+    ANY axis upscales; the matmul form must make the same JOINT mode
+    switch (regression: per-axis tap selection used N-tap decimation on
+    the downscaling axis of a mixed up/down geometry, diverging from the
+    streaming path by tens of u8 levels instead of the documented ±1)."""
+    import jax.numpy as jnp
+
+    from lilliput_tpu.ops import resize as R
+    rng = np.random.default_rng(11)
+    for (sw, sh, dw, dh) in [(400, 100, 100, 400), (100, 400, 400, 100),
+                             (60, 50, 61, 20), (33, 7, 8, 31)]:
+        img = rng.integers(0, 256, (sh, sw, 3), np.uint8)
+        want = np.asarray(R.resize(jnp.asarray(img), dw, dh,
+                                   R.AREA)).astype(int)
+        got = np.asarray(R.resize_area_mxu(jnp.asarray(img), dw,
+                                           dh)).astype(int)
+        assert np.abs(got - want).max() <= 1, (sw, sh, dw, dh)
+        pg = np.asarray(R.resize_area_mxu_plane(
+            jnp.asarray(img[..., 0]), dw, dh))
+        pw = want[..., 0]
+        assert np.abs(np.clip(np.round(pg), 0, 255).astype(int)
+                      - pw).max() <= 1, (sw, sh, dw, dh, "plane")
