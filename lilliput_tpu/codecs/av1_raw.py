@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .. import binding
+from ..errors import InvalidImageError
 
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _i32p = ctypes.POINTER(ctypes.c_int32)
@@ -124,9 +125,15 @@ def parse_still_items(buf: bytes) -> Optional[StillItems]:
             if ev >= 3:
                 iid = int.from_bytes(buf[s + 4:s + 8], "big")
                 ityp = buf[s + 10:s + 14]
-            else:
+            elif ev == 2:
                 iid = int.from_bytes(buf[s + 4:s + 6], "big")
                 ityp = buf[s + 8:s + 12]
+            else:
+                # infe v0/1 has NO item_type field (pre-HEIF layout:
+                # item_ID + protection_index + item_name string) — the
+                # v2 offsets would read the first 4 item_name bytes as a
+                # type. HEIF/AVIF items require v>=2; skip these.
+                continue
             item_types[iid] = ityp
 
     # iloc: item extents
@@ -350,6 +357,12 @@ def _parse_one_track(buf: bytes, s: int, e: int) -> Optional[Track]:
         for _ in range(spc):
             if si >= len(sizes):
                 break
+            if off + sizes[si] > len(buf) or sizes[si] <= 0:
+                # truncated/hostile stco/stsz: an out-of-range slice
+                # silently yields b"", which the stream shim treats as a
+                # FLUSH, EOFing the decoder mid-animation — fail the
+                # parse here so the caller takes the typed-error path
+                raise InvalidImageError("avis sample outside buffer")
             samples.append(buf[off:off + sizes[si]])
             off += sizes[si]
             si += 1

@@ -204,18 +204,25 @@ class GifDecoder(Decoder):
             m.ext = b""
         return m
 
-    def _read_frame_raster(self, m):
-        """Decode the pending frame's raster and pre-scatter it to canvas
-        shape (max-dimension guard, clipping, 256-row BGRA LUT). Shared by
-        the streaming and batch paths so their clip/scatter/palette
-        semantics cannot drift."""
+    def _decode_raw_raster(self, m) -> np.ndarray:
+        """Max-dimension guard + pending-frame raster decode -> (h, w)
+        palette indices. ONE copy shared by the streaming composite, the
+        batch path and the first-frame fast path, so the guard and error
+        semantics cannot drift between them."""
         maxd = _gif_max_frame_dimension
         if m.width > maxd or m.height > maxd:
             raise InvalidImageError("gif frame exceeds max dimension")
         raw = np.empty(m.height * m.width, np.uint8)
         if self._lib.lp_gif_frame_indices(self._h, _u8(raw)) != 0:
             raise DecodingFailedError("gif raster decode failed")
-        return self._scatter(m, raw.reshape(m.height, m.width))
+        return raw.reshape(m.height, m.width)
+
+    def _read_frame_raster(self, m):
+        """Decode the pending frame's raster and pre-scatter it to canvas
+        shape (max-dimension guard, clipping, 256-row BGRA LUT). Shared by
+        the streaming and batch paths so their clip/scatter/palette
+        semantics cannot drift."""
+        return self._scatter(m, self._decode_raw_raster(m))
 
     def _scatter(self, m, raw):
         """Canvas-shape scatter of a decoded raster (clipping + BGRA LUT)."""
@@ -338,13 +345,7 @@ class GifDecoder(Decoder):
         decode_to). Performs the same raster decode, clip, palette,
         transparency and disposal-state bookkeeping as the generic path;
         only the per-pixel compositing machinery differs."""
-        maxd = _gif_max_frame_dimension
-        if m.width > maxd or m.height > maxd:
-            raise InvalidImageError("gif frame exceeds max dimension")
-        raw = np.empty(m.height * m.width, np.uint8)
-        if self._lib.lp_gif_frame_indices(self._h, _u8(raw)) != 0:
-            raise DecodingFailedError("gif raster decode failed")
-        raw = raw.reshape(m.height, m.width)
+        raw = self._decode_raw_raster(m)
         cw, ch = self._w, self._hgt
         fl, ft, fw, fh = self._clip_rect(m.left, m.top, m.width, m.height)
 

@@ -40,6 +40,7 @@ import numpy as np
 from ..errors import DecodingFailedError, InvalidImageError
 from ..framebuffer import Framebuffer, ImageHeader, ImageOrientation
 from ..interfaces import Decoder
+from . import jp2_t1 as _t1
 
 JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
 J2K_SOC = b"\xff\x4f\xff\x51"
@@ -202,7 +203,7 @@ class _CodeBlock:
 
 
 class _Band:
-    __slots__ = ("orient", "x0", "y0", "x1", "y1", "cblks", "_pw",
+    __slots__ = ("orient", "x0", "y0", "x1", "y1", "cblks",
                  "eps", "mu", "gain")
 
     def __init__(self):
@@ -210,7 +211,12 @@ class _Band:
 
 
 class _Precinct:
-    __slots__ = ("bands_cblks", "incl_tt", "zp_tt")
+    # pws: per-band codeblock-grid width of THIS precinct — it must live
+    # here, not on the shared _Band: later layers revisit earlier
+    # precincts, and a band-level slot would hold whichever precinct was
+    # initialized last (wrong tag-tree coords on any band whose
+    # precincts have different grid widths; review finding)
+    __slots__ = ("bands_cblks", "incl_tt", "zp_tt", "pws")
 
 
 def _parse_siz(seg: bytes) -> _Siz:
@@ -389,6 +395,9 @@ class Jp2Image:
         tile_ppt: Dict[int, List[Tuple[int, bytes]]] = {}
         tile_tp_seq: Dict[int, List[int]] = {}    # tile -> tile-part nos
         tp_counter = 0
+        coc_segs: Dict[int, bytes] = {}           # deferred COC bodies
+        qcd_seg: Optional[bytes] = None           # deferred QCD body
+        qcc_segs: Dict[int, bytes] = {}           # deferred QCC bodies
         n = len(cs)
         while i + 4 <= n:
             marker = cs[i:i + 2]
@@ -401,26 +410,26 @@ class Jp2Image:
             elif marker == b"\xff\x52":
                 self.cod = _parse_cod(seg)
             elif marker == b"\xff\x53":  # COC
-                if self.cod is None or self.siz is None or not seg:
+                # ISO 15444-1 A.2 allows main-header markers in any
+                # order after SIZ — COC/QCD/QCC may legally precede COD,
+                # so their bodies are STASHED here and parsed after the
+                # walk when COD (and each COC's levels) is known
+                if self.siz is None or not seg:
                     raise InvalidImageError("JPEG 2000: bad COC placement")
                 off = 1 if self.siz.csiz < 257 else 2
                 ci = seg[0] if off == 1 else \
                     struct.unpack(">H", seg[:2])[0]
                 if ci >= self.siz.csiz:
                     raise InvalidImageError("JPEG 2000: COC component")
-                self.coc[ci] = _parse_coc_body(seg[off:], self.cod)
+                coc_segs[ci] = seg[off:]
             elif marker == b"\xff\x5c":
-                if self.cod is None:
-                    raise InvalidImageError("JPEG 2000: QCD before COD")
-                self.qcd = _parse_qcd(seg, self.cod.levels)
+                qcd_seg = seg
             elif marker == b"\xff\x5d":  # QCC
-                if self.cod is None or self.siz is None:
-                    raise InvalidImageError("JPEG 2000: QCC before COD")
+                if self.siz is None:
+                    raise InvalidImageError("JPEG 2000: QCC before SIZ")
                 off = 1 if self.siz.csiz < 257 else 2
                 ci = seg[0] if off == 1 else struct.unpack(">H", seg[:2])[0]
-                lv = self.coc[ci].levels if ci in self.coc \
-                    else self.cod.levels
-                self.qcc[ci] = _parse_qcd(seg[off:], lv)
+                qcc_segs[ci] = seg[off:]
             elif marker == b"\xff\x60":  # PPM (packed headers, main)
                 if not seg:
                     raise InvalidImageError("JPEG 2000: empty PPM")
@@ -476,8 +485,18 @@ class Jp2Image:
                 i = end
                 continue
             i += 2 + ln
-        if self.siz is None or self.cod is None or self.qcd is None:
+        if self.siz is None or self.cod is None or qcd_seg is None:
             raise InvalidImageError("JPEG 2000: missing SIZ/COD/QCD")
+        # deferred marker resolution (see the COC branch above): COC
+        # first, so each QCC resolves its level count against the REAL
+        # per-component COC even when the QCC appeared earlier in the
+        # header
+        for ci, body in coc_segs.items():
+            self.coc[ci] = _parse_coc_body(body, self.cod)
+        self.qcd = _parse_qcd(qcd_seg, self.cod.levels)
+        for ci, body in qcc_segs.items():
+            lv = self.coc[ci].levels if ci in self.coc else self.cod.levels
+            self.qcc[ci] = _parse_qcd(body, lv)
         # packed packet headers: PPT per tile (Zppt order), else PPM
         # chunks ([Nppm u32 | data] per tile-part, consumed in
         # codestream tile-part order, A.7.4/A.7.5)
@@ -649,7 +668,22 @@ class Jp2Image:
                     for c in range(ncomp):
                         for p in range(nprec(c, r)):
                             order.append((l, r, c, p))
-        elif cod.prog == 2:  # RPCL (precinct-major over position; with
+        elif cod.prog == 2:  # RPCL (precinct-major over position)
+            # index-lockstep across components equals the spec's
+            # position order only when every component shares the same
+            # precinct grid at each resolution — with divergent grids
+            # (subsampled components / per-component COC levels) the
+            # spec interleaves by grid POSITION, which this reader does
+            # not implement; decline like PCRL/CPRL rather than parse
+            # packet headers against the wrong precinct's tag trees
+            for r in range(max_levels + 1):
+                grids = {(comps[c][r]["npw"], comps[c][r]["nph"])
+                         for c in range(ncomp) if r < len(comps[c])}
+                if len(grids) > 1 and max(
+                        nprec(c, r) for c in range(ncomp)) > 1:
+                    raise InvalidImageError(
+                        "JPEG 2000: RPCL with divergent component "
+                        "precinct grids unsupported")
             for r in range(max_levels + 1):  # whole-tile precincts
                 for p in range(max(nprec(c, r)              # this order
                                    for c in range(ncomp))):  # is spec's
@@ -821,9 +855,10 @@ class Jp2Image:
         chunks = []
         for bi, (band, cblks) in enumerate(prec.bands_cblks):
             itt, ztt = prec.incl_tt[bi], prec.zp_tt[bi]
+            pw = max(prec.pws[bi], 1)
             for ci, cb in enumerate(cblks):
-                gx = ci % band._pw
-                gy = ci // band._pw
+                gx = ci % pw
+                gy = ci // pw
                 if not cb.included:
                     inc = itt.decode(br, gx, gy, layer + 1)
                 else:
@@ -857,7 +892,6 @@ class Jp2Image:
                 # per codeword segment touched (B.10.7.1)
                 while br.bit():
                     cb.lblock += 1
-                from . import jp2_t1 as _t1
                 style = cod.cblk_style
                 remaining = np_
                 while remaining > 0:
@@ -897,6 +931,7 @@ class Jp2Image:
         prec.bands_cblks = []
         prec.incl_tt = []
         prec.zp_tt = []
+        prec.pws = []
         trx0, try0, trx1, try1 = res["rect"]
         ppx, ppy = res["ppx"], res["ppy"]
         px = p % res["npw"]
@@ -928,7 +963,7 @@ class Jp2Image:
                 cgx0 = cgx1 = cgy0 = cgy1 = 0
             pw = max(cgx1 - cgx0, 0)
             ph = max(cgy1 - cgy0, 0)
-            band._pw = pw
+            prec.pws.append(pw)
             for gy in range(cgy0, cgy1):
                 for gx in range(cgx0, cgx1):
                     cb = _CodeBlock(max(gx * cbw, bpx0),
@@ -1015,15 +1050,59 @@ class Jp2Decoder(Decoder):
         import jax.numpy as jnp
         s = self._img.siz
         planes = self._img.decode()
+        vals = []   # (plane int32 pre-level-shift, depth) post-upsample
         chans = []
         for c, pl in enumerate(planes):
             depth, signed, xr, yr = s.comps[c]
             if xr > 1 or yr > 1:
+                if pl.shape[0] == 0 or pl.shape[1] == 0:
+                    raise DecodingFailedError(
+                        "JPEG 2000: empty subsampled component")
                 # subsampled component: sample replication back to the
-                # image grid (component sample i covers image columns
-                # [i*XRsiz, (i+1)*XRsiz), B.3)
-                pl = np.repeat(np.repeat(pl, yr, axis=0), xr, axis=1)
-                pl = pl[:self._h, :self._w]
+                # image grid, honoring the reference-grid ORIGIN phase
+                # (component sample k sits at grid x in
+                # [k*XRsiz, (k+1)*XRsiz), B.3; image pixel j is grid
+                # x = XOsiz + j). A plain np.repeat assumed zero origin:
+                # with XOsiz % XRsiz != 0 it was phase-shifted and could
+                # come out SHORTER than the image, crashing np.stack
+                # with an untyped ValueError (review finding).
+                cols = np.clip((s.xosiz + np.arange(self._w)) // xr
+                               - _ceil_div(s.xosiz, xr), 0,
+                               pl.shape[1] - 1)
+                rows = np.clip((s.yosiz + np.arange(self._h)) // yr
+                               - _ceil_div(s.yosiz, yr), 0,
+                               pl.shape[0] - 1)
+                pl = pl[rows][:, cols]
+            vals.append((pl, depth))
+        # sYCC (colr enumcs 18): the codestream's Y/Cb/Cr planes need a
+        # color conversion before rendering — previously the parsed
+        # colorspace tag was IGNORED and sYCC files rendered their YCC
+        # planes as BGR (review finding). This host's reference stack
+        # (OpenCV 5 grfmt_jpeg2000_openjpeg) converts sYCC with
+        # cvtColor(COLOR_YUV2BGR) — verified empirically to be exactly
+        # OpenCV's PAL-YUV fixed-point kernel (coeffs x 2^14 +
+        # CV_DESCALE), NOT OpenJPEG's color_sycc_to_rgb — and the form
+        # below is pinned BIT-IDENTICAL to it on patched-colr fixtures
+        # (tests/test_jp2.py). Planes here are pre-level-shift
+        # (Y centered; Cb/Cr already offset-subtracted by construction).
+        if (self._img.meta.get("colorspace") == 18 and self._nc >= 3
+                and len({d for _, d in vals[:3]}) == 1):
+            d = vals[0][1]
+            off = 1 << (d - 1)
+            yv = vals[0][0].astype(np.int64) + off
+            cb = vals[1][0].astype(np.int64)
+            cr = vals[2][0].astype(np.int64)
+
+            def desc(x):
+                return (x + (1 << 13)) >> 14
+
+            b = yv + desc(33292 * cb)
+            g = yv + desc(-6472 * cb - 9519 * cr)
+            r = yv + desc(18678 * cr)
+            vals[0] = (r - off, d)
+            vals[1] = (g - off, d)
+            vals[2] = (b - off, d)
+        for pl, depth in vals:
             # unsigned: undo the DC level shift; signed: same offset maps
             # [-2^(d-1), 2^(d-1)) onto the unsigned range the way
             # OpenCV's grfmt_jpeg2000 renders signed components

@@ -12,7 +12,6 @@ from __future__ import annotations
 import ctypes
 from typing import Dict, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from .. import binding

@@ -272,3 +272,34 @@ def test_warm_set_larger_than_lru_rejected():
     mp = MultiGeometryPipeline(32, 32, max_geometries=2)
     with pytest.raises(ValueError, match="max_geometries"):
         mp.warm([(64, 64), (80, 60), (100, 76)])
+
+
+@pytest.mark.parametrize("geom", [(16, 16), (21, 33)],
+                         ids=["444-16", "444-odd"])
+def test_sycc_colorspace_matches_cv2(geom):
+    """colr enumcs 18 (sYCC): this host's reference stack (OpenCV 5
+    grfmt_jpeg2000_openjpeg) converts with cvtColor(COLOR_YUV2BGR) — the
+    PAL-YUV fixed-point kernel — verified empirically; our decoder's
+    pinned form must match it bit-identically (regression: the parsed
+    colorspace tag was ignored and YCC planes rendered as BGR).
+    Subsampled sYCC has no oracle: this cv2 REJECTS any comp.dx != 1
+    ('tiles are not supported'), so our decode of those is
+    beyond-reference (same kernel after replication upsample)."""
+    import struct
+
+    import cv2
+
+    from lilliput_tpu.codecs.jp2 import Jp2Decoder
+    from lilliput_tpu.codecs.jp2_enc import encode_jp2
+    h, w = geom
+    rng = np.random.default_rng(h * w)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    buf = bytearray(encode_jp2(img, mct=False))
+    i = bytes(buf).find(b"colr")
+    buf[i + 7:i + 11] = struct.pack(">I", 18)   # sRGB(16) -> sYCC(18)
+    want = cv2.imdecode(np.frombuffer(bytes(buf), np.uint8),
+                        cv2.IMREAD_COLOR)
+    d = Jp2Decoder(bytes(buf))
+    fb = Framebuffer()
+    d.decode_to(fb)
+    np.testing.assert_array_equal(np.asarray(fb.array), want)
