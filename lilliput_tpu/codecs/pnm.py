@@ -49,14 +49,22 @@ class PnmDecoder(Decoder):
         self._pos = m.end()
         return m.group(1)
 
+    def _int_token(self) -> int:
+        t = self._next_token()
+        try:
+            return int(t)
+        except ValueError:
+            # typed error, not a raw ValueError escaping new_decoder
+            raise InvalidImageError("invalid PNM header token")
+
     def _parse_header(self) -> None:
         self._pos = 2
-        self._w = int(self._next_token())
-        self._h = int(self._next_token())
+        self._w = self._int_token()
+        self._h = self._int_token()
         if self._kind in (1, 4):          # bitmap: no maxval
             self._maxval = 1
         else:
-            self._maxval = int(self._next_token())
+            self._maxval = self._int_token()
         if not (0 < self._w <= 1 << 20 and 0 < self._h <= 1 << 20
                 and 0 < self._maxval <= 65535):
             raise InvalidImageError("invalid PNM header")
@@ -89,7 +97,18 @@ class PnmDecoder(Decoder):
             body = self._buf[self._pos:]
             # strip comments, then tokenize numerals
             body = re.sub(rb"#[^\n]*", b"", body)
-            vals = np.array(body.split()[: h * w * c], np.uint16)
+            if k == 1:
+                # PBM ASCII reads SINGLE digits — the canonical packed
+                # form '0110' has no separators (cv2 parity; verified:
+                # whitespace-tokenizing failed such files)
+                ba = np.frombuffer(body, np.uint8)
+                digits = ba[(ba == 0x30) | (ba == 0x31)] - 0x30
+                vals = digits[: h * w].astype(np.uint16)
+            else:
+                try:
+                    vals = np.array(body.split()[: h * w * c], np.uint16)
+                except (ValueError, OverflowError):
+                    raise DecodingFailedError("PNM pixel data malformed")
             if vals.size < h * w * c:
                 raise DecodingFailedError("PNM pixel data truncated")
             if k == 1:                    # PBM ASCII: 1 = black
@@ -98,6 +117,8 @@ class PnmDecoder(Decoder):
         if k == 4:                        # packed bits, row-aligned to bytes
             stride = (w + 7) // 8
             need = stride * h
+            if len(self._buf) - self._data_off < need:
+                raise DecodingFailedError("PNM pixel data truncated")
             data = np.frombuffer(self._buf, np.uint8, count=need,
                                  offset=self._data_off)
             return data.reshape(h, stride)[..., None].astype(np.uint16)
@@ -124,10 +145,16 @@ class PnmDecoder(Decoder):
             px = raw.astype(jnp.uint8)
         elif self._maxval > 255:          # OpenCV scales 16-bit down: >> 8
             px = (raw >> 8).astype(jnp.uint8)
-        else:                             # normalize small maxval to 0..255
-            px = jnp.clip(jnp.round(raw.astype(jnp.float32)
-                                    * (255.0 / self._maxval)),
-                          0, 255).astype(jnp.uint8)
+        elif self._kind >= 4:
+            # BINARY small-maxval samples come back RAW — OpenCV's
+            # grfmt_pxm only rescales the ASCII reader (pinned
+            # empirically: P5 maxval=100 data [0,50,100] -> [0,50,100])
+            px = jnp.clip(raw, 0, 255).astype(jnp.uint8)
+        else:
+            # ASCII small maxval scales with integer TRUNCATION,
+            # v*255/maxval (cv2: maxval=100 value 50 -> 127, not 128)
+            px = jnp.clip((raw.astype(jnp.int32) * 255)
+                          // self._maxval, 0, 255).astype(jnp.uint8)
         if self._color:
             px = px[..., ::-1]            # RGB file order -> BGR framebuffer
         fb.array = px
@@ -354,6 +381,12 @@ class PnmEncoder(Encoder):
             raise DecodingFailedError(
                 ".ppm expects a color image (grfmt_pxm semantics)")
         h, w = arr.shape[:2]
+        if self._subtype == ".pbm":
+            # OpenCV's .pbm writer emits P4 packed 1-bit (bit = 1 =
+            # black iff the sample is 0; pinned: imencode('.pbm') of
+            # [0,100,...,255] -> b'P4\\n6 1\\n\\x80'), not 8-bit P5
+            bits = np.packbits((arr == 0).astype(np.uint8), axis=1)
+            return b"P4\n%d %d\n" % (w, h) + bits.tobytes()
         if gray:
             return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
         rgb = np.ascontiguousarray(arr[:, :, 2::-1])  # BGR(A) -> RGB

@@ -102,31 +102,28 @@ def _u8(a: np.ndarray):
 
 
 def is_streamable_mp4(buf: bytes) -> bool:
-    """moov-before-mdat probe over top-level boxes (avcodec.cpp:209-245)."""
-    pos = 0
+    """Exact mirror of avcodec_decoder_is_streamable
+    (avcodec.cpp:209-245): walk top-level atoms whose HEADERS sit in the
+    first 32 KB, validating each atom size against the WHOLE buffer
+    before looking at its type; 'moov' first -> streamable, 'mdat'
+    first -> not, anything invalid/absent -> not. The reference runs
+    this scan on EVERY input (no ftyp gate, no 64-bit atom sizes), so
+    WebM/MP3/etc. report not-streamable via the no-moov fallthrough —
+    matching that behavior exactly is the parity contract."""
     n = len(buf)
-    moov_at = mdat_at = None
-    while pos + 8 <= n:
+    peek = min(n, 32 * 1024)
+    pos = 0
+    while pos + 8 <= peek:
         size = int.from_bytes(buf[pos:pos + 4], "big")
+        if size < 8 or size + pos > n:
+            break
         typ = buf[pos + 4:pos + 8]
-        if typ == b"moov" and moov_at is None:
-            moov_at = pos
-        if typ == b"mdat" and mdat_at is None:
-            mdat_at = pos
-        if size == 1:  # 64-bit size
-            if pos + 16 > n:
-                break
-            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
-        elif size == 0:
-            break
-        if size < 8:
-            break
+        if typ == b"moov":
+            return True
+        if typ == b"mdat":
+            return False
         pos += size
-    if moov_at is None:
-        return False
-    if mdat_at is None:
-        return True
-    return moov_at < mdat_at
+    return False
 
 
 class VideoDecoder(Decoder):
@@ -180,9 +177,10 @@ class VideoDecoder(Decoder):
         return bool(self._info.has_subtitles)
 
     def is_streamable(self) -> bool:
-        if self._raw[4:8] == b"ftyp":
-            return is_streamable_mp4(self._raw)
-        return True
+        # the reference probes EVERY container with the atom scan
+        # (avcodec.go:93-95 -> avcodec.cpp:209); non-ISOBMFF inputs
+        # (WebM/MP3/...) fall through to not-streamable via no-moov
+        return is_streamable_mp4(self._raw)
 
     def icc(self) -> bytes:
         """Embedded profile by color primaries (avcodec.cpp:353-370)."""

@@ -595,6 +595,11 @@ bool scan_geometry(const Frame& f, const Scan& sc, ScanGeom* g) {
                                              static_cast<uint8_t>(dx),
                                              static_cast<uint8_t>(dy)};
         }
+        // T.81 B.2.3 / libjpeg D_MAX_BLOCKS_IN_MCU: an interleaved scan
+        // may carry at most 10 data units per MCU — libjpeg hard-errors
+        // (JERR_BAD_MCU_SIZE) on more, so decoding such streams here
+        // would diverge from the fallback's error behavior
+        if (g->nsched > 10) return false;
     }
     g->nmcu = g->smx * g->smy;
     return g->nmcu > 0;
@@ -1223,6 +1228,16 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
     }
     if (!sos_seen) return kDecline;
 
+    // T.81 B.2.3 / libjpeg D_MAX_BLOCKS_IN_MCU: the baseline fast path
+    // is one interleaved scan, so the whole frame's blocks/MCU must be
+    // <= 10 (libjpeg hard-errors with JERR_BAD_MCU_SIZE on more —
+    // decoding such a stream here would diverge from the fallback)
+    if (!f.progressive && f.ncomp > 1) {
+        int blocks = 0;
+        for (int c = 0; c < f.ncomp; c++) blocks += f.comp[c].h * f.comp[c].v;
+        if (blocks > 10) return kDecline;
+    }
+
     // geometry + (baseline) table availability + window validation
     for (int c = 0; c < f.ncomp; c++) {
         Comp& cc = f.comp[c];
@@ -1232,6 +1247,11 @@ int lp_jpeg_decode_coefs_win(const uint8_t* buf, size_t len,
         cc.bh = static_cast<int>(
             (static_cast<long>(f.height) * cc.v + 8L * f.vmax - 1) /
             (8L * f.vmax));
+        // a component whose quant table was never defined decodes with
+        // all-zero dequant tables where libjpeg hard-errors
+        // (JERR_NO_QUANT_TABLE): decline so the error behavior stays
+        // libjpeg's (applies to progressive too)
+        if (!f.qt_seen[cc.tq]) return kDecline;
         if (!f.progressive &&
             (!f.dc[cc.td].present || !f.ac[cc.ta].present))
             return kDecline;

@@ -217,12 +217,22 @@ long lp_jpeg_encode_coefs(int32_t width, int32_t height, int32_t ncomp,
     jerr.pub.error_exit = lp_error_exit;
     jerr.pub.emit_message = lp_emit_message;
 
+    // setjmp-clobber hazard: mem_out/mem_size are modified AFTER setjmp
+    // (jpeg_mem_dest, and libjpeg's mem-dest growth frees + reallocates
+    // the buffer through these), so the longjmp error path must re-read
+    // them from MEMORY — a register-restored stale mem_out would be
+    // double-freed. The const pointer below is set before setjmp and
+    // never modified (well-defined after longjmp); the volatile read
+    // through it forces the memory value.
     unsigned char* mem_out = nullptr;
     unsigned long mem_size = 0;
+    unsigned char** const mem_out_ref = &mem_out;
 
     if (setjmp(jerr.jump)) {
         jpeg_destroy_compress(&cinfo);
-        if (mem_out) free(mem_out);
+        unsigned char* p =
+            *const_cast<unsigned char* volatile*>(mem_out_ref);
+        if (p) free(p);
         return -1;
     }
     jpeg_create_compress(&cinfo);

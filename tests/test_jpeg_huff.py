@@ -354,3 +354,64 @@ def test_decode_entropy_env_escape_hatch(monkeypatch):
     slow = pipe.decode_entropy([buf] * 2)
     for a, b in zip(fast, slow):
         assert np.array_equal(a, b)
+
+
+def _strip_dqt(buf: bytes) -> bytes:
+    """Remove every DQT segment from a JPEG's header walk."""
+    out = bytearray(buf[:2])
+    i = 2
+    n = len(buf)
+    while i + 4 <= n:
+        m = buf[i + 1]
+        if buf[i] != 0xFF:
+            break
+        if m == 0xDA:  # SOS: copy the rest verbatim
+            out += buf[i:]
+            return bytes(out)
+        if m == 0x01 or 0xD0 <= m <= 0xD8:
+            out += buf[i:i + 2]
+            i += 2
+            continue
+        ln = int.from_bytes(buf[i + 2:i + 4], "big")
+        if m != 0xDB:
+            out += buf[i:i + 2 + ln]
+        i += 2 + ln
+    return bytes(out)
+
+
+def test_missing_dqt_declines_like_libjpeg():
+    """A JPEG whose DQT was stripped must DECLINE in the fast decoder —
+    libjpeg hard-errors with JERR_NO_QUANT_TABLE; decoding with all-zero
+    qtables would silently emit a flat image (review finding, verified
+    fast rc=0 + zero qtables before the fix)."""
+    buf = _strip_dqt(open("/root/reference/data/coast.jpg", "rb").read())
+    rc_f, _, qf = _decode(buf, fast=True)
+    rc_l, _, _ = _decode(buf, fast=False)
+    assert rc_l != 0, "libjpeg must reject the DQT-less stream"
+    assert rc_f != 0, "fast decoder must decline, not decode with 0-tables"
+
+
+def test_oversized_mcu_declines_like_libjpeg():
+    """T.81 B.2.3 / libjpeg D_MAX_BLOCKS_IN_MCU: >10 data units per
+    interleaved MCU (e.g. three 2x2-sampled components = 12) is a hard
+    libjpeg error; the fast decoder must decline it, not decode."""
+    import io
+
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    bio = io.BytesIO()
+    Image.fromarray(img).save(bio, format="JPEG", quality=90,
+                              subsampling=2)  # 4:2:0 baseline
+    buf = bytearray(bio.getvalue())
+    # patch SOF0 sampling factors: all three components 2x2 (12 blocks)
+    i = bytes(buf).find(b"\xff\xc0")
+    assert i > 0
+    ncomp = buf[i + 9]
+    assert ncomp == 3
+    for c in range(3):
+        buf[i + 11 + 3 * c] = 0x22
+    rc_l, _, _ = _decode(bytes(buf), fast=False)
+    rc_f, _, _ = _decode(bytes(buf), fast=True)
+    assert rc_l != 0, "libjpeg must reject 12 blocks/MCU"
+    assert rc_f != 0, "fast decoder must decline 12 blocks/MCU"

@@ -195,3 +195,52 @@ def test_pam_header_errors_match_cv2():
     d = PamDecoder(buf)
     with pytest.raises(DecodingFailedError):
         d.decode_to(Framebuffer())
+
+
+def test_pnm_cv2_parity_corners():
+    """Review-finding regressions, each pinned against this host's cv2:
+    P1 packed digits, binary small-maxval raw samples, ASCII
+    small-maxval truncating rescale, P4/P1 equivalence."""
+    import cv2
+    cases = [
+        b"P1\n4 2\n0110\n1001\n",                     # packed digits
+        b"P1\n4 2\n0 1 1 0 1 0 0 1\n",                # spaced digits
+        b"P5\n3 1\n100\n" + bytes([0, 50, 100]),      # binary raw
+        b"P2\n3 1\n100\n0 50 100\n",                  # ascii truncation
+        b"P3\n2 1\n31\n0 15 31 31 15 0\n",            # ascii color
+    ]
+    for buf in cases:
+        want = cv2.imdecode(np.frombuffer(buf, np.uint8),
+                            cv2.IMREAD_UNCHANGED)
+        d = PnmDecoder(buf)
+        fb = Framebuffer()
+        d.decode_to(fb)
+        got = fb.to_numpy()
+        if got.ndim == 3 and got.shape[2] == 1:
+            got = got[..., 0]
+        elif got.ndim == 3:
+            pass  # both BGR
+        np.testing.assert_array_equal(got, want, err_msg=repr(buf[:12]))
+
+
+def test_pbm_encoder_writes_p4_like_cv2():
+    """OpenCV's .pbm writer emits P4 packed 1-bit (bit set iff the
+    sample is 0); the encoder previously wrote 8-bit P5 under a bitmap
+    extension."""
+    import cv2
+    g = np.array([[0, 100, 127, 128, 200, 255]], np.uint8)
+    ok, e = cv2.imencode(".pbm", g)
+    want = np.asarray(e[0] if isinstance(e, tuple) else e).tobytes()
+    got = PnmEncoder(subtype=".pbm").encode(Framebuffer(g[..., None]), {})
+    assert got == want
+
+
+def test_pnm_malformed_inputs_raise_typed_errors():
+    from lilliput_tpu.errors import LilliputError
+    bad = [b"P2\nabc def\n255\n0",                 # non-numeric header
+           b"P4\n16 4\n\x00\x01",                  # truncated P4 body
+           b"P2\n2 1\n100\n0 xyz\n"]               # non-numeric sample
+    for buf in bad:
+        with pytest.raises(LilliputError):
+            d = PnmDecoder(buf)
+            d.decode_to(Framebuffer())

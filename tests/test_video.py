@@ -31,6 +31,21 @@ def test_streamability_probe():
     assert is_streamable_mp4(web)       # faststart
     assert not is_streamable_mp4(big)
     assert not is_streamable_mp4(zero)
+    # reference parity (avcodec.cpp:209): the probe runs on EVERY input
+    # with no ftyp gate — non-ISOBMFF containers are NOT streamable via
+    # the no-moov fallthrough (regression: they returned True), and a
+    # moov whose header sits past the 32 KB probe limit is not found
+    webm = open("tests/assets/tiny_vp8.webm", "rb").read()
+    assert not is_streamable_mp4(webm)
+    d = new_decoder(webm)
+    assert not d.is_streamable()
+    import struct
+    far = (struct.pack(">I", 8 + 40000) + b"free" + b"\x00" * 40000
+           + struct.pack(">I", 16) + b"moov" + b"\x00" * 8)
+    assert not is_streamable_mp4(far)   # header past the 32 KB probe
+    near = (struct.pack(">I", 16) + b"free" + b"\x00" * 8
+            + struct.pack(">I", 16) + b"moov" + b"\x00" * 8)
+    assert is_streamable_mp4(near)
 
 
 def test_probe_and_first_frame():
